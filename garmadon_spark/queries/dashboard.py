@@ -1,0 +1,416 @@
+"""Dashboard query surface over the ``events`` stream table.
+
+Re-expresses the reference's Grafana/Elasticsearch read-side operators
+(SURVEY §2.7; extracted from readers/elasticsearch/src/main/elasticsearch/
+grafana/*.json — 494 bucket aggs, 376 metric aggs, 105 lucene filters) as
+DataFrame queries:
+
+- ``date_histogram``      → groupBy(date_trunc(ts))   [tumbling window]
+- ``terms`` (size=k)      → groupBy + count + top-k
+- ``sum/avg/max/count``   → F.sum/F.avg/F.max/F.count
+- ``percentiles``         → exact percentile (oracle parity); the scale
+                            path is percentile_approx — same plan shape
+- ``derivative`` pipeline → lag() over (partition by series order by t)
+- ``cardinality``         → count_distinct (exact for oracle parity) and
+                            approx_count_distinct (HLL, the 100 TB path)
+- lucene bool filters     → Column conjunctions (garmadon_spark.filters)
+- ``raw_document``        → filter + order + limit
+
+Scale notes (100 TB): every query here is a single shuffle —
+scan → partial agg (map-side combine) → final agg.  Filters and the
+two-column projections reach the Parquet scan (PushedFilters/ReadSchema);
+time bucketing is a scalar expression, so partition pruning on a
+date-partitioned archive (sinks/archive.py) applies before the scan.
+Top-k uses groupBy+count then a driver-side k-row limit — the heavy
+reduction happens distributed; only k rows cross to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from garmadon_spark import filters as gf
+from garmadon_spark.session import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# --- terms bucket + count metric ------------------------------------------
+
+def ev_count_by_type(spark, sf_dir):
+    """ES `terms` bucket on event_type + count metric."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+EV_COUNT_BY_TYPE_SQL = """
+SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type
+"""
+
+
+# --- date_histogram -------------------------------------------------------
+
+def ev_date_histogram_hour(spark, sf_dir):
+    """`date_histogram` (interval=1h) bucket + count & sum metrics per type.
+
+    Tumbling event-time window; on the day-partitioned archive this prunes
+    partitions before scanning (E6 bucketing, PartitionedWriter.java:103).
+    """
+    return (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+EV_DATE_HISTOGRAM_HOUR_SQL = """
+SELECT date_trunc('hour', ts) AS bucket,
+       event_type,
+       COUNT(*) AS cnt,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --- metric aggs ----------------------------------------------------------
+
+def ev_metric_stats_by_type(spark, sf_dir):
+    """sum/avg/max/min metric aggs per terms bucket (one shuffle)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+            F.round(F.min("value"), 4).alias("min_value"),
+        )
+    )
+
+
+EV_METRIC_STATS_BY_TYPE_SQL = """
+SELECT event_type,
+       COUNT(*) AS cnt,
+       ROUND(SUM(value), 4) AS sum_value,
+       ROUND(AVG(value), 4) AS avg_value,
+       ROUND(MAX(value), 4) AS max_value,
+       ROUND(MIN(value), 4) AS min_value
+FROM events
+GROUP BY event_type
+"""
+
+
+# --- terms top-k ----------------------------------------------------------
+
+def ev_topk_users(spark, sf_dir):
+    """ES `terms` with size=10 ⇒ top-k by doc count.
+
+    Deterministic tie-break on user_id.  Distributed reduction first
+    (groupBy), then a k-row global limit — only k rows leave the cluster.
+    """
+    counts = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return counts.orderBy(F.desc("cnt"), F.asc("user_id")).limit(10)
+
+
+EV_TOPK_USERS_SQL = """
+SELECT user_id, COUNT(*) AS cnt
+FROM events
+GROUP BY user_id
+ORDER BY cnt DESC, user_id ASC
+LIMIT 10
+"""
+
+
+# --- lucene bool filter + agg --------------------------------------------
+
+def ev_filtered_stats(spark, sf_dir):
+    """Compound lucene-style bool filter (SURVEY §2.7 filter row) built with
+    the garmadon filter algebra (F1-F7), then a terms+metric agg.
+
+    Pushdown check: `(event_type IN (click, purchase)) AND value > 5.0`
+    appears in PushedFilters of the parquet scan.
+    """
+    ev = _events(spark, sf_dir)
+    pred = gf.and_all(
+        gf.or_all(gf.has_type("click"), gf.has_type("purchase")),
+        F.col("value") > 5.0,
+        gf.not_filter(F.col("user_id") < 10),
+    )
+    return (
+        ev.filter(pred)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+EV_FILTERED_STATS_SQL = """
+SELECT event_type,
+       COUNT(*) AS cnt,
+       ROUND(AVG(value), 4) AS avg_value
+FROM events
+WHERE event_type IN ('click', 'purchase')
+  AND value > 5.0
+  AND NOT (user_id < 10)
+GROUP BY event_type
+"""
+
+
+# --- percentiles ----------------------------------------------------------
+
+def ev_percentiles(spark, sf_dir):
+    """ES `percentiles` metric (p50/p95/p99 of value per type).
+
+    Exact `percentile` for oracle parity (linear interpolation ==
+    DuckDB quantile_cont).  At 100 TB swap to percentile_approx —
+    identical plan shape, bounded memory (t-digest-style sketch, map-side
+    combinable); keep exact only for low-cardinality dims.
+    """
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        )
+    )
+
+
+EV_PERCENTILES_SQL = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.95), 4) AS p95,
+       ROUND(quantile_cont(value, 0.99), 4) AS p99
+FROM events
+GROUP BY event_type
+"""
+
+
+# --- derivative pipeline agg ---------------------------------------------
+
+def ev_derivative_hourly(spark, sf_dir):
+    """ES `derivative` pipeline agg: rate of a cumulative/bucketed series —
+    `col - lag(col) over (partition by series order by bucket)`.
+
+    One shuffle for the histogram agg; the window repartitions by
+    event_type (tiny cardinality) — at scale the window input is already
+    the *aggregated* series (buckets, not raw rows), so the window state
+    is small no matter the input size.
+    """
+    hourly = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    return hourly.select(
+        "bucket",
+        "event_type",
+        "cnt",
+        (F.col("cnt") - F.lag("cnt").over(w)).alias("delta"),
+    )
+
+
+EV_DERIVATIVE_HOURLY_SQL = """
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS bucket,
+           event_type,
+           COUNT(*) AS cnt
+    FROM events
+    GROUP BY 1, 2
+)
+SELECT bucket, event_type, cnt,
+       cnt - LAG(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS delta
+FROM hourly
+"""
+
+
+# --- cardinality ----------------------------------------------------------
+
+def ev_cardinality(spark, sf_dir):
+    """ES `cardinality` agg: distinct users per type.  Exact for oracle
+    parity; `ev_cardinality_approx` is the HLL path used at scale."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("distinct_users"))
+    )
+
+
+EV_CARDINALITY_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users
+FROM events
+GROUP BY event_type
+"""
+
+
+def ev_cardinality_approx(spark, sf_dir):
+    """HLL++ cardinality — the 100 TB path (single pass, fixed-size sketch,
+    map-side combinable; no expand+dedup shuffle like exact distinct).
+    No SQL oracle: sketch estimates are engine-specific (rows-only check).
+    """
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias(
+                "approx_distinct_users"
+            )
+        )
+    )
+
+
+# --- raw_document ---------------------------------------------------------
+
+def ev_raw_documents(spark, sf_dir):
+    """ES `raw_document` panel: latest 20 error events.  Deterministic via
+    (ts, event_id) ordering; TakeOrderedAndProject — no full sort at scale.
+    """
+    return (
+        _events(spark, sf_dir)
+        .filter(gf.has_type("error"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(20)
+    )
+
+
+EV_RAW_DOCUMENTS_SQL = """
+SELECT event_id, ts, user_id, event_type, value
+FROM events
+WHERE event_type = 'error'
+ORDER BY ts DESC, event_id DESC
+LIMIT 20
+"""
+
+
+# --- semi-structured extraction ------------------------------------------
+
+def ev_json_extract(spark, sf_dir):
+    """Typed extraction from the semi-structured `props` JSON column —
+    the analogue of the reference's dynamic key/value bags
+    (JVMStatisticsData sections; EventHelper.java:33-40 parse-or-keep).
+    get_json_object is JVM-side (no Python round-trip)."""
+    return (
+        _events(spark, sf_dir)
+        .select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+    )
+
+
+EV_JSON_EXTRACT_SQL = """
+SELECT event_type,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+FROM events
+GROUP BY event_type
+"""
+
+
+# --- sessionization -------------------------------------------------------
+
+def ev_user_sessions(spark, sf_dir):
+    """Gap-based sessionization (30 min) per user — the batch analogue of
+    the reference's per-app session heuristics (SURVEY §2.6) on a generic
+    stream.  Window-function formulation (lag → gap flag → running sum) so
+    the oracle is plain SQL; the streaming engine uses session_window /
+    transformWithState for the same semantics.
+
+    Scale: one shuffle on user_id; the two windows share that partitioning
+    (Catalyst reuses the exchange).
+    """
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.col("ts").cast("long")
+            - F.lag(F.col("ts").cast("long")).over(w)
+            > 1800,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    sessions = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("session_id"),
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            (F.max("session_id") + 1).alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+EV_USER_SESSIONS_SQL = """
+WITH flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+), sessions AS (
+    SELECT user_id, ts,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM flagged
+)
+SELECT user_id,
+       MAX(session_id) + 1 AS n_sessions,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "ev_count_by_type": (ev_count_by_type, EV_COUNT_BY_TYPE_SQL),
+    "ev_date_histogram_hour": (ev_date_histogram_hour, EV_DATE_HISTOGRAM_HOUR_SQL),
+    "ev_metric_stats_by_type": (ev_metric_stats_by_type, EV_METRIC_STATS_BY_TYPE_SQL),
+    "ev_topk_users": (ev_topk_users, EV_TOPK_USERS_SQL),
+    "ev_filtered_stats": (ev_filtered_stats, EV_FILTERED_STATS_SQL),
+    "ev_percentiles": (ev_percentiles, EV_PERCENTILES_SQL),
+    "ev_derivative_hourly": (ev_derivative_hourly, EV_DERIVATIVE_HOURLY_SQL),
+    "ev_cardinality": (ev_cardinality, EV_CARDINALITY_SQL),
+    "ev_cardinality_approx": (ev_cardinality_approx, None),
+    "ev_raw_documents": (ev_raw_documents, EV_RAW_DOCUMENTS_SQL),
+    "ev_json_extract": (ev_json_extract, EV_JSON_EXTRACT_SQL),
+    "ev_user_sessions": (ev_user_sessions, EV_USER_SESSIONS_SQL),
+}

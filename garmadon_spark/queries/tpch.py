@@ -1,0 +1,361 @@
+"""Analytic join/aggregation queries over the TPC-H-ish star schema.
+
+The reference has no relational joins (SURVEY §2.5 — its J1/J2 are
+latest-value lookup joins), but exposing the archived event tables to SQL
+is explicitly the point of its Hive sink (HiveQueryExecutor.java:39-48).
+These queries are the engine's general analytic surface over such archive
+tables, written the way they should run on 100 TB:
+
+- **Dimension joins are broadcast.**  region/nation/customer/supplier/part
+  are the small side at any realistic scale ratio; `F.broadcast()` pins a
+  BroadcastHashJoin so the fact table never shuffles for enrichment.
+- **Fact-fact joins (orders⋈lineitem) shuffle on the join key** — that is
+  the one unavoidable shuffle; AQE handles skew.  On a curated lakehouse
+  both sides would be bucketed by orderkey, removing it entirely
+  (sinks/archive.py documents the bucketing DDL).
+- **Filters precede joins** textually and in the optimized plan
+  (predicate pushdown into the parquet scan).
+- **Aggregates are partial-first**: groupBy on post-join columns gets
+  map-side combine for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from garmadon_spark.session import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str):
+    return load_table(spark, sf_dir, name)
+
+
+# --- Q1-style pricing summary --------------------------------------------
+
+def tpch_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-heavy aggregate, no join.  Single shuffle on a
+    2-value × 3-value grouping key; whole-stage-codegen'd arithmetic."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+TPCH_PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- Q3-style shipping priority ------------------------------------------
+
+def tpch_top_orders(spark, sf_dir):
+    """Q3 shape: broadcast(customer-filter) ⋈ orders ⋈ lineitem, top-10
+    revenue.  customer is broadcast (no shuffle of orders for the dim);
+    orders⋈lineitem shuffles on orderkey; top-k via TakeOrdered."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1999-01-01")
+    )
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+TPCH_TOP_ORDERS_SQL = """
+SELECT l_orderkey, o_orderdate,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1999-01-01'
+  AND l_shipdate > TIMESTAMP '1999-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# --- Q5-style regional revenue -------------------------------------------
+
+def tpch_region_revenue(spark, sf_dir):
+    """Q5 shape: 6-way join; every dimension (region→nation→customer,
+    supplier) broadcast, lineitem⋈orders is the only shuffle join.
+    The c_nationkey = s_nationkey correlation rides on the broadcast side.
+    """
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+
+    dim = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey", "n_name")
+    )
+    cust_dim = cust.join(
+        F.broadcast(dim), cust.c_nationkey == dim.n_nationkey
+    ).select("c_custkey", "c_nationkey", "n_name")
+    supp_dim = supp.select("s_suppkey", "s_nationkey")
+
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_dim), orders.o_custkey == cust_dim.c_custkey)
+        .join(F.broadcast(supp_dim), li.l_suppkey == supp_dim.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+TPCH_REGION_REVENUE_SQL = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND c_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+# --- Q4-style semi-join ---------------------------------------------------
+
+def tpch_order_priority(spark, sf_dir):
+    """Q4 shape: EXISTS ⇒ left-semi join.  Spark's left_semi avoids
+    materializing the (huge) matched lineitem side — only orderkeys flow.
+    """
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    returned = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        orders.join(
+            returned, orders.o_orderkey == returned.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+TPCH_ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+  )
+GROUP BY o_orderpriority
+"""
+
+
+# --- Q13-style distribution ----------------------------------------------
+
+def tpch_customer_distribution(spark, sf_dir):
+    """Q13 shape: left outer join + two-level aggregation (orders per
+    customer → customers per order-count).  The second agg's input is one
+    row per customer — trivially small; only the first join shuffles."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+TPCH_CUSTOMER_DISTRIBUTION_SQL = """
+WITH per_cust AS (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+"""
+
+
+# --- Q10-style top returners ---------------------------------------------
+
+def tpch_top_returners(spark, sf_dir):
+    """Q10 shape: revenue lost to returns per customer, top 20.  nation is
+    broadcast; orders⋈lineitem shuffles; customer⋈(agg result) is a
+    broadcast of the *aggregated* side under AQE."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.round(F.max("c_acctbal"), 2).alias("c_acctbal"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+TPCH_TOP_RETURNERS_SQL = """
+SELECT c_custkey, c_name, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       ROUND(MAX(c_acctbal), 2) AS c_acctbal
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND l_returnflag = 'R'
+  AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# --- window-function ranking ---------------------------------------------
+
+def tpch_nation_top_suppliers(spark, sf_dir):
+    """Per-nation top-3 suppliers by shipped revenue — dense ranking over a
+    broadcast-enriched aggregate.  The window input is one row per
+    supplier (post-agg), so the rank shuffle is tiny at any scale."""
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    enriched = rev.join(
+        F.broadcast(supp), rev.l_suppkey == supp.s_suppkey
+    ).join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("revenue"), F.asc("s_suppkey")
+    )
+    return (
+        enriched.select(
+            "n_name",
+            "s_name",
+            "revenue",
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= 3)
+    )
+
+
+TPCH_NATION_TOP_SUPPLIERS_SQL = """
+WITH rev AS (
+    SELECT l_suppkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    GROUP BY l_suppkey
+)
+SELECT n_name, s_name, revenue, rank FROM (
+    SELECT n_name, s_name, revenue,
+           ROW_NUMBER() OVER (PARTITION BY n_name
+                              ORDER BY revenue DESC, s_suppkey ASC) AS rank
+    FROM rev, supplier, nation
+    WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+) WHERE rank <= 3
+"""
+
+
+QUERIES = {
+    "tpch_pricing_summary": (tpch_pricing_summary, TPCH_PRICING_SUMMARY_SQL),
+    "tpch_top_orders": (tpch_top_orders, TPCH_TOP_ORDERS_SQL),
+    "tpch_region_revenue": (tpch_region_revenue, TPCH_REGION_REVENUE_SQL),
+    "tpch_order_priority": (tpch_order_priority, TPCH_ORDER_PRIORITY_SQL),
+    "tpch_customer_distribution": (
+        tpch_customer_distribution,
+        TPCH_CUSTOMER_DISTRIBUTION_SQL,
+    ),
+    "tpch_top_returners": (tpch_top_returners, TPCH_TOP_RETURNERS_SQL),
+    "tpch_nation_top_suppliers": (
+        tpch_nation_top_suppliers,
+        TPCH_NATION_TOP_SUPPLIERS_SQL,
+    ),
+}
