@@ -1,0 +1,435 @@
+"""Batch heuristics A1-A9 — per-app session aggregates as plain groupBy/agg.
+
+Each function reproduces one reference heuristic's math exactly (thresholds
+and integer division included) over the flattened event tables; the
+streaming engine (garmadon_spark.streaming.heuristics) reuses the same
+tier functions on live state.
+
+Scale design: every heuristic is
+  scan → per-(app, attempt, container) aggregate → per-app fold
+— two shuffles, both keyed by app/container (high-cardinality, uniform;
+the fixture's ~25 M containers/day at prod scale spread evenly).  The
+rate heuristics (Safepoints/Locks) need consecutive-sample deltas: a
+window over (app, attempt, container) ordered by time — same partitioning
+as the aggregate that follows, so Catalyst reuses one exchange.
+
+Integer-division parity: Java long division truncates; all sample deltas
+are non-negative here so SQL ``div`` matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from garmadon_spark.heuristics.base import Severity, assemble_results
+from garmadon_spark.operators.jvmstats import _sections_map, section_prop
+
+_KEY = ("application_id", "attempt_id", "container_id")
+
+# GCHelper.gcGenKind / gcKind (GCHelper.java:22-48)
+MINOR_GCS = ("Copy", "PS Scavenge", "ParNew", "G1 Young Generation")
+MAJOR_GCS = ("MarkSweepCompact", "PS MarkSweep", "ConcurrentMarkSweep",
+             "G1 Old Generation")
+G1_GCS = ("G1 Young Generation", "G1 Old Generation")
+
+
+def _jvm_extract(jvmstats: DataFrame, pairs: dict[str, tuple[str, str, str]]):
+    """Project (key, timestamp, extracted section props) in one pass."""
+    smap = _sections_map("section")
+    cols = [F.col(c) for c in _KEY] + [F.col("timestamp"), F.col("kafka_offset")]
+    for alias, (section, prop, cast) in pairs.items():
+        cols.append(section_prop(smap, section, prop, cast).alias(alias))
+    return jvmstats.select(*cols)
+
+
+def _major_gc_count(jvmstats: DataFrame) -> DataFrame:
+    """Cumulative major-GC count per container from the gc(<name>)
+    sections (HeapUsage.java:40-58: cumulative 'count' property, so the
+    final value == max over samples)."""
+    smap = _sections_map("section")
+    majors = [
+        section_prop(smap, f"gc({name})", "count", "long") for name in MAJOR_GCS
+    ]
+    minors = [
+        section_prop(smap, f"gc({name})", "count", "long") for name in MINOR_GCS
+    ]
+    return (
+        jvmstats.select(
+            *_KEY,
+            F.greatest(*majors, F.lit(0)).alias("_major"),
+            F.greatest(*minors, F.lit(0)).alias("_minor"),
+        )
+        .groupBy(*_KEY)
+        .agg(
+            F.max("_major").alias("major_gc"),
+            F.max("_minor").alias("minor_gc"),
+        )
+    )
+
+
+# --- A1 HeapUsage ---------------------------------------------------------
+
+def heap_usage(jvmstats: DataFrame) -> DataFrame:
+    """HeapUsage.java:22-95: per container, max = last heap.max,
+    peak = max(heap.used); container skipped if any major GC or
+    max <= peak; ratio = (max-peak)*100 div max; > 30/50/70 →
+    LOW/MODERATE/SEVERE.  NONE containers are kept in the details."""
+    heap = _jvm_extract(
+        jvmstats, {"heap_max": ("heap", "max", "long"),
+                   "heap_used": ("heap", "used", "long")}
+    )
+    per_c = (
+        heap.groupBy(*_KEY)
+        .agg(
+            F.max_by("heap_max", "timestamp").alias("max"),
+            F.max("heap_used").alias("peak"),
+        )
+        .join(_major_gc_count(jvmstats), list(_KEY), "left")
+        .filter((F.coalesce("major_gc", F.lit(0)) == 0)
+                & (F.col("max") > F.col("peak")))
+    )
+    ratio = F.expr("(max - peak) * 100 div max")
+    sev = (
+        F.when(ratio > 70, Severity.SEVERE)
+        .when(ratio > 50, Severity.MODERATE)
+        .when(ratio > 30, Severity.LOW)
+        .otherwise(Severity.NONE)
+    )
+    per_c = per_c.select(
+        *_KEY,
+        sev.alias("severity"),
+        F.concat(F.lit("unused memory %: "), ratio.cast("string")).alias("detail"),
+    )
+    return assemble_results(per_c, "HeapUsage")
+
+
+# --- A4 Safepoints / A5 Locks (rate heuristics) ---------------------------
+
+def _rate_heuristic(
+    samples: DataFrame,
+    value_col: str,
+    tiers: tuple[int, int, int, int],
+    heuristic: str,
+    detail_prefix: str,
+    skip_zero_last: bool,
+) -> DataFrame:
+    """Shared rate logic (Safepoints.java:17-62, Locks.java:17-61):
+    consecutive-sample rate = Δcount * 1000 div Δt(ms), per container;
+    ratio = max rate; tiered severity; NONE containers dropped."""
+    w = Window.partitionBy(*_KEY).orderBy("timestamp", "kafka_offset")
+    lagged = samples.select(
+        *_KEY,
+        "timestamp",
+        F.col(value_col).alias("cur"),
+        F.lag(value_col).over(w).alias("last"),
+        F.lag("timestamp").over(w).alias("last_ts"),
+    ).filter(
+        F.col("last").isNotNull()
+        & (F.col("timestamp") != F.col("last_ts"))
+        & (F.lit(not skip_zero_last) | (F.col("last") != 0))
+    )
+    rate = F.expr("(cur - last) * 1000 div (timestamp - last_ts)")
+    t1, t2, t3, t4 = tiers
+    sev = (
+        F.when(rate > t4, Severity.CRITICAL)
+        .when(rate > t3, Severity.SEVERE)
+        .when(rate > t2, Severity.MODERATE)
+        .when(rate > t1, Severity.LOW)
+        .otherwise(Severity.NONE)
+    )
+    per_c = (
+        lagged.select(*_KEY, rate.alias("rate"), sev.alias("severity"))
+        .groupBy(*_KEY)
+        .agg(F.max("rate").alias("ratio"), F.max("severity").alias("severity"))
+        .filter(F.col("severity") > Severity.NONE)
+        .select(
+            *_KEY,
+            "severity",
+            F.concat(F.lit(detail_prefix), F.col("ratio").cast("string")).alias(
+                "detail"
+            ),
+        )
+    )
+    return assemble_results(per_c, heuristic)
+
+
+def safepoints(jvmstats: DataFrame) -> DataFrame:
+    """Safepoints.java: rate tiers 3/5/7/10 per s; samples with
+    last count == 0 skipped (Safepoints.java:36)."""
+    samples = _jvm_extract(
+        jvmstats, {"sp_count": ("safepoints", "count", "long")}
+    ).filter(F.col("sp_count").isNotNull())
+    return _rate_heuristic(
+        samples, "sp_count", (3, 5, 7, 10), "Safepoints",
+        "Max safepoint/s: ", skip_zero_last=True,
+    )
+
+
+def locks(jvmstats: DataFrame) -> DataFrame:
+    """Locks.java: contention-rate tiers 10/50/100/500 per s (no
+    zero-last skip — Locks.java:33-35 checks timestamps only)."""
+    samples = _jvm_extract(
+        jvmstats,
+        {"lock_count": ("synclocks", "contendedlockattempts", "long")},
+    ).filter(F.col("lock_count").isNotNull())
+    return _rate_heuristic(
+        samples, "lock_count", (10, 50, 100, 500), "Locks",
+        "Max contention/s: ", skip_zero_last=False,
+    )
+
+
+# --- A6 Threads -----------------------------------------------------------
+
+def threads(jvmstats: DataFrame) -> DataFrame:
+    """Threads.java:17-56: maxCount = max(threads.count), total = last
+    threads.total; ratio = maxCount*100 div total; LOW if ≤ 10,
+    MODERATE if ≤ 0; NONE containers dropped."""
+    t = _jvm_extract(
+        jvmstats, {"t_count": ("threads", "count", "long"),
+                   "t_total": ("threads", "total", "long")}
+    ).filter(F.col("t_count").isNotNull())
+    per_c = (
+        t.groupBy(*_KEY)
+        .agg(
+            F.max("t_count").alias("max_count"),
+            F.max_by("t_total", "timestamp").alias("total"),
+        )
+        .filter(F.col("total") > 0)
+    )
+    ratio = F.expr("max_count * 100 div total")
+    sev = (
+        F.when(ratio <= 0, Severity.MODERATE)
+        .when(ratio <= 10, Severity.LOW)
+        .otherwise(Severity.NONE)
+    )
+    per_c = per_c.select(
+        *_KEY,
+        sev.alias("severity"),
+        F.concat(
+            F.lit("Max count threads: "), F.col("max_count").cast("string"),
+            F.lit(", Total threads: "), F.col("total").cast("string"),
+        ).alias("detail"),
+    ).filter(F.col("severity") > Severity.NONE)
+    return assemble_results(per_c, "Threads")
+
+
+# --- A7 CodeCacheUsage ----------------------------------------------------
+
+def code_cache_usage(jvmstats: DataFrame) -> DataFrame:
+    """CodeCacheUsage.java: peak = max(code.used), max = last code.max;
+    container kept (MODERATE) iff unused < 5 % — i.e. NOT
+    (max > peak and (max-peak)*100 div max >= 5)."""
+    c = _jvm_extract(
+        jvmstats, {"c_used": ("code", "used", "long"),
+                   "c_max": ("code", "max", "long")}
+    ).filter(F.col("c_used").isNotNull())
+    per_c = (
+        c.groupBy(*_KEY)
+        .agg(
+            F.max("c_used").alias("peak"),
+            F.max_by("c_max", "timestamp").alias("max"),
+        )
+        .filter(
+            ~((F.col("max") > F.col("peak"))
+              & (F.expr("(max - peak) * 100 div max") >= 5))
+        )
+        .select(
+            *_KEY,
+            F.lit(Severity.MODERATE).alias("severity"),
+            F.concat(
+                F.lit("max: "), F.col("max").cast("string"),
+                F.lit("kB, peak: "), F.col("peak").cast("string"), F.lit("kB"),
+            ).alias("detail"),
+        )
+    )
+    return assemble_results(per_c, "CodeCacheUsage")
+
+
+# --- A2 GCCause -----------------------------------------------------------
+
+def gc_cause(gc_events: DataFrame) -> DataFrame:
+    """GCCause.java: count GCs caused by 'Metadata GC Threshold' /
+    'Ergonomics' per container; any such app gets a fixed MODERATE
+    result.  > 10 containers → summed counts as two details
+    (GCCause.java:44-52)."""
+    counted = (
+        gc_events.filter(
+            F.col("cause").isin("Metadata GC Threshold", "Ergonomics")
+        )
+        .groupBy(*_KEY)
+        .agg(
+            F.sum(F.when(F.col("cause") == "Metadata GC Threshold", 1)
+                  .otherwise(0)).alias("metadata_threshold"),
+            F.sum(F.when(F.col("cause") == "Ergonomics", 1)
+                  .otherwise(0)).alias("ergonomics"),
+        )
+    )
+    per_c = counted.select(
+        *_KEY,
+        F.lit(Severity.MODERATE).alias("severity"),
+        F.concat(
+            F.lit("Metadata GC Threshold: "),
+            F.col("metadata_threshold").cast("string"),
+            F.lit(", Ergonomics: "), F.col("ergonomics").cast("string"),
+        ).alias("detail"),
+    )
+    # > 10 containers: summed counts rather than a Containers count —
+    # assemble manually for parity with GCCause.java:44-52.
+    agg = counted.groupBy("application_id", "attempt_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("metadata_threshold").alias("mt"),
+        F.sum("ergonomics").alias("erg"),
+    )
+    small = assemble_results(
+        per_c.join(
+            agg.filter(F.col("n") <= 10).select("application_id", "attempt_id"),
+            ["application_id", "attempt_id"],
+            "left_semi",
+        ),
+        "GCCause",
+    )
+    big = agg.filter(F.col("n") > 10).select(
+        "application_id",
+        "attempt_id",
+        F.lit("GCCause").alias("heuristic"),
+        F.lit(Severity.MODERATE).alias("severity"),
+        F.lit(Severity.MODERATE).alias("score"),
+        F.create_map(
+            F.lit("Metadata GC Threshold"), F.col("mt").cast("string"),
+            F.lit("Ergonomics"), F.col("erg").cast("string"),
+        ).alias("details"),
+    )
+    return small.unionByName(big)
+
+
+# --- A3 G1GC --------------------------------------------------------------
+
+def g1_full_gc(gc_events: DataFrame) -> DataFrame:
+    """G1GC.java: G1 major collections ('G1 Old Generation') per
+    container — count + cumulative pause, severity SEVERE; detail format
+    differs for a single occurrence (G1GC.java:40-48)."""
+    per_c = (
+        gc_events.filter(F.col("collector_name") == "G1 Old Generation")
+        .groupBy(*_KEY)
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("pause_time").alias("pause"),
+            F.min("timestamp").alias("first_ts"),
+        )
+        .select(
+            *_KEY,
+            F.lit(Severity.SEVERE).alias("severity"),
+            F.when(
+                F.col("cnt") == 1,
+                F.concat(F.lit("Timestamp: "),
+                         F.timestamp_millis(F.col("first_ts")).cast("string"),
+                         F.lit(", pauseTime: "),
+                         F.col("pause").cast("string"), F.lit("ms")),
+            )
+            .otherwise(
+                F.concat(F.lit("Count: "), F.col("cnt").cast("string"),
+                         F.lit(", Cumulative PauseTime: "),
+                         F.col("pause").cast("string"), F.lit("ms"))
+            )
+            .alias("detail"),
+        )
+    )
+    return assemble_results(per_c, "G1GC")
+
+
+# --- A8 FileHeuristic -----------------------------------------------------
+
+FS_ACTION_LABELS = {
+    "DELETE": "Files deleted",
+    "READ": "Files read",
+    "WRITE": "Files written",
+    "RENAME": "Files renamed",
+    "APPEND": "Files appended",
+    "LIST_STATUS": "List status performed",
+    "ADD_BLOCK": "Blocks added",
+    "GET_CONTENT_SUMMARY": "Content summary retrieved",
+}
+
+
+def file_heuristic(fs_events: DataFrame, max_created_files: int = 100_000) -> DataFrame:
+    """FileHeuristic.java:31-97: per-app action counters (app-level, not
+    per container); severity from files written: > max → SEVERE,
+    > max/2 → MODERATE, > max/10 → LOW, else NONE.  Every app with fs
+    events gets a result row with all 8 counters as details."""
+    counts = fs_events.groupBy("application_id", "attempt_id").agg(
+        *[
+            F.sum(F.when(F.col("action") == a, 1).otherwise(0)).alias(a)
+            for a in FS_ACTION_LABELS
+        ]
+    )
+    written = F.col("WRITE")
+    sev = (
+        F.when(written > max_created_files, Severity.SEVERE)
+        .when(written > max_created_files // 2, Severity.MODERATE)
+        .when(written > max_created_files // 10, Severity.LOW)
+        .otherwise(Severity.NONE)
+    )
+    detail_entries = []
+    for action, label in FS_ACTION_LABELS.items():
+        detail_entries += [F.lit(label), F.col(action).cast("string")]
+    return counts.select(
+        "application_id",
+        "attempt_id",
+        F.lit("FileHeuristic").alias("heuristic"),
+        sev.alias("severity"),
+        sev.alias("score"),
+        F.create_map(*detail_entries).alias("details"),
+    )
+
+
+# --- A9 FlinkCheckpointDuration ------------------------------------------
+
+FIFTEEN_MINUTES_MS = 15 * 60 * 1000
+
+
+def flink_checkpoint_duration(flink_job_events: DataFrame) -> DataFrame:
+    """FlinkCheckpointDuration.java: max last_checkpoint_duration per
+    (app, job); SEVERE iff it ever exceeded 15 min.  The job name rides
+    in the attempt_id slot, as in the reference (result constructor
+    comment 'AttemptID')."""
+    return (
+        flink_job_events.groupBy("application_id", "job_name")
+        .agg(F.max("last_checkpoint_duration").alias("duration"))
+        .select(
+            "application_id",
+            F.col("job_name").alias("attempt_id"),
+            F.lit("FlinkCheckpointDuration").alias("heuristic"),
+            F.when(F.col("duration") > FIFTEEN_MINUTES_MS, Severity.SEVERE)
+            .otherwise(Severity.NONE)
+            .alias("severity"),
+            F.when(F.col("duration") > FIFTEEN_MINUTES_MS, Severity.SEVERE)
+            .otherwise(Severity.NONE)
+            .alias("score"),
+            F.create_map(
+                F.lit("last_checkpoint_duration"),
+                F.col("duration").cast("string"),
+            ).alias("details"),
+        )
+    )
+
+
+def run_all(dfs: dict, max_created_files: int = 100_000) -> DataFrame:
+    """Run every applicable heuristic and union the result rows —
+    the batch equivalent of the Heuristics reader main loop
+    (Heuristics.java:29-158)."""
+    results = []
+    if "jvmstats_event" in dfs:
+        jvm = dfs["jvmstats_event"]
+        results += [heap_usage(jvm), safepoints(jvm), locks(jvm),
+                    threads(jvm), code_cache_usage(jvm)]
+    if "gc_event" in dfs:
+        results += [gc_cause(dfs["gc_event"]), g1_full_gc(dfs["gc_event"])]
+    if "fs_event" in dfs:
+        results.append(file_heuristic(dfs["fs_event"], max_created_files))
+    if "flink_job_event" in dfs:
+        results.append(flink_checkpoint_duration(dfs["flink_job_event"]))
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out
