@@ -1,0 +1,176 @@
+"""Archive sinks (SURVEY §2.10 K1-K4, §2.9 W1/W2/W8/W10).
+
+Reference behaviors re-expressed on the Spark file-sink commit protocol:
+
+- **Daily Parquet archive per event type** — directory layout
+  ``<type>/day=YYYY-MM-DD/...`` with GZIP parquet
+  (HdfsOffsetComputer.java:49-57, ReaderFactory.java:334-336) →
+  ``partitionBy("day")`` + ``compression=gzip``.  Spark's rename-on-commit
+  + _SUCCESS replaces the temp→final rename dance of
+  ProtoParquetWriterWithOffset.java:82-135.
+- **Hourly index table** (the ES stand-in, ElasticSearchReader.java:141)
+  → partitioned by (event_type, hour), sorted by timestamp within files
+  (the index sort at ElasticSearchReader.java:177-179) for data skipping.
+- **Hive registration** (HiveClient.java:37-102) → ``saveAsTable`` on an
+  external path; partition discovery is native.
+- **Offset dedup** (W8, PartitionedWriter.shouldSkipOffset +
+  HdfsOffsetComputer footer scan) → Structured Streaming checkpoints make
+  this unnecessary on the streaming path; the batch-replay equivalent is
+  ``dedup_by_offset`` / ``skip_committed`` below, and
+  ``committed_offsets`` recovers the per-partition high-water mark from
+  the archive — via parquet footer stats only (an aggregate-pushdown max,
+  no data read), the exact analogue of the reference's column-stats scan
+  (HdfsOffsetComputer.java:119-142).
+- **Retention** (K2 ILM hot/warm/delete) → ``apply_retention`` drops day
+  partitions older than the cutoff.
+- **Compaction** (W10 small-file merge) → ``compact_day`` rewrites a day
+  partition to ~target file count.  At scale prefer table-format OPTIMIZE;
+  this is the vanilla-parquet fallback.
+
+100 TB notes: day/hour partition columns give coarse pruning; within a
+day, ``maxRecordsPerFile`` bounds file sizes and
+``sortWithinPartitions(timestamp)`` gives min/max footer stats that prune
+time-range scans below the partition grain.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from garmadon_spark.operators.bucketing import day_bucket, hour_bucket
+
+DEFAULT_MAX_RECORDS_PER_FILE = 3_000_000  # writer roll, ReaderFactory.java:112-117
+
+
+def write_daily_archive(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "timestamp",
+    compression: str = "gzip",
+    max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
+    sort_within: bool = True,
+) -> None:
+    """K3/W1: day-partitioned gzip parquet, timestamp-sorted within files."""
+    out = df.withColumn("day", day_bucket(ts_col))
+    if sort_within:
+        out = out.repartition(F.col("day")).sortWithinPartitions("day", ts_col)
+    (
+        out.write.mode("append")
+        .option("compression", compression)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy("day")
+        .parquet(path)
+    )
+
+
+def write_hourly_index(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "timestamp",
+    event_type: str | None = None,
+) -> None:
+    """K1/W2: the ES-index stand-in — (event_type, hour)-partitioned table."""
+    out = df.withColumn("hour", hour_bucket(ts_col))
+    if event_type is not None and "event_type" not in out.columns:
+        out = out.withColumn("event_type", F.lit(event_type))
+    (
+        out.repartition(F.col("hour"))
+        .sortWithinPartitions("hour", ts_col)
+        .write.mode("append")
+        .partitionBy("event_type", "hour")
+        .parquet(path)
+    )
+
+
+def register_table(
+    spark: SparkSession, table: str, path: str, database: str = "garmadon"
+) -> None:
+    """K4 Hive DDL sync (HiveClient.java:37-67): external table over the
+    archive path; partition columns discovered from the layout."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {database}.{table} "
+        f"USING PARQUET LOCATION '{path}'"
+    )
+    try:
+        spark.sql(f"MSCK REPAIR TABLE {database}.{table}")
+    except Exception:
+        pass  # non-partitioned layout
+
+
+def dedup_by_offset(df: DataFrame) -> DataFrame:
+    """W8 batch form: collapse Kafka re-deliveries — exactly-once replay
+    semantics over (kafka_partition, kafka_offset)."""
+    return df.dropDuplicates(["kafka_partition", "kafka_offset"])
+
+
+def committed_offsets(spark: SparkSession, path: str) -> dict[int, int]:
+    """Recover max committed offset per kafka partition from the archive.
+    With parquet aggregate pushdown this reads footer statistics only —
+    the Spark-native form of HdfsOffsetComputer.java:119-142."""
+    df = spark.read.parquet(path)
+    rows = (
+        df.groupBy("kafka_partition")
+        .agg(F.max("kafka_offset").alias("max_offset"))
+        .collect()
+    )
+    return {r.kafka_partition: r.max_offset for r in rows}
+
+
+def skip_committed(df: DataFrame, committed: dict[int, int]) -> DataFrame:
+    """W8: drop records at or below the recovered high-water mark
+    (PartitionedWriter.shouldSkipOffset, PartitionedWriter.java:123-133).
+    The watermark map is tiny (one entry per kafka partition) → a literal
+    map lookup, no join."""
+    if not committed:
+        return df
+    pairs = []
+    for part, off in committed.items():
+        pairs += [F.lit(part), F.lit(off)]
+    m = F.create_map(*pairs)
+    bar = F.coalesce(
+        F.element_at(m, F.col("kafka_partition")), F.lit(-1).cast("long")
+    )
+    return df.filter(F.col("kafka_offset") > bar)
+
+
+def apply_retention(
+    spark: SparkSession, path: str, max_days: int, today: str
+) -> list[str]:
+    """K2 lifecycle: delete day partitions older than today − max_days.
+    Local-FS implementation (fixtures); on a cluster this is an
+    ALTER TABLE DROP PARTITION / table-format VACUUM."""
+    import datetime
+
+    cutoff = (
+        datetime.date.fromisoformat(today) - datetime.timedelta(days=max_days)
+    ).isoformat()
+    dropped = []
+    if not os.path.isdir(path):
+        return dropped
+    for entry in sorted(os.listdir(path)):
+        if entry.startswith("day=") and entry[4:] < cutoff:
+            shutil.rmtree(os.path.join(path, entry))
+            dropped.append(entry)
+    return dropped
+
+
+def compact_day(
+    spark: SparkSession, path: str, day: str, target_files: int = 1
+) -> None:
+    """W10: rewrite one day partition into ~target_files files
+    (ProtoParquetWriterWithOffset merge-below-block-size policy).
+    Reads only the target partition (pruned scan), writes to a temp
+    subdir, then swaps — keeping the partition readable throughout."""
+    part_path = os.path.join(path, f"day={day}")
+    tmp_path = part_path + "._compact_tmp"
+    df = spark.read.parquet(part_path)
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp_path)
+    bak = part_path + "._compact_bak"
+    os.rename(part_path, bak)
+    os.rename(tmp_path, part_path)
+    shutil.rmtree(bak)

@@ -1,0 +1,136 @@
+"""Archive sink + wire-frame codec tests (SURVEY §2.10, §2.9, §1.1)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from garmadon_spark.sinks import archive
+from garmadon_spark.sources import fixtures, frames
+
+
+@pytest.fixture(scope="module")
+def garmadon(spark):
+    return fixtures.to_spark(spark, n_apps=4, seed=7)
+
+
+# --- daily archive / partition pruning ------------------------------------
+
+def test_daily_archive_layout_and_pruning(spark, garmadon, tmp_path):
+    path = str(tmp_path / "fs_event")
+    archive.write_daily_archive(garmadon["fs_event"], path)
+    days = sorted(d for d in os.listdir(path) if d.startswith("day="))
+    assert len(days) >= 2  # fixture spans multiple UTC days
+    back = spark.read.parquet(path)
+    assert back.count() == garmadon["fs_event"].count()
+    # a day filter must prune partitions at the scan
+    one_day = days[0][4:]
+    plan = (
+        back.filter(F.col("day") == one_day)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "day" in plan
+
+
+def test_hourly_index(spark, garmadon, tmp_path):
+    path = str(tmp_path / "index")
+    df = garmadon["gc_event"].withColumn("event_type", F.lit("GC_EVENT"))
+    archive.write_hourly_index(df, path)
+    back = spark.read.parquet(path)
+    assert back.count() == df.count()
+    hours = {r.hour for r in back.select("hour").distinct().collect()}
+    assert all(len(h) == 13 for h in hours)  # yyyy-MM-dd-HH
+
+
+def test_register_table(spark, garmadon, tmp_path):
+    path = str(tmp_path / "reg")
+    archive.write_daily_archive(garmadon["state_event"], path)
+    archive.register_table(spark, "state_event", path, database="g_test")
+    n = spark.sql("SELECT COUNT(*) c FROM g_test.state_event").first().c
+    assert n == garmadon["state_event"].count()
+
+
+# --- exactly-once replay handling (W8) ------------------------------------
+
+def test_dedup_by_offset_drops_replays(garmadon):
+    fs = garmadon["fs_event"]
+    assert archive.dedup_by_offset(fs).count() \
+        == fs.select("kafka_partition", "kafka_offset").distinct().count()
+
+
+def test_committed_offsets_and_skip(spark, garmadon, tmp_path):
+    path = str(tmp_path / "off")
+    fs = archive.dedup_by_offset(garmadon["fs_event"])
+    first, rest = fs.filter(F.col("kafka_offset") % 2 == 0), fs.filter(
+        F.col("kafka_offset") % 2 == 1
+    )
+    archive.write_daily_archive(first, path)
+    marks = archive.committed_offsets(spark, path)
+    assert set(marks) <= {0, 1, 2, 3}
+    # replaying everything after recovery keeps only offsets above the mark
+    replay = archive.skip_committed(fs, marks)
+    for r in replay.groupBy("kafka_partition").agg(
+        F.min("kafka_offset").alias("lo")
+    ).collect():
+        assert r.lo > marks.get(r.kafka_partition, -1)
+
+
+def test_retention(spark, garmadon, tmp_path):
+    path = str(tmp_path / "ret")
+    archive.write_daily_archive(garmadon["jvmstats_event"], path)
+    days = sorted(d[4:] for d in os.listdir(path) if d.startswith("day="))
+    dropped = archive.apply_retention(spark, path, max_days=0, today=days[-1])
+    left = {d[4:] for d in os.listdir(path) if d.startswith("day=")}
+    assert left == {days[-1]}
+    assert [d[4:] for d in dropped] == days[:-1]
+
+
+def test_compact_day(spark, garmadon, tmp_path):
+    path = str(tmp_path / "cmp")
+    archive.write_daily_archive(garmadon["fs_event"], path)
+    day = sorted(d for d in os.listdir(path) if d.startswith("day="))[0][4:]
+    before = spark.read.parquet(os.path.join(path, f"day={day}")).count()
+    archive.compact_day(spark, path, day, target_files=1)
+    part = os.path.join(path, f"day={day}")
+    files = [f for f in os.listdir(part) if f.endswith(".parquet")]
+    assert len(files) == 1
+    assert spark.read.parquet(part).count() == before
+
+
+# --- frame codec (S2/S3) --------------------------------------------------
+
+HDR = {"application_id": "app_1", "attempt_id": "att_1", "framework": "SPARK",
+       "container_id": "c1", "tags": ["YARN_APPLICATION"]}
+
+
+def _frames_df(spark, payloads, corrupt=0):
+    rows = [Row(value=bytearray(p)) for p in payloads]
+    for _ in range(corrupt):
+        rows.append(Row(value=bytearray(b"\x00\x01garbage")))
+    return spark.createDataFrame(rows, "value: binary")
+
+
+def test_frame_roundtrip(spark):
+    f1 = frames.encode_frame(1, 1700000000123, HDR,
+                             {"action": "WRITE", "dst_path": "/tmp/x",
+                              "status": "SUCCESS"})
+    f2 = frames.encode_frame(3, 1700000000456, HDR, {"state": "END"})
+    decoded = frames.decode_frames(_frames_df(spark, [f1, f2], corrupt=2))
+    rows = {r.type_marker: r for r in decoded.collect()}
+    assert set(rows) == {1, 3}
+    assert rows[1].timestamp == 1700000000123
+    fs = frames.decode_typed(decoded, 1).collect()
+    assert len(fs) == 1
+    assert fs[0].body.action == "WRITE" and fs[0].header.application_id == "app_1"
+    assert fs[0].body.src_path is None  # absent proto3 field pre-default
+    st = frames.decode_typed(decoded, 3).collect()
+    assert st[0].body.state == "END"
+
+
+def test_corrupt_frames_observed(spark):
+    f1 = frames.encode_frame(1000, 1, HDR, {"collector_name": "PS Scavenge"})
+    df = frames.decode_frames(_frames_df(spark, [f1], corrupt=3))
+    assert df.count() == 1  # corrupt rows filtered
