@@ -1,0 +1,350 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four tiers, each a different cost/recall point at 100 TB:
+
+1. **Exact** — hash-groupBy on a normalized content hash.  One shuffle on
+   a uniform 128-bit key; no skew by construction.
+2. **Blocked n-gram Jaccard** — exact Jaccard similarity computed only
+   within candidate blocks (here: a blocking key like (lang, source), in
+   general any cheap partition function).  Classic blocking: turns the
+   O(n²) all-pairs into Σ O(b²) per block.
+3. **MinHash + LSH** — per-doc signature of K minhashes, banded into B
+   bands of R rows (K = B·R); docs sharing any band bucket are candidate
+   pairs, verified with exact Jaccard.  The band-bucket join replaces
+   all-pairs entirely: the shuffle is keyed by (band, bucket-hash) and
+   each bucket is tiny for non-duplicate corpora.  Tuning: P(candidate)
+   ≈ 1 − (1 − s^R)^B for true Jaccard s.
+4. **SimHash** — 64-bit fingerprint whose Hamming distance tracks cosine
+   similarity of the token multiset; near-dup candidates share one of
+   four 16-bit chunks (Hamming ≤ 3 ⇒ some chunk equal by pigeonhole).
+
+All hashing is content-derived (md5 → integers), so results are
+deterministic across engines and runs — no Math.random, no seed state.
+MinHash permutations are (aᵢ·x + bᵢ) mod p with constants derived from
+the permutation index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE_61 = (1 << 61) - 1
+
+
+def normalized_text(col: str = "text") -> Column:
+    return F.trim(F.lower(F.regexp_replace(F.col(col), r"\s+", " ")))
+
+
+def content_hash(col: str = "text") -> Column:
+    return F.md5(normalized_text(col))
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Tier 1: duplicate groups (dup_count > 1) by normalized hash."""
+    return (
+        docs.select(content_hash(text_col).alias("content_hash"),
+                    F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("dup_count"),
+             F.min(id_col).alias("keep_doc_id"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def tokens(col: str = "text") -> Column:
+    return F.filter(F.split(normalized_text(col), " "), lambda t: t != "")
+
+
+def _sliding_zip(arr: Column, width: int, length: Column) -> Column:
+    """arrays_zip of `width` shifted slices of `arr` — each element i of
+    the result is the window arr[i..i+width-1] as a struct.
+
+    Why this shape: Spark's higher-order functions re-evaluate every
+    non-lambda subexpression of the lambda body PER ELEMENT, so a
+    `transform(sequence(...), i -> f(slice(toks, i, k)))` where `toks` is
+    itself an expression tree degrades to O(n²) tokenizations per row.
+    arrays_zip evaluates its slice arguments once per row; the lambda
+    downstream then only touches lambda variables (measured ~60× faster
+    on the documents fixture)."""
+    return F.arrays_zip(*[F.slice(arr, i + 1, length) for i in range(width)])
+
+
+def shingles(col: str = "text", n: int = 2) -> Column:
+    """Word n-gram shingles as strings (distinct)."""
+    toks = tokens(col)
+    m = F.greatest(F.size(toks) - n + 1, F.lit(0))
+    grams = F.transform(
+        _sliding_zip(toks, n, m),
+        lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+
+
+def explode_computed(df: DataFrame, arr: Column, out: str,
+                     keep: list[str | Column]) -> DataFrame:
+    """Explode an EXPENSIVE computed array safely.
+
+    A plain `explode` lets Catalyst's InferFiltersFromGenerate derive
+    `size(arr) > 0` and push it below any exchange — duplicating the
+    whole array expression into a pre-shuffle Filter that then runs on
+    the (possibly single-partition) scan side.  `explode_outer` infers
+    no filter; the null check applies to the generate OUTPUT attribute,
+    which cannot sink below the Generate.  Same result, one evaluation,
+    post-exchange."""
+    return (
+        df.select(*keep, F.explode_outer(arr).alias(out))
+        .filter(F.col(out).isNotNull())
+    )
+
+
+def _hash64(col: Column) -> Column:
+    """Deterministic 56-bit integer from a string via md5 — engine- and
+    partitioning-independent (unlike F.hash, which is fine too but this
+    keeps signatures reproducible for any consumer)."""
+    return F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("long")
+
+
+def bucket_pairs(ex: DataFrame, key_cols: list[str],
+                 payload_col: str = "p",
+                 max_bucket: int | None = None) -> DataFrame:
+    """Candidate pairs per bucket: groupBy the bucket key, collect the
+    (small) member list, emit all in-bucket pairs (a < b by payload sort
+    order).
+
+    This replaces the textbook exploded self-join on the bucket key — the
+    join evaluates its (identical) upstream twice and shuffles both
+    sides; this shape computes upstream once, shuffles once, and the
+    pair blowup is explicit in `size(ps)` where it can be capped.
+    Callers must bound bucket size since a bucket of f members emits
+    f·(f−1)/2 pairs — pass `max_bucket` to drop oversized buckets (the
+    "ignore overly common keys" rule), or rely on the bucketing scheme
+    itself (band width) to keep them small."""
+    b = (
+        ex.groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_list(payload_col)).alias("ps"))
+        .filter(F.size("ps") >= 2)
+    )
+    if max_bucket is not None:
+        b = b.filter(F.size("ps") <= max_bucket)
+    d = F.col("ps")
+    n = F.size(d)
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.slice(d, i + 1, n),
+                lambda x: F.struct(
+                    F.element_at(d, i).alias("a"), x.alias("b")
+                ),
+            ),
+        )
+    )
+    return b.select(F.explode(pairs).alias("pair")).select(
+        "pair.a", "pair.b"
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    block_cols: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Tier 2: exact n-gram Jaccard within blocks.
+
+    Plan shape: explode shingles → self-join on (block, shingle) → count
+    common → join per-doc shingle counts → filter.  The (block, shingle)
+    join key bounds the blowup to within-block pairs sharing a shingle.
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b."""
+    base = docs.select(
+        *block_cols,
+        F.col(id_col).alias("doc"),
+        shingles(text_col, n).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    ex = explode_computed(
+        base, F.col("sh"), "s", [*block_cols, "doc", "n_sh"]
+    )
+    a = ex.select(*[F.col(c).alias(f"a_{c}") for c in block_cols],
+                  F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"),
+                  F.col("s"))
+    b = ex.select(*[F.col(c).alias(f"b_{c}") for c in block_cols],
+                  F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb"),
+                  F.col("s"))
+    on = [a[f"a_{c}"] == b[f"b_{c}"] for c in block_cols] + [
+        a["s"] == b["s"], a["doc_a"] < b["doc_b"]]
+    common = (
+        a.join(b, on)
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        common.select(
+            "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """Tier 3a: K-permutation MinHash signature per doc.
+
+    One explode + one groupBy(doc) — the K mins are computed as K
+    aggregate expressions over the shingle hashes (JVM-side, map-side
+    combinable), NOT K passes."""
+    ex = explode_computed(
+        docs, shingles(text_col, n), "s", [F.col(id_col).alias("doc")]
+    ).withColumn("h", _hash64(F.col("s")))
+    mins = [
+        F.min(
+            (F.col("h") * F.lit(2 * i + 1) + F.lit(i * i + 1))
+            % F.lit(MERSENNE_61)
+        ).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    sig = ex.groupBy("doc").agg(*mins)
+    return sig.select(
+        "doc", F.array(*[f"mh_{i}" for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Tier 3b: band the signature, bucket-join docs sharing a band hash.
+    Shuffle key = (band index, band hash): uniform unless true duplicates
+    exist — exactly the skew we *want* to find."""
+    band_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda bi: F.struct(
+            bi.alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(
+                            F.col("signature"),
+                            bi * rows_per_band + 1,
+                            rows_per_band,
+                        ),
+                        lambda v: v.cast("string"),
+                    ),
+                )
+            ).alias("bucket"),
+        ),
+    )
+    banded = explode_computed(signatures, band_structs, "bb", ["doc"]).select(
+        "doc", "bb.band", "bb.bucket"
+    )
+    return (
+        bucket_pairs(banded, ["band", "bucket"], "doc")
+        .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Tier 3 end-to-end: signatures → LSH candidates → exact-Jaccard
+    verification of candidates only."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, n, num_hashes)
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    sh = docs.select(F.col(id_col).alias("doc"),
+                     shingles(text_col, n).alias("sh"))
+    a = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = cands.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        joined.select(
+            "doc_a", "doc_b",
+            F.round(inter / union, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """Tier 4: SimHash fingerprint — per-bit majority vote over token
+    hashes, computed with array expressions (explode → per-bit ±1 sums →
+    reassemble).  Stays JVM-side; one shuffle on doc."""
+    ex = explode_computed(
+        docs, tokens(text_col), "t", [F.col(id_col).alias("doc")]
+    ).withColumn("h", _hash64(F.col("t")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"b_{i}")
+        for i in range(min(bits, 56))
+    ]
+    agg = ex.groupBy("doc").agg(*votes)
+    fp = None
+    for i in range(min(bits, 56)):
+        bit = F.when(F.col(f"b_{i}") > 0, F.lit(1)).otherwise(F.lit(0))
+        term = (bit * F.lit(1 << i)).cast("long")
+        fp = term if fp is None else fp + term
+    return agg.select("doc", fp.alias("simhash"))
+
+
+def simhash_candidates(fps: DataFrame, chunk_bits: int = 14,
+                       n_chunks: int = 4) -> DataFrame:
+    """Near-dup candidates: docs sharing any chunk_bits-wide chunk of the
+    fingerprint (pigeonhole over n_chunks chunks)."""
+    mask = (1 << chunk_bits) - 1
+    chunks = fps.select(
+        "doc", "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright(F.col("simhash"), i * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select(
+        "c.chunk", "c.val",
+        F.struct(F.col("doc"), F.col("simhash")).alias("p"),
+    )
+    return (
+        bucket_pairs(chunks, ["chunk", "val"], "p")
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )

@@ -1,0 +1,180 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+- **Brute-force cosine top-k** — map-only linear scan + TakeOrdered(k).
+  The correct baseline and often the right answer even at scale when the
+  query count is small: it parallelizes perfectly and reads each vector
+  once (no index build, no shuffle).
+- **IVF (inverted-file) index** — k-means-style coarse quantizer:
+  every vector is assigned to its nearest centroid (one broadcast of the
+  centroid table + a map-only argmin); queries probe only the nprobe
+  nearest centroid partitions.  At 100 TB the partition-pruned probe
+  reads ~nprobe/k of the corpus.  Centroids here are seeded
+  deterministically from the data (first k by id) and refined with a few
+  Lloyd iterations — each iteration is one groupBy(assignment) shuffle of
+  *centroid-sized* aggregates, not vectors.
+
+All vector math is JVM-side (zip_with/aggregate); no Python in the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _lit_vec(vec) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def brute_force_topk(
+    embs: DataFrame,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-only scan + TakeOrdered(k).  Deterministic tie-break on id."""
+    q = _lit_vec(query_vec)
+    return (
+        embs.select(
+            id_col,
+            F.round(cosine(F.col(vec_col), q), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def build_ivf(
+    embs: DataFrame,
+    n_centroids: int = 16,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Build the coarse quantizer + assignments.
+
+    Returns (centroids: list[(cid, vec)], assigned: DataFrame with
+    ``ivf_cell`` column).  Centroid seeding = first n_centroids by id
+    (deterministic); Lloyd refinement aggregates per-cell means."""
+    seed_rows = (
+        embs.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in seed_rows]
+
+    def assign(df, cents):
+        scored = df.select(
+            "*",
+            F.array(
+                *[_dot(F.col(vec_col), _lit_vec(c)) / F.lit(_py_norm(c))
+                  for c in cents]
+            ).alias("_sims"),
+        )
+        best = F.expr(
+            "array_position(_sims, array_max(_sims))"
+        ).cast("int") - 1
+        return scored.withColumn("ivf_cell", best).drop("_sims")
+
+    for _ in range(iterations):
+        assigned = assign(embs, centroids)
+        dim = len(centroids[0])
+        sums = assigned.groupBy("ivf_cell").agg(
+            F.array(
+                *[
+                    F.sum(F.col(vec_col)[i].cast("double")).alias(f"s{i}")
+                    for i in range(dim)
+                ]
+            ).alias("vsum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        rows = sums.collect()
+        for r in rows:
+            if r.n > 0 and r.ivf_cell is not None:
+                centroids[r.ivf_cell] = [s / r.n for s in r.vsum]
+    assigned = assign(embs, centroids)
+    return centroids, assigned
+
+
+def _py_norm(v):
+    return sum(x * x for x in v) ** 0.5 or 1.0
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids,
+    query_vec,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the nprobe nearest cells only — the scan reads
+    ~nprobe/n_centroids of the corpus (a partition-pruned read when the
+    table is written partitioned by ivf_cell)."""
+    qn = _py_norm(query_vec)
+    sims = [
+        sum(a * b for a, b in zip(c, query_vec)) / (_py_norm(c) * qn)
+        for c in centroids
+    ]
+    probe = sorted(range(len(sims)), key=lambda i: -sims[i])[:nprobe]
+    q = _lit_vec(query_vec)
+    return (
+        assigned.filter(F.col("ivf_cell").isin(probe))
+        .select(
+            id_col,
+            F.round(cosine(F.col(vec_col), q), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def neardup_pairs_blocked(
+    embs: DataFrame,
+    block_col: str = "label",
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within blocks (the vector
+    analogue of blocked Jaccard).  Self-join keyed on the block column;
+    at scale the block key comes from LSH/IVF cells instead of labels."""
+    a = embs.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+    )
+    b = embs.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+    )
+    return (
+        a.join(b, ["blk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "blk",
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,176 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure Column expressions (codegen'd, shuffle-free per doc) — at 100 TB
+these run as map-only passes fused into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from garmadon_spark.operators.dedup import _hash64, tokens
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+# Real deployments plug in fastText/cld3 via a pandas UDF; the operator
+# contract (argmax over per-language evidence scores) is the same.
+LANG_MARKERS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "with", "for", "on"],
+    "es": ["el", "la", "de", "y", "en", "que", "los", "un", "por", "con"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "du", "est"],
+    "de": ["der", "die", "das", "und", "in", "den", "von", "zu", "mit", "ist"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "不", "这", "人"],
+}
+
+
+def lang_scores(text_col: str = "text") -> list[tuple[str, Column]]:
+    toks = tokens(text_col)
+    out = []
+    for lang, markers in LANG_MARKERS.items():
+        hits = F.size(
+            F.array_intersect(toks, F.array(*[F.lit(m) for m in markers]))
+        )
+        out.append((lang, hits))
+    return out
+
+
+def detect_language(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-evidence language ID: argmax of per-language distinct
+    marker hits; 'und' (undetermined) when nothing matches.  Ties break
+    by language code order (deterministic)."""
+    scores = lang_scores(text_col)
+    pred = F.lit("und")
+    best = F.lit(0)
+    for lang, s in sorted(scores, key=lambda p: p[0], reverse=True):
+        pred = F.when(s >= F.greatest(best, F.lit(1)), F.lit(lang)).otherwise(pred)
+        best = F.greatest(best, s)
+    return df.withColumn("predicted_lang", pred)
+
+
+WORD_RE = r"[A-Za-z]+"
+NUM_RE = r"[0-9]+"
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex segmentation
+    (letters / digit runs / single punctuation) — the pre-tokenizer count
+    that tracks LLM token budgets."""
+    return df.select(
+        "*",
+        F.size(tokens(text_col)).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_RE), 0)).alias(
+            "bpe_tokens"
+        ),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring from cheap surface statistics:
+
+    - mean word length (degenerate text skews extreme),
+    - alpha ratio (letters / non-space chars),
+    - stopword ratio (natural language has some),
+    - repetition ratio (distinct tokens / tokens).
+
+    score ∈ [0,1] = product of clamped component scores — monotone,
+    explainable, and cheap enough to run inline with ingestion."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    text = F.col(text_col)
+    n_nospace = F.length(F.regexp_replace(text, r"\s", ""))
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    stop = F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    n_distinct = F.size(F.array_distinct(toks))
+
+    mean_wlen = F.when(n_tok > 0, n_nospace / n_tok).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n_nospace > 0, n_alpha / n_nospace).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    rep_ratio = F.when(n_tok > 0, n_distinct / n_tok).otherwise(F.lit(0.0))
+
+    wlen_score = F.greatest(
+        F.lit(0.0),
+        F.least(F.lit(1.0), F.lit(1.0) - F.abs(mean_wlen - F.lit(5.0)) / F.lit(5.0)),
+    )
+    score = F.round(
+        wlen_score * alpha_ratio
+        * F.least(F.lit(1.0), stop_ratio * F.lit(5.0) + F.lit(0.2))
+        * rep_ratio,
+        4,
+    )
+    return df.select(
+        "*",
+        F.round(mean_wlen, 4).alias("mean_word_len"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(rep_ratio, 4).alias("repetition_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def fingerprint_winnow(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Document fingerprinting by winnowing (MOSS-style): rolling k-gram
+    hashes, keep the min hash of every sliding window → a compact,
+    position-robust fingerprint set.  Array expressions only: the
+    windowed-min is computed over arrays_zip'd shifted slices (see
+    dedup._sliding_zip for why — per-element lambda re-evaluation), no
+    explode until the final set."""
+    from garmadon_spark.operators.dedup import _sliding_zip
+
+    toks = tokens(text_col)
+    n_kgrams = F.greatest(F.size(toks) - k + 1, F.lit(0))
+    kgram_hashes = F.transform(
+        _sliding_zip(toks, k, n_kgrams),
+        lambda s: _hash64(F.concat_ws(" ", *[s[str(i)] for i in range(k)])),
+    )
+    staged = df.select(F.col(id_col), kgram_hashes.alias("_kh"))
+    kh = F.col("_kh")
+    n_windows = F.greatest(F.size(kh) - window + 1, F.lit(0))
+    fingerprints = F.array_distinct(
+        F.transform(
+            _sliding_zip(kh, window, n_windows),
+            lambda s: F.least(*[s[str(i)] for i in range(window)]),
+        )
+    )
+    return staged.select(
+        F.col(id_col),
+        F.when(F.size(kh) > 0, fingerprints)
+        .otherwise(F.array().cast("array<long>"))
+        .alias("fingerprints"),
+    )
+
+
+def fingerprint_overlap(
+    fps: DataFrame, id_col: str = "doc_id", min_common: int = 2,
+    max_doc_freq: int = 20,
+) -> DataFrame:
+    """Candidate near-dup pairs sharing ≥ min_common winnowed
+    fingerprints — explode + self-join on the fingerprint value.
+
+    Fingerprints occurring in > max_doc_freq documents are dropped
+    (MOSS's "ignore overly common fingerprints"): a fingerprint shared by
+    f docs contributes O(f²) pairs, so without the cap a low-diversity
+    corpus degrades to all-pairs.  Plan shape: explode → one groupBy(fp)
+    collecting the (capped) doc bucket → in-bucket pair expansion → one
+    groupBy(pair) — upstream fingerprints are computed once (no
+    self-join), and the frequency cap is a `size()` filter on the
+    collected bucket instead of a window function."""
+    from garmadon_spark.operators.dedup import bucket_pairs, explode_computed
+
+    ex = explode_computed(
+        fps, F.col("fingerprints"), "fp", [F.col(id_col).alias("doc")]
+    )
+    pairs = bucket_pairs(ex, ["fp"], "doc", max_bucket=max_doc_freq)
+    return (
+        pairs.groupBy(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common_fingerprints"))
+        .filter(F.col("common_fingerprints") >= min_common)
+    )

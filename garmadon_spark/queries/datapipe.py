@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from garmadon_spark.operators import dedup, similarity, text
 from garmadon_spark.session import load_table
 
 
@@ -28,6 +29,17 @@ def _embs(spark, sf_dir):
     return load_table(spark, sf_dir, "embeddings")
 
 
+def _fanout(spark, df):
+    """Round-robin repartition to the session's parallelism.
+
+    The local fixtures are single small parquet files → one input split →
+    the CPU-heavy map stages (shingling, minhashing, fingerprint hashing)
+    would run on 1 of N cores.  On a real cluster a 100 TB table arrives
+    as thousands of splits and this is a no-op cost-wise; locally the one
+    extra tiny shuffle buys full-width parallelism for the hash work."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 # --- document fingerprinting ---------------------------------------------
 
 def doc_fingerprint(spark, sf_dir):
@@ -36,16 +48,14 @@ def doc_fingerprint(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id",
         F.md5(F.col("text")).alias("fingerprint"),
-        F.md5(F.lower(F.regexp_replace("text", r"\s+", " "))).alias(
-            "normalized_fingerprint"
-        ),
+        dedup.content_hash("text").alias("normalized_fingerprint"),
     )
 
 
 DOC_FINGERPRINT_SQL = """
 SELECT doc_id,
        md5(text) AS fingerprint,
-       md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS normalized_fingerprint
+       md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS normalized_fingerprint
 FROM documents
 """
 
@@ -56,25 +66,11 @@ def doc_exact_dedup(spark, sf_dir):
     """Exact duplicate groups by normalized content hash — hash-groupBy,
     the canonical first dedup pass.  One shuffle on the 128-bit hash
     (uniform ⇒ no skew).  Returns groups with >1 member."""
-    docs = _docs(spark, sf_dir)
-    return (
-        docs.select(
-            F.md5(F.lower(F.regexp_replace("text", r"\s+", " "))).alias(
-                "content_hash"
-            ),
-            "doc_id",
-        )
-        .groupBy("content_hash")
-        .agg(
-            F.count(F.lit(1)).alias("dup_count"),
-            F.min("doc_id").alias("keep_doc_id"),
-        )
-        .filter(F.col("dup_count") > 1)
-    )
+    return dedup.exact_duplicates(_docs(spark, sf_dir))
 
 
 DOC_EXACT_DEDUP_SQL = """
-SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_hash,
+SELECT md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash,
        COUNT(*) AS dup_count,
        MIN(doc_id) AS keep_doc_id
 FROM documents
@@ -282,6 +278,204 @@ GROUP BY label
 """
 
 
+# --- near-dedup: blocked n-gram Jaccard (exact, oracle-checked) -----------
+
+def doc_jaccard_blocked(spark, sf_dir):
+    """Tier-2 dedup: exact bigram Jaccard within (lang, source) blocks —
+    the oracle-checkable form of near-dup detection (the un-blocked
+    corpus-wide form is MinHash-LSH below).  Join key (block, shingle)
+    bounds the pair blowup to within-block shingle sharers."""
+    return dedup.jaccard_pairs(
+        _fanout(spark, _docs(spark, sf_dir)), ("lang", "source"), n=2,
+        threshold=0.1,
+    )
+
+
+DOC_JACCARD_BLOCKED_SQL = """
+WITH toks AS (
+    SELECT doc_id, lang, source,
+           string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+    FROM documents
+), docs AS (
+    SELECT doc_id, lang, source,
+           list_distinct([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS sh
+    FROM toks
+), pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.sh, b.sh)) AS c,
+           len(a.sh) AS na, len(b.sh) AS nb
+    FROM docs a, docs b
+    WHERE a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(c / (na + nb - c), 4) AS jaccard
+FROM pairs
+WHERE ROUND(c / (na + nb - c), 4) >= 0.1 AND c > 0
+"""
+
+
+def doc_minhash_dedup(spark, sf_dir):
+    """Tier-3 dedup: MinHash signatures → LSH band buckets → exact-Jaccard
+    verification of candidates only.  The scale path: no all-pairs stage
+    anywhere.  Rows-only check (sketch internals aren't SQL)."""
+    return dedup.minhash_dedup(
+        _fanout(spark, _docs(spark, sf_dir)), n=2, num_hashes=64, bands=16,
+        threshold=0.3,
+    )
+
+
+def doc_simhash(spark, sf_dir):
+    """Tier-4 dedup: 56-bit SimHash fingerprints (deterministic,
+    content-derived).  Rows-only check."""
+    return dedup.simhash(_fanout(spark, _docs(spark, sf_dir)))
+
+
+def doc_winnow_overlap(spark, sf_dir):
+    """Winnowed-fingerprint near-dup candidates (MOSS-style rolling-hash
+    sampling).  Rows-only check."""
+    fps = text.fingerprint_winnow(_fanout(spark, _docs(spark, sf_dir)))
+    return text.fingerprint_overlap(fps, min_common=3)
+
+
+# --- text analysis: language ID / quality / BPE-ish tokens ----------------
+
+def doc_langid(spark, sf_dir):
+    """Stopword-evidence language ID per document (argmax over marker
+    hits, ties to the alphabetically first language, 'und' if none)."""
+    out = text.detect_language(_docs(spark, sf_dir))
+    return out.select("doc_id", "lang", "predicted_lang")
+
+
+DOC_LANGID_SQL = """
+WITH toks AS (
+    SELECT doc_id, lang,
+           string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+    FROM documents
+), scored AS (
+    SELECT doc_id, lang,
+           len(list_intersect(t, ['the','a','of','and','to','in','is','with','for','on'])) AS s_en,
+           len(list_intersect(t, ['el','la','de','y','en','que','los','un','por','con'])) AS s_es,
+           len(list_intersect(t, ['le','la','de','et','les','des','un','une','du','est'])) AS s_fr,
+           len(list_intersect(t, ['der','die','das','und','in','den','von','zu','mit','ist'])) AS s_de,
+           len(list_intersect(t, ['的','是','在','了','和','有','我','不','这','人'])) AS s_zh
+    FROM toks
+)
+SELECT doc_id, lang,
+       CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh, 1) THEN 'de'
+            WHEN s_en >= greatest(s_es, s_fr, s_zh, 1) THEN 'en'
+            WHEN s_es >= greatest(s_fr, s_zh, 1) THEN 'es'
+            WHEN s_fr >= greatest(s_zh, 1) THEN 'fr'
+            WHEN s_zh >= 1 THEN 'zh'
+            ELSE 'und' END AS predicted_lang
+FROM scored
+"""
+
+
+def doc_quality(spark, sf_dir):
+    """Surface-statistics quality scoring: mean word length, alpha ratio,
+    stopword ratio, repetition ratio, composite score ∈ [0,1]."""
+    out = text.quality_score(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "mean_word_len", "alpha_ratio", "stopword_ratio",
+        "repetition_ratio", "quality_score",
+    )
+
+
+DOC_QUALITY_SQL = """
+WITH base AS (
+    SELECT doc_id, text,
+           list_filter(string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+                       t -> t <> '') AS toks,
+           length(regexp_replace(text, '\\s', '', 'g')) AS n_nospace,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+    FROM documents
+), ratios AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) > 0 THEN n_nospace / len(toks) ELSE 0.0 END AS mean_wlen,
+           CASE WHEN n_nospace > 0 THEN n_alpha / n_nospace ELSE 0.0 END AS alpha_ratio,
+           CASE WHEN len(toks) > 0 THEN
+             len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','with','for','on'], t)))
+               / len(toks) ELSE 0.0 END AS stop_ratio,
+           CASE WHEN len(toks) > 0 THEN len(list_distinct(toks)) / len(toks) ELSE 0.0 END AS rep_ratio
+    FROM base
+)
+SELECT doc_id,
+       ROUND(mean_wlen, 4) AS mean_word_len,
+       ROUND(alpha_ratio, 4) AS alpha_ratio,
+       ROUND(stop_ratio, 4) AS stopword_ratio,
+       ROUND(rep_ratio, 4) AS repetition_ratio,
+       ROUND(greatest(0.0, least(1.0, 1.0 - abs(mean_wlen - 5.0) / 5.0))
+             * alpha_ratio
+             * least(1.0, stop_ratio * 5.0 + 0.2)
+             * rep_ratio, 4) AS quality_score
+FROM ratios
+"""
+
+
+def doc_bpe_tokens(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish regex segmentation
+    (letter runs / digit runs / single punctuation)."""
+    out = text.token_counts(_docs(spark, sf_dir))
+    return out.select("doc_id", "ws_tokens", "bpe_tokens")
+
+
+DOC_BPE_TOKENS_SQL = """
+SELECT doc_id,
+       len(list_filter(string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+                       t -> t <> '')) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
+FROM documents
+"""
+
+
+# --- embedding near-dup + ANN --------------------------------------------
+
+def emb_neardup_blocked(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs within label blocks — the
+    vector-space dedup tier (blocked form is oracle-checkable; the
+    corpus-wide form uses IVF cells as blocks)."""
+    return similarity.neardup_pairs_blocked(
+        _fanout(spark, _embs(spark, sf_dir)), block_col="label",
+        threshold=0.25,
+    )
+
+
+EMB_NEARDUP_BLOCKED_SQL = """
+WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+pairs AS (
+    SELECT a.label AS blk, a.vec_id AS id_a, b.vec_id AS id_b,
+           a.embedding AS va, b.embedding AS vb
+    FROM e a, e b
+    WHERE a.label = b.label AND a.vec_id < b.vec_id
+), un AS (
+    SELECT blk, id_a, id_b,
+           CAST(unnest(va) AS DOUBLE) AS x, CAST(unnest(vb) AS DOUBLE) AS y
+    FROM pairs
+), scored AS (
+    SELECT blk, id_a, id_b,
+           SUM(x * y) / (sqrt(SUM(x * x)) * sqrt(SUM(y * y))) AS c
+    FROM un GROUP BY blk, id_a, id_b
+)
+SELECT blk, id_a, id_b, ROUND(c, 4) AS cosine
+FROM scored
+WHERE ROUND(c, 4) >= 0.25
+"""
+
+
+def emb_ann_ivf(spark, sf_dir, query_vec_id: int = 0, k: int = 10):
+    """IVF approximate top-k: deterministic coarse quantizer, nprobe-cell
+    probe — the partition-pruned scale path for similarity search.
+    Rows-only check (approximation is engine-defined)."""
+    embs = _embs(spark, sf_dir)
+    qrow = embs.filter(F.col("vec_id") == query_vec_id).select("embedding").head()
+    q = [float(x) for x in qrow[0]]
+    cents, assigned = similarity.build_ivf(embs, n_centroids=8, iterations=1)
+    return similarity.ivf_topk(
+        assigned.filter(F.col("vec_id") != query_vec_id), cents, q,
+        k=k, nprobe=4,
+    )
+
+
 QUERIES = {
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
     "doc_exact_dedup": (doc_exact_dedup, DOC_EXACT_DEDUP_SQL),
@@ -294,4 +488,13 @@ QUERIES = {
         emb_label_centroid_dist,
         EMB_LABEL_CENTROID_DIST_SQL,
     ),
+    "doc_jaccard_blocked": (doc_jaccard_blocked, DOC_JACCARD_BLOCKED_SQL),
+    "doc_minhash_dedup": (doc_minhash_dedup, None),
+    "doc_simhash": (doc_simhash, None),
+    "doc_winnow_overlap": (doc_winnow_overlap, None),
+    "doc_langid": (doc_langid, DOC_LANGID_SQL),
+    "doc_quality": (doc_quality, DOC_QUALITY_SQL),
+    "doc_bpe_tokens": (doc_bpe_tokens, DOC_BPE_TOKENS_SQL),
+    "emb_neardup_blocked": (emb_neardup_blocked, EMB_NEARDUP_BLOCKED_SQL),
+    "emb_ann_ivf": (emb_ann_ivf, None),
 }

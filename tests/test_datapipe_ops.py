@@ -1,0 +1,210 @@
+"""LLM-data-pipeline operator tests: dedup tiers, similarity search,
+text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from garmadon_spark.operators import dedup, multimodal, similarity, text
+from garmadon_spark.session import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # synthetic corpus with planted duplicates / near-duplicates
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    near = "the quick brown fox jumps over the lazy cat near the river bank"
+    other = "completely different content about spark query engines and data"
+    rows = [
+        Row(doc_id=0, text=base, lang="en", source="s0"),
+        Row(doc_id=1, text=base, lang="en", source="s0"),          # exact dup
+        Row(doc_id=2, text="  " + base.upper() + " ", lang="en",
+            source="s0"),                                          # normalized dup
+        Row(doc_id=3, text=near, lang="en", source="s0"),          # near dup
+        Row(doc_id=4, text=other, lang="en", source="s0"),
+        Row(doc_id=5, text="el la de y en que los un por con palabras",
+            lang="es", source="s1"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+# --- exact dedup ----------------------------------------------------------
+
+def test_exact_duplicates(docs):
+    groups = dedup.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0].dup_count == 3 and groups[0].keep_doc_id == 0
+
+
+# --- blocked jaccard ------------------------------------------------------
+
+def test_jaccard_pairs_blocked(docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.jaccard_pairs(
+            docs, ("lang", "source"), threshold=0.3
+        ).collect()
+    }
+    assert pairs[(0, 1)] == 1.0 and pairs[(0, 2)] == 1.0
+    assert 0.5 < pairs[(0, 3)] < 1.0      # near dup
+    assert (0, 4) not in pairs            # unrelated
+    assert all(a < b for a, b in pairs)
+
+
+# --- minhash + LSH --------------------------------------------------------
+
+def test_minhash_dedup_finds_planted_pairs(docs):
+    found = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.minhash_dedup(docs, threshold=0.5).collect()
+    }
+    assert {(0, 1), (0, 2), (1, 2)} <= set(found)
+    assert (0, 3) in found                # near dup caught by LSH
+    assert all(j >= 0.5 for j in found.values())
+    assert not any(4 in p or 5 in p for p in found)
+
+
+def test_minhash_signature_shape_and_determinism(spark, docs):
+    s1 = dedup.minhash_signatures(docs).orderBy("doc").collect()
+    s2 = dedup.minhash_signatures(docs).orderBy("doc").collect()
+    assert [r.signature for r in s1] == [r.signature for r in s2]
+    assert all(len(r.signature) == 64 for r in s1)
+    # identical docs ⇒ identical signatures
+    sig = {r.doc: r.signature for r in s1}
+    assert sig[0] == sig[1] == sig[2]
+
+
+# --- simhash --------------------------------------------------------------
+
+def test_simhash_hamming(docs):
+    fps = dedup.simhash(docs)
+    by_doc = {r.doc: r.simhash for r in fps.collect()}
+    ham = lambda a, b: bin(by_doc[a] ^ by_doc[b]).count("1")
+    assert ham(0, 1) == 0 and ham(0, 2) == 0      # exact dups collide
+    assert 0 < ham(0, 3) < ham(0, 4)              # near dup < unrelated
+    cands = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_candidates(fps).collect()
+    }
+    assert {(0, 1), (0, 2), (1, 2)} <= set(cands)
+    assert cands[(0, 1)] == 0
+
+
+# --- similarity search ----------------------------------------------------
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_brute_force_vs_ivf_recall(embs):
+    qrow = embs.filter(F.col("vec_id") == 0).first()
+    q = [float(x) for x in qrow.embedding]
+    exact = [r.vec_id for r in similarity.brute_force_topk(
+        embs.filter(F.col("vec_id") != 0), q, k=10).collect()]
+    cents, assigned = similarity.build_ivf(embs, n_centroids=8, iterations=1)
+    approx = [r.vec_id for r in similarity.ivf_topk(
+        assigned.filter(F.col("vec_id") != 0), cents, q, k=10,
+        nprobe=4).collect()]
+    overlap = len(set(exact) & set(approx))
+    assert overlap >= 5  # probing half the cells keeps decent recall
+    # probed subset is strictly smaller than the corpus
+    probed = assigned.filter(F.col("ivf_cell").isin(
+        list(range(8)))).count()
+    assert probed == embs.count()
+
+
+def test_neardup_pairs_blocked_self_similarity(spark):
+    rows = [
+        Row(vec_id=0, label=1, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=1, label=1, embedding=[0.99, 0.1, 0.0]),
+        Row(vec_id=2, label=1, embedding=[0.0, 1.0, 0.0]),
+        Row(vec_id=3, label=2, embedding=[1.0, 0.0, 0.0]),  # other block
+    ]
+    df = spark.createDataFrame(rows)
+    pairs = {
+        (r.id_a, r.id_b): r.cosine
+        for r in similarity.neardup_pairs_blocked(df, threshold=0.9).collect()
+    }
+    assert set(pairs) == {(0, 1)}  # 0-3 blocked apart, 0-2 orthogonal
+
+
+# --- text analysis --------------------------------------------------------
+
+def test_detect_language(docs):
+    pred = {r.doc_id: r.predicted_lang
+            for r in text.detect_language(docs).collect()}
+    assert pred[0] == "en" and pred[5] == "es"
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([Row(doc_id=0, text="Hello, world 42 times!")])
+    r = text.token_counts(df).first()
+    assert r.ws_tokens == 4
+    # Hello , world 42 times !  → 6 BPE-ish tokens
+    assert r.bpe_tokens == 6
+
+
+def test_quality_score_ranges(docs):
+    out = text.quality_score(docs).collect()
+    for r in out:
+        assert 0.0 <= r.quality_score <= 1.0
+        assert 0.0 <= r.alpha_ratio <= 1.0
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[0].stopword_ratio > by_id[5].stopword_ratio
+
+
+def test_winnow_fingerprints(docs):
+    fps = text.fingerprint_winnow(docs)
+    rows = {r.doc_id: r.fingerprints for r in fps.collect()}
+    assert rows[0] == rows[1]  # identical docs, identical fingerprints
+    overlap = {
+        (r.doc_a, r.doc_b): r.common_fingerprints
+        for r in text.fingerprint_overlap(fps).collect()
+    }
+    assert (0, 1) in overlap and (0, 3) in overlap
+
+
+# --- multimodal plumbing --------------------------------------------------
+
+def test_media_fixture_and_features(spark):
+    media = multimodal.make_media_fixture(spark, n=24)
+    assert media.count() == 24
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 24
+    assert all(len(r.feature) == 16 for r in rows)
+    # determinism: same content → same features
+    again = multimodal.extract_features(
+        multimodal.make_media_fixture(spark, n=24)).collect()
+    assert {r.media_id: r.feature for r in rows} == \
+        {r.media_id: r.feature for r in again}
+
+
+def test_resize_and_frames(spark):
+    media = multimodal.make_media_fixture(spark, n=24)
+    resized = multimodal.resize_images(media).collect()
+    assert all(len(r.resized) == 8 * 8 * 3 * 4 for r in resized)  # f32 bytes
+    frames = multimodal.sample_frames(media)
+    per_vid = frames.groupBy("media_id").count().collect()
+    assert per_vid and all(1 <= r["count"] <= 8 for r in per_vid)
+
+
+def test_strict_decoder_marks_integration_point(spark):
+    media = multimodal.make_media_fixture(spark, n=3)
+    with pytest.raises(Exception):
+        multimodal.extract_features(
+            media, decoder=multimodal.strict_decoder
+        ).collect()
+
+
+def test_features_feed_similarity(spark):
+    media = multimodal.make_media_fixture(spark, n=24)
+    feats = multimodal.extract_features(media).withColumnRenamed(
+        "media_id", "vec_id").withColumnRenamed("feature", "embedding")
+    q = [float(x) for x in feats.first().embedding]
+    top = similarity.brute_force_topk(feats, q, k=3).collect()
+    assert len(top) == 3 and top[0].cosine == 1.0
