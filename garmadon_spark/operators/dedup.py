@@ -265,14 +265,41 @@ def minhash_dedup(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """Tier 3 end-to-end: signatures → LSH candidates → exact-Jaccard
-    verification of candidates only."""
+    verification of candidates only.
+
+    The per-doc shingle set feeds three plan branches (signature build +
+    both sides of the verification join); without materialization Spark
+    re-tokenizes the corpus three times.  ``persist_shingles`` caches the
+    narrow (doc, shingles) projection MEMORY_AND_DISK for the job — the
+    moral equivalent of the signature/shingle table a 100 TB deployment
+    would checkpoint to storage between the sketch and verify stages.
+    (The cache entry lives until the session drops it; pass False for
+    one-shot semantics.)"""
+    from pyspark import StorageLevel
+
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, id_col, text_col, n, num_hashes)
-    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
     sh = docs.select(F.col(id_col).alias("doc"),
                      shingles(text_col, n).alias("sh"))
+    if persist_shingles:
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    ex = explode_computed(sh, F.col("sh"), "s", ["doc"]).withColumn(
+        "h", _hash64(F.col("s"))
+    )
+    mins = [
+        F.min(
+            (F.col("h") * F.lit(2 * i + 1) + F.lit(i * i + 1))
+            % F.lit(MERSENNE_61)
+        ).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = ex.groupBy("doc").agg(*mins).select(
+        "doc",
+        F.array(*[f"mh_{i}" for i in range(num_hashes)]).alias("signature"),
+    )
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
     a = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
     joined = cands.join(a, "doc_a").join(b, "doc_b")

@@ -476,6 +476,98 @@ def emb_ann_ivf(spark, sf_dir, query_vec_id: int = 0, k: int = 10):
     )
 
 
+# --- multimodal columns ---------------------------------------------------
+
+def _media(spark, sf_dir):
+    """Deterministic media table derived from `documents`: the text bytes
+    become the opaque binary `content` column (stand-in for image/audio/
+    video payloads — the container has no codec libraries, see
+    operators/multimodal.py), media_type round-robins on doc_id.  This
+    keeps the multimodal plumbing driven by the shared fixtures instead
+    of a private synthetic table."""
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.col("text").cast("binary").alias("content"),
+    )
+
+
+def mm_media_stats(spark, sf_dir):
+    """Typed metadata over opaque binary media: byte size + content
+    digest per blob — the scan-side metadata pass that runs before any
+    decode (pure JVM expressions, no Python)."""
+    m = _media(spark, sf_dir)
+    return m.select(
+        "media_id",
+        "media_type",
+        F.length("content").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
+
+
+MM_MEDIA_STATS_SQL = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+
+def mm_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing: 1→N row expansion through
+    mapInPandas (Arrow-batched), fixed byte strides in the stub decoder.
+    Output projected to numeric columns (frame sizes) for the oracle."""
+    from garmadon_spark.operators.multimodal import sample_frames
+
+    frames = sample_frames(_media(spark, sf_dir), every_n_bytes=64,
+                           max_frames=4)
+    return frames.select(
+        "media_id",
+        "frame_index",
+        F.length("frame").alias("frame_bytes"),
+    )
+
+
+MM_FRAME_SAMPLE_SQL = """
+WITH v AS (
+    SELECT doc_id AS media_id, octet_length(encode(text)) AS nb,
+           least(4, greatest(1, octet_length(encode(text)) // 64)) AS n_frames
+    FROM documents WHERE doc_id % 3 = 2
+)
+SELECT media_id,
+       CAST(i AS INT) AS frame_index,
+       least(64, nb - CAST(i AS INT) * 64) AS frame_bytes
+FROM v, LATERAL unnest(range(n_frames)) AS t(i)
+"""
+
+
+def mm_feature_extract(spark, sf_dir):
+    """Decode → pooled feature vector per media row via the stubbed
+    (deterministic content-hash) decoder; Arrow-batched mapInPandas.
+    Rows-only check — the fake decoder's output is engine-defined."""
+    from garmadon_spark.operators.multimodal import extract_features
+
+    feats = extract_features(_media(spark, sf_dir), dim=16)
+    return feats.select(
+        "media_id",
+        "media_type",
+        F.size("feature").alias("n_dims"),
+        F.round(
+            F.aggregate(
+                "feature",
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x.cast("double"),
+            ),
+            4,
+        ).alias("feature_sum"),
+    )
+
+
 QUERIES = {
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
     "doc_exact_dedup": (doc_exact_dedup, DOC_EXACT_DEDUP_SQL),
@@ -497,4 +589,7 @@ QUERIES = {
     "doc_bpe_tokens": (doc_bpe_tokens, DOC_BPE_TOKENS_SQL),
     "emb_neardup_blocked": (emb_neardup_blocked, EMB_NEARDUP_BLOCKED_SQL),
     "emb_ann_ivf": (emb_ann_ivf, None),
+    "mm_media_stats": (mm_media_stats, MM_MEDIA_STATS_SQL),
+    "mm_frame_sample": (mm_frame_sample, MM_FRAME_SAMPLE_SQL),
+    "mm_feature_extract": (mm_feature_extract, None),
 }
