@@ -21,6 +21,91 @@ from garmadon_spark.queries import all_queries
 from garmadon_spark.session import get_spark
 
 
+def ingest_bench(spark, sf_dir: str, n_target: int = 500_000) -> dict:
+    """Ingest-path throughput: wire frames → decode (S2) → typed parse
+    (S3) → flatten, measured in events/s against the reference's 45 k
+    events/s production figure (BASELINE.md).
+
+    Frames are synthesized distributed (JVM-side: big-endian ints via
+    unhex(lpad(hex(..)))) and materialized to parquet FIRST, so the
+    timed section is exactly the consumer path the reference's
+    GarmadonReader executes: scan → frame parse → type filter → JSON
+    body parse → header⊕body projection."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from garmadon_spark.session import load_table
+    from garmadon_spark.sources.frames import decode_frames, decode_typed
+
+    ev = load_table(spark, sf_dir, "events")
+    n_src = ev.count()
+    copies = max(1, n_target // max(n_src, 1))
+
+    def be(col, nbytes):
+        return F.unhex(F.lpad(F.hex(col), nbytes * 2, "0"))
+
+    header = F.to_json(
+        F.struct(
+            F.concat(F.lit("application_"), F.col("user_id")).alias(
+                "application_id"
+            ),
+            F.lit("1").alias("attempt_id"),
+            F.concat(F.lit("container_"), F.col("event_id")).alias(
+                "container_id"
+            ),
+            F.lit("host-01").alias("hostname"),
+            F.lit("hdfs_user").alias("username"),
+            F.lit("SPARK").alias("framework"),
+        )
+    ).cast("binary")
+    body = F.to_json(
+        F.struct(
+            F.concat(F.lit("/data/part-"), F.col("event_id")).alias(
+                "src_path"
+            ),
+            F.lit("").alias("dst_path"),
+            F.upper(F.col("event_type")).alias("action"),
+            F.lit("hdfs://root").alias("uri"),
+            (F.col("value") * 100).cast("long").alias(
+                "method_duration_millis"
+            ),
+            F.lit("SUCCESS").alias("status"),
+        )
+    ).cast("binary")
+    frames = (
+        ev.crossJoin(spark.range(copies).select(F.col("id").alias("_copy")))
+        .select(
+            F.concat(
+                be(F.lit(1), 4),                                  # FS_EVENT
+                be((F.col("ts").cast("long") * 1000), 8),
+                be(F.length(header), 4),
+                be(F.length(body), 4),
+                header,
+                body,
+            ).alias("value")
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="garmadon_ingest_bench_")
+    try:
+        frames.write.mode("overwrite").parquet(tmp)
+        raw = spark.read.parquet(tmp)
+        n = raw.count()
+        t0 = time.time()
+        typed = decode_typed(decode_frames(raw), 1)
+        flat = typed.select("header.*", "body.*", "timestamp")
+        decoded = flat.count()
+        dt = time.time() - t0
+        return {
+            "ingest_events": decoded,
+            "ingest_sec": round(dt, 3),
+            "ingest_events_per_sec": int(decoded / dt) if dt > 0 else -1,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -44,6 +129,12 @@ def main():
             print(f"bench error {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
 
+    try:
+        ingest = ingest_bench(spark, sf_dir)
+    except Exception as e:
+        print(f"bench error ingest: {e}", file=sys.stderr)
+        ingest = {}
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(
@@ -53,6 +144,7 @@ def main():
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                **ingest,
             }
         )
     )

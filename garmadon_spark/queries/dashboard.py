@@ -400,6 +400,122 @@ GROUP BY user_id
 """
 
 
+# --- terms sub-agg inside date_histogram (top-k per bucket) ---------------
+
+def ev_topk_per_hour(spark, sf_dir):
+    """ES `terms` sub-aggregation inside a `date_histogram`: top-3 event
+    types per hour by event count — the Grafana "stacked top-N series"
+    panel shape.
+
+    rank-over-window on the AGGREGATED series (buckets × types, tiny),
+    so the window state never sees raw rows; the heavy reduction is the
+    map-side-combinable count."""
+    hourly = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("bucket").orderBy(
+        F.desc("cnt"), F.asc("event_type")
+    )
+    return (
+        hourly.select("*", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+EV_TOPK_PER_HOUR_SQL = """
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS bucket, event_type, COUNT(*) AS cnt
+    FROM events GROUP BY 1, 2
+)
+SELECT bucket, event_type, cnt,
+       ROW_NUMBER() OVER (PARTITION BY bucket
+                          ORDER BY cnt DESC, event_type ASC) AS rnk
+FROM hourly
+QUALIFY rnk <= 3
+"""
+
+
+# --- moving average pipeline agg ------------------------------------------
+
+def ev_moving_avg(spark, sf_dir):
+    """ES `moving_avg` pipeline agg: 3-bucket trailing mean of the hourly
+    event count per type — window frame over the aggregated series
+    (same exchange as the histogram groupBy; Catalyst reuses it)."""
+    hourly = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-2, 0)
+    )
+    return hourly.select(
+        "bucket",
+        "event_type",
+        "cnt",
+        F.round(F.avg("cnt").over(w), 4).alias("moving_avg_3h"),
+    )
+
+
+EV_MOVING_AVG_SQL = """
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS bucket, event_type, COUNT(*) AS cnt
+    FROM events GROUP BY 1, 2
+)
+SELECT bucket, event_type, cnt,
+       ROUND(AVG(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg_3h
+FROM hourly
+"""
+
+
+# --- conditional ratio metric ---------------------------------------------
+
+def ev_failure_ratio(spark, sf_dir):
+    """Failure-rate panel (the reference's FS_EVENT status:FAILURE ratio,
+    `EventHelper`/Grafana garmadon-hdfs dashboard): conditional count over
+    total per hour — `sum(when(...))` stays inside the same single-shuffle
+    aggregate as the plain count (no second pass, no join)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(
+                F.when(gf.has_type("error"), F.lit(1)).otherwise(F.lit(0))
+            ).alias("errors"),
+            F.round(
+                F.sum(
+                    F.when(gf.has_type("error"), F.lit(1)).otherwise(F.lit(0))
+                )
+                / F.count(F.lit(1)),
+                4,
+            ).alias("error_ratio"),
+        )
+    )
+
+
+EV_FAILURE_RATIO_SQL = """
+SELECT date_trunc('hour', ts) AS bucket,
+       COUNT(*) AS total,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
+       ROUND(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             / COUNT(*), 4) AS error_ratio
+FROM events
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "ev_count_by_type": (ev_count_by_type, EV_COUNT_BY_TYPE_SQL),
     "ev_date_histogram_hour": (ev_date_histogram_hour, EV_DATE_HISTOGRAM_HOUR_SQL),
@@ -413,4 +529,7 @@ QUERIES = {
     "ev_raw_documents": (ev_raw_documents, EV_RAW_DOCUMENTS_SQL),
     "ev_json_extract": (ev_json_extract, EV_JSON_EXTRACT_SQL),
     "ev_user_sessions": (ev_user_sessions, EV_USER_SESSIONS_SQL),
+    "ev_topk_per_hour": (ev_topk_per_hour, EV_TOPK_PER_HOUR_SQL),
+    "ev_moving_avg": (ev_moving_avg, EV_MOVING_AVG_SQL),
+    "ev_failure_ratio": (ev_failure_ratio, EV_FAILURE_RATIO_SQL),
 }
