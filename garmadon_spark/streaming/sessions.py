@@ -121,11 +121,62 @@ def prepare_session_input(
     return out
 
 
+class SessionHeuristic:
+    """Extension protocol — the PySpark form of the reference's
+    ``Heuristic`` interface trio ``process`` / ``onContainerCompleted``
+    / ``onAppCompleted`` (readers/heuristics/.../Heuristic.java;
+    registration at Heuristics.java:57-77).
+
+    Subclass, then pass instances via ``session_heuristics(...,
+    heuristics=[...])`` or register globally with
+    ``register_heuristic``.  Each instance owns a private state dict
+    (JSON-serialized between micro-batches — keep it JSON-safe and
+    O(containers), not O(events))."""
+
+    name = "Custom"
+
+    def new_state(self) -> dict:
+        return {}
+
+    def process(self, s: dict, row) -> None:
+        """Per event, any kind — `row` carries the narrow union schema
+        (_UNION_COLS)."""
+
+    def on_container_completed(self, s: dict, container_id: str) -> None:
+        """Called when STATE_EVENT(END) arrives for a container."""
+
+    def on_app_completed(
+        self, application_id: str, attempt_id: str, s: dict
+    ) -> list[dict]:
+        """Called once when the last live container ends; return result
+        rows: dicts with heuristic/severity/score/details_json."""
+        return []
+
+
+_REGISTERED: list[SessionHeuristic] = []
+
+
+def register_heuristic(h: SessionHeuristic) -> SessionHeuristic:
+    """Globally register a custom heuristic (GarmadonSerialization
+    .register analogue for the heuristics surface).  Registered
+    instances run in every subsequent ``session_heuristics`` call that
+    doesn't pass an explicit list."""
+    _REGISTERED.append(h)
+    return h
+
+
 def _new_state() -> dict:
-    return {"live": [], "seen": [], "heap": {}, "sp": {}, "fs": {}}
+    return {"live": [], "seen": [], "heap": {}, "sp": {}, "fs": {},
+            "ext": {}}
 
 
-def _process_row(s: dict, r) -> None:
+def _process_row(s: dict, r, heuristics: list[SessionHeuristic] = ()) -> None:
+    for h in heuristics:
+        ext = s["ext"].setdefault(h.name, h.new_state())
+        h.process(ext, r)
+        if (r.kind == "state" and r.state == "END"
+                and r.container_id in s["live"]):
+            h.on_container_completed(ext, r.container_id)
     cid = r.container_id
     if cid and cid not in s["seen"]:
         s["seen"].append(cid)
@@ -175,8 +226,17 @@ def _details(per_container: dict[str, str]) -> str:
 
 
 def _finalize(app_id: str, attempt_id: str, s: dict,
-              max_created_files: int) -> list[dict]:
+              max_created_files: int,
+              heuristics: list[SessionHeuristic] = ()) -> list[dict]:
     out = []
+    for h in heuristics:
+        ext = s["ext"].setdefault(h.name, h.new_state())
+        for row in h.on_app_completed(app_id, attempt_id, ext):
+            out.append(dict(application_id=app_id, attempt_id=attempt_id,
+                            heuristic=row.get("heuristic", h.name),
+                            severity=int(row.get("severity", 0)),
+                            score=int(row.get("score", row.get("severity", 0))),
+                            details_json=row.get("details_json", "{}")))
     # HeapUsage (HeapUsage.java:76-95)
     heap_details, heap_sev = {}, Severity.NONE
     for cid, h in s["heap"].items():
@@ -231,18 +291,22 @@ def _finalize(app_id: str, attempt_id: str, s: dict,
     return out
 
 
-def make_session_fn(max_created_files: int = 100_000):
+def make_session_fn(max_created_files: int = 100_000,
+                    heuristics: list[SessionHeuristic] | None = None):
+    hs = list(_REGISTERED) if heuristics is None else list(heuristics)
+
     def session_fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         app_id, attempt_id = key
         s = json.loads(state.get[0]) if state.exists else _new_state()
+        s.setdefault("ext", {})
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(["timestamp", "kafka_offset"])
         for r in rows.itertuples():
-            _process_row(s, r)
+            _process_row(s, r, hs)
         if s["seen"] and not s["live"]:
-            results = _finalize(app_id, attempt_id, s, max_created_files)
+            results = _finalize(app_id, attempt_id, s, max_created_files, hs)
             state.remove()
             yield pd.DataFrame(results, columns=[f.name for f in RESULT_SCHEMA])
         else:
@@ -253,7 +317,8 @@ def make_session_fn(max_created_files: int = 100_000):
 
 
 def session_heuristics(
-    events: DataFrame, max_created_files: int = 100_000
+    events: DataFrame, max_created_files: int = 100_000,
+    heuristics: list[SessionHeuristic] | None = None,
 ) -> DataFrame:
     """Run the explicit-END session engine over a (streaming or batch-
     prepared) union from ``prepare_session_input``.  On a stream this
@@ -262,7 +327,7 @@ def session_heuristics(
     return (
         events.groupBy("application_id", "attempt_id")
         .applyInPandasWithState(
-            make_session_fn(max_created_files),
+            make_session_fn(max_created_files, heuristics),
             outputStructType=RESULT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",

@@ -169,3 +169,58 @@ def test_session_state_survives_micro_batches(spark, event_dir):
     assert got  # sessions closed across micro-batches, not just batch 1
     for k, details in got.items():
         assert k in exp, f"unexpected result {k}"
+
+
+def test_custom_registered_heuristic(spark, event_dir):
+    """SURVEY §2.11: the register_heuristic extension surface — a custom
+    process/onContainerCompleted/onAppCompleted trio runs alongside the
+    built-ins and emits its own result rows."""
+
+    class EventCount(sessions.SessionHeuristic):
+        name = "EventCount"
+
+        def new_state(self):
+            return {"n": 0, "containers_done": 0}
+
+        def process(self, s, row):
+            s["n"] += 1
+
+        def on_container_completed(self, s, container_id):
+            s["containers_done"] += 1
+
+        def on_app_completed(self, app_id, attempt_id, s):
+            sev = 1 if s["n"] > 10 else 0
+            return [
+                {
+                    "heuristic": "EventCount",
+                    "severity": sev,
+                    "score": sev,
+                    "details_json": json.dumps(
+                        {"events": str(s["n"]),
+                         "ended": str(s["containers_done"])}
+                    ),
+                }
+            ]
+
+    jvm, fs, st = _stream_tables(spark, event_dir)
+    union = sessions.prepare_session_input(jvm, fs, st)
+    res = sessions.session_heuristics(
+        union, max_created_files=100, heuristics=[EventCount()]
+    )
+    q = (
+        res.writeStream.format("memory").queryName("sess_custom")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        "SELECT * FROM sess_custom WHERE heuristic = 'EventCount'"
+    ).collect()
+    assert rows, "custom heuristic emitted no results"
+    for r in rows:
+        d = json.loads(r.details_json)
+        assert int(d["events"]) > 0 and int(d["ended"]) > 0
+    # built-ins still present alongside the custom one
+    others = spark.sql(
+        "SELECT DISTINCT heuristic FROM sess_custom"
+    ).collect()
+    assert {"FileHeuristic"} <= {r.heuristic for r in others}
