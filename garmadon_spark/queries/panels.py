@@ -1,0 +1,206 @@
+"""Garmadon-native dashboard panels over the typed event tables.
+
+The §2.7 read-side surface expressed on the REAL event families (the
+ev_* set in dashboard.py exercises the same agg shapes on the driver's
+generic `events` table; these run on the garmadon fixture tables and are
+DuckDB-verified in tests/test_panels_oracle.py):
+
+- "FS actions over time"        (garmadon-hdfs dashboard; the SURVEY §7
+                                 minimum end-to-end slice)
+- "FS failure rate per URI"     (lucene `status:FAILURE` filter panels)
+- "Heap used per app over time" (garmadon-jvm dashboards, E4 explode)
+- "GC pause percentiles"        (percentiles metric agg)
+- "Container memory headroom"   (CONTAINER_MONITORING value vs limit)
+- "Top apps by shuffle volume"  (terms size=k over SPARK_TASK metrics)
+
+Time bucketing is integer epoch-millis arithmetic (`timestamp div
+bucket_ms`; `div`, not `/`+cast — Spark's `/` on longs goes through
+double and can truncate across a bucket boundary) — identical semantics
+in Spark and DuckDB, timezone-free,
+and at scale it folds into the scan projection (no casts, prunes on the
+day-partitioned archive).
+
+Every panel is a single shuffle: scan → map-side partial agg → final
+agg (+ a k-row limit for top-k).  Filters sit before the agg so they
+reach the Parquet scan (PushedFilters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from garmadon_spark.operators.jvmstats import explode_heap
+
+MINUTE_MS = 60_000
+HOUR_MS = 3_600_000
+
+
+def fs_actions_per_minute(fs_events: DataFrame) -> DataFrame:
+    """FS actions over time — count per (1-minute bucket, action)."""
+    return (
+        fs_events.groupBy(
+            F.expr(f"timestamp div {MINUTE_MS}").alias("minute_bucket"),
+            "action",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+FS_ACTIONS_PER_MINUTE_SQL = """
+SELECT CAST(timestamp // 60000 AS BIGINT) AS minute_bucket,
+       action, COUNT(*) AS cnt
+FROM fs_event GROUP BY 1, 2
+"""
+
+
+def fs_failure_rate_by_uri(fs_events: DataFrame) -> DataFrame:
+    """Failure ratio per nameservice URI (status enum, conditional count
+    inside one aggregate)."""
+    fail = F.when(F.col("status") == "FAILURE", F.lit(1)).otherwise(F.lit(0))
+    return (
+        fs_events.groupBy("uri")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(fail).alias("failures"),
+            F.round(F.sum(fail) / F.count(F.lit(1)), 4).alias("failure_ratio"),
+        )
+    )
+
+
+FS_FAILURE_RATE_BY_URI_SQL = """
+SELECT uri, COUNT(*) AS total,
+       SUM(CASE WHEN status = 'FAILURE' THEN 1 ELSE 0 END) AS failures,
+       ROUND(SUM(CASE WHEN status = 'FAILURE' THEN 1 ELSE 0 END)
+             / COUNT(*), 4) AS failure_ratio
+FROM fs_event GROUP BY uri
+"""
+
+
+def heap_used_hourly(jvmstats: DataFrame) -> DataFrame:
+    """Avg/max heap used per (app, hour) — the E4 typed heap extract
+    feeding a date_histogram+avg panel."""
+    heap = explode_heap(jvmstats)
+    return (
+        heap.groupBy(
+            "application_id",
+            F.expr(f"timestamp div {HOUR_MS}").alias("hour_bucket"),
+        )
+        .agg(
+            F.round(F.avg("heap_used"), 4).alias("avg_heap_used"),
+            F.max("heap_used").alias("max_heap_used"),
+            F.max("heap_max").alias("heap_max"),
+        )
+    )
+
+
+HEAP_USED_HOURLY_SQL = """
+SELECT application_id,
+       CAST(timestamp // 3600000 AS BIGINT) AS hour_bucket,
+       ROUND(AVG(heap_used), 4) AS avg_heap_used,
+       MAX(heap_used) AS max_heap_used,
+       MAX(heap_max) AS heap_max
+FROM jvmstats_heap GROUP BY 1, 2
+"""
+
+
+def gc_pause_percentiles(gc_events: DataFrame) -> DataFrame:
+    """GC pause p50/p95 + worst 1-min pause ratio per collector."""
+    return (
+        gc_events.groupBy("collector_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_collections"),
+            F.round(F.expr("percentile(pause_time, 0.5)"), 4).alias("p50_pause"),
+            F.round(F.expr("percentile(pause_time, 0.95)"), 4).alias("p95_pause"),
+            F.round(F.max("gc_pause_ratio_1_min"), 4).alias("max_pause_ratio"),
+        )
+    )
+
+
+GC_PAUSE_PERCENTILES_SQL = """
+SELECT collector_name,
+       COUNT(*) AS n_collections,
+       ROUND(quantile_cont(pause_time, 0.5), 4) AS p50_pause,
+       ROUND(quantile_cont(pause_time, 0.95), 4) AS p95_pause,
+       ROUND(MAX(gc_pause_ratio_1_min), 4) AS max_pause_ratio
+FROM gc_event GROUP BY collector_name
+"""
+
+
+def container_memory_headroom(container_monitoring: DataFrame) -> DataFrame:
+    """Peak memory vs limit per container (MEMORY rows only — the filter
+    reaches the scan)."""
+    return (
+        container_monitoring.filter(F.col("type") == "MEMORY")
+        .groupBy("application_id", "container_id")
+        .agg(
+            F.round(F.max("value"), 4).alias("peak_memory"),
+            F.max("limit").alias("memory_limit"),
+            F.round(
+                (F.max("limit") - F.max("value")) * 100.0 / F.max("limit"), 4
+            ).alias("headroom_pct"),
+        )
+    )
+
+
+CONTAINER_MEMORY_HEADROOM_SQL = """
+SELECT application_id, container_id,
+       ROUND(MAX(value), 4) AS peak_memory,
+       MAX("limit") AS memory_limit,
+       ROUND((MAX("limit") - MAX(value)) * 100.0 / MAX("limit"), 4)
+           AS headroom_pct
+FROM container_monitoring_event
+WHERE type = 'MEMORY'
+GROUP BY 1, 2
+"""
+
+
+def top_shuffle_apps(spark_task_events: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k applications by total shuffle volume (terms size=k panel
+    over SPARK_TASK metric sums)."""
+    counts = (
+        spark_task_events.groupBy("application_id")
+        .agg(
+            F.sum(
+                F.col("shuffle_read_total_bytes")
+                + F.col("shuffle_write_shuffle_bytes")
+            ).alias("shuffle_bytes"),
+            F.sum("input_bytes").alias("input_bytes"),
+            F.sum("output_bytes").alias("output_bytes"),
+        )
+    )
+    return counts.orderBy(
+        F.desc("shuffle_bytes"), F.asc("application_id")
+    ).limit(k)
+
+
+TOP_SHUFFLE_APPS_SQL = """
+SELECT application_id,
+       SUM(shuffle_read_total_bytes + shuffle_write_shuffle_bytes)
+           AS shuffle_bytes,
+       SUM(input_bytes) AS input_bytes,
+       SUM(output_bytes) AS output_bytes
+FROM spark_task_event
+GROUP BY application_id
+ORDER BY shuffle_bytes DESC, application_id ASC
+LIMIT 5
+"""
+
+
+# panel name -> (fixture table, fn, sql, pre)  — pre maps the raw table
+# (e.g. the heap explode) before the DuckDB view is created.
+PANELS = {
+    "fs_actions_per_minute": ("fs_event", fs_actions_per_minute,
+                              FS_ACTIONS_PER_MINUTE_SQL, None),
+    "fs_failure_rate_by_uri": ("fs_event", fs_failure_rate_by_uri,
+                               FS_FAILURE_RATE_BY_URI_SQL, None),
+    "heap_used_hourly": ("jvmstats_event", heap_used_hourly,
+                         HEAP_USED_HOURLY_SQL, "jvmstats_heap"),
+    "gc_pause_percentiles": ("gc_event", gc_pause_percentiles,
+                             GC_PAUSE_PERCENTILES_SQL, None),
+    "container_memory_headroom": ("container_monitoring_event",
+                                  container_memory_headroom,
+                                  CONTAINER_MEMORY_HEADROOM_SQL, None),
+    "top_shuffle_apps": ("spark_task_event", top_shuffle_apps,
+                         TOP_SHUFFLE_APPS_SQL, None),
+}
