@@ -134,3 +134,65 @@ def test_corrupt_frames_observed(spark):
     f1 = frames.encode_frame(1000, 1, HDR, {"collector_name": "PS Scavenge"})
     df = frames.decode_frames(_frames_df(spark, [f1], corrupt=3))
     assert df.count() == 1  # corrupt rows filtered
+
+
+def test_streaming_frame_decode_to_archive(spark, tmp_path):
+    """S1→S2→S3→K3 lifecycle on a STREAM (SURVEY §3.3): binary frames
+    arrive via a file stream (Kafka stand-in), get frame-decoded and
+    type-parsed inside the streaming query, and land in the
+    day-partitioned archive exactly once."""
+    import json as _json
+
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    from garmadon_spark.sources.frames import (
+        decode_frames, decode_typed, encode_frame,
+    )
+
+    src = str(tmp_path / "frames_in")
+    out = str(tmp_path / "archive")
+    ckpt = str(tmp_path / "ckpt")
+    schema = StructType([StructField("value", BinaryType())])
+    day_ms = 86_400_000
+    rows = [
+        (bytearray(encode_frame(
+            1, 1700000000000 + i * day_ms // 4,
+            {"application_id": f"app_{i % 2}", "attempt_id": "1",
+             "container_id": f"c{i}", "hostname": "h", "username": "u",
+             "framework": "SPARK"},
+            {"src_path": f"/p/{i}", "dst_path": "", "action": "READ",
+             "uri": "hdfs://ns", "method_duration_millis": i,
+             "hdfs_user": "u", "status": "SUCCESS"},
+        )),)
+        for i in range(8)
+    ]
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    typed = decode_typed(decode_frames(stream), 1)
+    flat = typed.select(
+        "header.application_id", "body.action", "body.src_path",
+        "timestamp",
+        F.to_date(F.timestamp_millis(F.col("timestamp"))).alias("day"),
+    )
+    q = (
+        flat.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .partitionBy("day")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 8
+    assert got.select("application_id").distinct().count() == 2
+    days = [r.day for r in got.select("day").distinct().collect()]
+    assert len(days) == 3  # 8 events × 6h stride spread over 3 UTC days
+    # restart with no new data ⇒ no duplicates (exactly-once)
+    q2 = (
+        flat.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .partitionBy("day")
+        .trigger(availableNow=True).start()
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == 8
