@@ -75,8 +75,14 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     - repetition ratio (distinct tokens / tokens).
 
     score ∈ [0,1] = product of clamped component scores — monotone,
-    explainable, and cheap enough to run inline with ingestion."""
-    toks = tokens(text_col)
+    explainable, and cheap enough to run inline with ingestion.
+
+    The token array is staged through a projection and referenced as a
+    column: four component ratios consume it, and a multiply-referenced
+    non-cheap expression blocks CollapseProject from inlining — one
+    tokenization per row instead of four."""
+    staged = df.select("*", tokens(text_col).alias("_toks"))
+    toks = F.col("_toks")
     n_tok = F.size(toks)
     text = F.col(text_col)
     n_nospace = F.length(F.regexp_replace(text, r"\s", ""))
@@ -85,11 +91,23 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
     n_distinct = F.size(F.array_distinct(toks))
 
-    mean_wlen = F.when(n_tok > 0, n_nospace / n_tok).otherwise(F.lit(0.0))
-    alpha_ratio = F.when(n_nospace > 0, n_alpha / n_nospace).otherwise(F.lit(0.0))
-    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
-    rep_ratio = F.when(n_tok > 0, n_distinct / n_tok).otherwise(F.lit(0.0))
-
+    # second staging: the composite score references every ratio, and
+    # ratios as materialized columns keep the generated code small (the
+    # inlined form quintuples the expression tree and the whole-stage
+    # codegen JIT cost dwarfs the actual row work)
+    ratios = staged.select(
+        *[c for c in df.columns],
+        F.when(n_tok > 0, n_nospace / n_tok).otherwise(F.lit(0.0))
+        .alias("_mean_wlen"),
+        F.when(n_nospace > 0, n_alpha / n_nospace).otherwise(F.lit(0.0))
+        .alias("_alpha"),
+        F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+        .alias("_stop"),
+        F.when(n_tok > 0, n_distinct / n_tok).otherwise(F.lit(0.0))
+        .alias("_rep"),
+    )
+    mean_wlen, alpha_ratio = F.col("_mean_wlen"), F.col("_alpha")
+    stop_ratio, rep_ratio = F.col("_stop"), F.col("_rep")
     wlen_score = F.greatest(
         F.lit(0.0),
         F.least(F.lit(1.0), F.lit(1.0) - F.abs(mean_wlen - F.lit(5.0)) / F.lit(5.0)),
@@ -100,8 +118,8 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         * rep_ratio,
         4,
     )
-    return df.select(
-        "*",
+    return ratios.select(
+        *[c for c in df.columns],
         F.round(mean_wlen, 4).alias("mean_word_len"),
         F.round(alpha_ratio, 4).alias("alpha_ratio"),
         F.round(stop_ratio, 4).alias("stopword_ratio"),

@@ -45,7 +45,7 @@ def _fanout(spark, df):
 def doc_fingerprint(spark, sf_dir):
     """Content-hash fingerprint per document (exact-dedup key).  md5 is
     JVM-side codegen; at 100 TB this is the map stage of exact dedup."""
-    return _docs(spark, sf_dir).select(
+    return _fanout(spark, _docs(spark, sf_dir)).select(
         "doc_id",
         F.md5(F.col("text")).alias("fingerprint"),
         dedup.content_hash("text").alias("normalized_fingerprint"),
@@ -374,7 +374,7 @@ FROM scored
 def doc_quality(spark, sf_dir):
     """Surface-statistics quality scoring: mean word length, alpha ratio,
     stopword ratio, repetition ratio, composite score ∈ [0,1]."""
-    out = text.quality_score(_docs(spark, sf_dir))
+    out = text.quality_score(_fanout(spark, _docs(spark, sf_dir)))
     return out.select(
         "doc_id", "mean_word_len", "alpha_ratio", "stopword_ratio",
         "repetition_ratio", "quality_score",
