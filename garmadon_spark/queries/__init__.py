@@ -12,12 +12,12 @@ value-hashing.
 
 from __future__ import annotations
 
-from garmadon_spark.queries import dashboard, datapipe, tpch
+from garmadon_spark.queries import dashboard, datapipe, engine, tpch
 
 
 def all_queries():
     merged = {}
-    for mod in (dashboard, tpch, datapipe):
+    for mod in (dashboard, tpch, datapipe, engine):
         for name, pair in mod.QUERIES.items():
             if name in merged:
                 raise ValueError(f"duplicate query name {name}")

@@ -1,0 +1,106 @@
+"""Driver-declared queries for the engine's own machinery: the wire
+codec and the heuristics engine.
+
+These make the ingest path and the severity engine visible to the
+driver's correctness gate.  ``frames_roundtrip_stats`` has a true SQL
+oracle: the wire encode → frame decode (S2) → typed parse (S3) →
+flatten (E1) composition is the identity on the payload, so aggregates
+over the decoded stream must equal aggregates over the source table.
+The heuristics run on the deterministic garmadon fixture corpus (seeded
+generator — same rows everywhere), rows-only checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from garmadon_spark.session import load_table
+
+
+def frames_roundtrip_stats(spark, sf_dir):
+    """Encode every event into a wire frame (JVM-side big-endian ints +
+    JSON payloads), frame-decode, type-parse, flatten, aggregate.  The
+    oracle aggregates the source table directly — any codec defect
+    (length arithmetic, offset, charset) breaks the hash match."""
+    from garmadon_spark.sources.frames import decode_frames, decode_typed
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def be(col, nbytes):
+        return F.unhex(F.lpad(F.hex(col), nbytes * 2, "0"))
+
+    header = F.to_json(
+        F.struct(
+            F.concat(F.lit("application_"), F.col("user_id")).alias(
+                "application_id"
+            ),
+            F.lit("1").alias("attempt_id"),
+            F.concat(F.lit("container_"), F.col("event_id")).alias(
+                "container_id"
+            ),
+        )
+    ).cast("binary")
+    body = F.to_json(
+        F.struct(
+            F.upper(F.col("event_type")).alias("action"),
+            F.floor(F.col("value") * 100).cast("long").alias(
+                "method_duration_millis"
+            ),
+            F.lit("SUCCESS").alias("status"),
+        )
+    ).cast("binary")
+    frames = ev.select(
+        F.concat(
+            be(F.lit(1), 4),
+            be(F.col("ts").cast("long") * 1000, 8),
+            be(F.length(header), 4),
+            be(F.length(body), 4),
+            header,
+            body,
+        ).alias("value")
+    )
+    typed = decode_typed(decode_frames(frames), 1)
+    return (
+        typed.select("header.application_id", "body.action",
+                     "body.method_duration_millis")
+        .groupBy("action")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("application_id").alias("n_apps"),
+            F.sum("method_duration_millis").alias("total_duration"),
+        )
+    )
+
+
+FRAMES_ROUNDTRIP_STATS_SQL = """
+SELECT upper(event_type) AS action,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT 'application_' || user_id) AS n_apps,
+       SUM(CAST(floor(value * 100) AS BIGINT)) AS total_duration
+FROM events
+GROUP BY 1
+"""
+
+
+def garmadon_heuristics(spark, sf_dir):
+    """The full batch heuristics engine (A1-A9) over the deterministic
+    garmadon fixture corpus: per-app severity rows, all nine heuristics
+    in one pass per event family.  Rows-only check (the corpus is not an
+    sf_dir table; determinism comes from the seeded generator)."""
+    from garmadon_spark.heuristics.batch import run_all
+    from garmadon_spark.sources import fixtures
+
+    dfs = fixtures.to_spark(spark, n_apps=8, seed=42)
+    res = run_all(dfs)
+    return res.select(
+        "application_id", "attempt_id", "heuristic", "severity", "score",
+        F.to_json("details").alias("details_json"),
+    ).orderBy("application_id", "attempt_id", "heuristic")
+
+
+QUERIES = {
+    "frames_roundtrip_stats": (
+        frames_roundtrip_stats, FRAMES_ROUNDTRIP_STATS_SQL
+    ),
+    "garmadon_heuristics": (garmadon_heuristics, None),
+}
