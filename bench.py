@@ -115,8 +115,17 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = all_queries()
-    # JVM/codegen warmup on an unrelated trivial job.
+    # JVM/codegen warmup on an unrelated trivial job, plus one cold scan
+    # per fixture table so per-query timings measure the query, not the
+    # first-touch page cache + parquet footer reads.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from garmadon_spark.session import TPCH_TABLES, load_table
+
+    for t in TPCH_TABLES:
+        try:
+            load_table(spark, sf_dir, t).count()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name, (fn, _sql) in qs.items():

@@ -57,16 +57,22 @@ def decode_frames(df: DataFrame, value_col: str = "value") -> DataFrame:
     Emits the ``garmadon.frames.corrupt`` observation counter (the
     reference's drop counter) on the returned DataFrame."""
     v = F.col(value_col)
+    # try_cast, not cast: garbage bytes can parse as unsigned values
+    # above the signed range (e.g. 0x80000000 → 2147483648) and an ANSI
+    # cast would FAIL THE JOB on one corrupt record — the reference
+    # drops such frames and counts them (GarmadonReader.java:176-192)
     parsed = df.select(
         *[c for c in df.columns if c != value_col],
-        _be_int(v, 1, 4).cast("int").alias("type_marker"),
-        _be_int(v, 5, 8).cast("long").alias("timestamp"),
-        _be_int(v, 13, 4).cast("int").alias("header_len"),
-        _be_int(v, 17, 4).cast("int").alias("body_len"),
+        _be_int(v, 1, 4).try_cast("int").alias("type_marker"),
+        _be_int(v, 5, 8).try_cast("long").alias("timestamp"),
+        _be_int(v, 13, 4).try_cast("int").alias("header_len"),
+        _be_int(v, 17, 4).try_cast("int").alias("body_len"),
         v.alias("_frame"),
     )
     valid = (
-        F.col("header_len").isNotNull()
+        F.col("type_marker").isNotNull()
+        & F.col("timestamp").isNotNull()
+        & F.col("header_len").isNotNull()
         & F.col("body_len").isNotNull()
         & (F.length("_frame")
            == FRAME_HEAD_BYTES + F.col("header_len") + F.col("body_len"))
