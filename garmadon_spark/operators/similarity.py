@@ -147,6 +147,70 @@ def ivf_topk(
     )
 
 
+def write_ivf_index(
+    embs: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Materialize the IVF index: the corpus written partitioned by
+    `ivf_cell` plus a `_centroids` side table.  This is the 100 TB
+    layout — the probe becomes a partition-pruned scan reading
+    ~nprobe/n_centroids of the data (see ivf_topk_from_index)."""
+    centroids, assigned = build_ivf(
+        embs, n_centroids, iterations, id_col, vec_col
+    )
+    (
+        assigned.write.mode("overwrite")
+        .partitionBy("ivf_cell")
+        .parquet(f"{path}/vectors")
+    )
+    spark = embs.sparkSession
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    spark.createDataFrame(
+        cent_rows, "ivf_cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
+    return centroids
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    query_vec,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a materialized IVF index.  The `ivf_cell IN (...)` filter
+    on the partition column prunes at PLANNING time: only nprobe of the
+    n_centroids directories are ever listed/read (assert via
+    `explain` — the scan's `PartitionFilters`)."""
+    cents = {
+        r.ivf_cell: list(r.centroid)
+        for r in spark.read.parquet(f"{path}/_centroids").collect()
+    }
+    qn = _py_norm(query_vec)
+    sims = {
+        cid: sum(a * b for a, b in zip(c, query_vec)) / (_py_norm(c) * qn)
+        for cid, c in cents.items()
+    }
+    probe = sorted(sims, key=lambda cid: -sims[cid])[:nprobe]
+    q = _lit_vec(query_vec)
+    vectors = spark.read.parquet(f"{path}/vectors")
+    return (
+        vectors.filter(F.col("ivf_cell").isin(probe))
+        .select(
+            id_col,
+            F.round(cosine(F.col(vec_col), q), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def neardup_pairs_blocked(
     embs: DataFrame,
     block_col: str = "label",

@@ -568,6 +568,20 @@ def mm_feature_extract(spark, sf_dir):
     )
 
 
+def emb_neardup_ivf(spark, sf_dir):
+    """Corpus-wide embedding near-dup — the scale path: IVF cells as the
+    blocking key (no label needed, no all-pairs).  A true near-duplicate
+    pair lands in the same cell with high probability; the within-cell
+    self-join is bounded by cell size ≈ n/k.  Rows-only check (cell
+    assignment is engine-defined)."""
+    embs = _fanout(spark, _embs(spark, sf_dir))
+    _cents, assigned = similarity.build_ivf(embs, n_centroids=8,
+                                            iterations=1)
+    return similarity.neardup_pairs_blocked(
+        assigned, block_col="ivf_cell", threshold=0.25
+    ).withColumnRenamed("blk", "ivf_cell")
+
+
 QUERIES = {
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
     "doc_exact_dedup": (doc_exact_dedup, DOC_EXACT_DEDUP_SQL),
@@ -589,6 +603,7 @@ QUERIES = {
     "doc_bpe_tokens": (doc_bpe_tokens, DOC_BPE_TOKENS_SQL),
     "emb_neardup_blocked": (emb_neardup_blocked, EMB_NEARDUP_BLOCKED_SQL),
     "emb_ann_ivf": (emb_ann_ivf, None),
+    "emb_neardup_ivf": (emb_neardup_ivf, None),
     "mm_media_stats": (mm_media_stats, MM_MEDIA_STATS_SQL),
     "mm_frame_sample": (mm_frame_sample, MM_FRAME_SAMPLE_SQL),
     "mm_feature_extract": (mm_feature_extract, None),

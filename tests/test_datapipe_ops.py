@@ -281,3 +281,28 @@ def test_mm_queries_shapes(spark):
     # deterministic stub: same input ⇒ same pooled sum
     again = {r.media_id: r.feature_sum for r in feats.collect()}
     assert {r.media_id: r.feature_sum for r in out} == again
+
+
+# --- IVF materialized index ----------------------------------------------
+
+def test_ivf_index_partition_pruning(spark, embs, tmp_path):
+    path = str(tmp_path / "ivf")
+    cents = similarity.write_ivf_index(embs, path, n_centroids=4,
+                                       iterations=1)
+    assert len(cents) == 4
+    q = [float(x) for x in
+         embs.filter(F.col("vec_id") == 0).head()["embedding"]]
+    res = similarity.ivf_topk_from_index(spark, path, q, k=5, nprobe=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    # the cell filter must prune partitions at planning time
+    assert "PartitionFilters" in plan and "ivf_cell" in plan
+    rows = res.collect()
+    assert len(rows) == 5
+    # the probed result must contain the query vector's own cell's
+    # nearest neighbours — top-1 is the query itself (cosine 1.0)
+    assert rows[0].vec_id == 0 and abs(rows[0].cosine - 1.0) < 1e-4
+    # pruning is real: only nprobe of the 4 cell directories are read
+    import re
+    m = re.search(r"partition count: (\d+)", plan)
+    if m:
+        assert int(m.group(1)) <= 2
