@@ -224,3 +224,40 @@ def test_custom_registered_heuristic(spark, event_dir):
         "SELECT DISTINCT heuristic FROM sess_custom"
     ).collect()
     assert {"FileHeuristic"} <= {r.heuristic for r in others}
+
+
+def test_metrics_collector_captures_observed_counters(spark, tmp_path):
+    """K6: the StreamingQueryListener + observe() channel — corrupt-frame
+    counters and throughput metrics surface in the collector snapshot."""
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    from garmadon_spark.sources.frames import decode_frames, encode_frame
+    from garmadon_spark.streaming.metrics import MetricsCollector
+
+    collector = MetricsCollector()
+    spark.streams.addListener(collector)
+    try:
+        schema = StructType([StructField("value", BinaryType())])
+        good = encode_frame(1, 42, {"a": "x"}, {"b": "y"})
+        rows = [(bytearray(good),)] * 5 + [(bytearray(b"\x01garbage"),)] * 3
+        src = str(tmp_path / "frames")
+        spark.createDataFrame(rows, schema).write.parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            decode_frames(stream)
+            .writeStream.format("memory").queryName("metrics_probe")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        import time
+        for _ in range(40):  # listener events are async
+            snap = collector.snapshot().get("metrics_probe", {})
+            if snap.get("observed.garmadon.frames.corrupt") is not None:
+                break
+            time.sleep(0.25)
+        assert snap.get("observed.garmadon.frames.corrupt") == 3
+        assert snap.get("observed.garmadon.frames.total") == 8
+        assert snap.get("totalInputRows") == 8
+        assert spark.sql("SELECT COUNT(*) c FROM metrics_probe").head().c == 5
+    finally:
+        spark.streams.removeListener(collector)
