@@ -97,10 +97,20 @@ def ingest_bench(spark, sf_dir: str, n_target: int = 500_000) -> dict:
         flat = typed.select("header.*", "body.*", "timestamp")
         decoded = flat.count()
         dt = time.time() - t0
+        # end-to-end: decode → flatten → day-partitioned gzip archive
+        # (the reference's Kafka→HDFS consumer path, W1/K3)
+        from garmadon_spark.sinks.archive import write_daily_archive
+
+        t1 = time.time()
+        write_daily_archive(flat, f"{tmp}/archive")
+        dt_arch = time.time() - t1
         return {
             "ingest_events": decoded,
             "ingest_sec": round(dt, 3),
             "ingest_events_per_sec": int(decoded / dt) if dt > 0 else -1,
+            "archive_sec": round(dt_arch, 3),
+            "archive_events_per_sec":
+                int(decoded / dt_arch) if dt_arch > 0 else -1,
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
