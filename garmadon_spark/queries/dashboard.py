@@ -209,6 +209,21 @@ GROUP BY event_type
 
 # --- derivative pipeline agg ---------------------------------------------
 
+def ev_percentiles_approx(spark, sf_dir):
+    """The 100 TB percentile path: percentile_approx (bounded-memory
+    sketch, map-side combinable) — same plan shape as the exact form.
+    Rows-only check: sketch outputs are engine-specific."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.percentile_approx("value", 0.5, 10000), 4).alias("p50"),
+            F.round(F.percentile_approx("value", 0.95, 10000), 4).alias("p95"),
+            F.round(F.percentile_approx("value", 0.99, 10000), 4).alias("p99"),
+        )
+    )
+
+
 def ev_derivative_hourly(spark, sf_dir):
     """ES `derivative` pipeline agg: rate of a cumulative/bucketed series —
     `col - lag(col) over (partition by series order by bucket)`.
@@ -523,6 +538,7 @@ QUERIES = {
     "ev_topk_users": (ev_topk_users, EV_TOPK_USERS_SQL),
     "ev_filtered_stats": (ev_filtered_stats, EV_FILTERED_STATS_SQL),
     "ev_percentiles": (ev_percentiles, EV_PERCENTILES_SQL),
+    "ev_percentiles_approx": (ev_percentiles_approx, None),
     "ev_derivative_hourly": (ev_derivative_hourly, EV_DERIVATIVE_HOURLY_SQL),
     "ev_cardinality": (ev_cardinality, EV_CARDINALITY_SQL),
     "ev_cardinality_approx": (ev_cardinality_approx, None),
