@@ -128,6 +128,36 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def hash_sample_bucket(key: Column, buckets: int = 100) -> Column:
+    """Deterministic sampling bucket in [0, buckets): md5-derived, so
+    the assignment is stable across engines, runs, partitionings and
+    retries — the property `df.sample()` (rng per task) cannot give.
+    Sampling at rate r = `hash_sample_bucket(key) < r * buckets`;
+    supersets are monotone (raising r keeps every previously sampled
+    row), which makes reproducible dataset growth curves possible."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10) \
+        .cast("long") % buckets
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    rates: dict[str, float],
+    stratum_col: str,
+    default_rate: float = 0.0,
+    buckets: int = 100,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample dominant
+    languages, keep all of rare ones).  Map-only — a filter over the
+    hash bucket, no shuffle, folds into the scan."""
+    threshold = F.lit(int(default_rate * buckets))
+    for stratum, rate in sorted(rates.items()):
+        threshold = F.when(
+            F.col(stratum_col) == stratum, F.lit(int(rate * buckets))
+        ).otherwise(threshold)
+    return df.filter(hash_sample_bucket(F.col(key_col), buckets) < threshold)
+
+
 def fingerprint_winnow(
     df: DataFrame,
     id_col: str = "doc_id",

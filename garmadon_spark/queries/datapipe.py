@@ -568,6 +568,29 @@ def mm_feature_extract(spark, sf_dir):
     )
 
 
+def doc_stratified_sample(spark, sf_dir):
+    """Reproducible stratified sampling: 20% of English, 60% of German,
+    100% of Chinese, 10% of everything else — md5-bucket assignment, so
+    the sample is identical across engines/runs/partitionings and
+    monotone in the rate (raising a rate keeps every sampled row).
+    Map-only filter; at 100 TB it folds into the scan."""
+    return text.stratified_hash_sample(
+        _docs(spark, sf_dir), "doc_id",
+        rates={"en": 0.2, "de": 0.6, "zh": 1.0},
+        stratum_col="lang", default_rate=0.1,
+    ).select("doc_id", "lang", "source")
+
+
+DOC_STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, lang, source
+FROM documents
+WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      % 100
+    < CASE lang WHEN 'en' THEN 20 WHEN 'de' THEN 60 WHEN 'zh' THEN 100
+      ELSE 10 END
+"""
+
+
 def emb_neardup_ivf(spark, sf_dir):
     """Corpus-wide embedding near-dup — the scale path: IVF cells as the
     blocking key (no label needed, no all-pairs).  A true near-duplicate
@@ -601,6 +624,7 @@ QUERIES = {
     "doc_langid": (doc_langid, DOC_LANGID_SQL),
     "doc_quality": (doc_quality, DOC_QUALITY_SQL),
     "doc_bpe_tokens": (doc_bpe_tokens, DOC_BPE_TOKENS_SQL),
+    "doc_stratified_sample": (doc_stratified_sample, DOC_STRATIFIED_SAMPLE_SQL),
     "emb_neardup_blocked": (emb_neardup_blocked, EMB_NEARDUP_BLOCKED_SQL),
     "emb_ann_ivf": (emb_ann_ivf, None),
     "emb_neardup_ivf": (emb_neardup_ivf, None),

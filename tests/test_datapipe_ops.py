@@ -306,3 +306,31 @@ def test_ivf_index_partition_pruning(spark, embs, tmp_path):
     m = re.search(r"partition count: (\d+)", plan)
     if m:
         assert int(m.group(1)) <= 2
+
+
+# --- deterministic sampling -----------------------------------------------
+
+def test_hash_sample_deterministic_and_monotone(spark):
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    bucket = text.hash_sample_bucket(F.col("doc_id"))
+    s10 = {r.doc_id for r in df.filter(bucket < 10).collect()}
+    s10_again = {r.doc_id for r in df.filter(bucket < 10).collect()}
+    s30 = {r.doc_id for r in df.filter(bucket < 30).collect()}
+    assert s10 == s10_again            # stable across runs
+    assert s10 <= s30                  # monotone: raising rate keeps rows
+    assert 100 <= len(s10) <= 320      # ~10% of 2000, loose bounds
+    assert 400 <= len(s30) <= 800
+
+
+def test_stratified_rates(spark):
+    rows = [(i, ["en", "de", "zh", "fr"][i % 4]) for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = text.stratified_hash_sample(
+        df, "doc_id", rates={"en": 0.2, "zh": 1.0}, stratum_col="lang",
+        default_rate=0.0,
+    )
+    by_lang = {r.lang: r.c for r in
+               out.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert by_lang.get("zh") == 1000          # rate 1.0 keeps everything
+    assert 120 <= by_lang.get("en", 0) <= 290  # ~20%
+    assert "de" not in by_lang and "fr" not in by_lang  # default 0
