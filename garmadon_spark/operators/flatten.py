@@ -96,6 +96,28 @@ def flatten_event(
     return df
 
 
+def wide_event_table(dfs: dict[str, DataFrame]) -> DataFrame:
+    """The ES-style single wide table: every typed event table unioned
+    with an `event_type` discriminator, missing body columns null-filled
+    (`unionByName(allowMissingColumns=True)`) — what the reference's
+    shared hourly index stores (one JSON doc shape per index,
+    ElasticSearchReader.java:62,141; SURVEY §2.8).
+
+    Scale: the union is a zero-shuffle plan combinator; per-type filters
+    (`event_type == k`) prune back to single-scan plans, and on the
+    archived layout the discriminator is the partition column so the
+    union never materializes."""
+    from pyspark.sql import functions as F
+
+    out = None
+    for name, df in sorted(dfs.items()):
+        part = df.withColumn("event_type", F.lit(name.upper()))
+        out = part if out is None else out.unionByName(
+            part, allowMissingColumns=True
+        )
+    return out
+
+
 def with_event_time(df: DataFrame, ts_col: str = "timestamp") -> DataFrame:
     """Derive a TimestampType event-time column from epoch-millis for
     windowing (the reference keeps epoch long everywhere; SURVEY §1.4)."""

@@ -211,3 +211,59 @@ def test_enrichment_is_broadcast(garmadon):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_wide_event_table_union(garmadon):
+    from garmadon_spark.operators.flatten import wide_event_table
+
+    dfs = {k: v for k, v in garmadon.items()
+           if k in ("fs_event", "gc_event", "state_event")}
+    wide = wide_event_table(dfs)
+    # every source row survives; discriminator partitions them back
+    total = sum(df.count() for df in dfs.values())
+    assert wide.count() == total
+    by_type = {r.event_type: r.c for r in
+               wide.groupBy("event_type").agg(
+                   F.count(F.lit(1)).alias("c")).collect()}
+    assert by_type == {k.upper(): v.count() for k, v in dfs.items()}
+    # missing body columns are null-filled, shared header survives
+    assert "action" in wide.columns and "collector_name" in wide.columns
+    gc_rows = wide.filter(F.col("event_type") == "GC_EVENT")
+    assert gc_rows.filter(F.col("action").isNotNull()).count() == 0
+
+
+def test_register_custom_event_type_roundtrip(spark):
+    """§2.11 extension surface: a user-registered event type flows
+    through the frame codec and typed decode like a built-in."""
+    from pyspark.sql.types import (
+        BinaryType, LongType, StringType, StructField, StructType,
+    )
+
+    from garmadon_spark import schemas
+    from garmadon_spark.sources.frames import (
+        decode_frames, decode_typed, encode_frame,
+    )
+
+    marker = 9901
+    if marker not in schemas.REGISTRY:
+        schemas.register(
+            marker, "CUSTOM_TEST_EVENT",
+            StructType([StructField("metric", StringType()),
+                        StructField("reading", LongType())]),
+        )
+    frame = encode_frame(
+        marker, 1700000000123,
+        {"application_id": "app_x", "container_id": "c1"},
+        {"metric": "gauge", "reading": 42},
+    )
+    df = spark.createDataFrame(
+        [(bytearray(frame),)],
+        StructType([StructField("value", BinaryType())]),
+    )
+    typed = decode_typed(decode_frames(df), marker)
+    r = typed.select("header.application_id", "body.metric",
+                     "body.reading", "timestamp").head()
+    assert tuple(r) == ("app_x", "gauge", 42, 1700000000123)
+    # full_schema includes the registered body + kafka coords
+    cols = [f.name for f in schemas.full_schema("CUSTOM_TEST_EVENT").fields]
+    assert {"metric", "reading", "timestamp", "kafka_offset"} <= set(cols)
