@@ -104,6 +104,38 @@ FROM jvmstats_heap GROUP BY 1, 2
 """
 
 
+def fs_path_prefix_stats(fs_events: DataFrame,
+                         prefix: str = "/var") -> DataFrame:
+    """The lucene `dst_path:"/tmp"` path_hierarchy-tokenizer filter
+    (ElasticSearchReader.java:180-182) → `startswith` on the
+    URI-stripped path (E5 normalization), then action counts.  The
+    startswith predicate compiles to a scan-level StringStartsWith
+    pushed filter."""
+    from garmadon_spark.operators.normalize import strip_uri_prefix
+
+    stripped = strip_uri_prefix(F.col("dst_path"), F.col("uri"))
+    return (
+        fs_events.withColumn("path", stripped)
+        .filter(F.col("path").startswith(prefix))
+        .groupBy("action")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("method_duration_millis"), 4).alias("avg_ms"),
+        )
+    )
+
+
+FS_PATH_PREFIX_STATS_SQL = """
+SELECT action, COUNT(*) AS cnt,
+       ROUND(AVG(method_duration_millis), 4) AS avg_ms
+FROM (SELECT action, method_duration_millis,
+             replace(dst_path, uri, '') AS path
+      FROM fs_event)
+WHERE path LIKE '/var%'
+GROUP BY action
+"""
+
+
 def gc_pause_percentiles(gc_events: DataFrame) -> DataFrame:
     """GC pause p50/p95 + worst 1-min pause ratio per collector."""
     return (
@@ -194,6 +226,8 @@ PANELS = {
                               FS_ACTIONS_PER_MINUTE_SQL, None),
     "fs_failure_rate_by_uri": ("fs_event", fs_failure_rate_by_uri,
                                FS_FAILURE_RATE_BY_URI_SQL, None),
+    "fs_path_prefix_stats": ("fs_event", fs_path_prefix_stats,
+                             FS_PATH_PREFIX_STATS_SQL, None),
     "heap_used_hourly": ("jvmstats_event", heap_used_hourly,
                          HEAP_USED_HOURLY_SQL, "jvmstats_heap"),
     "gc_pause_percentiles": ("gc_event", gc_pause_percentiles,

@@ -34,6 +34,10 @@ _DEFAULTS = {
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.sql.autoBroadcastJoinThreshold": "67108864",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    # local-mode JVM heap defaults to 1g — far under the harness's
+    # memory; wide aggs (64-column minhash) GC-thrash there.  Only
+    # applies at JVM launch (getOrCreate of the first session).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
     "spark.sql.shuffle.partitions": "32",
     # Structured Streaming: bounded state cleanup by default.
     "spark.sql.streaming.stateStore.compression.codec": "lz4",
