@@ -156,14 +156,19 @@ def write_ivf_index(
     vec_col: str = "embedding",
 ) -> list:
     """Materialize the IVF index: the corpus written partitioned by
-    `ivf_cell` plus a `_centroids` side table.  This is the 100 TB
+    `ivf_cell` plus a `centroids` side table.  This is the 100 TB
     layout — the probe becomes a partition-pruned scan reading
     ~nprobe/n_centroids of the data (see ivf_topk_from_index)."""
     centroids, assigned = build_ivf(
         embs, n_centroids, iterations, id_col, vec_col
     )
     (
-        assigned.write.mode("overwrite")
+        # cluster rows by cell before the partitioned write: one task
+        # per cell → one file per cell instead of (tasks × cells)
+        # small files; at 100 TB raise the repartition width to get
+        # multiple right-sized files per cell
+        assigned.repartition(n_centroids, "ivf_cell")
+        .write.mode("overwrite")
         .partitionBy("ivf_cell")
         .parquet(f"{path}/vectors")
     )
@@ -171,7 +176,7 @@ def write_ivf_index(
     cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
     spark.createDataFrame(
         cent_rows, "ivf_cell int, centroid array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     return centroids
 
 
@@ -183,6 +188,7 @@ def ivf_topk_from_index(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_ids: list | None = None,
 ) -> DataFrame:
     """Probe a materialized IVF index.  The `ivf_cell IN (...)` filter
     on the partition column prunes at PLANNING time: only nprobe of the
@@ -190,7 +196,7 @@ def ivf_topk_from_index(
     `explain` — the scan's `PartitionFilters`)."""
     cents = {
         r.ivf_cell: list(r.centroid)
-        for r in spark.read.parquet(f"{path}/_centroids").collect()
+        for r in spark.read.parquet(f"{path}/centroids").collect()
     }
     qn = _py_norm(query_vec)
     sims = {
@@ -200,6 +206,8 @@ def ivf_topk_from_index(
     probe = sorted(sims, key=lambda cid: -sims[cid])[:nprobe]
     q = _lit_vec(query_vec)
     vectors = spark.read.parquet(f"{path}/vectors")
+    if exclude_ids:
+        vectors = vectors.filter(~F.col(id_col).isin(exclude_ids))
     return (
         vectors.filter(F.col("ivf_cell").isin(probe))
         .select(

