@@ -53,6 +53,76 @@ NUM_RE = r"[0-9]+"
 BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+def _max_run(sorted_arr: Column) -> Column:
+    """Length of the longest run of equal adjacent elements in a SORTED
+    array == the max multiplicity of any value.  One aggregate() pass,
+    O(n) per row after the O(n log n) sort — no explode, no shuffle:
+    the distributed-groupBy alternative (explode → count → max) shuffles
+    the whole token stream twice at 100 TB for a per-doc statistic."""
+    return F.aggregate(
+        sorted_arr,
+        F.struct(
+            F.lit(" ").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repeated-content concentration signals (the Gopher-style filter
+    family): the fraction of the document taken by its most frequent
+    token and most frequent bigram.  Boilerplate, keyword-stuffed, and
+    generator-degenerate pages score high; prose scores low.
+
+    Token and bigram arrays are staged through projections so each is
+    computed once (CollapseProject would otherwise inline the split
+    into every consumer)."""
+    staged = df.select(
+        "*", tokens(text_col).alias("_toks")
+    ).select("*", F.size(F.col("_toks")).alias("_n"))
+    blen = F.greatest(F.col("_n") - 1, F.lit(0))  # slice() rejects -1
+    bigrams = F.transform(
+        F.arrays_zip(
+            F.slice(F.col("_toks"), 1, blen),
+            F.slice(F.col("_toks"), 2, blen),
+        ),
+        lambda s: F.concat_ws(" ", s["0"], s["1"]),
+    )
+    staged = staged.select("*", bigrams.alias("_bigrams"))
+    n = F.col("_n")
+    nb = F.size(F.col("_bigrams"))
+    return staged.select(
+        "*",
+        F.col("_n").alias("n_tokens"),
+        F.round(
+            F.when(
+                n > 0,
+                _max_run(F.array_sort(F.col("_toks"))).cast("double") / n,
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("top_token_frac"),
+        F.round(
+            F.when(
+                nb > 0,
+                _max_run(F.array_sort(F.col("_bigrams"))).cast("double") / nb,
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("top_bigram_frac"),
+    ).drop("_toks", "_n", "_bigrams")
+
+
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting: whitespace tokens + a BPE-ish regex segmentation
     (letters / digit runs / single punctuation) — the pre-tokenizer count

@@ -371,6 +371,42 @@ FROM scored
 """
 
 
+def doc_repetition(spark, sf_dir):
+    """Repeated-content concentration (Gopher-style filters): fraction
+    of each document taken by its most frequent token / bigram.
+    Map-only: max multiplicity via one aggregate() pass over the sorted
+    token array instead of an explode → groupBy → max shuffle pair."""
+    out = text.repetition_stats(_fanout(spark, _docs(spark, sf_dir)))
+    return out.select(
+        "doc_id", "n_tokens", "top_token_frac", "top_bigram_frac"
+    )
+
+
+DOC_REPETITION_SQL = """
+WITH base AS (
+    SELECT doc_id,
+           list_filter(string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+                       t -> t <> '') AS toks
+    FROM documents
+), big AS (
+    SELECT doc_id, toks,
+           [toks[i] || ' ' || toks[i + 1] for i in range(1, len(toks))] AS bigrams
+    FROM base
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       ROUND(CASE WHEN len(toks) > 0 THEN
+           list_max(list_transform(list_distinct(toks),
+                    t -> len(list_filter(toks, x -> x = t)))) / len(toks)
+           ELSE 0.0 END, 4) AS top_token_frac,
+       ROUND(CASE WHEN len(bigrams) > 0 THEN
+           list_max(list_transform(list_distinct(bigrams),
+                    t -> len(list_filter(bigrams, x -> x = t)))) / len(bigrams)
+           ELSE 0.0 END, 4) AS top_bigram_frac
+FROM big
+"""
+
+
 def doc_quality(spark, sf_dir):
     """Surface-statistics quality scoring: mean word length, alpha ratio,
     stopword ratio, repetition ratio, composite score ∈ [0,1]."""
@@ -653,6 +689,7 @@ QUERIES = {
     "doc_langid": (doc_langid, DOC_LANGID_SQL),
     "doc_quality": (doc_quality, DOC_QUALITY_SQL),
     "doc_bpe_tokens": (doc_bpe_tokens, DOC_BPE_TOKENS_SQL),
+    "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),
     "doc_stratified_sample": (doc_stratified_sample, DOC_STRATIFIED_SAMPLE_SQL),
     "emb_neardup_blocked": (emb_neardup_blocked, EMB_NEARDUP_BLOCKED_SQL),
     "emb_ann_ivf": (emb_ann_ivf, None),

@@ -344,6 +344,216 @@ SELECT n_name, s_name, revenue, rank FROM (
 """
 
 
+# --- Q7-style volume shipping --------------------------------------------
+
+def tpch_volume_shipping(spark, sf_dir):
+    """Q7 shape: revenue flowing between two nations by ship year, both
+    directions.  supplier⋈nation and customer⋈nation are broadcast
+    (dimension chains); lineitem⋈orders is the one fact-fact shuffle on
+    orderkey.  The two-nation predicate is applied as a pair filter
+    AFTER the joins (it references both sides) but the per-side nation
+    filters are pushed into the broadcast dims, so only candidate rows
+    reach the pair check."""
+    nations = ("NATION_1", "NATION_2")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*nations))
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+TPCH_VOLUME_SHIPPING_SQL = """
+SELECT supp_nation, cust_nation, ship_year,
+       ROUND(SUM(volume), 2) AS revenue
+FROM (
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           EXTRACT(year FROM l_shipdate) AS ship_year,
+           l_extendedprice * (1 - l_discount) AS volume
+    FROM supplier, lineitem, orders, customer, nation n1, nation n2
+    WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+      AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+      AND c_nationkey = n2.n_nationkey
+      AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+)
+GROUP BY supp_nation, cust_nation, ship_year
+ORDER BY supp_nation, cust_nation, ship_year
+"""
+
+
+# --- Q8-style market share ------------------------------------------------
+
+def tpch_market_share(spark, sf_dir):
+    """Q8 shape: NATION_1 suppliers' share of yearly revenue among
+    EUROPE-region customers.  Conditional aggregation (share = sum(case)/sum)
+    over the joined fact; all dimension chains broadcast."""
+    nat = _t(spark, sf_dir, "nation")
+    reg_nat = nat.join(
+        F.broadcast(
+            _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+        ),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(reg_nat),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat.filter(F.col("n_name") == "NATION_1")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+        .withColumn("is_target", F.lit(1))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey, "left")
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("is_target") == 1, vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("order_year")
+    )
+
+
+TPCH_MARKET_SHARE_SQL = """
+SELECT order_year,
+       ROUND(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END)
+             / SUM(volume), 4) AS mkt_share
+FROM (
+    SELECT EXTRACT(year FROM o_orderdate) AS order_year,
+           l_extendedprice * (1 - l_discount) AS volume,
+           n2.n_name AS supp_nation
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'EUROPE'
+)
+GROUP BY order_year
+ORDER BY order_year
+"""
+
+
+# --- Q14-style promo revenue ----------------------------------------------
+
+def tpch_promo_revenue(spark, sf_dir):
+    """Q14 shape: promotion revenue share for one ship month.  part is
+    broadcast; the date-range filter is pushed into the lineitem scan
+    (min/max row-group stats skip everything outside the month)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01"))
+    )
+    part = _t(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+TPCH_PROMO_REVENUE_SQL = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4)
+       AS promo_revenue_pct
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1996-02-01'
+"""
+
+
+# --- Q19-style discounted revenue (disjunctive predicates) ----------------
+
+def tpch_discounted_revenue(spark, sf_dir):
+    """Q19 shape: revenue under an OR of brand/size/quantity branch
+    predicates.  The disjunction references both sides, so it evaluates
+    post-join, but each branch's part-only conjuncts could be pushed as
+    a scan-level OR-filter on the broadcast dim; lineitem never
+    shuffles (part is broadcast)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    b1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(1, 20))
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#2")
+        & (F.col("p_size").between(1, 30))
+        & (F.col("l_quantity").between(10, 40))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(b1 | b2)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+TPCH_DISCOUNTED_REVENUE_SQL = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        AND l_quantity BETWEEN 1 AND 20)
+    OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 30
+        AND l_quantity BETWEEN 10 AND 40))
+"""
+
+
 QUERIES = {
     "tpch_pricing_summary": (tpch_pricing_summary, TPCH_PRICING_SUMMARY_SQL),
     "tpch_top_orders": (tpch_top_orders, TPCH_TOP_ORDERS_SQL),
@@ -357,5 +567,12 @@ QUERIES = {
     "tpch_nation_top_suppliers": (
         tpch_nation_top_suppliers,
         TPCH_NATION_TOP_SUPPLIERS_SQL,
+    ),
+    "tpch_volume_shipping": (tpch_volume_shipping, TPCH_VOLUME_SHIPPING_SQL),
+    "tpch_market_share": (tpch_market_share, TPCH_MARKET_SHARE_SQL),
+    "tpch_promo_revenue": (tpch_promo_revenue, TPCH_PROMO_REVENUE_SQL),
+    "tpch_discounted_revenue": (
+        tpch_discounted_revenue,
+        TPCH_DISCOUNTED_REVENUE_SQL,
     ),
 }

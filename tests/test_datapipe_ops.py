@@ -157,6 +157,26 @@ def test_quality_score_ranges(docs):
     assert by_id[0].stopword_ratio > by_id[5].stopword_ratio
 
 
+def test_repetition_stats(spark):
+    rows = [
+        Row(doc_id=0, text="spam spam spam spam"),          # one token only
+        Row(doc_id=1, text="a b a b a b a b"),              # one bigram dominates
+        Row(doc_id=2, text="all tokens here are different"),
+        Row(doc_id=3, text=""),                             # empty
+        Row(doc_id=4, text="single"),                       # no bigrams
+    ]
+    out = {r.doc_id: r
+           for r in text.repetition_stats(spark.createDataFrame(rows)).collect()}
+    assert out[0].top_token_frac == 1.0
+    assert out[0].top_bigram_frac == 1.0          # "spam spam" x3 of 3
+    assert out[1].top_token_frac == 0.5
+    assert out[1].top_bigram_frac == round(4 / 7, 4)  # "a b" x4 of 7 bigrams
+    assert out[2].top_token_frac == 0.2
+    assert out[3].n_tokens == 0
+    assert out[3].top_token_frac == 0.0 and out[3].top_bigram_frac == 0.0
+    assert out[4].top_token_frac == 1.0 and out[4].top_bigram_frac == 0.0
+
+
 def test_winnow_fingerprints(docs):
     fps = text.fingerprint_winnow(docs)
     rows = {r.doc_id: r.fingerprints for r in fps.collect()}
