@@ -12,7 +12,8 @@ tables, written the way they should run on 100 TB:
 - **Fact-fact joins (orders⋈lineitem) shuffle on the join key** — that is
   the one unavoidable shuffle; AQE handles skew.  On a curated lakehouse
   both sides would be bucketed by orderkey, removing it entirely
-  (sinks/archive.py documents the bucketing DDL).
+  (sinks/archive.py::write_bucketed; shuffle-freeness pinned by
+  tests/test_sinks_frames.py::test_bucketed_join_is_shuffle_free).
 - **Filters precede joins** textually and in the optimized plan
   (predicate pushdown into the parquet scan).
 - **Aggregates are partial-first**: groupBy on post-join columns gets

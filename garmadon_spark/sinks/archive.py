@@ -102,6 +102,37 @@ def register_table(
         pass  # non-partitioned layout
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 64,
+    sort_cols: list[str] | None = None,
+    database: str = "garmadon",
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed + sorted managed table — the curated-lakehouse layout
+    that removes the fact⋈fact shuffle entirely (the one unavoidable
+    exchange in queries/tpch.py).  Two tables bucketed into the same
+    count on the join key sort-merge-join with ZERO Exchange: each task
+    reads bucket i of both sides.  At 100 TB this converts the
+    dominant-cost shuffle of orders⋈lineitem-shaped joins into a
+    co-located streaming merge; the same layout serves bucket-pruned
+    point lookups on the key.
+
+    ``sortBy`` gives in-file ordering → minmax stats + merge-join
+    without a sort stage.  Requires saveAsTable (bucket metadata lives
+    in the catalog, HiveClient.java:37-102 analogue)."""
+    spark = df.sparkSession
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    writer = (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*(sort_cols or bucket_cols))
+    )
+    writer.saveAsTable(f"{database}.{table}")
+
+
 def dedup_by_offset(df: DataFrame) -> DataFrame:
     """W8 batch form: collapse Kafka re-deliveries — exactly-once replay
     semantics over (kafka_partition, kafka_offset)."""

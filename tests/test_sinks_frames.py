@@ -113,6 +113,41 @@ def _frames_df(spark, payloads, corrupt=0):
     return spark.createDataFrame(rows, "value: binary")
 
 
+def test_bucketed_join_is_shuffle_free(spark):
+    """Two tables bucketed on the join key into the same bucket count
+    must sort-merge-join with no Exchange on either side — the
+    co-located layout write_bucketed exists to produce."""
+    orders = spark.range(0, 1000).select(
+        F.col("id").alias("o_orderkey"),
+        (F.col("id") % 7).alias("o_custkey"),
+    )
+    items = spark.range(0, 4000).select(
+        (F.col("id") % 1000).alias("l_orderkey"),
+        (F.col("id") % 13).cast("double").alias("l_quantity"),
+    )
+    db = "bkt_test"
+    try:
+        archive.write_bucketed(orders, "orders_b", ["o_orderkey"],
+                               n_buckets=8, database=db)
+        archive.write_bucketed(items, "items_b", ["l_orderkey"],
+                               n_buckets=8, database=db)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table(f"{db}.orders_b").join(
+                spark.table(f"{db}.items_b"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan
+            assert joined.count() == 4000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
 def test_frame_roundtrip(spark):
     f1 = frames.encode_frame(1, 1700000000123, HDR,
                              {"action": "WRITE", "dst_path": "/tmp/x",
