@@ -177,6 +177,37 @@ def test_repetition_stats(spark):
     assert out[4].top_token_frac == 1.0 and out[4].top_bigram_frac == 0.0
 
 
+def test_repetition_stats_matches_counter_property(spark):
+    """Property check: the sorted-array max-run trick equals the plain
+    Python Counter max-multiplicity for arbitrary token streams."""
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    token = st.text(alphabet="abc", min_size=1, max_size=2)
+    streams = st.lists(st.lists(token, max_size=30), min_size=1, max_size=8)
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(docs=streams)
+    def run(docs):
+        rows = [Row(doc_id=i, text=" ".join(ts)) for i, ts in enumerate(docs)]
+        got = {r.doc_id: r for r in
+               text.repetition_stats(spark.createDataFrame(rows)).collect()}
+        for i, ts in enumerate(docs):
+            n = len(ts)
+            exp_tok = (round(max(Counter(ts).values()) / n, 4) if n else 0.0)
+            bigrams = [f"{a} {b}" for a, b in zip(ts, ts[1:])]
+            exp_big = (round(max(Counter(bigrams).values()) / len(bigrams), 4)
+                       if bigrams else 0.0)
+            assert got[i].n_tokens == n
+            assert got[i].top_token_frac == exp_tok
+            assert got[i].top_bigram_frac == exp_big
+
+    run()
+
+
 def test_winnow_fingerprints(docs):
     fps = text.fingerprint_winnow(docs)
     rows = {r.doc_id: r.fingerprints for r in fps.collect()}
