@@ -414,6 +414,46 @@ def flink_checkpoint_duration(flink_job_events: DataFrame) -> DataFrame:
     )
 
 
+def extractor_stats(
+    jvmstats: DataFrame | None = None,
+    gc_events: DataFrame | None = None,
+) -> DataFrame:
+    """A10 — the Extractor tool's per-container event tally
+    (tool/Extractor.java:36-47, Stats at :185-203): for every
+    YARN_APPLICATION-tagged container, how many JVMSTATS and GC events
+    arrived.  One conditional-count aggregate over the union; the
+    reference prints a Stats line per container at STATE_EVENT time —
+    batch-mode, the tally is simply complete at scan end."""
+    from garmadon_spark.filters import has_tag
+
+    parts = []
+    sel = ("application_id", "container_id", "framework")
+    if jvmstats is not None:
+        parts.append(
+            jvmstats.filter(has_tag("YARN_APPLICATION"))
+            .select(*sel, F.lit("jvm").alias("_kind"))
+        )
+    if gc_events is not None:
+        parts.append(
+            gc_events.filter(has_tag("YARN_APPLICATION"))
+            .select(*sel, F.lit("gc").alias("_kind"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (
+        out.groupBy(*sel)
+        .agg(
+            F.sum(F.when(F.col("_kind") == "jvm", 1).otherwise(0)).alias(
+                "jvm_stat_count"
+            ),
+            F.sum(F.when(F.col("_kind") == "gc", 1).otherwise(0)).alias(
+                "gc_stat_count"
+            ),
+        )
+    )
+
+
 def run_all(dfs: dict, max_created_files: int = 100_000) -> DataFrame:
     """Run every applicable heuristic and union the result rows —
     the batch equivalent of the Heuristics reader main loop

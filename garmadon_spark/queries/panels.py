@@ -136,6 +136,73 @@ GROUP BY action
 """
 
 
+def flink_checkpoint_panel(flink_job_events: DataFrame) -> DataFrame:
+    """The garmadon-flink dashboard's checkpoint panels (the read-side
+    of heuristic A9, FlinkCheckpointDuration.java:40-99): per (app,
+    job) worst checkpoint duration/size and the failed-checkpoint
+    ratio."""
+    return (
+        flink_job_events.groupBy("application_id", "job_id", "job_name")
+        .agg(
+            F.max("last_checkpoint_duration").alias("max_checkpoint_ms"),
+            F.max("last_checkpoint_size").alias("max_checkpoint_bytes"),
+            F.max("number_of_completed_checkpoints").alias("completed"),
+            F.max("number_of_failed_checkpoints").alias("failed"),
+            F.round(
+                F.max("number_of_failed_checkpoints")
+                / F.greatest(
+                    F.max("number_of_completed_checkpoints")
+                    + F.max("number_of_failed_checkpoints"),
+                    F.lit(1),
+                ),
+                4,
+            ).alias("failure_ratio"),
+        )
+    )
+
+
+FLINK_CHECKPOINT_PANEL_SQL = """
+SELECT application_id, job_id, job_name,
+       MAX(last_checkpoint_duration) AS max_checkpoint_ms,
+       MAX(last_checkpoint_size) AS max_checkpoint_bytes,
+       MAX(number_of_completed_checkpoints) AS completed,
+       MAX(number_of_failed_checkpoints) AS failed,
+       ROUND(MAX(number_of_failed_checkpoints) /
+             GREATEST(MAX(number_of_completed_checkpoints)
+                      + MAX(number_of_failed_checkpoints), 1), 4)
+           AS failure_ratio
+FROM flink_job_event
+GROUP BY application_id, job_id, job_name
+"""
+
+
+def spark_task_locality_spill(spark_tasks: DataFrame) -> DataFrame:
+    """Spark-task dashboard shape: per (locality, status) task counts,
+    spill volume (disk + memory), and mean run time — the terms-bucket
+    × sum/avg metric panels over the 32 task-metric columns."""
+    return (
+        spark_tasks.groupBy("locality", "status")
+        .agg(
+            F.count(F.lit(1)).alias("n_tasks"),
+            F.sum(
+                F.col("disk_bytes_spilled") + F.col("memory_bytes_spilled")
+            ).alias("spilled_bytes"),
+            F.round(F.avg("executor_run_time"), 4).alias("avg_run_ms"),
+            F.sum("shuffle_read_records").alias("shuffle_read_records"),
+        )
+    )
+
+
+SPARK_TASK_LOCALITY_SPILL_SQL = """
+SELECT locality, status, COUNT(*) AS n_tasks,
+       SUM(disk_bytes_spilled + memory_bytes_spilled) AS spilled_bytes,
+       ROUND(AVG(executor_run_time), 4) AS avg_run_ms,
+       SUM(shuffle_read_records) AS shuffle_read_records
+FROM spark_task_event
+GROUP BY locality, status
+"""
+
+
 def gc_pause_percentiles(gc_events: DataFrame) -> DataFrame:
     """GC pause p50/p95 + worst 1-min pause ratio per collector."""
     return (
@@ -237,4 +304,9 @@ PANELS = {
                                   CONTAINER_MEMORY_HEADROOM_SQL, None),
     "top_shuffle_apps": ("spark_task_event", top_shuffle_apps,
                          TOP_SHUFFLE_APPS_SQL, None),
+    "flink_checkpoint_panel": ("flink_job_event", flink_checkpoint_panel,
+                               FLINK_CHECKPOINT_PANEL_SQL, None),
+    "spark_task_locality_spill": ("spark_task_event",
+                                  spark_task_locality_spill,
+                                  SPARK_TASK_LOCALITY_SPILL_SQL, None),
 }

@@ -248,6 +248,24 @@ def test_flink_checkpoint_duration(spark, duration, expected):
 
 # --- integration: the full fixture ---------------------------------------
 
+def test_extractor_stats_counts_per_container(spark):
+    dfs = fixtures.to_spark(spark, n_apps=4, seed=7)
+    out = batch.extractor_stats(
+        jvmstats=dfs["jvmstats_event"], gc_events=dfs["gc_event"]
+    ).collect()
+    assert out  # fixture containers are YARN_APPLICATION tagged
+    # tallies must reproduce the per-table filtered counts exactly
+    n_jvm = sum(r.jvm_stat_count for r in out)
+    n_gc = sum(r.gc_stat_count for r in out)
+    assert n_jvm == dfs["jvmstats_event"].filter(
+        F.array_contains("tags", "YARN_APPLICATION")).count()
+    assert n_gc == dfs["gc_event"].filter(
+        F.array_contains("tags", "YARN_APPLICATION")).count()
+    for r in out:
+        assert r.container_id and r.application_id
+        assert r.jvm_stat_count >= 0 and r.gc_stat_count >= 0
+
+
 def test_run_all_on_fixture(spark):
     dfs = fixtures.to_spark(spark, n_apps=4, seed=7)
     out = batch.run_all(dfs, max_created_files=100).cache()

@@ -19,7 +19,8 @@ def panel_env(spark, tmp_path_factory):
     fixtures.write_parquet(spark, d, n_apps=6, seed=11)
     con = duckdb.connect()
     for name in ("fs_event", "gc_event", "jvmstats_event",
-                 "container_monitoring_event", "spark_task_event"):
+                 "container_monitoring_event", "spark_task_event",
+                 "flink_job_event"):
         con.sql(
             f"CREATE VIEW {name} AS SELECT * "
             f"FROM '{os.path.join(d, name + '.parquet', '*.parquet')}'"
@@ -48,7 +49,8 @@ def panel_env(spark, tmp_path_factory):
     dfs = {
         name: spark.read.parquet(os.path.join(d, f"{name}.parquet"))
         for name in ("fs_event", "gc_event", "jvmstats_event",
-                     "container_monitoring_event", "spark_task_event")
+                     "container_monitoring_event", "spark_task_event",
+                     "flink_job_event")
     }
     return con, dfs
 
