@@ -74,3 +74,40 @@ def assemble_results(
         )
         .alias("details"),
     )
+
+
+def assemble_results_by_heuristic(verdicts: DataFrame) -> DataFrame:
+    """assemble_results generalized over a ``heuristic`` COLUMN: folds
+    per-container verdict rows ``(application_id, attempt_id,
+    container_id, heuristic, severity, detail)`` from any number of
+    heuristics in one grouped aggregate — the single-shuffle tail of the
+    fused plan (batch.jvm_heuristics_fused)."""
+    agg = (
+        verdicts.groupBy("application_id", "attempt_id", "heuristic")
+        .agg(
+            F.max("severity").alias("severity"),
+            F.count(F.lit(1)).alias("n_containers"),
+            F.map_from_entries(
+                F.sort_array(
+                    F.collect_list(F.struct("container_id", "detail"))
+                )
+            ).alias("container_details"),
+        )
+    )
+    return agg.select(
+        "application_id",
+        "attempt_id",
+        "heuristic",
+        "severity",
+        F.col("severity").alias("score"),
+        F.when(
+            F.col("n_containers") <= MAX_CONTAINERS_PER_HEURISTIC,
+            F.col("container_details"),
+        )
+        .otherwise(
+            F.create_map(
+                F.lit("Containers"), F.col("n_containers").cast("string")
+            )
+        )
+        .alias("details"),
+    )

@@ -22,7 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from garmadon_spark.heuristics.base import Severity, assemble_results
+from garmadon_spark.heuristics.base import (
+    Severity,
+    assemble_results,
+    assemble_results_by_heuristic,
+)
 from garmadon_spark.operators.jvmstats import _sections_map, section_prop
 
 _KEY = ("application_id", "attempt_id", "container_id")
@@ -414,6 +418,154 @@ def flink_checkpoint_duration(flink_job_events: DataFrame) -> DataFrame:
     )
 
 
+def jvm_heuristics_fused(jvmstats: DataFrame) -> DataFrame:
+    """A1/A4/A5/A6/A7 in ONE pass over jvmstats — the plan shape the
+    reference actually runs (one consumer loop updating five
+    heuristics' state per event, Heuristics.java:29-158), instead of
+    five independent extract→shuffle pipelines.
+
+    One sections extract → one window (both rate lags) → one
+    groupBy(_KEY) with every aggregate → a persisted per-container
+    metrics row that the five severity branches select from.  Five
+    corpus shuffles become one (the window and the groupBy share the
+    (app, attempt, container) partitioning, so Catalyst reuses the
+    exchange).
+
+    Parity caveat (documented, holds for the reference agent): every
+    JVMSTATS event carries all polled sections
+    (JVMStatistics.java:104-121 registers them on one emitter), so
+    per-row lag == per-sample lag for the rate heuristics."""
+    smap = _sections_map("section")
+    pairs = {
+        "heap_max": ("heap", "max", "long"),
+        "heap_used": ("heap", "used", "long"),
+        "sp_count": ("safepoints", "count", "long"),
+        "lock_count": ("synclocks", "contendedlockattempts", "long"),
+        "t_count": ("threads", "count", "long"),
+        "t_total": ("threads", "total", "long"),
+        "c_used": ("code", "used", "long"),
+        "c_max": ("code", "max", "long"),
+    }
+    majors = [
+        section_prop(smap, f"gc({name})", "count", "long") for name in MAJOR_GCS
+    ]
+    base = jvmstats.select(
+        *[F.col(c) for c in _KEY],
+        F.col("timestamp"), F.col("kafka_offset"),
+        *[section_prop(smap, s, p, c).alias(a)
+          for a, (s, p, c) in pairs.items()],
+        F.greatest(*majors, F.lit(0)).alias("_major"),
+    )
+    w = Window.partitionBy(*_KEY).orderBy("timestamp", "kafka_offset")
+    lagged = base.select(
+        *_KEY,
+        "timestamp",
+        "heap_max", "heap_used", "_major",
+        "t_count", "t_total", "c_used", "c_max",
+        "sp_count", "lock_count",
+        F.lag("sp_count").over(w).alias("sp_last"),
+        F.lag("lock_count").over(w).alias("lock_last"),
+        F.lag("timestamp").over(w).alias("last_ts"),
+    )
+    sp_rate = F.when(
+        F.col("sp_count").isNotNull() & F.col("sp_last").isNotNull()
+        & (F.col("timestamp") != F.col("last_ts"))
+        & (F.col("sp_last") != 0),
+        F.expr("(sp_count - sp_last) * 1000 div (timestamp - last_ts)"),
+    )
+    lock_rate = F.when(
+        F.col("lock_count").isNotNull() & F.col("lock_last").isNotNull()
+        & (F.col("timestamp") != F.col("last_ts")),
+        F.expr("(lock_count - lock_last) * 1000 div (timestamp - last_ts)"),
+    )
+    per_c = lagged.groupBy(*_KEY).agg(
+        F.max_by("heap_max", "timestamp").alias("hmax"),
+        F.max("heap_used").alias("hpeak"),
+        F.max("_major").alias("major_gc"),
+        F.max(sp_rate).alias("sp_ratio"),
+        F.max(lock_rate).alias("lock_ratio"),
+        F.max("t_count").alias("max_count"),
+        F.max_by("t_total", "timestamp").alias("total"),
+        F.max("c_used").alias("cpeak"),
+        F.max_by("c_max", "timestamp").alias("cmax"),
+    )
+
+    def verdict(keep, heuristic, sev, detail):
+        s = F.struct(
+            F.lit(heuristic).alias("heuristic"),
+            sev.alias("severity"),
+            detail.alias("detail"),
+        )
+        return F.when(keep, s)
+
+    # A1 HeapUsage (NONE containers kept in details)
+    hratio = F.expr("(hmax - hpeak) * 100 div hmax")
+    hsev = (
+        F.when(hratio > 70, Severity.SEVERE)
+        .when(hratio > 50, Severity.MODERATE)
+        .when(hratio > 30, Severity.LOW)
+        .otherwise(Severity.NONE)
+    )
+    heap_v = verdict(
+        (F.coalesce("major_gc", F.lit(0)) == 0) & (F.col("hmax") > F.col("hpeak")),
+        "HeapUsage", hsev,
+        F.concat(F.lit("unused memory %: "), hratio.cast("string")),
+    )
+    # A4 Safepoints / A5 Locks (NONE containers dropped)
+    def rate_v(col, tiers, name, prefix):
+        t1, t2, t3, t4 = tiers
+        rsev = (
+            F.when(F.col(col) > t4, Severity.CRITICAL)
+            .when(F.col(col) > t3, Severity.SEVERE)
+            .when(F.col(col) > t2, Severity.MODERATE)
+            .when(F.col(col) > t1, Severity.LOW)
+            .otherwise(Severity.NONE)
+        )
+        return verdict(
+            F.col(col).isNotNull() & (rsev > Severity.NONE),
+            name, rsev, F.concat(F.lit(prefix), F.col(col).cast("string")),
+        )
+
+    sp_v = rate_v("sp_ratio", (3, 5, 7, 10), "Safepoints", "Max safepoint/s: ")
+    lock_v = rate_v("lock_ratio", (10, 50, 100, 500), "Locks",
+                    "Max contention/s: ")
+    # A6 Threads (NONE dropped)
+    tratio = F.expr("max_count * 100 div total")
+    tsev = (
+        F.when(tratio <= 0, Severity.MODERATE)
+        .when(tratio <= 10, Severity.LOW)
+        .otherwise(Severity.NONE)
+    )
+    thread_v = verdict(
+        F.col("max_count").isNotNull() & (F.col("total") > 0)
+        & (tsev > Severity.NONE),
+        "Threads", tsev,
+        F.concat(F.lit("Max count threads: "), F.col("max_count").cast("string"),
+                 F.lit(", Total threads: "), F.col("total").cast("string")),
+    )
+    # A7 CodeCacheUsage (fixed MODERATE when unused < 5 %)
+    code_v = verdict(
+        F.col("cpeak").isNotNull()
+        & ~((F.col("cmax") > F.col("cpeak"))
+            & (F.expr("(cmax - cpeak) * 100 div cmax") >= 5)),
+        "CodeCacheUsage", F.lit(Severity.MODERATE),
+        F.concat(F.lit("max: "), F.col("cmax").cast("string"),
+                 F.lit("kB, peak: "), F.col("cpeak").cast("string"),
+                 F.lit("kB")),
+    )
+
+    verdicts = per_c.select(
+        *_KEY,
+        F.explode(
+            F.filter(
+                F.array(heap_v, sp_v, lock_v, thread_v, code_v),
+                lambda v: v.isNotNull(),
+            )
+        ).alias("v"),
+    ).select(*_KEY, "v.heuristic", "v.severity", "v.detail")
+    return assemble_results_by_heuristic(verdicts)
+
+
 def extractor_stats(
     jvmstats: DataFrame | None = None,
     gc_events: DataFrame | None = None,
@@ -454,15 +606,23 @@ def extractor_stats(
     )
 
 
-def run_all(dfs: dict, max_created_files: int = 100_000) -> DataFrame:
+def run_all(dfs: dict, max_created_files: int = 100_000,
+            fused: bool = True) -> DataFrame:
     """Run every applicable heuristic and union the result rows —
     the batch equivalent of the Heuristics reader main loop
-    (Heuristics.java:29-158)."""
+    (Heuristics.java:29-158).  ``fused=True`` (default) computes the
+    five jvmstats heuristics in one pass (jvm_heuristics_fused);
+    ``fused=False`` runs the five independent single-heuristic plans
+    (the unit-testable forms) — results are identical
+    (test_run_all_fused_parity)."""
     results = []
     if "jvmstats_event" in dfs:
         jvm = dfs["jvmstats_event"]
-        results += [heap_usage(jvm), safepoints(jvm), locks(jvm),
-                    threads(jvm), code_cache_usage(jvm)]
+        if fused:
+            results.append(jvm_heuristics_fused(jvm))
+        else:
+            results += [heap_usage(jvm), safepoints(jvm), locks(jvm),
+                        threads(jvm), code_cache_usage(jvm)]
     if "gc_event" in dfs:
         results += [gc_cause(dfs["gc_event"]), g1_full_gc(dfs["gc_event"])]
     if "fs_event" in dfs:

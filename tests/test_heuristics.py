@@ -248,6 +248,19 @@ def test_flink_checkpoint_duration(spark, duration, expected):
 
 # --- integration: the full fixture ---------------------------------------
 
+def test_run_all_fused_parity(spark):
+    """The one-pass jvm plan must produce row-identical results to the
+    five independent heuristic plans."""
+    for n_apps, seed in ((4, 7), (8, 42)):
+        dfs = fixtures.to_spark(spark, n_apps=n_apps, seed=seed)
+        key = lambda r: (r.application_id, r.attempt_id, r.heuristic)
+        fused = {key(r): (r.severity, r.score, dict(r.details))
+                 for r in batch.run_all(dfs, 100, fused=True).collect()}
+        plain = {key(r): (r.severity, r.score, dict(r.details))
+                 for r in batch.run_all(dfs, 100, fused=False).collect()}
+        assert fused == plain
+
+
 def test_extractor_stats_counts_per_container(spark):
     dfs = fixtures.to_spark(spark, n_apps=4, seed=7)
     out = batch.extractor_stats(
