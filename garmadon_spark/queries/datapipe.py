@@ -314,6 +314,58 @@ WHERE ROUND(c / (na + nb - c), 4) >= 0.1 AND c > 0
 """
 
 
+def doc_dup_groups(spark, sf_dir):
+    """Pairs → groups: connected components over the blocked-Jaccard
+    near-dup pairs (transitive closure), one canonical survivor (min
+    doc_id) per group — the keep/drop decision an actual dedup pipeline
+    ships.  Iterative min-label propagation, O(cluster diameter) rounds
+    of label-sized shuffles (operators/dedup.py::components); the
+    oracle computes the same closure with a recursive CTE."""
+    pairs = dedup.jaccard_pairs(
+        _fanout(spark, _docs(spark, sf_dir)), ("lang", "source"), n=2,
+        threshold=0.1,
+    )
+    comp = dedup.components(pairs)
+    return comp.select(
+        "doc_id",
+        F.col("component").alias("dup_group"),
+        (F.col("doc_id") == F.col("component")).alias("keep"),
+    )
+
+
+DOC_DUP_GROUPS_SQL = """
+WITH RECURSIVE toks AS (
+    SELECT doc_id, lang, source,
+           string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+    FROM documents
+), docs AS (
+    SELECT doc_id, lang, source,
+           list_distinct([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS sh
+    FROM toks
+), pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.sh, b.sh)) AS c,
+           len(a.sh) AS na, len(b.sh) AS nb
+    FROM docs a, docs b
+    WHERE a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+), sim AS (
+    SELECT doc_a, doc_b FROM pairs
+    WHERE ROUND(c / (na + nb - c), 4) >= 0.1 AND c > 0
+), edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM sim
+    UNION
+    SELECT doc_b, doc_a FROM sim
+), reach AS (
+    SELECT a AS node, a AS lab FROM edges
+    UNION
+    SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b
+)
+SELECT node AS doc_id, MIN(lab) AS dup_group,
+       (node = MIN(lab)) AS keep
+FROM reach GROUP BY node
+"""
+
+
 def doc_minhash_dedup(spark, sf_dir):
     """Tier-3 dedup: MinHash signatures → LSH band buckets → exact-Jaccard
     verification of candidates only.  The scale path: no all-pairs stage
@@ -404,6 +456,62 @@ SELECT doc_id,
                     t -> len(list_filter(bigrams, x -> x = t)))) / len(bigrams)
            ELSE 0.0 END, 4) AS top_bigram_frac
 FROM big
+"""
+
+
+def doc_contamination(spark, sf_dir, ngram: int = 4, eval_source: str = "src0"):
+    """Benchmark-contamination scan: which training documents share any
+    word n-gram with the held-out evaluation corpus (here the `src0`
+    slice stands in for the benchmark set), and how many.
+
+    Plan shape for 100 TB: the eval corpus's distinct n-grams are SMALL
+    (benchmarks are thousands of documents, not billions) — Catalyst
+    broadcasts them, so the training corpus is one map-only explode +
+    broadcast semi-join-with-count, never shuffled.  Per-doc n-gram
+    dedup rides the shingles() array_distinct, so the join input is
+    already distinct (doc, gram) pairs."""
+    docs = _fanout(spark, _docs(spark, sf_dir)).select(
+        "doc_id", "source", dedup.shingles("text", ngram).alias("_grams")
+    )
+    grams = dedup.explode_computed(
+        docs, F.col("_grams"), "gram", ["doc_id", "source"]
+    )
+    eval_grams = (
+        grams.filter(F.col("source") == eval_source)
+        .select("gram").distinct()
+    )
+    return (
+        grams.filter(F.col("source") != eval_source)
+        .join(eval_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+DOC_CONTAMINATION_SQL = """
+WITH toks AS (
+  SELECT doc_id, source, unnest(l) AS tok,
+         generate_subscripts(l, 1) AS pos, len(l) AS n
+  FROM (SELECT doc_id, source,
+               list_filter(string_split(trim(lower(
+                   regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+                   t -> t <> '') AS l
+        FROM documents)
+), grams AS (
+  SELECT doc_id, source,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+             || ' ' || lead(tok, 3) OVER w AS gram,
+         pos, n
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), valid AS (
+  SELECT DISTINCT doc_id, source, gram FROM grams WHERE pos + 3 <= n
+), eval_g AS (
+  SELECT DISTINCT gram FROM valid WHERE source = 'src0'
+)
+SELECT doc_id, COUNT(*) AS n_shared
+FROM (SELECT doc_id, gram FROM valid WHERE source <> 'src0') t
+JOIN eval_g USING (gram)
+GROUP BY doc_id
 """
 
 
@@ -690,6 +798,8 @@ QUERIES = {
     "doc_quality": (doc_quality, DOC_QUALITY_SQL),
     "doc_bpe_tokens": (doc_bpe_tokens, DOC_BPE_TOKENS_SQL),
     "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),
+    "doc_contamination": (doc_contamination, DOC_CONTAMINATION_SQL),
+    "doc_dup_groups": (doc_dup_groups, DOC_DUP_GROUPS_SQL),
     "doc_stratified_sample": (doc_stratified_sample, DOC_STRATIFIED_SAMPLE_SQL),
     "emb_neardup_blocked": (emb_neardup_blocked, EMB_NEARDUP_BLOCKED_SQL),
     "emb_ann_ivf": (emb_ann_ivf, None),

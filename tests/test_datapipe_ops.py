@@ -157,6 +157,18 @@ def test_quality_score_ranges(docs):
     assert by_id[0].stopword_ratio > by_id[5].stopword_ratio
 
 
+def test_components_label_propagation(spark):
+    # chain 1-2-3-4, separate pair 10-11, triangle 20-21-22
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.doc_id: r.component
+           for r in dedup.components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
 def test_repetition_stats(spark):
     rows = [
         Row(doc_id=0, text="spam spam spam spam"),          # one token only
