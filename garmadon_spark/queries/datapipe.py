@@ -624,6 +624,20 @@ def _ivf_index_path(sf_dir: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"garmadon_ivf_{h}")
 
 
+def _ensure_ivf_index(spark, sf_dir) -> str:
+    """Build the materialized IVF index once per corpus (offline-job
+    semantics); return its path."""
+    import os
+
+    path = _ivf_index_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_OK")):
+        similarity.write_ivf_index(
+            _embs(spark, sf_dir), path, n_centroids=8, iterations=1
+        )
+        open(os.path.join(path, "_OK"), "w").close()
+    return path
+
+
 def emb_ann_ivf(spark, sf_dir, query_vec_id: int = 0, k: int = 10):
     """IVF approximate top-k against a MATERIALIZED index: the corpus
     written partitioned by coarse-quantizer cell, probes planned as
@@ -634,15 +648,10 @@ def emb_ann_ivf(spark, sf_dir, query_vec_id: int = 0, k: int = 10):
     calls, and every query after the first at 100 TB, never touch the
     unprobed cells.  Rows-only check (approximation is engine-defined;
     identical centroids/params give identical results either path)."""
-    import os
-
     embs = _embs(spark, sf_dir)
     qrow = embs.filter(F.col("vec_id") == query_vec_id).select("embedding").head()
     q = [float(x) for x in qrow[0]]
-    path = _ivf_index_path(sf_dir)
-    if not os.path.exists(os.path.join(path, "_OK")):
-        similarity.write_ivf_index(embs, path, n_centroids=8, iterations=1)
-        open(os.path.join(path, "_OK"), "w").close()
+    path = _ensure_ivf_index(spark, sf_dir)
     return similarity.ivf_topk_from_index(
         spark, path, q, k=k, nprobe=4,
         exclude_ids=[query_vec_id],
@@ -768,11 +777,13 @@ def emb_neardup_ivf(spark, sf_dir):
     """Corpus-wide embedding near-dup — the scale path: IVF cells as the
     blocking key (no label needed, no all-pairs).  A true near-duplicate
     pair lands in the same cell with high probability; the within-cell
-    self-join is bounded by cell size ≈ n/k.  Rows-only check (cell
-    assignment is engine-defined)."""
-    embs = _fanout(spark, _embs(spark, sf_dir))
-    _cents, assigned = similarity.build_ivf(embs, n_centroids=8,
-                                            iterations=1)
+    self-join is bounded by cell size ≈ n/k.  Reads the materialized
+    index (same one the ANN probe uses): assignments come partitioned
+    BY the blocking key, so the within-cell pairing shuffles
+    pre-clustered partitions.  Rows-only check (cell assignment is
+    engine-defined)."""
+    path = _ensure_ivf_index(spark, sf_dir)
+    assigned = spark.read.parquet(f"{path}/vectors")
     return similarity.neardup_pairs_blocked(
         assigned, block_col="ivf_cell", threshold=0.25
     ).withColumnRenamed("blk", "ivf_cell")
