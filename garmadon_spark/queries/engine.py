@@ -82,15 +82,30 @@ GROUP BY 1
 """
 
 
+_FIXTURE_MEMO: dict = {}
+
+
+def _fixture_dfs(spark, n_apps=8, seed=42):
+    """Session-scoped memo of the seeded fixture corpus — the two
+    fixture-backed engine queries share one generation."""
+    key = (id(spark), n_apps, seed)
+    if key not in _FIXTURE_MEMO:
+        from garmadon_spark.sources import fixtures
+
+        _FIXTURE_MEMO.clear()  # one session at a time; drop stale handles
+        _FIXTURE_MEMO[key] = fixtures.to_spark(spark, n_apps=n_apps,
+                                               seed=seed)
+    return _FIXTURE_MEMO[key]
+
+
 def garmadon_heuristics(spark, sf_dir):
     """The full batch heuristics engine (A1-A9) over the deterministic
     garmadon fixture corpus: per-app severity rows, all nine heuristics
     in one pass per event family.  Rows-only check (the corpus is not an
     sf_dir table; determinism comes from the seeded generator)."""
     from garmadon_spark.heuristics.batch import run_all
-    from garmadon_spark.sources import fixtures
 
-    dfs = fixtures.to_spark(spark, n_apps=8, seed=42)
+    dfs = _fixture_dfs(spark)
     res = run_all(dfs)
     return res.select(
         "application_id", "attempt_id", "heuristic", "severity", "score",
@@ -98,9 +113,22 @@ def garmadon_heuristics(spark, sf_dir):
     ).orderBy("application_id", "attempt_id", "heuristic")
 
 
+def garmadon_extractor(spark, sf_dir):
+    """A10 — the Extractor tool's per-container JVMSTATS/GC tally
+    (tool/Extractor.java:36-47) over the fixture corpus.  Rows-only
+    check (fixture-backed, like garmadon_heuristics)."""
+    from garmadon_spark.heuristics.batch import extractor_stats
+
+    dfs = _fixture_dfs(spark)
+    return extractor_stats(
+        jvmstats=dfs["jvmstats_event"], gc_events=dfs["gc_event"]
+    ).orderBy("application_id", "container_id")
+
+
 QUERIES = {
     "frames_roundtrip_stats": (
         frames_roundtrip_stats, FRAMES_ROUNDTRIP_STATS_SQL
     ),
     "garmadon_heuristics": (garmadon_heuristics, None),
+    "garmadon_extractor": (garmadon_extractor, None),
 }
