@@ -750,6 +750,24 @@ def mm_feature_extract(spark, sf_dir):
     )
 
 
+def mm_resize(spark, sf_dir, width: int = 8, height: int = 8):
+    """Image-resize plumbing over the opaque binary column: JVM-side
+    media-type filter → Arrow-batched decode → nearest-neighbor
+    downsample → re-encode (deterministic stub decoder — codec libs
+    absent in this container; the Spark-side schema, partitioning and
+    batch shape are the real thing).  Rows-only check."""
+    from garmadon_spark.operators.multimodal import resize_images
+
+    out = resize_images(
+        _media(spark, sf_dir).filter(F.col("media_type") == "image"),
+        width=width, height=height,
+    )
+    return out.select(
+        "media_id", "width", "height",
+        F.length("resized").alias("resized_bytes"),
+    )
+
+
 def doc_stratified_sample(spark, sf_dir):
     """Reproducible stratified sampling: 20% of English, 60% of German,
     100% of Chinese, 10% of everything else — md5-bucket assignment, so
@@ -818,4 +836,5 @@ QUERIES = {
     "mm_media_stats": (mm_media_stats, MM_MEDIA_STATS_SQL),
     "mm_frame_sample": (mm_frame_sample, MM_FRAME_SAMPLE_SQL),
     "mm_feature_extract": (mm_feature_extract, None),
+    "mm_resize": (mm_resize, None),
 }
