@@ -346,7 +346,7 @@ def ev_json_extract(spark, sf_dir):
 
 EV_JSON_EXTRACT_SQL = """
 SELECT event_type,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
 FROM events
 GROUP BY event_type
@@ -398,7 +398,8 @@ def ev_user_sessions(spark, sf_dir):
 EV_USER_SESSIONS_SQL = """
 WITH flagged AS (
     SELECT user_id, ts,
-           CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+           CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                     - CAST(FLOOR(epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))) AS BIGINT) > 1800
                 THEN 1 ELSE 0 END AS new_session
     FROM events
 ), sessions AS (
@@ -408,7 +409,7 @@ WITH flagged AS (
     FROM flagged
 )
 SELECT user_id,
-       MAX(session_id) + 1 AS n_sessions,
+       CAST(MAX(session_id) + 1 AS BIGINT) AS n_sessions,
        COUNT(*) AS n_events
 FROM sessions
 GROUP BY user_id
@@ -523,7 +524,7 @@ def ev_failure_ratio(spark, sf_dir):
 EV_FAILURE_RATIO_SQL = """
 SELECT date_trunc('hour', ts) AS bucket,
        COUNT(*) AS total,
-       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
        ROUND(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
              / COUNT(*), 4) AS error_ratio
 FROM events

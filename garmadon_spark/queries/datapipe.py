@@ -119,7 +119,7 @@ DOC_LANG_STATS_SQL = """
 SELECT lang, source,
        COUNT(*) AS n_docs,
        ROUND(AVG(n_chars), 4) AS avg_chars,
-       SUM(n_chars) AS total_chars
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY lang, source
 """

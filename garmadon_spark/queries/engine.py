@@ -76,7 +76,7 @@ FRAMES_ROUNDTRIP_STATS_SQL = """
 SELECT upper(event_type) AS action,
        COUNT(*) AS n_events,
        COUNT(DISTINCT 'application_' || user_id) AS n_apps,
-       SUM(CAST(floor(value * 100) AS BIGINT)) AS total_duration
+       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_duration
 FROM events
 GROUP BY 1
 """

@@ -70,7 +70,7 @@ def fs_failure_rate_by_uri(fs_events: DataFrame) -> DataFrame:
 
 FS_FAILURE_RATE_BY_URI_SQL = """
 SELECT uri, COUNT(*) AS total,
-       SUM(CASE WHEN status = 'FAILURE' THEN 1 ELSE 0 END) AS failures,
+       CAST(SUM(CASE WHEN status = 'FAILURE' THEN 1 ELSE 0 END) AS BIGINT) AS failures,
        ROUND(SUM(CASE WHEN status = 'FAILURE' THEN 1 ELSE 0 END)
              / COUNT(*), 4) AS failure_ratio
 FROM fs_event GROUP BY uri
@@ -195,9 +195,9 @@ def spark_task_locality_spill(spark_tasks: DataFrame) -> DataFrame:
 
 SPARK_TASK_LOCALITY_SPILL_SQL = """
 SELECT locality, status, COUNT(*) AS n_tasks,
-       SUM(disk_bytes_spilled + memory_bytes_spilled) AS spilled_bytes,
+       CAST(SUM(disk_bytes_spilled + memory_bytes_spilled) AS BIGINT) AS spilled_bytes,
        ROUND(AVG(executor_run_time), 4) AS avg_run_ms,
-       SUM(shuffle_read_records) AS shuffle_read_records
+       CAST(SUM(shuffle_read_records) AS BIGINT) AS shuffle_read_records
 FROM spark_task_event
 GROUP BY locality, status
 """
@@ -275,10 +275,10 @@ def top_shuffle_apps(spark_task_events: DataFrame, k: int = 5) -> DataFrame:
 
 TOP_SHUFFLE_APPS_SQL = """
 SELECT application_id,
-       SUM(shuffle_read_total_bytes + shuffle_write_shuffle_bytes)
-           AS shuffle_bytes,
-       SUM(input_bytes) AS input_bytes,
-       SUM(output_bytes) AS output_bytes
+       CAST(SUM(shuffle_read_total_bytes + shuffle_write_shuffle_bytes)
+           AS BIGINT) AS shuffle_bytes,
+       CAST(SUM(input_bytes) AS BIGINT) AS input_bytes,
+       CAST(SUM(output_bytes) AS BIGINT) AS output_bytes
 FROM spark_task_event
 GROUP BY application_id
 ORDER BY shuffle_bytes DESC, application_id ASC

@@ -74,8 +74,14 @@ def decode_frames(df: DataFrame, value_col: str = "value") -> DataFrame:
         & F.col("timestamp").isNotNull()
         & F.col("header_len").isNotNull()
         & F.col("body_len").isNotNull()
-        & (F.length("_frame")
-           == FRAME_HEAD_BYTES + F.col("header_len") + F.col("body_len"))
+        # long arithmetic: two garbage 4-byte lengths can each fit int32
+        # yet SUM past it (e.g. 0x75CBDCEC twice) — int math here would
+        # raise ARITHMETIC_OVERFLOW under ANSI mode and fail the job
+        # instead of dropping the frame
+        & (F.length("_frame").cast("long")
+           == F.lit(FRAME_HEAD_BYTES).cast("long")
+           + F.col("header_len").cast("long")
+           + F.col("body_len").cast("long"))
     )
     observed = parsed.observe(
         "garmadon.frames",

@@ -11,6 +11,7 @@ canonicalized).  Usage:
 from __future__ import annotations
 
 import datetime
+import decimal
 import hashlib
 import math
 import os
@@ -27,14 +28,23 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
 def _canon(v):
+    """Driver-strict canonicalization: full float repr (no rounding), and
+    int / float / Decimal stay DISTINCT.  DuckDB's SUM(integer) yields
+    HUGEINT -> Arrow decimal128, which the driver's fetch path reprs
+    differently from Spark's bigint; oracle SQL must CAST such sums to
+    BIGINT.  Keeping the distinction here makes the local gate predict the
+    driver's verdict (round-1 lesson: 9-decimal pre-rounding + int-collapse
+    masked 4 driver hash mismatches)."""
     if v is None:
         return "NULL"
+    if isinstance(v, bool):
+        return str(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return repr(round(v, 9))
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return "DEC:" + str(v)
     if isinstance(v, datetime.datetime):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
@@ -89,7 +99,11 @@ def main():
         try:
             res = con.sql(oracles[name])
             dcols = [c.lower() for c in res.columns]
-            drows = res.fetchall()
+            # Arrow fetch (not fetchall): surfaces HUGEINT as Decimal the
+            # way the driver's fetch path does, so dtype drift fails HERE.
+            tbl = res.arrow()
+            dcol_values = [c.to_pylist() for c in tbl.columns]
+            drows = list(zip(*dcol_values)) if dcol_values else []
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
