@@ -224,6 +224,46 @@ def ev_percentiles_approx(spark, sf_dir):
     )
 
 
+def ev_percentiles_approx_check(spark, sf_dir):
+    """Error-bound self-check for the sketch percentile path, testing the
+    operator's ACTUAL contract: percentile_approx(acc) returns an element
+    whose rank r satisfies floor((q−ε)·N) ≤ r ≤ ceil((q+ε)·N), ε = 1/acc.
+    Two-pass: tiny per-type sketch table broadcast-joined back onto the
+    events to count ranks exactly.  The bound test is exact → the oracle
+    is the constant-true table, and 'no_oracle' stops meaning
+    'unverified'."""
+    acc = 10000
+    eps = 1.0 / acc
+    qs = ((0.5, "p50"), (0.95, "p95"), (0.99, "p99"))
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    approx = ev.groupBy("event_type").agg(
+        *[
+            F.percentile_approx("value", q, acc).alias(f"_{nm}")
+            for q, nm in qs
+        ]
+    )
+    joined = ev.join(F.broadcast(approx), "event_type")
+    checks = []
+    for q, nm in qs:
+        n = F.count(F.lit(1))
+        le = F.sum((F.col("value") <= F.col(f"_{nm}")).cast("long"))
+        lt = F.sum((F.col("value") < F.col(f"_{nm}")).cast("long"))
+        checks.append(
+            (
+                (le >= F.floor(F.lit(q - eps) * n))
+                & (lt <= F.ceil(F.lit(q + eps) * n))
+            ).alias(f"{nm}_in_bound")
+        )
+    return joined.groupBy("event_type").agg(*checks)
+
+
+EV_PERCENTILES_APPROX_CHECK_SQL = """
+SELECT event_type, TRUE AS p50_in_bound, TRUE AS p95_in_bound,
+       TRUE AS p99_in_bound
+FROM events GROUP BY event_type
+"""
+
+
 def ev_derivative_hourly(spark, sf_dir):
     """ES `derivative` pipeline agg: rate of a cumulative/bucketed series —
     `col - lag(col) over (partition by series order by bucket)`.
@@ -297,6 +337,27 @@ def ev_cardinality_approx(spark, sf_dir):
             )
         )
     )
+
+
+def ev_cardinality_approx_check(spark, sf_dir):
+    """HLL++ error-bound self-check: |estimate − exact| ≤ 5·rsd·exact
+    (5σ of the configured relative standard deviation — a correct sketch
+    essentially never trips it).  Exact bound → constant-true oracle."""
+    est = F.approx_count_distinct("user_id", rsd=0.01)
+    exact = F.count_distinct("user_id")
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            (F.abs(est - exact) <= exact * F.lit(0.05)).alias("within_bound")
+        )
+    )
+
+
+EV_CARDINALITY_APPROX_CHECK_SQL = """
+SELECT event_type, TRUE AS within_bound
+FROM events GROUP BY event_type
+"""
 
 
 # --- raw_document ---------------------------------------------------------
@@ -540,9 +601,15 @@ QUERIES = {
     "ev_filtered_stats": (ev_filtered_stats, EV_FILTERED_STATS_SQL),
     "ev_percentiles": (ev_percentiles, EV_PERCENTILES_SQL),
     "ev_percentiles_approx": (ev_percentiles_approx, None),
+    "ev_percentiles_approx_check": (
+        ev_percentiles_approx_check, EV_PERCENTILES_APPROX_CHECK_SQL
+    ),
     "ev_derivative_hourly": (ev_derivative_hourly, EV_DERIVATIVE_HOURLY_SQL),
     "ev_cardinality": (ev_cardinality, EV_CARDINALITY_SQL),
     "ev_cardinality_approx": (ev_cardinality_approx, None),
+    "ev_cardinality_approx_check": (
+        ev_cardinality_approx_check, EV_CARDINALITY_APPROX_CHECK_SQL
+    ),
     "ev_raw_documents": (ev_raw_documents, EV_RAW_DOCUMENTS_SQL),
     "ev_json_extract": (ev_json_extract, EV_JSON_EXTRACT_SQL),
     "ev_user_sessions": (ev_user_sessions, EV_USER_SESSIONS_SQL),

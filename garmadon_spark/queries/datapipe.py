@@ -755,7 +755,9 @@ def mm_resize(spark, sf_dir, width: int = 8, height: int = 8):
     media-type filter → Arrow-batched decode → nearest-neighbor
     downsample → re-encode (deterministic stub decoder — codec libs
     absent in this container; the Spark-side schema, partitioning and
-    batch shape are the real thing).  Rows-only check."""
+    batch shape are the real thing).  The declared output is
+    decoder-independent (the stub always decodes to 16×16×3 float32, so
+    resized is width×height×3×4 bytes) — full SQL oracle."""
     from garmadon_spark.operators.multimodal import resize_images
 
     out = resize_images(
@@ -766,6 +768,42 @@ def mm_resize(spark, sf_dir, width: int = 8, height: int = 8):
         "media_id", "width", "height",
         F.length("resized").alias("resized_bytes"),
     )
+
+
+MM_RESIZE_SQL = """
+SELECT doc_id AS media_id, 8 AS width, 8 AS height,
+       8 * 8 * 3 * 4 AS resized_bytes
+FROM documents WHERE doc_id % 3 = 0
+"""
+
+
+def mm_feature_check(spark, sf_dir):
+    """Exact invariant check over the feature-extract Python path: every
+    pooled vector has the requested dim and values inside the decoder's
+    [0, 1) range — turns the rows-only mm_feature_extract into a
+    hash-checked contract (the bound check itself is exact)."""
+    from garmadon_spark.operators.multimodal import extract_features
+
+    feats = extract_features(_media(spark, sf_dir), dim=16)
+    return feats.select(
+        "media_id",
+        "media_type",
+        F.size("feature").alias("n_dims"),
+        (
+            (F.array_min("feature") >= F.lit(0.0))
+            & (F.array_max("feature") < F.lit(1.0))
+        ).alias("in_unit"),
+    )
+
+
+MM_FEATURE_CHECK_SQL = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       16 AS n_dims,
+       TRUE AS in_unit
+FROM documents
+"""
 
 
 def doc_stratified_sample(spark, sf_dir):
@@ -836,5 +874,6 @@ QUERIES = {
     "mm_media_stats": (mm_media_stats, MM_MEDIA_STATS_SQL),
     "mm_frame_sample": (mm_frame_sample, MM_FRAME_SAMPLE_SQL),
     "mm_feature_extract": (mm_feature_extract, None),
-    "mm_resize": (mm_resize, None),
+    "mm_feature_check": (mm_feature_check, MM_FEATURE_CHECK_SQL),
+    "mm_resize": (mm_resize, MM_RESIZE_SQL),
 }

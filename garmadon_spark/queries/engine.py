@@ -12,6 +12,8 @@ generator — same rows everywhere), rows-only checked.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from garmadon_spark.session import load_table
@@ -98,37 +100,302 @@ def _fixture_dfs(spark, n_apps=8, seed=42):
     return _FIXTURE_MEMO[key]
 
 
+def fixture_corpus_dir(n_apps: int = 8, seed: int = 42) -> str:
+    """On-disk parquet copy of the seeded fixture corpus under a
+    deterministic /tmp path, written once (atomic rename) — lets the
+    fixture-backed engine queries run against files BOTH Spark and the
+    DuckDB oracles can read, turning their rows-only checks into full
+    hash checks."""
+    import shutil
+    import tempfile
+
+    base = f"/tmp/garmadon_fixture_corpus_v1_{n_apps}_{seed}"
+    if not os.path.isdir(base):
+        from garmadon_spark.sources import fixtures
+
+        tmp = tempfile.mkdtemp(prefix=base + ".tmp")
+        fixtures.write_parquet_pyarrow(tmp, n_apps=n_apps, seed=seed)
+        try:
+            os.rename(tmp, base)
+        except OSError:  # concurrent writer won the race; keep theirs
+            shutil.rmtree(tmp, ignore_errors=True)
+    return base
+
+
+def _corpus_tables(spark, names):
+    d = fixture_corpus_dir()
+    return {t: spark.read.parquet(f"{d}/{t}.parquet") for t in names}
+
+
 def garmadon_heuristics(spark, sf_dir):
     """The full batch heuristics engine (A1-A9) over the deterministic
     garmadon fixture corpus: per-app severity rows, all nine heuristics
-    in one pass per event family.  Rows-only check (the corpus is not an
-    sf_dir table; determinism comes from the seeded generator)."""
+    in one pass per event family, details map exploded to
+    (detail_key, detail_value) rows so the DuckDB oracle can replicate
+    the HeuristicHelper fold exactly (HeuristicHelper.java:25-40)."""
     from garmadon_spark.heuristics.batch import run_all
 
-    dfs = _fixture_dfs(spark)
+    dfs = _corpus_tables(
+        spark, ("jvmstats_event", "gc_event", "fs_event", "flink_job_event")
+    )
     res = run_all(dfs)
     return res.select(
         "application_id", "attempt_id", "heuristic", "severity", "score",
-        F.to_json("details").alias("details_json"),
-    ).orderBy("application_id", "attempt_id", "heuristic")
+        F.explode("details").alias("detail_key", "detail_value"),
+    )
 
 
 def garmadon_extractor(spark, sf_dir):
     """A10 — the Extractor tool's per-container JVMSTATS/GC tally
-    (tool/Extractor.java:36-47) over the fixture corpus.  Rows-only
-    check (fixture-backed, like garmadon_heuristics)."""
+    (tool/Extractor.java:36-47) over the fixture corpus."""
     from garmadon_spark.heuristics.batch import extractor_stats
 
-    dfs = _fixture_dfs(spark)
+    dfs = _corpus_tables(spark, ("jvmstats_event", "gc_event"))
     return extractor_stats(
         jvmstats=dfs["jvmstats_event"], gc_events=dfs["gc_event"]
-    ).orderBy("application_id", "container_id")
+    )
+
+
+def _sect(section: str, prop: str) -> str:
+    """DuckDB analogue of operators.jvmstats.section_prop(..., 'long')."""
+    return (
+        "TRY_CAST(list_filter(list_filter(section, s -> s.name = "
+        f"'{section}')[1].property, p -> p.name = '{prop}')[1].value "
+        "AS BIGINT)"
+    )
+
+
+def _heuristics_oracle_sql(d: str) -> str:
+    """DuckDB replica of batch heuristics A1-A9 + the HeuristicHelper
+    per-app fold, over the fixture parquet.  Mirrors batch.py exactly:
+    thresholds, integer division (all operands non-negative where the
+    result is used — see batch.py docstring), detail string formats,
+    >10-container folds."""
+    majors = ", ".join(
+        "COALESCE(" + _sect("gc(" + n + ")", "count") + ", 0)"
+        for n in ("MarkSweepCompact", "PS MarkSweep", "ConcurrentMarkSweep",
+                  "G1 Old Generation")
+    )
+    fs_actions = ("DELETE", "READ", "WRITE", "RENAME", "APPEND",
+                  "LIST_STATUS", "ADD_BLOCK", "GET_CONTENT_SUMMARY")
+    fs_counts = ", ".join(
+        "CAST(SUM(CASE WHEN action = '" + a + "' THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS c_" + a.lower()
+        for a in fs_actions
+    )
+    fs_labels = (
+        ("DELETE", "Files deleted"), ("READ", "Files read"),
+        ("WRITE", "Files written"), ("RENAME", "Files renamed"),
+        ("APPEND", "Files appended"), ("LIST_STATUS", "List status performed"),
+        ("ADD_BLOCK", "Blocks added"),
+        ("GET_CONTENT_SUMMARY", "Content summary retrieved"),
+    )
+    fs_rows = "\nUNION ALL\n".join(
+        "SELECT application_id, attempt_id, 'FileHeuristic', sev, sev, '"
+        + label + "', c_" + a.lower() + "::VARCHAR FROM fs_sev"
+        for a, label in fs_labels
+    )
+    return f"""
+WITH jvm AS (
+  SELECT application_id, attempt_id, container_id, timestamp, kafka_offset,
+         {_sect('heap', 'max')} AS heap_max,
+         {_sect('heap', 'used')} AS heap_used,
+         {_sect('safepoints', 'count')} AS sp_count,
+         {_sect('synclocks', 'contendedlockattempts')} AS lock_count,
+         {_sect('threads', 'count')} AS t_count,
+         {_sect('threads', 'total')} AS t_total,
+         {_sect('code', 'used')} AS c_used,
+         {_sect('code', 'max')} AS c_max,
+         GREATEST({majors}, 0) AS major
+  FROM '{d}/jvmstats_event.parquet'
+),
+lagged AS (
+  SELECT *, LAG(sp_count) OVER w AS sp_last,
+         LAG(lock_count) OVER w AS lock_last,
+         LAG(timestamp) OVER w AS last_ts
+  FROM jvm
+  WINDOW w AS (PARTITION BY application_id, attempt_id, container_id
+               ORDER BY timestamp, kafka_offset)
+),
+per_c AS (
+  SELECT application_id, attempt_id, container_id,
+         arg_max(heap_max, timestamp) AS hmax,
+         MAX(heap_used) AS hpeak,
+         MAX(major) AS major_gc,
+         MAX(CASE WHEN sp_count IS NOT NULL AND sp_last IS NOT NULL
+                       AND timestamp != last_ts AND sp_last != 0
+                  THEN (sp_count - sp_last) * 1000 // (timestamp - last_ts)
+             END) AS sp_ratio,
+         MAX(CASE WHEN lock_count IS NOT NULL AND lock_last IS NOT NULL
+                       AND timestamp != last_ts
+                  THEN (lock_count - lock_last) * 1000 // (timestamp - last_ts)
+             END) AS lock_ratio,
+         MAX(t_count) AS max_count,
+         arg_max(t_total, timestamp) AS total,
+         MAX(c_used) AS cpeak,
+         arg_max(c_max, timestamp) AS cmax
+  FROM lagged
+  GROUP BY 1, 2, 3
+),
+gc_counted AS (
+  SELECT application_id, attempt_id, container_id,
+         CAST(SUM(CASE WHEN cause = 'Metadata GC Threshold' THEN 1 ELSE 0 END)
+              AS BIGINT) AS mt,
+         CAST(SUM(CASE WHEN cause = 'Ergonomics' THEN 1 ELSE 0 END)
+              AS BIGINT) AS erg
+  FROM '{d}/gc_event.parquet'
+  WHERE cause IN ('Metadata GC Threshold', 'Ergonomics')
+  GROUP BY 1, 2, 3
+),
+gc_app AS (
+  SELECT application_id, attempt_id, COUNT(*) AS n,
+         CAST(SUM(mt) AS BIGINT) AS smt, CAST(SUM(erg) AS BIGINT) AS serg
+  FROM gc_counted GROUP BY 1, 2
+),
+g1 AS (
+  SELECT application_id, attempt_id, container_id,
+         COUNT(*) AS cnt, CAST(SUM(pause_time) AS BIGINT) AS pause,
+         MIN(timestamp) AS first_ts
+  FROM '{d}/gc_event.parquet'
+  WHERE collector_name = 'G1 Old Generation'
+  GROUP BY 1, 2, 3
+),
+verdicts AS (
+  SELECT application_id, attempt_id, container_id,
+         'HeapUsage' AS heuristic,
+         CASE WHEN r > 70 THEN 3 WHEN r > 50 THEN 2 WHEN r > 30 THEN 1
+              ELSE 0 END AS severity,
+         'unused memory %: ' || r::VARCHAR AS detail
+  FROM (SELECT *, (hmax - hpeak) * 100 // hmax AS r
+        FROM per_c WHERE COALESCE(major_gc, 0) = 0 AND hmax > hpeak)
+  UNION ALL
+  SELECT application_id, attempt_id, container_id, 'Safepoints',
+         CASE WHEN sp_ratio > 10 THEN 4 WHEN sp_ratio > 7 THEN 3
+              WHEN sp_ratio > 5 THEN 2 ELSE 1 END,
+         'Max safepoint/s: ' || sp_ratio::VARCHAR
+  FROM per_c WHERE sp_ratio > 3
+  UNION ALL
+  SELECT application_id, attempt_id, container_id, 'Locks',
+         CASE WHEN lock_ratio > 500 THEN 4 WHEN lock_ratio > 100 THEN 3
+              WHEN lock_ratio > 50 THEN 2 ELSE 1 END,
+         'Max contention/s: ' || lock_ratio::VARCHAR
+  FROM per_c WHERE lock_ratio > 10
+  UNION ALL
+  SELECT application_id, attempt_id, container_id, 'Threads',
+         CASE WHEN max_count * 100 // total <= 0 THEN 2 ELSE 1 END,
+         'Max count threads: ' || max_count::VARCHAR
+             || ', Total threads: ' || total::VARCHAR
+  FROM per_c
+  WHERE max_count IS NOT NULL AND total > 0
+        AND max_count * 100 // total <= 10
+  UNION ALL
+  SELECT application_id, attempt_id, container_id, 'CodeCacheUsage', 2,
+         'max: ' || cmax::VARCHAR || 'kB, peak: ' || cpeak::VARCHAR || 'kB'
+  FROM per_c
+  WHERE cpeak IS NOT NULL
+        AND NOT (cmax > cpeak AND (cmax - cpeak) * 100 // cmax >= 5)
+  UNION ALL
+  SELECT c.application_id, c.attempt_id, c.container_id, 'GCCause', 2,
+         'Metadata GC Threshold: ' || c.mt::VARCHAR
+             || ', Ergonomics: ' || c.erg::VARCHAR
+  FROM gc_counted c
+  JOIN gc_app a ON c.application_id = a.application_id
+              AND c.attempt_id = a.attempt_id
+  WHERE a.n <= 10
+  UNION ALL
+  SELECT application_id, attempt_id, container_id, 'G1GC', 3,
+         CASE WHEN cnt = 1 THEN
+                'Timestamp: '
+                || strftime(make_timestamp((first_ts // 1000) * 1000000),
+                            '%Y-%m-%d %H:%M:%S')
+                || CASE WHEN first_ts % 1000 = 0 THEN ''
+                        ELSE '.' || rtrim(lpad((first_ts % 1000)::VARCHAR,
+                                               3, '0'), '0') END
+                || ', pauseTime: ' || pause::VARCHAR || 'ms'
+              ELSE 'Count: ' || cnt::VARCHAR
+                || ', Cumulative PauseTime: ' || pause::VARCHAR || 'ms'
+         END
+  FROM g1
+),
+app_sev AS (
+  SELECT application_id, attempt_id, heuristic,
+         MAX(severity) AS severity, COUNT(*) AS n
+  FROM verdicts GROUP BY 1, 2, 3
+),
+fs_app AS (
+  SELECT application_id, attempt_id, {fs_counts}
+  FROM '{d}/fs_event.parquet'
+  GROUP BY 1, 2
+),
+fs_sev AS (
+  SELECT *, CASE WHEN c_write > 100000 THEN 3 WHEN c_write > 50000 THEN 2
+                 WHEN c_write > 10000 THEN 1 ELSE 0 END AS sev
+  FROM fs_app
+),
+flink AS (
+  SELECT application_id, job_name,
+         CAST(MAX(last_checkpoint_duration) AS BIGINT) AS duration
+  FROM '{d}/flink_job_event.parquet'
+  GROUP BY 1, 2
+)
+SELECT v.application_id, v.attempt_id, v.heuristic,
+       a.severity, a.severity AS score,
+       v.container_id AS detail_key, v.detail AS detail_value
+FROM verdicts v
+JOIN app_sev a ON v.application_id = a.application_id
+             AND v.attempt_id = a.attempt_id AND v.heuristic = a.heuristic
+WHERE a.n <= 10
+UNION ALL
+SELECT application_id, attempt_id, heuristic, severity, severity,
+       'Containers', n::VARCHAR
+FROM app_sev WHERE n > 10
+UNION ALL
+SELECT application_id, attempt_id, 'GCCause', 2, 2,
+       'Metadata GC Threshold', smt::VARCHAR
+FROM gc_app WHERE n > 10
+UNION ALL
+SELECT application_id, attempt_id, 'GCCause', 2, 2,
+       'Ergonomics', serg::VARCHAR
+FROM gc_app WHERE n > 10
+UNION ALL
+{fs_rows}
+UNION ALL
+SELECT application_id, job_name, 'FlinkCheckpointDuration',
+       CASE WHEN duration > 900000 THEN 3 ELSE 0 END,
+       CASE WHEN duration > 900000 THEN 3 ELSE 0 END,
+       'last_checkpoint_duration', duration::VARCHAR
+FROM flink
+"""
+
+
+def _extractor_oracle_sql(d: str) -> str:
+    return f"""
+SELECT application_id, container_id, framework,
+       CAST(SUM(CASE WHEN _kind = 'jvm' THEN 1 ELSE 0 END) AS BIGINT)
+           AS jvm_stat_count,
+       CAST(SUM(CASE WHEN _kind = 'gc' THEN 1 ELSE 0 END) AS BIGINT)
+           AS gc_stat_count
+FROM (
+  SELECT application_id, container_id, framework, 'jvm' AS _kind
+  FROM '{d}/jvmstats_event.parquet'
+  WHERE list_contains(tags, 'YARN_APPLICATION')
+  UNION ALL
+  SELECT application_id, container_id, framework, 'gc'
+  FROM '{d}/gc_event.parquet'
+  WHERE list_contains(tags, 'YARN_APPLICATION')
+)
+GROUP BY 1, 2, 3
+"""
 
 
 QUERIES = {
     "frames_roundtrip_stats": (
         frames_roundtrip_stats, FRAMES_ROUNDTRIP_STATS_SQL
     ),
-    "garmadon_heuristics": (garmadon_heuristics, None),
-    "garmadon_extractor": (garmadon_extractor, None),
+    "garmadon_heuristics": (
+        garmadon_heuristics, _heuristics_oracle_sql(fixture_corpus_dir())
+    ),
+    "garmadon_extractor": (
+        garmadon_extractor, _extractor_oracle_sql(fixture_corpus_dir())
+    ),
 }

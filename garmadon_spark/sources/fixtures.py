@@ -349,6 +349,17 @@ def _spark_task_body(rng, si):
     return body
 
 
+NAME_MAP = {
+    "fs_event": "FS_EVENT", "gc_event": "GC_EVENT",
+    "jvmstats_event": "JVMSTATS_EVENT", "state_event": "STATE_EVENT",
+    "container_monitoring_event": "CONTAINER_MONITORING_EVENT",
+    "application_event": "APPLICATION_EVENT",
+    "container_event": "CONTAINER_EVENT",
+    "spark_task_event": "SPARK_TASK_EVENT",
+    "flink_job_event": "FLINK_JOB_EVENT",
+}
+
+
 def to_spark(spark, tables: dict[str, list[dict]] | None = None,
              n_apps: int = 8, seed: int = 42):
     """Materialize the fixture as Spark DataFrames keyed by table name."""
@@ -356,20 +367,35 @@ def to_spark(spark, tables: dict[str, list[dict]] | None = None,
 
     if tables is None:
         tables = generate(n_apps=n_apps, seed=seed)
-    name_map = {
-        "fs_event": "FS_EVENT", "gc_event": "GC_EVENT",
-        "jvmstats_event": "JVMSTATS_EVENT", "state_event": "STATE_EVENT",
-        "container_monitoring_event": "CONTAINER_MONITORING_EVENT",
-        "application_event": "APPLICATION_EVENT",
-        "container_event": "CONTAINER_EVENT",
-        "spark_task_event": "SPARK_TASK_EVENT",
-        "flink_job_event": "FLINK_JOB_EVENT",
-    }
     out = {}
     for tname, rows in tables.items():
-        schema = full_schema(name_map[tname])
+        schema = full_schema(NAME_MAP[tname])
         out[tname] = spark.createDataFrame(rows, schema=schema)
     return out
+
+
+def write_parquet_pyarrow(out_dir: str, n_apps: int = 8, seed: int = 42):
+    """Write the fixture corpus as parquet WITHOUT a SparkSession (pyarrow
+    with the exact Arrow schema Spark would use), so DuckDB oracles can
+    read the same rows the Spark queries see.  Deterministic: same
+    (n_apps, seed) ⇒ byte-identical values."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from garmadon_spark.schemas import full_schema
+
+    tables = generate(n_apps=n_apps, seed=seed)
+    os.makedirs(out_dir, exist_ok=True)
+    for tname, rows in tables.items():
+        sch = to_arrow_schema(full_schema(NAME_MAP[tname]))
+        pq.write_table(
+            pa.Table.from_pylist(rows, schema=sch),
+            os.path.join(out_dir, f"{tname}.parquet"),
+        )
+    return sorted(tables)
 
 
 def write_parquet(spark, out_dir: str, n_apps: int = 8, seed: int = 42):
