@@ -157,13 +157,25 @@ def jaccard_pairs(
     text_col: str = "text",
     n: int = 2,
     threshold: float = 0.5,
+    max_df: int | None = 1000,
 ) -> DataFrame:
-    """Tier 2: exact n-gram Jaccard within blocks.
+    """Tier 2: exact n-gram Jaccard within blocks, with a shingle
+    document-frequency cap.
 
-    Plan shape: explode shingles → self-join on (block, shingle) → count
-    common → join per-doc shingle counts → filter.  The (block, shingle)
-    join key bounds the blowup to within-block pairs sharing a shingle.
-    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b."""
+    Plan shape: explode shingles → bucket per (block, shingle) → in-bucket
+    pair expansion (bucket_pairs: ONE upstream evaluation, one shuffle —
+    not the exploded self-join, which evaluates its identical upstream
+    twice) → count common → filter.
+
+    ``max_df`` is the standard stop-shingle guard: a (block, shingle)
+    bucket of df co-occurring docs emits df·(df−1)/2 pairs, so one
+    shingle shared by 10⁶ docs of a block would emit ~5·10¹¹ join rows.
+    Buckets over the cap are dropped BEFORE expansion — ``common``
+    undercounts on ultra-common shingles only, making the estimate
+    conservative (pairs whose overlap is entirely stop-shingles are not
+    near-duplicates in any useful sense).  Pass ``max_df=None`` for the
+    exact uncapped form.  Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
+    """
     base = docs.select(
         *block_cols,
         F.col(id_col).alias("doc"),
@@ -172,16 +184,17 @@ def jaccard_pairs(
     ex = explode_computed(
         base, F.col("sh"), "s", [*block_cols, "doc", "n_sh"]
     )
-    a = ex.select(*[F.col(c).alias(f"a_{c}") for c in block_cols],
-                  F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"),
-                  F.col("s"))
-    b = ex.select(*[F.col(c).alias(f"b_{c}") for c in block_cols],
-                  F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb"),
-                  F.col("s"))
-    on = [a[f"a_{c}"] == b[f"b_{c}"] for c in block_cols] + [
-        a["s"] == b["s"], a["doc_a"] < b["doc_b"]]
+    bucketed = ex.select(
+        *block_cols, "s", F.struct("doc", "n_sh").alias("p")
+    )
+    pairs = bucket_pairs(
+        bucketed, [*block_cols, "s"], "p", max_bucket=max_df
+    )
     common = (
-        a.join(b, on)
+        pairs.select(
+            F.col("a.doc").alias("doc_a"), F.col("a.n_sh").alias("na"),
+            F.col("b.doc").alias("doc_b"), F.col("b.n_sh").alias("nb"),
+        )
         .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("common"))
     )

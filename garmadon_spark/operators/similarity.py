@@ -225,10 +225,25 @@ def neardup_pairs_blocked(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_block: int | None = 10_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within blocks (the vector
     analogue of blocked Jaccard).  Self-join keyed on the block column;
-    at scale the block key comes from LSH/IVF cells instead of labels."""
+    at scale the block key comes from LSH/IVF cells instead of labels.
+
+    ``max_block`` guards the O(block²) expansion the same way
+    dedup.bucket_pairs does: blocks over the cap are dropped before the
+    join (a block that large needs a finer blocking key, not a bigger
+    join).  The size census is a tiny aggregate broadcast back as a
+    semi-join, so the guard adds no extra shuffle of the vectors."""
+    if max_block is not None:
+        keep = (
+            embs.groupBy(block_col)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_block)
+            .select(block_col)
+        )
+        embs = embs.join(F.broadcast(keep), [block_col], "left_semi")
     a = embs.select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("id_a"),

@@ -291,8 +291,7 @@ def doc_jaccard_blocked(spark, sf_dir):
     )
 
 
-DOC_JACCARD_BLOCKED_SQL = """
-WITH toks AS (
+_JACCARD_PAIRS_CTES = """toks AS (
     SELECT doc_id, lang, source,
            string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
     FROM documents
@@ -300,17 +299,28 @@ WITH toks AS (
     SELECT doc_id, lang, source,
            list_distinct([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS sh
     FROM toks
-), pairs AS (
+), ex AS (
+    SELECT doc_id, lang, source, len(sh) AS n_sh, unnest(sh) AS s
+    FROM docs
+), dfc AS (
+    SELECT lang, source, s FROM ex
+    GROUP BY 1, 2, 3 HAVING COUNT(*) BETWEEN 2 AND 1000
+), exf AS (
+    SELECT ex.* FROM ex JOIN dfc USING (lang, source, s)
+), common AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           len(list_intersect(a.sh, b.sh)) AS c,
-           len(a.sh) AS na, len(b.sh) AS nb
-    FROM docs a, docs b
-    WHERE a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-)
+           a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS c
+    FROM exf a JOIN exf b USING (lang, source, s)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+)"""
+
+DOC_JACCARD_BLOCKED_SQL = f"""
+WITH {_JACCARD_PAIRS_CTES}
 SELECT doc_a, doc_b,
        ROUND(c / (na + nb - c), 4) AS jaccard
-FROM pairs
-WHERE ROUND(c / (na + nb - c), 4) >= 0.1 AND c > 0
+FROM common
+WHERE ROUND(c / (na + nb - c), 4) >= 0.1
 """
 
 
@@ -333,24 +343,10 @@ def doc_dup_groups(spark, sf_dir):
     )
 
 
-DOC_DUP_GROUPS_SQL = """
-WITH RECURSIVE toks AS (
-    SELECT doc_id, lang, source,
-           string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
-    FROM documents
-), docs AS (
-    SELECT doc_id, lang, source,
-           list_distinct([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS sh
-    FROM toks
-), pairs AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           len(list_intersect(a.sh, b.sh)) AS c,
-           len(a.sh) AS na, len(b.sh) AS nb
-    FROM docs a, docs b
-    WHERE a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-), sim AS (
-    SELECT doc_a, doc_b FROM pairs
-    WHERE ROUND(c / (na + nb - c), 4) >= 0.1 AND c > 0
+DOC_DUP_GROUPS_SQL = f"""
+WITH RECURSIVE {_JACCARD_PAIRS_CTES}, sim AS (
+    SELECT doc_a, doc_b FROM common
+    WHERE ROUND(c / (na + nb - c), 4) >= 0.1
 ), edges AS (
     SELECT doc_a AS a, doc_b AS b FROM sim
     UNION
@@ -585,7 +581,9 @@ def emb_neardup_blocked(spark, sf_dir):
 
 
 EMB_NEARDUP_BLOCKED_SQL = """
-WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+WITH e0 AS (SELECT vec_id, label, embedding FROM embeddings),
+ok AS (SELECT label FROM e0 GROUP BY label HAVING COUNT(*) <= 10000),
+e AS (SELECT e0.* FROM e0 JOIN ok USING (label)),
 pairs AS (
     SELECT a.label AS blk, a.vec_id AS id_a, b.vec_id AS id_b,
            a.embedding AS va, b.embedding AS vb

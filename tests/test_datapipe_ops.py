@@ -54,6 +54,48 @@ def test_jaccard_pairs_blocked(docs):
     assert all(a < b for a, b in pairs)
 
 
+def test_jaccard_df_cap_bounds_pairs(spark):
+    """The shingle df-cap drops stop-shingle buckets BEFORE pair
+    expansion: one bigram shared by every doc of a block must not emit
+    O(block²) candidate pairs, while genuine near-dups (sharing low-df
+    shingles) still surface."""
+    rows = []
+    for i in range(40):
+        # docs 2k/2k+1 are near-dups via unique bigrams; ALL docs share
+        # the stop bigrams of the common tail
+        rows.append(Row(
+            doc_id=i,
+            text=f"unique{i // 2} mark{i // 2} alpha{i // 2} "
+                 "shared common tail",
+            lang="en", source="s0",
+        ))
+    docs = spark.createDataFrame(rows)
+    # candidate volume: with the cap, the 40-doc stop-shingle buckets are
+    # dropped, so only the 20 planted pairs' buckets expand
+    capped = dedup.jaccard_pairs(
+        docs, ("lang", "source"), threshold=0.3, max_df=10
+    ).collect()
+    assert {(r.doc_a, r.doc_b) for r in capped} == {
+        (2 * k, 2 * k + 1) for k in range(20)
+    }
+    # uncapped: stop-shingle buckets expand to all 780 cross pairs
+    uncapped = dedup.jaccard_pairs(
+        docs, ("lang", "source"), threshold=0.0, max_df=None
+    ).count()
+    assert uncapped == 40 * 39 // 2
+    # the raw bucket expansion itself is bounded by the cap
+    ex = docs.select(
+        "lang", "source",
+        F.explode(dedup.shingles("text", 2)).alias("s"),
+        F.struct(F.col("doc_id").alias("doc")).alias("p"),
+    )
+    n_capped = dedup.bucket_pairs(
+        ex, ["lang", "source", "s"], "p", max_bucket=10).count()
+    n_uncapped = dedup.bucket_pairs(
+        ex, ["lang", "source", "s"], "p").count()
+    assert n_capped < n_uncapped / 10
+
+
 # --- minhash + LSH --------------------------------------------------------
 
 def test_minhash_dedup_finds_planted_pairs(docs):
@@ -130,6 +172,23 @@ def test_neardup_pairs_blocked_self_similarity(spark):
         for r in similarity.neardup_pairs_blocked(df, threshold=0.9).collect()
     }
     assert set(pairs) == {(0, 1)}  # 0-3 blocked apart, 0-2 orthogonal
+
+
+def test_neardup_max_block_guard(spark):
+    """Blocks over max_block are dropped before the O(block²) self-join;
+    smaller blocks are unaffected."""
+    rows = [Row(vec_id=i, label=1, embedding=[1.0, 0.0]) for i in range(6)]
+    rows += [Row(vec_id=10, label=2, embedding=[0.0, 1.0]),
+             Row(vec_id=11, label=2, embedding=[0.0, 1.0])]
+    df = spark.createDataFrame(rows)
+    pairs = similarity.neardup_pairs_blocked(
+        df, threshold=0.5, max_block=5
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(10, 11)}
+    all_pairs = similarity.neardup_pairs_blocked(
+        df, threshold=0.5, max_block=None
+    ).count()
+    assert all_pairs == 15 + 1
 
 
 # --- text analysis --------------------------------------------------------
