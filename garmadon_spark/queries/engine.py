@@ -109,10 +109,11 @@ def fixture_corpus_dir(n_apps: int = 8, seed: int = 42) -> str:
     import shutil
     import tempfile
 
-    base = f"/tmp/garmadon_fixture_corpus_v1_{n_apps}_{seed}"
-    if not os.path.isdir(base):
-        from garmadon_spark.sources import fixtures
+    from garmadon_spark.sources import fixtures
 
+    base = (f"/tmp/garmadon_fixture_corpus"
+            f"_v{fixtures.FIXTURE_VERSION}_{n_apps}_{seed}")
+    if not os.path.isdir(base):
         tmp = tempfile.mkdtemp(prefix=base + ".tmp")
         fixtures.write_parquet_pyarrow(tmp, n_apps=n_apps, seed=seed)
         try:
@@ -154,6 +155,155 @@ def garmadon_extractor(spark, sf_dir):
     return extractor_stats(
         jvmstats=dfs["jvmstats_event"], gc_events=dfs["gc_event"]
     )
+
+
+def garmadon_spark_storage(spark, sf_dir):
+    """S10 executor-storage panel (spark_event.proto:116-131,
+    GarmadonSparkStorageStatusListener.java:158-180): peak RDD / stream /
+    broadcast memory+disk per (app, executor host).  Gauges are
+    point-in-time → MAX per group; one map-side-combinable shuffle."""
+    df = _corpus_tables(spark, ("spark_executor_storage_status_event",))[
+        "spark_executor_storage_status_event"
+    ]
+    return df.groupBy("application_id", "executor_hostname").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.max("rdd_memory_used").alias("peak_rdd_memory"),
+        F.max("rdd_disk_used").alias("peak_rdd_disk"),
+        F.max("stream_memory_used").alias("peak_stream_memory"),
+        F.max("broadcast_memory_used").alias("peak_broadcast_memory"),
+    )
+
+
+def garmadon_rdd_storage(spark, sf_dir):
+    """S10 RDD-storage panel (spark_event.proto:133-139,
+    GarmadonSparkStorageStatusListener.java:139-156): peak cached bytes
+    per (app, RDD)."""
+    df = _corpus_tables(spark, ("spark_rdd_storage_status_event",))[
+        "spark_rdd_storage_status_event"
+    ]
+    return df.groupBy("application_id", "rdd_name").agg(
+        F.max("memory_used").alias("peak_memory"),
+        F.max("off_heap_memory_used").alias("peak_off_heap"),
+        F.max("disk_used").alias("peak_disk"),
+    )
+
+
+def garmadon_spark_stages(spark, sf_dir):
+    """S9 stage-metrics panel (GarmadonSparkListener.java:111-170): per
+    (app, status) stage counts + aggregate task metrics — the
+    Grafana spark-stage dashboard shape."""
+    df = _corpus_tables(spark, ("spark_stage_event",))["spark_stage_event"]
+    return df.groupBy("application_id", "status").agg(
+        F.count(F.lit(1)).alias("n_stages"),
+        F.sum("num_tasks").alias("total_tasks"),
+        F.sum("executor_run_time").alias("executor_run_time"),
+        F.sum("shuffle_read_total_bytes").alias("shuffle_read_bytes"),
+        F.max("peak_execution_memory").alias("peak_execution_memory"),
+        F.sum(F.col("completion_time") - F.col("start_time")).alias(
+            "wall_ms"
+        ),
+    )
+
+
+def garmadon_flink_operators(spark, sf_dir):
+    """Flink operator watermark / late-records panel
+    (flink_event.proto:69-87 — the fields SURVEY calls out): per
+    (app, job, operator) watermark lag vs event time, cumulative late
+    drops (gauge → MAX), worst consumer lag."""
+    df = _corpus_tables(spark, ("flink_operator_event",))[
+        "flink_operator_event"
+    ]
+    return df.groupBy("application_id", "job_name", "operator_name").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.max(
+            F.col("timestamp") - F.col("current_input_watermark")
+        ).alias("max_watermark_lag_ms"),
+        F.max("num_late_records_dropped").alias("late_records_dropped"),
+        F.max("records_lag_max").alias("records_lag_max"),
+        F.max("commits_succeeded").alias("commits_succeeded"),
+    )
+
+
+def garmadon_flink_kafka(spark, sf_dir):
+    """Flink Kafka-consumer offset panel (flink_event.proto:90-102):
+    worst uncommitted-offset gap per (app, topic, partition)."""
+    df = _corpus_tables(spark, ("flink_kafka_consumer_event",))[
+        "flink_kafka_consumer_event"
+    ]
+    return df.groupBy("application_id", "topic", "partition").agg(
+        F.max("current_offsets").alias("max_offset"),
+        F.max(
+            F.col("current_offsets") - F.col("committed_offsets")
+        ).alias("max_uncommitted"),
+    )
+
+
+def garmadon_path_events(spark, sf_dir):
+    """S12 MapReduce PATH_EVENT tally (MapReduceTracer.java:79-215):
+    datasets read/written per app."""
+    df = _corpus_tables(spark, ("path_event",))["path_event"]
+    return df.groupBy("application_id", "type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("path").alias("n_paths"),
+    )
+
+
+def _marker_panels_sql(d: str) -> dict[str, str]:
+    return {
+        "garmadon_spark_storage": f"""
+SELECT application_id, executor_hostname,
+       COUNT(*) AS n_samples,
+       MAX(rdd_memory_used) AS peak_rdd_memory,
+       MAX(rdd_disk_used) AS peak_rdd_disk,
+       MAX(stream_memory_used) AS peak_stream_memory,
+       MAX(broadcast_memory_used) AS peak_broadcast_memory
+FROM '{d}/spark_executor_storage_status_event.parquet'
+GROUP BY 1, 2
+""",
+        "garmadon_rdd_storage": f"""
+SELECT application_id, rdd_name,
+       MAX(memory_used) AS peak_memory,
+       MAX(off_heap_memory_used) AS peak_off_heap,
+       MAX(disk_used) AS peak_disk
+FROM '{d}/spark_rdd_storage_status_event.parquet'
+GROUP BY 1, 2
+""",
+        "garmadon_spark_stages": f"""
+SELECT application_id, status,
+       COUNT(*) AS n_stages,
+       CAST(SUM(num_tasks) AS BIGINT) AS total_tasks,
+       CAST(SUM(executor_run_time) AS BIGINT) AS executor_run_time,
+       CAST(SUM(shuffle_read_total_bytes) AS BIGINT) AS shuffle_read_bytes,
+       MAX(peak_execution_memory) AS peak_execution_memory,
+       CAST(SUM(completion_time - start_time) AS BIGINT) AS wall_ms
+FROM '{d}/spark_stage_event.parquet'
+GROUP BY 1, 2
+""",
+        "garmadon_flink_operators": f"""
+SELECT application_id, job_name, operator_name,
+       COUNT(*) AS n_samples,
+       MAX(timestamp - current_input_watermark) AS max_watermark_lag_ms,
+       MAX(num_late_records_dropped) AS late_records_dropped,
+       MAX(records_lag_max) AS records_lag_max,
+       MAX(commits_succeeded) AS commits_succeeded
+FROM '{d}/flink_operator_event.parquet'
+GROUP BY 1, 2, 3
+""",
+        "garmadon_flink_kafka": f"""
+SELECT application_id, topic, partition,
+       MAX(current_offsets) AS max_offset,
+       MAX(current_offsets - committed_offsets) AS max_uncommitted
+FROM '{d}/flink_kafka_consumer_event.parquet'
+GROUP BY 1, 2, 3
+""",
+        "garmadon_path_events": f"""
+SELECT application_id, type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT path) AS n_paths
+FROM '{d}/path_event.parquet'
+GROUP BY 1, 2
+""",
+    }
 
 
 def _sect(section: str, prop: str) -> str:
@@ -388,6 +538,15 @@ GROUP BY 1, 2, 3
 """
 
 
+_PANEL_FNS = {
+    "garmadon_spark_storage": garmadon_spark_storage,
+    "garmadon_rdd_storage": garmadon_rdd_storage,
+    "garmadon_spark_stages": garmadon_spark_stages,
+    "garmadon_flink_operators": garmadon_flink_operators,
+    "garmadon_flink_kafka": garmadon_flink_kafka,
+    "garmadon_path_events": garmadon_path_events,
+}
+
 QUERIES = {
     "frames_roundtrip_stats": (
         frames_roundtrip_stats, FRAMES_ROUNDTRIP_STATS_SQL
@@ -398,4 +557,8 @@ QUERIES = {
     "garmadon_extractor": (
         garmadon_extractor, _extractor_oracle_sql(fixture_corpus_dir())
     ),
+    **{
+        name: (fn, _marker_panels_sql(fixture_corpus_dir())[name])
+        for name, fn in _PANEL_FNS.items()
+    },
 }

@@ -48,6 +48,10 @@ APPLICATION_EVENT = 4000
 CONTAINER_EVENT = 4001
 FLINK_JOB_MANAGER_EVENT = 5000
 FLINK_JOB_EVENT = 5001
+FLINK_TASK_MANAGER_EVENT = 5002
+FLINK_TASK_EVENT = 5003
+FLINK_OPERATOR_EVENT = 5004
+FLINK_KAFKA_CONSUMER_EVENT = 5005
 
 
 def _s(name: str) -> StructField:
@@ -237,6 +241,23 @@ SPARK_EXECUTOR_STATE_EVENT_BODY = StructType(
      _i("task_failures")]
 )
 
+# spark_event.proto:116-131 (ExecutorStorageStatus)
+SPARK_EXECUTOR_STORAGE_STATUS_EVENT_BODY = StructType(
+    [_s("executor_hostname"),
+     _l("rdd_off_heap_memory_used"), _l("rdd_memory_used"),
+     _l("rdd_disk_used"),
+     _l("stream_off_heap_memory_used"), _l("stream_memory_used"),
+     _l("stream_disk_used"),
+     _l("broadcast_off_heap_memory_used"), _l("broadcast_memory_used"),
+     _l("broadcast_disk_used")]
+)
+
+# spark_event.proto:133-139 (RDDStorageStatus)
+SPARK_RDD_STORAGE_STATUS_EVENT_BODY = StructType(
+    [_s("rdd_name"), _l("off_heap_memory_used"), _l("memory_used"),
+     _l("disk_used")]
+)
+
 # flink_event.proto:20-37 (job-level gauges incl. checkpoints)
 FLINK_JOB_EVENT_BODY = StructType(
     [
@@ -246,13 +267,74 @@ FLINK_JOB_EVENT_BODY = StructType(
         _l("downtime"),
         _l("restarting_time"),
         _l("full_restarts"),
+        _l("total_number_of_checkpoints"),
+        _i("number_of_in_progress_checkpoints"),
         _l("number_of_completed_checkpoints"),
         _l("number_of_failed_checkpoints"),
-        _l("number_of_in_progress_checkpoints"),
-        _l("last_checkpoint_duration"),
-        _l("last_checkpoint_size"),
         _l("last_checkpoint_restore_timestamp"),
+        _l("last_checkpoint_size"),
+        _l("last_checkpoint_duration"),
+        _l("last_checkpoint_alignment_buffered"),
+        _s("last_checkpoint_external_path"),
     ]
+)
+
+# flink_event.proto:8-13 (JobManagerEvent)
+FLINK_JOB_MANAGER_EVENT_BODY = StructType(
+    [_l("num_registered_task_managers"), _l("num_running_jobs"),
+     _l("task_slots_available"), _l("task_slots_total")]
+)
+
+# flink_event.proto:15-18 (TaskManagerEvent)
+FLINK_TASK_MANAGER_EVENT_BODY = StructType(
+    [_l("network_total_memory_segments"),
+     _l("network_available_memory_segments")]
+)
+
+# flink_event.proto:38-67 (TaskEvent — buffer/record gauges + watermark)
+FLINK_TASK_EVENT_BODY = StructType(
+    [_s("job_id"), _s("job_name"), _s("task_id"), _s("task_name"),
+     _s("task_attempt_num"),
+     _l("buffers_input_queue_length"), _l("buffers_output_queue_length"),
+     _l("buffers_in_pool_usage"), _l("buffers_out_pool_usage"),
+     _l("num_records_out"), _l("num_records_in"),
+     _l("num_bytes_out"), _l("num_bytes_in_local"),
+     _l("num_bytes_in_remote"),
+     _l("num_buffers_out"), _l("num_buffers_in_local"),
+     _l("num_buffers_in_remote"),
+     StructField("num_bytes_out_per_second", DoubleType()),
+     StructField("num_bytes_in_local_per_second", DoubleType()),
+     StructField("num_bytes_in_remote_per_second", DoubleType()),
+     StructField("num_buffers_out_per_second", DoubleType()),
+     StructField("num_buffers_in_local_per_second", DoubleType()),
+     StructField("num_buffers_in_remote_per_second", DoubleType()),
+     StructField("num_records_in_per_second", DoubleType()),
+     StructField("num_records_out_per_second", DoubleType()),
+     _s("subtask_index"),
+     _l("current_input_watermark"), _l("num_late_records_dropped")]
+)
+
+# flink_event.proto:69-87 (OperatorEvent — watermarks + late records +
+# kafka-ish consumption rates)
+FLINK_OPERATOR_EVENT_BODY = StructType(
+    [_s("job_id"), _s("job_name"), _s("task_id"), _s("task_name"),
+     _s("operator_id"), _s("operator_name"), _s("subtask_index"),
+     _l("current_input_watermark"), _l("num_late_records_dropped"),
+     _l("current_input_1_watermark"), _l("current_input_2_watermark"),
+     _l("current_output_watermark"), _l("num_splits_processed"),
+     _l("commits_succeeded"), _l("commits_failed"),
+     StructField("records_lag_max", DoubleType()),
+     StructField("records_consumed_rate", DoubleType()),
+     StructField("bytes_consumed_rate", DoubleType())]
+)
+
+# flink_event.proto:90-102 (KafkaConsumerEvent — per topic-partition
+# offset gauges)
+FLINK_KAFKA_CONSUMER_EVENT_BODY = StructType(
+    [_s("job_id"), _s("job_name"), _s("task_id"), _s("task_name"),
+     _s("operator_id"), _s("operator_name"), _s("subtask_index"),
+     _s("topic"), _s("partition"),
+     _l("current_offsets"), _l("committed_offsets")]
 )
 
 
@@ -291,9 +373,40 @@ REGISTRY: dict[int, EventType] = {
             SPARK_EXECUTOR_STATE_EVENT_BODY,
         ),
         EventType(SPARK_TASK_EVENT, "SPARK_TASK_EVENT", SPARK_TASK_EVENT_BODY),
+        EventType(
+            SPARK_EXECUTOR_STORAGE_STATUS_EVENT,
+            "SPARK_EXECUTOR_STORAGE_STATUS_EVENT",
+            SPARK_EXECUTOR_STORAGE_STATUS_EVENT_BODY,
+        ),
+        EventType(
+            SPARK_RDD_STORAGE_STATUS_EVENT,
+            "SPARK_RDD_STORAGE_STATUS_EVENT",
+            SPARK_RDD_STORAGE_STATUS_EVENT_BODY,
+        ),
         EventType(APPLICATION_EVENT, "APPLICATION_EVENT", APPLICATION_EVENT_BODY),
         EventType(CONTAINER_EVENT, "CONTAINER_EVENT", CONTAINER_EVENT_BODY),
+        EventType(
+            FLINK_JOB_MANAGER_EVENT,
+            "FLINK_JOB_MANAGER_EVENT",
+            FLINK_JOB_MANAGER_EVENT_BODY,
+        ),
         EventType(FLINK_JOB_EVENT, "FLINK_JOB_EVENT", FLINK_JOB_EVENT_BODY),
+        EventType(
+            FLINK_TASK_MANAGER_EVENT,
+            "FLINK_TASK_MANAGER_EVENT",
+            FLINK_TASK_MANAGER_EVENT_BODY,
+        ),
+        EventType(FLINK_TASK_EVENT, "FLINK_TASK_EVENT", FLINK_TASK_EVENT_BODY),
+        EventType(
+            FLINK_OPERATOR_EVENT,
+            "FLINK_OPERATOR_EVENT",
+            FLINK_OPERATOR_EVENT_BODY,
+        ),
+        EventType(
+            FLINK_KAFKA_CONSUMER_EVENT,
+            "FLINK_KAFKA_CONSUMER_EVENT",
+            FLINK_KAFKA_CONSUMER_EVENT_BODY,
+        ),
     ]
 }
 

@@ -136,19 +136,36 @@ GC_CAUSES = ["Allocation Failure", "Metadata GC Threshold", "Ergonomics",
              "System.gc()"]
 
 
+FIXTURE_VERSION = 2  # bump when generate() output changes (cache key)
+
+
 def generate(n_apps: int = 8, seed: int = 42) -> dict[str, list[dict]]:
     """Generate all event tables.  Returns {table_name: [row dicts]} with
     flat rows matching schemas.full_schema(name) (nested only for
-    JVMSTATS section bags)."""
+    JVMSTATS section bags).
+
+    Two independent RNG streams: ``rng`` drives the original nine
+    families; ``rng2`` drives the families added later (Spark
+    stage/executor-state/storage, PATH_EVENT, the five Flink gauges) so
+    extending coverage never perturbs previously generated values."""
     rng = random.Random(seed)
+    rng2 = random.Random(seed * 7919 + 1)
     tables: dict[str, list[dict]] = {
         "fs_event": [], "gc_event": [], "jvmstats_event": [],
         "state_event": [], "container_monitoring_event": [],
         "application_event": [], "container_event": [],
         "spark_task_event": [], "flink_job_event": [],
+        "path_event": [], "spark_stage_event": [],
+        "spark_stage_state_event": [], "spark_executor_state_event": [],
+        "spark_executor_storage_status_event": [],
+        "spark_rdd_storage_status_event": [],
+        "flink_job_manager_event": [], "flink_task_manager_event": [],
+        "flink_task_event": [], "flink_operator_event": [],
+        "flink_kafka_consumer_event": [],
     }
     # kafka coordinates: monotone offset per partition (invariant 3)
     offsets = [0, 0, 0, 0]
+    offsets2 = [0, 0, 0, 0]
     emitted: list[tuple[str, dict]] = []
 
     def emit(table, header, body, ts):
@@ -161,6 +178,19 @@ def generate(n_apps: int = 8, seed: int = 42) -> dict[str, list[dict]]:
         row["kafka_offset"] = offsets[part]
         tables[table].append(row)
         emitted.append((table, row))
+
+    def emit2(table, header, body, ts):
+        # rng2-stream emit for the added families, on partitions 4-7 with
+        # their own counters and outside `emitted` — original families
+        # keep their exact v1 rows (offsets, partitions, replay tail)
+        p = rng2.randint(0, 3)
+        offsets2[p] += 1
+        row = dict(header)
+        row.update(body)
+        row["timestamp"] = ts
+        row["kafka_partition"] = 4 + p
+        row["kafka_offset"] = offsets2[p]
+        tables[table].append(row)
 
     frameworks = ["SPARK", "MAPREDUCE", "FLINK", "SPARK"]
     for ai in range(n_apps):
@@ -217,6 +247,56 @@ def generate(n_apps: int = 8, seed: int = 42) -> dict[str, list[dict]]:
                 "finish_time": app_start + 3_600_000 if st == "FINISHED" else 0,
             }, ts)
 
+        # --- Spark listener families (GarmadonSparkListener.java:105-214:
+        # stage BEGIN/END state + completed-stage metrics;
+        # GarmadonSparkStorageStatusListener.java:139-260: RDD storage) —
+        # driver-side, so headers ride the AM/driver container.
+        if fw == "SPARK":
+            drv = _mk_header(app, containers[0], rng2)
+            for k in range(3):
+                sub = app_start + k * 120_000
+                comp = sub + rng2.randint(30_000, 110_000)
+                stage = {
+                    "stage_name": f"stage-{k} at Job{ai % 4}.scala:{40 + k}",
+                    "stage_id": str(k),
+                    "stage_attempt_id": "0",
+                    "num_tasks": rng2.randint(8, 64),
+                }
+                emit2("spark_stage_state_event", drv,
+                      {**stage, "state": "BEGIN"}, sub)
+                emit2("spark_stage_state_event", drv,
+                      {**stage, "state": "END"}, comp)
+                status = "succeeded" if rng2.random() > 0.1 else "failed"
+                body = {
+                    **stage, "status": status,
+                    "failure_reason": ""
+                    if status == "succeeded"
+                    else "ExecutorLostFailure (executor 3 exited)",
+                    "start_time": sub, "completion_time": comp,
+                }
+                for f in _SPARK_METRICS():
+                    body[f] = rng2.randint(0, 10 ** 9)
+                emit2("spark_stage_event", drv, body, comp)
+                for rk in range(2):
+                    emit2("spark_rdd_storage_status_event", drv, {
+                        "rdd_name": f"rdd-{k}-{rk}",
+                        "off_heap_memory_used": rng2.randint(0, 2 ** 26),
+                        "memory_used": rng2.randint(0, 2 ** 30),
+                        "disk_used": rng2.randint(0, 2 ** 31),
+                    }, comp)
+
+        # --- MapReduce PATH_EVENT (MapReduceTracer.java:79-215: INPUT on
+        # input-format resolution, OUTPUT on committer setup) ------------
+        if fw == "MAPREDUCE":
+            am = _mk_header(app, containers[0], rng2)
+            base_path = f"hdfs://nameservice1/user/{app['username']}"
+            emit2("path_event", am,
+                  {"path": f"{base_path}/input/ds{ai}", "type": "INPUT"},
+                  app_start + 5_000)
+            emit2("path_event", am,
+                  {"path": f"{base_path}/output/ds{ai}", "type": "OUTPUT"},
+                  app_start + 3_600_000)
+
         for c in containers:
             prof = c["profile"]
             state = {
@@ -237,6 +317,18 @@ def generate(n_apps: int = 8, seed: int = 42) -> dict[str, list[dict]]:
             n_samples = rng.randint(6, 12)
             c_start = app_start + rng.randint(0, 60_000)
             hdr = _mk_header(app, c, rng)
+            is_executor = fw == "SPARK" and c["component"] == "EXECUTOR"
+            is_flink_jm = fw == "FLINK" and c is containers[0]
+            is_flink_tm = fw == "FLINK" and c is not containers[0]
+            if is_executor:
+                # GarmadonSparkListener.java:226-243 (onExecutorAdded)
+                emit2("spark_executor_state_event", hdr, {
+                    "state": "ADDED", "executor_hostname": c["hostname"],
+                    "reason": "", "task_failures": 0,
+                }, c_start)
+            fl = {"late_task": 0, "late_src": 0, "late_win": 0,
+                  "records_in": 0, "records_out": 0,
+                  "offset": rng2.randint(10 ** 5, 10 ** 6)}
             for si in range(n_samples):
                 ts = c_start + si * 10_000
                 # ~2 % late events (invariant 4)
@@ -302,6 +394,124 @@ def generate(n_apps: int = 8, seed: int = 42) -> dict[str, list[dict]]:
                             rng.choice([800, 4000, 20_000, 70_000, 200_000]),
                         "last_checkpoint_size": rng.randint(10 ** 6, 10 ** 9),
                         "last_checkpoint_restore_timestamp": 0,
+                        # flink_event.proto:26,34-35 (rng2: v2 additions)
+                        "total_number_of_checkpoints": si,
+                        "last_checkpoint_alignment_buffered":
+                            rng2.randint(0, 10 ** 6),
+                        "last_checkpoint_external_path":
+                            f"hdfs://nameservice1/flink/ckpt/job{ai}",
+                    }, ts)
+                if is_executor and rng2.random() < 0.7:
+                    # GarmadonSparkStorageStatusListener.java:158-180
+                    emit2("spark_executor_storage_status_event", hdr, {
+                        "executor_hostname": c["hostname"],
+                        "rdd_off_heap_memory_used": rng2.randint(0, 2 ** 26),
+                        "rdd_memory_used": rng2.randint(0, 2 ** 30),
+                        "rdd_disk_used": rng2.randint(0, 2 ** 31),
+                        "stream_off_heap_memory_used": 0,
+                        "stream_memory_used": rng2.randint(0, 2 ** 24),
+                        "stream_disk_used": 0,
+                        "broadcast_off_heap_memory_used": 0,
+                        "broadcast_memory_used": rng2.randint(0, 2 ** 24),
+                        "broadcast_disk_used": rng2.randint(0, 2 ** 20),
+                    }, ts)
+                if is_flink_jm and rng2.random() < 0.6:
+                    emit2("flink_job_manager_event", hdr, {
+                        "num_registered_task_managers": n_containers - 1,
+                        "num_running_jobs": 1,
+                        "task_slots_available": rng2.randint(0, 4),
+                        "task_slots_total": 8,
+                    }, ts)
+                if is_flink_tm:
+                    task_ids = {
+                        "job_id": f"job{ai}", "job_name": f"flink-job-{ai}",
+                        "task_id": f"task-{c['container_id'][-2:]}",
+                        "task_name": "Source: Kafka -> Window -> Sink",
+                    }
+                    emit2("flink_task_manager_event", hdr, {
+                        "network_total_memory_segments": 32768,
+                        "network_available_memory_segments":
+                            rng2.randint(1_000, 32_768),
+                    }, ts)
+                    fl["late_task"] += rng2.randint(0, 5)
+                    fl["records_in"] += rng2.randint(100, 10_000)
+                    fl["records_out"] += rng2.randint(100, 10_000)
+                    wm = ts - rng2.randint(500, 30_000)
+                    emit2("flink_task_event", hdr, {
+                        **task_ids,
+                        "task_attempt_num": "0",
+                        "buffers_input_queue_length": rng2.randint(0, 64),
+                        "buffers_output_queue_length": rng2.randint(0, 64),
+                        "buffers_in_pool_usage": rng2.randint(0, 100),
+                        "buffers_out_pool_usage": rng2.randint(0, 100),
+                        "num_records_out": fl["records_out"],
+                        "num_records_in": fl["records_in"],
+                        "num_bytes_out": fl["records_out"] * 120,
+                        "num_bytes_in_local": fl["records_in"] * 60,
+                        "num_bytes_in_remote": fl["records_in"] * 60,
+                        "num_buffers_out": fl["records_out"] // 100,
+                        "num_buffers_in_local": fl["records_in"] // 200,
+                        "num_buffers_in_remote": fl["records_in"] // 200,
+                        "num_bytes_out_per_second":
+                            round(rng2.uniform(0, 10 ** 6), 2),
+                        "num_bytes_in_local_per_second":
+                            round(rng2.uniform(0, 10 ** 6), 2),
+                        "num_bytes_in_remote_per_second":
+                            round(rng2.uniform(0, 10 ** 6), 2),
+                        "num_buffers_out_per_second":
+                            round(rng2.uniform(0, 10 ** 3), 2),
+                        "num_buffers_in_local_per_second":
+                            round(rng2.uniform(0, 10 ** 3), 2),
+                        "num_buffers_in_remote_per_second":
+                            round(rng2.uniform(0, 10 ** 3), 2),
+                        "num_records_in_per_second":
+                            round(rng2.uniform(0, 10 ** 4), 2),
+                        "num_records_out_per_second":
+                            round(rng2.uniform(0, 10 ** 4), 2),
+                        "subtask_index": c["container_id"][-1:],
+                        "current_input_watermark": wm,
+                        "num_late_records_dropped": fl["late_task"],
+                    }, ts)
+                    for op_id, op_name, late_key in (
+                        ("op-src", "Source: Kafka", "late_src"),
+                        ("op-win", "Window(TumblingEventTimeWindows)",
+                         "late_win"),
+                    ):
+                        fl[late_key] += rng2.randint(0, 3)
+                        emit2("flink_operator_event", hdr, {
+                            **task_ids,
+                            "operator_id": op_id,
+                            "operator_name": op_name,
+                            "subtask_index": c["container_id"][-1:],
+                            "current_input_watermark":
+                                wm - rng2.randint(0, 2_000),
+                            "num_late_records_dropped": fl[late_key],
+                            "current_input_1_watermark":
+                                wm - rng2.randint(0, 2_000),
+                            "current_input_2_watermark": 0,
+                            "current_output_watermark":
+                                wm - rng2.randint(0, 5_000),
+                            "num_splits_processed": rng2.randint(0, 64),
+                            "commits_succeeded": si,
+                            "commits_failed": 0,
+                            "records_lag_max":
+                                float(rng2.randint(0, 50_000)),
+                            "records_consumed_rate":
+                                round(rng2.uniform(0, 10 ** 4), 2),
+                            "bytes_consumed_rate":
+                                round(rng2.uniform(0, 10 ** 6), 2),
+                        }, ts)
+                    fl["offset"] += rng2.randint(100, 5_000)
+                    emit2("flink_kafka_consumer_event", hdr, {
+                        **task_ids,
+                        "operator_id": "op-src",
+                        "operator_name": "Source: Kafka",
+                        "subtask_index": c["container_id"][-1:],
+                        "topic": "garmadon",
+                        "partition": str(int(c["container_id"][-1:]) % 4),
+                        "current_offsets": fl["offset"],
+                        "committed_offsets":
+                            fl["offset"] - rng2.randint(0, 500),
                     }, ts)
             end_ts = c_start + n_samples * 10_000
             # container end: RM view + agent STATE_EVENT(END) (invariant 1)
@@ -315,6 +525,18 @@ def generate(n_apps: int = 8, seed: int = 42) -> dict[str, list[dict]]:
                 "vcores_reserved": rng.randint(1, 8),
                 "memory_reserved": rng.choice([2048, 4096, 8192]),
             }, end_ts)
+            if is_executor:
+                # GarmadonSparkListener.java:245-280 (removed/blacklisted)
+                if rng2.random() < 0.2:
+                    emit2("spark_executor_state_event", hdr, {
+                        "state": "BLACKLISTED",
+                        "executor_hostname": c["hostname"],
+                        "reason": "", "task_failures": rng2.randint(1, 8),
+                    }, end_ts - 5_000)
+                emit2("spark_executor_state_event", hdr, {
+                    "state": "REMOVED", "executor_hostname": c["hostname"],
+                    "reason": "Executor finished", "task_failures": 0,
+                }, end_ts)
             emit("state_event", hdr, {"state": "END"}, end_ts)
 
     # invariant 3: duplicated tail replay (same offsets re-delivered)
@@ -328,6 +550,12 @@ def generate(n_apps: int = 8, seed: int = 42) -> dict[str, list[dict]]:
 FS_ACTIONS_W = ["READ"] * 5 + ["WRITE"] * 3 + ["RENAME", "DELETE", "APPEND",
                                                "ADD_BLOCK", "LIST_STATUS",
                                                "GET_CONTENT_SUMMARY"]
+
+
+def _SPARK_METRICS():
+    from garmadon_spark.schemas import SPARK_METRIC_FIELDS
+
+    return SPARK_METRIC_FIELDS
 
 
 def _spark_task_body(rng, si):
@@ -357,6 +585,18 @@ NAME_MAP = {
     "container_event": "CONTAINER_EVENT",
     "spark_task_event": "SPARK_TASK_EVENT",
     "flink_job_event": "FLINK_JOB_EVENT",
+    "path_event": "PATH_EVENT",
+    "spark_stage_event": "SPARK_STAGE_EVENT",
+    "spark_stage_state_event": "SPARK_STAGE_STATE_EVENT",
+    "spark_executor_state_event": "SPARK_EXECUTOR_STATE_EVENT",
+    "spark_executor_storage_status_event":
+        "SPARK_EXECUTOR_STORAGE_STATUS_EVENT",
+    "spark_rdd_storage_status_event": "SPARK_RDD_STORAGE_STATUS_EVENT",
+    "flink_job_manager_event": "FLINK_JOB_MANAGER_EVENT",
+    "flink_task_manager_event": "FLINK_TASK_MANAGER_EVENT",
+    "flink_task_event": "FLINK_TASK_EVENT",
+    "flink_operator_event": "FLINK_OPERATOR_EVENT",
+    "flink_kafka_consumer_event": "FLINK_KAFKA_CONSUMER_EVENT",
 }
 
 

@@ -232,6 +232,52 @@ def test_wide_event_table_union(garmadon):
     assert gc_rows.filter(F.col("action").isNotNull()).count() == 0
 
 
+def test_decode_all_covers_every_marker(spark):
+    """Every one of the 20 registered markers decodes through the wire
+    codec (encode_frame → decode_frames → decode_all) with a fixture row
+    for its family — the GarmadonSerialization registry parity check
+    (GarmadonSerialization.java:52-101)."""
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    from garmadon_spark import schemas
+    from garmadon_spark.sources import fixtures
+    from garmadon_spark.sources.frames import decode_frames, decode_all, \
+        encode_frame
+
+    tables = fixtures.generate(n_apps=8, seed=42)
+    header_keys = {f.name for f in schemas.HEADER.fields}
+    frames = []
+    covered = set()
+    for tname, rows in tables.items():
+        assert rows, f"fixture family {tname} generated no rows"
+        e = schemas.BY_NAME[fixtures.NAME_MAP[tname]]
+        row = rows[0]
+        header = {k: v for k, v in row.items() if k in header_keys}
+        body = {
+            f.name: row.get(f.name) for f in e.body.fields
+            if row.get(f.name) is not None
+        }
+        frames.append(
+            (bytearray(encode_frame(e.marker, row["timestamp"], header,
+                                    body)),)
+        )
+        covered.add(e.marker)
+    assert covered == set(schemas.REGISTRY) - {9901}, \
+        "fixtures must cover every built-in marker"
+    assert len(covered) >= 20
+    df = spark.createDataFrame(
+        frames, StructType([StructField("value", BinaryType())])
+    )
+    typed = decode_all(decode_frames(df))
+    for tname, rows in tables.items():
+        name = fixtures.NAME_MAP[tname]
+        got = typed[name].select("header.application_id", "timestamp")
+        r = got.head()
+        assert r is not None, f"{name} frame did not decode"
+        assert r.timestamp == rows[0]["timestamp"]
+        assert r.application_id == rows[0]["application_id"]
+
+
 def test_register_custom_event_type_roundtrip(spark):
     """§2.11 extension surface: a user-registered event type flows
     through the frame codec and typed decode like a built-in."""
