@@ -356,17 +356,30 @@ FS_ACTION_LABELS = {
 }
 
 
-def file_heuristic(fs_events: DataFrame, max_created_files: int = 100_000) -> DataFrame:
+def file_heuristic(fs_events: DataFrame, max_created_files: int = 100_000,
+                   app_universe: DataFrame | None = None) -> DataFrame:
     """FileHeuristic.java:31-97: per-app action counters (app-level, not
     per container); severity from files written: > max → SEVERE,
-    > max/2 → MODERATE, > max/10 → LOW, else NONE.  Every app with fs
-    events gets a result row with all 8 counters as details."""
+    > max/2 → MODERATE, > max/10 → LOW, else NONE.
+
+    The reference emits a row for EVERY completed app — zero counters,
+    NONE severity — not just apps with fs activity
+    (FileHeuristic.onAppCompleted).  Pass ``app_universe`` (distinct
+    (application_id, attempt_id), e.g. from the other event tables) to
+    get those zero rows; without it only fs-active apps appear."""
     counts = fs_events.groupBy("application_id", "attempt_id").agg(
         *[
             F.sum(F.when(F.col("action") == a, 1).otherwise(0)).alias(a)
             for a in FS_ACTION_LABELS
         ]
     )
+    if app_universe is not None:
+        universe = app_universe.select(
+            "application_id", "attempt_id"
+        ).distinct()
+        counts = counts.join(
+            universe, ["application_id", "attempt_id"], "full_outer"
+        ).na.fill(0, list(FS_ACTION_LABELS))
     written = F.col("WRITE")
     sev = (
         F.when(written > max_created_files, Severity.SEVERE)
@@ -626,7 +639,16 @@ def run_all(dfs: dict, max_created_files: int = 100_000,
     if "gc_event" in dfs:
         results += [gc_cause(dfs["gc_event"]), g1_full_gc(dfs["gc_event"])]
     if "fs_event" in dfs:
-        results.append(file_heuristic(dfs["fs_event"], max_created_files))
+        # app universe for the every-completed-app zero rows: every
+        # (app, attempt) observed in any event family
+        uni = None
+        for d in dfs.values():
+            sel = d.select("application_id", "attempt_id")
+            uni = sel if uni is None else uni.unionByName(sel)
+        results.append(
+            file_heuristic(dfs["fs_event"], max_created_files,
+                           app_universe=uni)
+        )
     if "flink_job_event" in dfs:
         results.append(flink_checkpoint_duration(dfs["flink_job_event"]))
     out = results[0]

@@ -345,6 +345,10 @@ def _heuristics_oracle_sql(d: str) -> str:
         + label + "', c_" + a.lower() + "::VARCHAR FROM fs_sev"
         for a, label in fs_labels
     )
+    fs_zero = ", ".join(
+        "COALESCE(c.c_" + a.lower() + ", 0) AS c_" + a.lower()
+        for a in fs_actions
+    )
     return f"""
 WITH jvm AS (
   SELECT application_id, attempt_id, container_id, timestamp, kafka_offset,
@@ -472,10 +476,27 @@ app_sev AS (
          MAX(severity) AS severity, COUNT(*) AS n
   FROM verdicts GROUP BY 1, 2, 3
 ),
-fs_app AS (
+app_universe AS (
+  SELECT DISTINCT application_id, attempt_id FROM (
+    SELECT application_id, attempt_id FROM '{d}/jvmstats_event.parquet'
+    UNION ALL
+    SELECT application_id, attempt_id FROM '{d}/gc_event.parquet'
+    UNION ALL
+    SELECT application_id, attempt_id FROM '{d}/fs_event.parquet'
+    UNION ALL
+    SELECT application_id, attempt_id FROM '{d}/flink_job_event.parquet'
+  )
+),
+fs_counted AS (
   SELECT application_id, attempt_id, {fs_counts}
   FROM '{d}/fs_event.parquet'
   GROUP BY 1, 2
+),
+fs_app AS (
+  -- FileHeuristic emits a zero-counter row for every completed app
+  SELECT u.application_id, u.attempt_id, {fs_zero}
+  FROM app_universe u
+  LEFT JOIN fs_counted c USING (application_id, attempt_id)
 ),
 fs_sev AS (
   SELECT *, CASE WHEN c_write > 100000 THEN 3 WHEN c_write > 50000 THEN 2

@@ -8,11 +8,14 @@ arrives for the LAST live container (Heuristics.java:129-158).  Spark's
 ``applyInPandasWithState`` — one state entry per app attempt, timeout-free
 (the END marker is the close signal, as in the reference).
 
-In-state heuristics implemented here (same math as heuristics.batch):
-HeapUsage, Safepoints, FileHeuristic.  The trio mirrors the reference's
-extension protocol: ``process`` (per event) / ``onContainerCompleted``
-(on that container's END) / ``onAppCompleted`` (on last END) — see
-Heuristic.java.
+In-state heuristics implemented here (same math as heuristics.batch —
+parity pinned per heuristic in tests/test_streaming.py): HeapUsage,
+Safepoints, Locks, Threads, CodeCacheUsage, GCCause, G1GC,
+FileHeuristic, FlinkCheckpointDuration — the full A1-A9 set the
+reference runs under one streaming loop (Heuristics.java:29-158).  The
+extension protocol mirrors the reference's ``Heuristic`` interface:
+``process`` (per event) / ``onContainerCompleted`` (on that container's
+END) / ``onAppCompleted`` (on last END) — see Heuristic.java.
 
 Scale: state per key is O(live containers per app) counters — bounded
 (~10²), independent of event volume.  The input union projects ONLY the
@@ -57,17 +60,38 @@ RESULT_SCHEMA = StructType(
 
 STATE_SCHEMA = StructType([StructField("state_json", StringType())])
 
+_LONG_COLS = (
+    "heap_used", "heap_max", "major_gc", "sp_count", "lock_count",
+    "t_count", "t_total", "c_used", "c_max", "pause_time",
+    "checkpoint_duration",
+)
+_STR_COLS = ("action", "state", "cause", "collector_name", "job_name")
+
 _UNION_COLS = [
     "application_id", "attempt_id", "container_id", "timestamp",
-    "kafka_offset", "kind", "heap_used", "heap_max", "major_gc",
-    "sp_count", "action", "state",
+    "kafka_offset", "kind", *_LONG_COLS, *_STR_COLS,
 ]
+
+_KEY_COLS = ["application_id", "attempt_id", "container_id", "timestamp",
+             "kafka_offset"]
+
+
+def _pad(cols: dict) -> list:
+    """Fill the union schema: given {name: Column}, null-pad the rest."""
+    out = []
+    for c in _LONG_COLS:
+        out.append(cols.get(c, F.lit(None).cast("long")).alias(c))
+    for c in _STR_COLS:
+        out.append(cols.get(c, F.lit(None).cast("string")).alias(c))
+    return out
 
 
 def prepare_session_input(
     jvmstats: DataFrame | None = None,
     fs_events: DataFrame | None = None,
     state_events: DataFrame | None = None,
+    gc_events: DataFrame | None = None,
+    flink_job_events: DataFrame | None = None,
 ) -> DataFrame:
     """Project each event family down to the session engine's narrow
     union schema (JVM-side; Python sees only these columns)."""
@@ -81,39 +105,57 @@ def prepare_session_input(
         ]
         parts.append(
             jvmstats.select(
-                "application_id", "attempt_id", "container_id", "timestamp",
-                "kafka_offset",
+                *_KEY_COLS,
                 F.lit("jvm").alias("kind"),
-                section_prop(smap, "heap", "used", "long").alias("heap_used"),
-                section_prop(smap, "heap", "max", "long").alias("heap_max"),
-                F.greatest(*majors, F.lit(0)).alias("major_gc"),
-                section_prop(smap, "safepoints", "count", "long").alias("sp_count"),
-                F.lit(None).cast("string").alias("action"),
-                F.lit(None).cast("string").alias("state"),
+                *_pad({
+                    "heap_used": section_prop(smap, "heap", "used", "long"),
+                    "heap_max": section_prop(smap, "heap", "max", "long"),
+                    "major_gc": F.greatest(*majors, F.lit(0)),
+                    "sp_count":
+                        section_prop(smap, "safepoints", "count", "long"),
+                    "lock_count": section_prop(
+                        smap, "synclocks", "contendedlockattempts", "long"
+                    ),
+                    "t_count": section_prop(smap, "threads", "count", "long"),
+                    "t_total": section_prop(smap, "threads", "total", "long"),
+                    "c_used": section_prop(smap, "code", "used", "long"),
+                    "c_max": section_prop(smap, "code", "max", "long"),
+                }),
             )
         )
     if fs_events is not None:
         parts.append(
             fs_events.select(
-                "application_id", "attempt_id", "container_id", "timestamp",
-                "kafka_offset",
-                F.lit("fs").alias("kind"),
-                *[F.lit(None).cast("long").alias(c)
-                  for c in ("heap_used", "heap_max", "major_gc", "sp_count")],
-                F.col("action"),
-                F.lit(None).cast("string").alias("state"),
+                *_KEY_COLS, F.lit("fs").alias("kind"),
+                *_pad({"action": F.col("action")}),
             )
         )
     if state_events is not None:
         parts.append(
             state_events.select(
-                "application_id", "attempt_id", "container_id", "timestamp",
-                "kafka_offset",
-                F.lit("state").alias("kind"),
-                *[F.lit(None).cast("long").alias(c)
-                  for c in ("heap_used", "heap_max", "major_gc", "sp_count")],
-                F.lit(None).cast("string").alias("action"),
-                F.col("state"),
+                *_KEY_COLS, F.lit("state").alias("kind"),
+                *_pad({"state": F.col("state")}),
+            )
+        )
+    if gc_events is not None:
+        parts.append(
+            gc_events.select(
+                *_KEY_COLS, F.lit("gc").alias("kind"),
+                *_pad({
+                    "cause": F.col("cause"),
+                    "collector_name": F.col("collector_name"),
+                    "pause_time": F.col("pause_time"),
+                }),
+            )
+        )
+    if flink_job_events is not None:
+        parts.append(
+            flink_job_events.select(
+                *_KEY_COLS, F.lit("flink").alias("kind"),
+                *_pad({
+                    "job_name": F.col("job_name"),
+                    "checkpoint_duration": F.col("last_checkpoint_duration"),
+                }),
             )
         )
     out = parts[0]
@@ -167,56 +209,117 @@ def register_heuristic(h: SessionHeuristic) -> SessionHeuristic:
 
 
 def _new_state() -> dict:
-    return {"live": [], "seen": [], "heap": {}, "sp": {}, "fs": {},
-            "ext": {}}
+    return {"live": [], "seen": [], "heap": {}, "sp": {}, "locks": {},
+            "threads": {}, "code": {}, "gccause": {}, "g1": {}, "fs": {},
+            "flink": {}, "ext": {}}
+
+
+def _tiered(rate: int, tiers: tuple[int, int, int, int]) -> int:
+    t1, t2, t3, t4 = tiers
+    if rate > t4:
+        return Severity.CRITICAL
+    if rate > t3:
+        return Severity.SEVERE
+    if rate > t2:
+        return Severity.MODERATE
+    if rate > t1:
+        return Severity.LOW
+    return Severity.NONE
+
+
+def _rate_update(slot: dict, cur: int, ts: int,
+                 tiers: tuple[int, int, int, int],
+                 skip_zero_last: bool) -> None:
+    """Consecutive-sample rate update — the in-state form of
+    batch._rate_heuristic's lag window (Safepoints.java:17-62,
+    Locks.java:17-61)."""
+    last, last_ts, has = slot["last"], slot["last_ts"], slot["has"]
+    slot["last"], slot["last_ts"], slot["has"] = cur, ts, True
+    if not has or ts == last_ts or (skip_zero_last and last == 0):
+        return
+    rate = (cur - last) * 1000 // (ts - last_ts)
+    slot["ratio"] = max(slot["ratio"], rate)
+    slot["sev"] = max(slot["sev"], _tiered(rate, tiers))
+
+
+def _num(v):
+    return None if v is None or pd.isna(v) else int(v)
 
 
 def _process_row(s: dict, r, heuristics: list[SessionHeuristic] = ()) -> None:
+    is_end = r.kind == "state" and r.state == "END"
     for h in heuristics:
         ext = s["ext"].setdefault(h.name, h.new_state())
         h.process(ext, r)
-        if (r.kind == "state" and r.state == "END"
-                and r.container_id in s["live"]):
+        if is_end:
+            # the reference fires onContainerCompleted on EVERY END,
+            # registered or not (Heuristics.java:146-148)
             h.on_container_completed(ext, r.container_id)
     cid = r.container_id
-    if cid and cid not in s["seen"]:
+    # registerAppContainer excludes STATE_EVENT (Heuristics.java:131-140):
+    # a state-only container must not enter the live set, else a lost END
+    # leaks the app forever / an END-only container could finalize an app
+    # the reference never would.
+    if cid and r.kind != "state" and cid not in s["seen"]:
         s["seen"].append(cid)
         s["live"].append(cid)
+    ts = int(r.timestamp)
     if r.kind == "jvm":
-        h = s["heap"].setdefault(cid, {"max": 0, "peak": 0, "major": 0})
-        if r.heap_max is not None and not pd.isna(r.heap_max):
-            h["max"] = int(r.heap_max)
-        if r.heap_used is not None and not pd.isna(r.heap_used):
-            h["peak"] = max(h["peak"], int(r.heap_used))
-        if r.major_gc is not None and not pd.isna(r.major_gc):
-            h["major"] = max(h["major"], int(r.major_gc))
-        if r.sp_count is not None and not pd.isna(r.sp_count):
+        h = s["heap"].setdefault(
+            cid, {"max": 0, "max_ts": -1, "peak": 0, "major": 0})
+        if _num(r.heap_max) is not None and ts >= h["max_ts"]:
+            h["max"], h["max_ts"] = _num(r.heap_max), ts
+        if _num(r.heap_used) is not None:
+            h["peak"] = max(h["peak"], _num(r.heap_used))
+        if _num(r.major_gc) is not None:
+            h["major"] = max(h["major"], _num(r.major_gc))
+        if _num(r.sp_count) is not None:
             sp = s["sp"].setdefault(
-                cid, {"last": 0, "last_ts": 0, "ratio": 0, "sev": 0})
-            cur, ts = int(r.sp_count), int(r.timestamp)
-            last, last_ts = sp["last"], sp["last_ts"]
-            sp["last"], sp["last_ts"] = cur, ts
-            if ts != last_ts and last_ts != 0 and last != 0:
-                rate = (cur - last) * 1000 // (ts - last_ts)
-                sev = Severity.NONE
-                if rate > 3:
-                    sev = Severity.LOW
-                if rate > 5:
-                    sev = Severity.MODERATE
-                if rate > 7:
-                    sev = Severity.SEVERE
-                if rate > 10:
-                    sev = Severity.CRITICAL
-                sp["ratio"] = max(sp["ratio"], rate)
-                sp["sev"] = max(sp["sev"], sev)
+                cid, {"last": 0, "last_ts": 0, "has": False,
+                      "ratio": 0, "sev": 0})
+            _rate_update(sp, _num(r.sp_count), ts, (3, 5, 7, 10),
+                         skip_zero_last=True)
+        if _num(r.lock_count) is not None:
+            lk = s["locks"].setdefault(
+                cid, {"last": 0, "last_ts": 0, "has": False,
+                      "ratio": 0, "sev": 0})
+            _rate_update(lk, _num(r.lock_count), ts, (10, 50, 100, 500),
+                         skip_zero_last=False)
+        if _num(r.t_count) is not None:
+            t = s["threads"].setdefault(
+                cid, {"max_count": 0, "total": 0, "total_ts": -1})
+            t["max_count"] = max(t["max_count"], _num(r.t_count))
+            if _num(r.t_total) is not None and ts >= t["total_ts"]:
+                t["total"], t["total_ts"] = _num(r.t_total), ts
+        if _num(r.c_used) is not None:
+            c = s["code"].setdefault(
+                cid, {"peak": 0, "max": 0, "max_ts": -1})
+            c["peak"] = max(c["peak"], _num(r.c_used))
+            if _num(r.c_max) is not None and ts >= c["max_ts"]:
+                c["max"], c["max_ts"] = _num(r.c_max), ts
+    elif r.kind == "gc":
+        if isinstance(r.cause, str) and r.cause in (
+                "Metadata GC Threshold", "Ergonomics"):
+            g = s["gccause"].setdefault(cid, {"mt": 0, "erg": 0})
+            g["mt" if r.cause == "Metadata GC Threshold" else "erg"] += 1
+        if r.collector_name == "G1 Old Generation":
+            g1 = s["g1"].setdefault(
+                cid, {"cnt": 0, "pause": 0, "first_ts": ts})
+            g1["cnt"] += 1
+            g1["pause"] += _num(r.pause_time) or 0
+            g1["first_ts"] = min(g1["first_ts"], ts)
     elif r.kind == "fs" and isinstance(r.action, str):
         s["fs"][r.action] = s["fs"].get(r.action, 0) + 1
-    elif r.kind == "state" and r.state == "END" and cid in s["live"]:
+    elif r.kind == "flink" and isinstance(r.job_name, str):
+        dur = _num(r.checkpoint_duration) or 0
+        s["flink"][r.job_name] = max(s["flink"].get(r.job_name, 0), dur)
+    elif is_end and cid in s["live"]:
         s["live"].remove(cid)
-        # onContainerCompleted: drop NONE safepoint containers
-        sp = s["sp"].get(cid)
-        if sp is not None and sp["sev"] == Severity.NONE:
-            del s["sp"][cid]
+        # bound per-container state: drop NONE rate slots at END
+        for fam in ("sp", "locks"):
+            slot = s[fam].get(cid)
+            if slot is not None and slot["sev"] == Severity.NONE:
+                del s[fam][cid]
 
 
 def _details(per_container: dict[str, str]) -> str:
@@ -224,6 +327,20 @@ def _details(per_container: dict[str, str]) -> str:
         return json.dumps({"Containers": str(len(per_container))},
                           sort_keys=True)
     return json.dumps(per_container, sort_keys=True)
+
+
+def _fmt_ts_ms(ms: int) -> str:
+    """Epoch-ms → Spark's UTC timestamp-cast-to-string format (trailing
+    fraction zeros trimmed, fraction omitted when zero) — G1GC detail
+    parity with the batch form's timestamp_millis().cast('string')."""
+    import datetime
+
+    dt = datetime.datetime.fromtimestamp(ms // 1000, datetime.timezone.utc)
+    base = dt.strftime("%Y-%m-%d %H:%M:%S")
+    frac = ms % 1000
+    if frac == 0:
+        return base
+    return base + "." + f"{frac:03d}".rstrip("0")
 
 
 def _finalize(app_id: str, attempt_id: str, s: dict,
@@ -257,38 +374,111 @@ def _finalize(app_id: str, attempt_id: str, s: dict,
         out.append(dict(application_id=app_id, attempt_id=attempt_id,
                         heuristic="HeapUsage", severity=heap_sev,
                         score=heap_sev, details_json=_details(heap_details)))
-    # Safepoints (Safepoints.java)
-    sp_details, sp_sev = {}, Severity.NONE
-    for cid, sp in s["sp"].items():
-        if sp["sev"] == Severity.NONE:
+    # Safepoints / Locks (Safepoints.java, Locks.java)
+    for fam, heuristic, prefix in (
+        ("sp", "Safepoints", "Max safepoint/s: "),
+        ("locks", "Locks", "Max contention/s: "),
+    ):
+        details, sev = {}, Severity.NONE
+        for cid, slot in s[fam].items():
+            if slot["sev"] == Severity.NONE:
+                continue
+            sev = max(sev, slot["sev"])
+            details[cid] = f"{prefix}{slot['ratio']}"
+        if details:
+            out.append(dict(application_id=app_id, attempt_id=attempt_id,
+                            heuristic=heuristic, severity=sev,
+                            score=sev, details_json=_details(details)))
+    # Threads (Threads.java:17-56)
+    t_details, t_sev = {}, Severity.NONE
+    for cid, t in s["threads"].items():
+        if t["total"] <= 0:
             continue
-        sp_sev = max(sp_sev, sp["sev"])
-        sp_details[cid] = f"Max safepoint/s: {sp['ratio']}"
-    if sp_details:
+        ratio = t["max_count"] * 100 // t["total"]
+        if ratio > 10:
+            continue  # NONE dropped
+        sev = Severity.MODERATE if ratio <= 0 else Severity.LOW
+        t_sev = max(t_sev, sev)
+        t_details[cid] = (f"Max count threads: {t['max_count']}, "
+                          f"Total threads: {t['total']}")
+    if t_details:
         out.append(dict(application_id=app_id, attempt_id=attempt_id,
-                        heuristic="Safepoints", severity=sp_sev,
-                        score=sp_sev, details_json=_details(sp_details)))
-    # FileHeuristic (FileHeuristic.java:76-97)
-    if s["fs"]:
-        labels = {
-            "DELETE": "Files deleted", "READ": "Files read",
-            "WRITE": "Files written", "RENAME": "Files renamed",
-            "APPEND": "Files appended", "LIST_STATUS": "List status performed",
-            "ADD_BLOCK": "Blocks added",
-            "GET_CONTENT_SUMMARY": "Content summary retrieved",
-        }
-        written = s["fs"].get("WRITE", 0)
-        sev = Severity.NONE
-        if written > max_created_files // 10:
-            sev = Severity.LOW
-        if written > max_created_files // 2:
-            sev = Severity.MODERATE
-        if written > max_created_files:
-            sev = Severity.SEVERE
-        details = {lab: str(s["fs"].get(a, 0)) for a, lab in labels.items()}
+                        heuristic="Threads", severity=t_sev, score=t_sev,
+                        details_json=_details(t_details)))
+    # CodeCacheUsage (CodeCacheUsage.java: kept iff unused < 5 %)
+    c_details = {}
+    for cid, c in s["code"].items():
+        if c["max"] > c["peak"] and (c["max"] - c["peak"]) * 100 // c["max"] >= 5:
+            continue
+        c_details[cid] = f"max: {c['max']}kB, peak: {c['peak']}kB"
+    if c_details:
         out.append(dict(application_id=app_id, attempt_id=attempt_id,
-                        heuristic="FileHeuristic", severity=sev, score=sev,
-                        details_json=json.dumps(details, sort_keys=True)))
+                        heuristic="CodeCacheUsage",
+                        severity=Severity.MODERATE,
+                        score=Severity.MODERATE,
+                        details_json=_details(c_details)))
+    # GCCause (GCCause.java:44-52 — summed counts past 10 containers)
+    if s["gccause"]:
+        if len(s["gccause"]) > MAX_CONTAINERS_PER_HEURISTIC:
+            mt = sum(g["mt"] for g in s["gccause"].values())
+            erg = sum(g["erg"] for g in s["gccause"].values())
+            gd = json.dumps({"Metadata GC Threshold": str(mt),
+                             "Ergonomics": str(erg)}, sort_keys=True)
+        else:
+            gd = json.dumps({
+                cid: (f"Metadata GC Threshold: {g['mt']}, "
+                      f"Ergonomics: {g['erg']}")
+                for cid, g in s["gccause"].items()
+            }, sort_keys=True)
+        out.append(dict(application_id=app_id, attempt_id=attempt_id,
+                        heuristic="GCCause", severity=Severity.MODERATE,
+                        score=Severity.MODERATE, details_json=gd))
+    # G1GC (G1GC.java:40-48 — single occurrence formats differently)
+    if s["g1"]:
+        g_details = {}
+        for cid, g in s["g1"].items():
+            if g["cnt"] == 1:
+                g_details[cid] = (f"Timestamp: {_fmt_ts_ms(g['first_ts'])}"
+                                  f", pauseTime: {g['pause']}ms")
+            else:
+                g_details[cid] = (f"Count: {g['cnt']}, Cumulative "
+                                  f"PauseTime: {g['pause']}ms")
+        out.append(dict(application_id=app_id, attempt_id=attempt_id,
+                        heuristic="G1GC", severity=Severity.SEVERE,
+                        score=Severity.SEVERE,
+                        details_json=_details(g_details)))
+    # FlinkCheckpointDuration (FlinkCheckpointDuration.java — job name
+    # rides in the attempt_id slot, NONE rows emitted like the batch form)
+    for job_name, dur in s["flink"].items():
+        sev = (Severity.SEVERE if dur > 15 * 60 * 1000 else Severity.NONE)
+        out.append(dict(
+            application_id=app_id, attempt_id=job_name,
+            heuristic="FlinkCheckpointDuration", severity=sev, score=sev,
+            details_json=json.dumps(
+                {"last_checkpoint_duration": str(dur)}, sort_keys=True),
+        ))
+    # FileHeuristic (FileHeuristic.java:76-97) — emitted for EVERY
+    # completed app, zero counters and NONE severity included, exactly
+    # like the reference's onAppCompleted
+    labels = {
+        "DELETE": "Files deleted", "READ": "Files read",
+        "WRITE": "Files written", "RENAME": "Files renamed",
+        "APPEND": "Files appended", "LIST_STATUS": "List status performed",
+        "ADD_BLOCK": "Blocks added",
+        "GET_CONTENT_SUMMARY": "Content summary retrieved",
+    }
+    written = s["fs"].get("WRITE", 0)
+    sev = Severity.NONE
+    if written > max_created_files // 10:
+        sev = Severity.LOW
+    if written > max_created_files // 2:
+        sev = Severity.MODERATE
+    if written > max_created_files:
+        sev = Severity.SEVERE
+    details = {lab: str(s["fs"].get(a, 0)) for a, lab in labels.items()}
+    out.append(dict(application_id=app_id, attempt_id=attempt_id,
+                    heuristic="FileHeuristic", severity=sev, score=sev,
+                    details_json=json.dumps(details, sort_keys=True)))
     return out
 
 

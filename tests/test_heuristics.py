@@ -223,7 +223,36 @@ def test_file_heuristic_tiers(spark, writes, expected):
     assert r.severity == expected
     assert r.details["Files written"] == str(writes)
     assert r.details["Files read"] == "3"
-    assert r.details["Files deleted"] == "0"
+
+
+def test_file_heuristic_zero_activity_apps(spark):
+    """FileHeuristic.onAppCompleted emits a row for EVERY completed app —
+    apps with no fs events get all-zero counters at NONE severity when
+    the app universe is supplied."""
+    rows = [
+        {**APP, "container_id": "c1", "timestamp": 1, "kafka_partition": 0,
+         "kafka_offset": 1, "src_path": "", "dst_path": "/f1",
+         "action": "WRITE", "uri": "hdfs://ns",
+         "method_duration_millis": 1, "hdfs_user": "u",
+         "status": "SUCCESS"}
+    ]
+    fs = spark.createDataFrame(rows, schema=full_schema("FS_EVENT"))
+    universe = spark.createDataFrame(
+        [(APP["application_id"], APP["attempt_id"]),
+         ("app_quiet", "attempt_1")],
+        "application_id string, attempt_id string",
+    )
+    got = {
+        r.application_id: r
+        for r in batch.file_heuristic(
+            fs, max_created_files=100, app_universe=universe
+        ).collect()
+    }
+    assert set(got) == {APP["application_id"], "app_quiet"}
+    quiet = got["app_quiet"]
+    assert quiet.severity == 0
+    assert all(v == "0" for v in quiet.details.values())
+    assert len(quiet.details) == 8
 
 
 # --- FlinkCheckpointDuration ----------------------------------------------

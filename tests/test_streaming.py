@@ -93,23 +93,31 @@ def test_windowed_counts_matches_batch(spark, event_dir, tmp_path):
 
 # --- explicit-END session heuristics (W3) ---------------------------------
 
+ALL_HEURISTICS = ["HeapUsage", "Safepoints", "Locks", "Threads",
+                  "CodeCacheUsage", "GCCause", "G1GC", "FileHeuristic",
+                  "FlinkCheckpointDuration"]
+
+
 def _stream_tables(spark, event_dir, max_files=None):
-    jvm = pipeline.stream_events(
-        spark, f"{event_dir}/jvmstats_event.parquet", "JVMSTATS_EVENT",
-        max_files_per_trigger=max_files)
-    fs = pipeline.stream_events(
-        spark, f"{event_dir}/fs_event.parquet", "FS_EVENT",
-        max_files_per_trigger=max_files)
-    st = pipeline.stream_events(
-        spark, f"{event_dir}/state_event.parquet", "STATE_EVENT",
-        max_files_per_trigger=max_files)
-    return jvm, fs, st
+    def st(table, name):
+        return pipeline.stream_events(
+            spark, f"{event_dir}/{table}.parquet", name,
+            max_files_per_trigger=max_files)
+
+    return (st("jvmstats_event", "JVMSTATS_EVENT"),
+            st("fs_event", "FS_EVENT"),
+            st("state_event", "STATE_EVENT"),
+            st("gc_event", "GC_EVENT"),
+            st("flink_job_event", "FLINK_JOB_EVENT"))
 
 
 def _batch_expected(spark, event_dir, heuristics):
     dfs = {
         "jvmstats_event": spark.read.parquet(f"{event_dir}/jvmstats_event.parquet"),
         "fs_event": spark.read.parquet(f"{event_dir}/fs_event.parquet"),
+        "gc_event": spark.read.parquet(f"{event_dir}/gc_event.parquet"),
+        "flink_job_event":
+            spark.read.parquet(f"{event_dir}/flink_job_event.parquet"),
     }
     out = hbatch.run_all(dfs, max_created_files=100)
     rows = out.filter(F.col("heuristic").isin(*heuristics)).collect()
@@ -120,9 +128,22 @@ def _batch_expected(spark, event_dir, heuristics):
     }
 
 
-def test_session_heuristics_batch_parity(spark, event_dir):
-    jvm, fs, st = _stream_tables(spark, event_dir)
-    union = sessions.prepare_session_input(jvm, fs, st)
+@pytest.mark.parametrize("heuristic", ALL_HEURISTICS)
+def test_session_heuristics_batch_parity(spark, event_dir, heuristic,
+                                         _session_results):
+    """Per-heuristic batch↔streaming parity over the full fixture —
+    all nine heuristics run under the one streaming loop, like
+    Heuristics.java:29-158."""
+    got = {k: v for k, v in _session_results.items() if k[2] == heuristic}
+    exp = _batch_expected(spark, event_dir, [heuristic])
+    assert exp, f"batch produced no {heuristic} rows — fixture too thin"
+    assert got == exp
+
+
+@pytest.fixture(scope="module")
+def _session_results(spark, event_dir):
+    jvm, fs, st, gc, fl = _stream_tables(spark, event_dir)
+    union = sessions.prepare_session_input(jvm, fs, st, gc, fl)
     res = sessions.session_heuristics(union, max_created_files=100)
     q = (
         res.writeStream.format("memory").queryName("sess_res")
@@ -135,9 +156,7 @@ def test_session_heuristics_batch_parity(spark, event_dir):
         for r in spark.sql("SELECT * FROM sess_res").collect()
     }
     assert got  # every fixture app ends ⇒ results emitted
-    exp = _batch_expected(
-        spark, event_dir, ["HeapUsage", "Safepoints", "FileHeuristic"])
-    assert got == exp
+    return got
 
 
 def test_session_heuristics_transformwithstate_parity(spark, event_dir):
@@ -153,8 +172,8 @@ def test_session_heuristics_transformwithstate_parity(spark, event_dir):
         "RocksDBStateStoreProvider",
     )
     try:
-        jvm, fs, st = _stream_tables(spark, event_dir)
-        union = sessions.prepare_session_input(jvm, fs, st)
+        jvm, fs, st, gc, fl = _stream_tables(spark, event_dir)
+        union = sessions.prepare_session_input(jvm, fs, st, gc, fl)
         res = sessions.session_heuristics_tws(union, max_created_files=100)
         q = (
             res.writeStream.format("memory").queryName("sess_tws")
@@ -167,8 +186,7 @@ def test_session_heuristics_transformwithstate_parity(spark, event_dir):
             for r in spark.sql("SELECT * FROM sess_tws").collect()
         }
         assert got
-        exp = _batch_expected(
-            spark, event_dir, ["HeapUsage", "Safepoints", "FileHeuristic"])
+        exp = _batch_expected(spark, event_dir, ALL_HEURISTICS)
         assert got == exp
     finally:
         if prev is None:
@@ -180,8 +198,8 @@ def test_session_heuristics_transformwithstate_parity(spark, event_dir):
 
 def test_session_state_survives_micro_batches(spark, event_dir):
     # one file per trigger ⇒ state must carry across many micro-batches
-    jvm, fs, st = _stream_tables(spark, event_dir, max_files=1)
-    union = sessions.prepare_session_input(jvm, fs, st)
+    jvm, fs, st, gc, fl = _stream_tables(spark, event_dir, max_files=1)
+    union = sessions.prepare_session_input(jvm, fs, st, gc, fl)
     res = sessions.session_heuristics(union, max_created_files=100)
     q = (
         res.writeStream.format("memory").queryName("sess_inc")
@@ -207,6 +225,47 @@ def test_session_state_survives_micro_batches(spark, event_dir):
     assert got  # sessions closed across micro-batches, not just batch 1
     for k, details in got.items():
         assert k in exp, f"unexpected result {k}"
+
+
+def test_state_events_do_not_register_containers():
+    """registerAppContainer excludes STATE_EVENT (Heuristics.java:131-140):
+    a state-only container must not enter live/seen, so a lost END can't
+    leak the app and an END-only container can't finalize one; extension
+    callbacks still fire on every END (Heuristics.java:146-148)."""
+    from collections import namedtuple
+
+    R = namedtuple("R", sessions._UNION_COLS)
+
+    def row(kind, cid, ts, **kw):
+        base = {c: None for c in sessions._UNION_COLS}
+        base.update(application_id="a", attempt_id="1", container_id=cid,
+                    timestamp=ts, kafka_offset=ts, kind=kind, **kw)
+        return R(**base)
+
+    ends_seen = []
+
+    class Probe(sessions.SessionHeuristic):
+        name = "Probe"
+
+        def on_container_completed(self, s, container_id):
+            ends_seen.append(container_id)
+
+    s = sessions._new_state()
+    hs = [Probe()]
+    # END for a container never otherwise observed: callback fires, but
+    # nothing is registered and nothing finalizes
+    sessions._process_row(s, row("state", "c_ghost", 1, state="END"), hs)
+    assert ends_seen == ["c_ghost"]
+    assert s["seen"] == [] and s["live"] == []
+    # a non-END state event must not register either
+    sessions._process_row(s, row("state", "c_ghost", 2, state="BEGIN"), hs)
+    assert s["seen"] == []
+    # a real event registers; its END then closes the app
+    sessions._process_row(s, row("fs", "c1", 3, action="WRITE"), hs)
+    assert s["live"] == ["c1"]
+    sessions._process_row(s, row("state", "c1", 4, state="END"), hs)
+    assert s["live"] == [] and s["seen"] == ["c1"]
+    assert ends_seen == ["c_ghost", "c1"]
 
 
 def test_custom_registered_heuristic(spark, event_dir):
@@ -240,8 +299,8 @@ def test_custom_registered_heuristic(spark, event_dir):
                 }
             ]
 
-    jvm, fs, st = _stream_tables(spark, event_dir)
-    union = sessions.prepare_session_input(jvm, fs, st)
+    jvm, fs, st, gc, fl = _stream_tables(spark, event_dir)
+    union = sessions.prepare_session_input(jvm, fs, st, gc, fl)
     res = sessions.session_heuristics(
         union, max_created_files=100, heuristics=[EventCount()]
     )
