@@ -12,13 +12,16 @@ whole-stage codegen; no Python touches the hot path.
 Corrupt frames (length mismatch, GarmadonReader.java:176-192's
 drop-with-counter) are filtered out and counted via ``observe``.
 
-DIVERGENCE (documented): header/body payloads are JSON here, not
-protobuf — the proto runtime classes aren't part of this engine; the
+Payload format: JSON by default; protobuf where the spark-protobuf
+connector is on the classpath — ``sources/protowire.py`` ships the wire
+writer, a hand-assembled descriptor set, and a ``from_protobuf``-backed
+``decode_typed_proto`` behind ``protobuf_capable()`` (the reference is
+protobuf end-to-end, ProtocolMessage.java:27-42).  Either way the
 structural behaviors (type-gated lazy parse, malformed-drop, per-type
-schema dispatch) are preserved.  ``from_json`` per type after a
-``type_marker`` filter reproduces the reference's lazy-deserialize
-ordering (GarmadonReader.java:198-226): Catalyst prunes the JSON parse
-for rows the type filter rejects.
+schema dispatch) are identical: ``from_json``/``from_protobuf`` per
+type after a ``type_marker`` filter reproduces the reference's
+lazy-deserialize ordering (GarmadonReader.java:198-226) — Catalyst
+prunes the payload parse for rows the type filter rejects.
 
 ``encode_frames`` is the Python-side producer used by fixtures/tests
 (the agent/forwarder side is out of scope per SURVEY)."""
