@@ -116,6 +116,51 @@ def ingest_bench(spark, sf_dir: str, n_target: int = 500_000) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def ivf_assign_bench(spark, n: int = 20_000, n_centroids: int = 16) -> dict:
+    """IVF assignment throughput at dim 16 (expression path) vs dim 512
+    (Arrow/NumPy matmul path) — the target is per-row cost at dim 512
+    within ~2× of dim 16 despite 32× the arithmetic (the matmul is
+    BLAS-bound, not expression-bound)."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from garmadon_spark.operators import similarity
+
+    out = {}
+    tmp = tempfile.mkdtemp(prefix="garmadon_ivf_assign_bench_")
+    try:
+        for dim in (16, 512):
+            rng = np.random.default_rng(7)
+            M = rng.random((n, dim))
+            rows = [(int(i), [float(x) for x in M[i]]) for i in range(n)]
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>"
+            ).write.mode("overwrite").parquet(f"{tmp}/d{dim}")
+            # cache repartitioned input so the timed job measures the
+            # assignment operator, not small-file split coalescing
+            df = (
+                spark.read.parquet(f"{tmp}/d{dim}")
+                .repartition(spark.sparkContext.defaultParallelism)
+                .persist()
+            )
+            df.count()
+            cents = [[float(x) for x in M[i]] for i in range(n_centroids)]
+            best = None
+            for _ in range(2):  # min-of-2: exclude Python-worker warmup
+                t0 = time.time()
+                similarity.assign_cells(df, cents).write.format(
+                    "noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            df.unpersist()
+            out[f"ivf_assign_dim{dim}_rows_per_sec"] = int(n / best)
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -168,6 +213,10 @@ def main():
     except Exception as e:
         print(f"bench error ingest: {e}", file=sys.stderr)
         ingest = {}
+    try:
+        ingest.update(ivf_assign_bench(spark))
+    except Exception as e:
+        print(f"bench error ivf_assign: {e}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(

@@ -20,6 +20,8 @@ All vector math is JVM-side (zip_with/aggregate); no Python in the scan.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -63,6 +65,98 @@ def brute_force_topk(
     )
 
 
+# Above this dimensionality, assignment/refinement switch from Catalyst
+# expressions (K dot-product aggregates per row; codegen blows up past a
+# few hundred dims × centroids) to Arrow-batched NumPy matmul.
+PANDAS_ASSIGN_DIM = 128
+
+
+def assign_cells(df: DataFrame, centroids: list, vec_col: str = "embedding"
+                 ) -> DataFrame:
+    """Nearest-centroid assignment (argmax of dot/|c|), dispatching on
+    dimensionality: JVM expressions for small dims (hash-stable for the
+    oracles), one N×D @ D×K matmul per Arrow batch for large dims."""
+    if len(centroids[0]) <= PANDAS_ASSIGN_DIM:
+        scored = df.select(
+            "*",
+            F.array(
+                *[_dot(F.col(vec_col), _lit_vec(c)) / F.lit(_py_norm(c))
+                  for c in centroids]
+            ).alias("_sims"),
+        )
+        best = F.expr(
+            "array_position(_sims, array_max(_sims))"
+        ).cast("int") - 1
+        return scored.withColumn("ivf_cell", best).drop("_sims")
+    return _assign_cells_pandas(df, centroids, vec_col)
+
+
+def _assign_cells_pandas(df: DataFrame, centroids: list,
+                         vec_col: str) -> DataFrame:
+    """High-dim path: centroid matrix rides the closure (centroid-sized,
+    not data-sized); each Arrow batch does ONE BLAS matmul + argmax."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    norms = np.linalg.norm(C, axis=1)
+    norms[norms == 0] = 1.0
+    cn_t = np.ascontiguousarray((C / norms[:, None]).T)
+
+    @pandas_udf("int")
+    def _cell(v: pd.Series) -> pd.Series:
+        m = np.asarray(v.to_list(), dtype=np.float64)
+        return pd.Series(np.argmax(m @ cn_t, axis=1).astype("int32"))
+
+    return df.withColumn("ivf_cell", _cell(F.col(vec_col)))
+
+
+def _cell_sums(assigned: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Per-cell (vector sum, count) for Lloyd refinement → K rows.
+
+    Small dims: dim aggregate expressions (one shuffle, map-side
+    combine).  Large dims: NumPy partial sums per partition via
+    mapInPandas, then a K×partitions-sized combine (collect_list +
+    elementwise zip_with fold) — never `dim` separate agg expressions.
+    """
+    if dim <= PANDAS_ASSIGN_DIM:
+        return assigned.groupBy("ivf_cell").agg(
+            F.array(
+                *[
+                    F.sum(F.col(vec_col)[i].cast("double")).alias(f"s{i}")
+                    for i in range(dim)
+                ]
+            ).alias("vsum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    def partials(batches):
+        acc: dict[int, list] = {}
+        for pdf in batches:
+            for cell, g in pdf.groupby("ivf_cell"):
+                m = np.asarray(g[vec_col].to_list(), dtype=np.float64)
+                cur = acc.setdefault(int(cell), [np.zeros(dim), 0])
+                cur[0] += m.sum(axis=0)
+                cur[1] += len(g)
+        if acc:
+            yield pd.DataFrame({
+                "ivf_cell": list(acc),
+                "vsum": [v[0].tolist() for v in acc.values()],
+                "n": [v[1] for v in acc.values()],
+            })
+
+    part = assigned.select("ivf_cell", vec_col).mapInPandas(
+        partials, "ivf_cell int, vsum array<double>, n long"
+    )
+    zeros = F.array_repeat(F.lit(0.0), dim)
+    return part.groupBy("ivf_cell").agg(
+        F.aggregate(
+            F.collect_list("vsum"), zeros,
+            lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+        ).alias("vsum"),
+        F.sum("n").alias("n"),
+    )
+
+
 def build_ivf(
     embs: DataFrame,
     n_centroids: int = 16,
@@ -74,42 +168,22 @@ def build_ivf(
 
     Returns (centroids: list[(cid, vec)], assigned: DataFrame with
     ``ivf_cell`` column).  Centroid seeding = first n_centroids by id
-    (deterministic); Lloyd refinement aggregates per-cell means."""
+    (deterministic); Lloyd refinement aggregates per-cell means.  Both
+    the assignment and the refinement dispatch to an Arrow/NumPy path
+    past PANDAS_ASSIGN_DIM dims (see assign_cells/_cell_sums)."""
     seed_rows = (
         embs.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
     )
     centroids = [[float(x) for x in r[0]] for r in seed_rows]
-
-    def assign(df, cents):
-        scored = df.select(
-            "*",
-            F.array(
-                *[_dot(F.col(vec_col), _lit_vec(c)) / F.lit(_py_norm(c))
-                  for c in cents]
-            ).alias("_sims"),
-        )
-        best = F.expr(
-            "array_position(_sims, array_max(_sims))"
-        ).cast("int") - 1
-        return scored.withColumn("ivf_cell", best).drop("_sims")
+    dim = len(centroids[0])
 
     for _ in range(iterations):
-        assigned = assign(embs, centroids)
-        dim = len(centroids[0])
-        sums = assigned.groupBy("ivf_cell").agg(
-            F.array(
-                *[
-                    F.sum(F.col(vec_col)[i].cast("double")).alias(f"s{i}")
-                    for i in range(dim)
-                ]
-            ).alias("vsum"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        rows = sums.collect()
+        assigned = assign_cells(embs, centroids, vec_col)
+        rows = _cell_sums(assigned, vec_col, dim).collect()
         for r in rows:
             if r.n > 0 and r.ivf_cell is not None:
                 centroids[r.ivf_cell] = [s / r.n for s in r.vsum]
-    assigned = assign(embs, centroids)
+    assigned = assign_cells(embs, centroids, vec_col)
     return centroids, assigned
 
 

@@ -238,6 +238,62 @@ def garmadon_flink_kafka(spark, sf_dir):
     )
 
 
+def garmadon_app_states(spark, sf_dir):
+    """RM application-state timeline panel (garmadon-yarn-application
+    dashboard): latest state per app (deterministic arg-max key over
+    timestamp ⊕ kafka coords), resource-seconds rollup per
+    (last_state, final_status)."""
+    df = _corpus_tables(spark, ("application_event",))["application_event"]
+    key = (F.col("timestamp") * F.lit(1_000_000)
+           + F.col("kafka_offset") * F.lit(8) + F.col("kafka_partition"))
+    per_app = df.groupBy("application_id").agg(
+        F.max_by("state", key).alias("last_state"),
+        F.max_by("final_status", key).alias("final_status"),
+        F.max("memory_seconds").alias("mem_s"),
+        F.max("vcore_seconds").alias("vcore_s"),
+    )
+    return per_app.groupBy("last_state", "final_status").agg(
+        F.count(F.lit(1)).alias("n_apps"),
+        F.sum("mem_s").alias("total_memory_seconds"),
+        F.sum("vcore_s").alias("total_vcore_seconds"),
+    )
+
+
+def garmadon_container_exit(spark, sf_dir):
+    """Container exit-status panel (garmadon-yarn-container dashboard):
+    exit-code distribution with container/host cardinality."""
+    df = _corpus_tables(spark, ("container_event",))["container_event"]
+    return df.groupBy("exit_status").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("container_id").alias("n_containers"),
+        F.count_distinct("container_hostname").alias("n_hosts"),
+    )
+
+
+def garmadon_os_devices(spark, sf_dir):
+    """E3 OS per-device series (EventHelper.java:20-44 device pivot →
+    the garmadon-server/compute OS dashboards): disk reads/writes and
+    network rx/tx aggregated per device.  All metric values are integers
+    stored as strings → double-exact, so AVG hashes identically across
+    engines."""
+    from garmadon_spark.operators.jvmstats import explode_os_devices
+
+    jvm = _corpus_tables(spark, ("jvmstats_event",))["jvmstats_event"]
+    dev = explode_os_devices(jvm)
+    m = F.col("metrics")
+
+    def met(name):
+        return F.element_at(m, F.lit(name))
+
+    return dev.groupBy("device").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.round(F.avg(met("reads")), 4).alias("avg_reads"),
+        F.round(F.avg(met("writes")), 4).alias("avg_writes"),
+        F.round(F.max(met("rx")), 4).alias("max_rx"),
+        F.round(F.max(met("tx")), 4).alias("max_tx"),
+    )
+
+
 def garmadon_path_events(spark, sf_dir):
     """S12 MapReduce PATH_EVENT tally (MapReduceTracer.java:79-215):
     datasets read/written per app."""
@@ -302,6 +358,52 @@ SELECT application_id, type,
        COUNT(DISTINCT path) AS n_paths
 FROM '{d}/path_event.parquet'
 GROUP BY 1, 2
+""",
+        "garmadon_app_states": f"""
+WITH per_app AS (
+  SELECT application_id,
+         arg_max(state, timestamp * 1000000 + kafka_offset * 8
+                 + kafka_partition) AS last_state,
+         arg_max(final_status, timestamp * 1000000 + kafka_offset * 8
+                 + kafka_partition) AS final_status,
+         MAX(memory_seconds) AS mem_s,
+         MAX(vcore_seconds) AS vcore_s
+  FROM '{d}/application_event.parquet'
+  GROUP BY application_id
+)
+SELECT last_state, final_status,
+       COUNT(*) AS n_apps,
+       CAST(SUM(mem_s) AS BIGINT) AS total_memory_seconds,
+       CAST(SUM(vcore_s) AS BIGINT) AS total_vcore_seconds
+FROM per_app
+GROUP BY 1, 2
+""",
+        "garmadon_container_exit": f"""
+SELECT exit_status,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT container_id) AS n_containers,
+       COUNT(DISTINCT container_hostname) AS n_hosts
+FROM '{d}/container_event.parquet'
+GROUP BY 1
+""",
+        "garmadon_os_devices": f"""
+WITH dev AS (
+  SELECT split_part(p.name, '_', 1) AS device,
+         substr(p.name, len(split_part(p.name, '_', 1)) + 2) AS metric,
+         TRY_CAST(p.value AS DOUBLE) AS v
+  FROM '{d}/jvmstats_event.parquet',
+       LATERAL unnest(section) AS u(s),
+       LATERAL unnest(u.s.property) AS q(p)
+  WHERE u.s.name IN ('disk', 'network')
+)
+SELECT device,
+       COUNT(*) FILTER (metric IN ('reads', 'rx')) AS n_samples,
+       ROUND(AVG(CASE WHEN metric = 'reads' THEN v END), 4) AS avg_reads,
+       ROUND(AVG(CASE WHEN metric = 'writes' THEN v END), 4) AS avg_writes,
+       ROUND(MAX(CASE WHEN metric = 'rx' THEN v END), 4) AS max_rx,
+       ROUND(MAX(CASE WHEN metric = 'tx' THEN v END), 4) AS max_tx
+FROM dev
+GROUP BY device
 """,
     }
 
@@ -566,6 +668,9 @@ _PANEL_FNS = {
     "garmadon_flink_operators": garmadon_flink_operators,
     "garmadon_flink_kafka": garmadon_flink_kafka,
     "garmadon_path_events": garmadon_path_events,
+    "garmadon_app_states": garmadon_app_states,
+    "garmadon_container_exit": garmadon_container_exit,
+    "garmadon_os_devices": garmadon_os_devices,
 }
 
 QUERIES = {

@@ -174,6 +174,53 @@ def test_neardup_pairs_blocked_self_similarity(spark):
     assert set(pairs) == {(0, 1)}  # 0-3 blocked apart, 0-2 orthogonal
 
 
+def test_ivf_assign_pandas_matches_expression(spark):
+    """The high-dim Arrow/NumPy assignment path produces the same cells
+    as the Catalyst-expression path (same argmax of dot/|c|), and
+    build_ivf works end-to-end above the dispatch threshold."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n, dim = 200, 24
+    M = rng.random((n, dim))
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in M[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[float(x) for x in M[i]] for i in range(8)]
+    expr = {
+        r.vec_id: r.ivf_cell
+        for r in similarity.assign_cells(df, cents).collect()
+    }
+    pnd = {
+        r.vec_id: r.ivf_cell
+        for r in similarity._assign_cells_pandas(
+            df, cents, "embedding").collect()
+    }
+    assert expr == pnd
+    # end-to-end: dim 300 > PANDAS_ASSIGN_DIM exercises the matmul
+    # assignment AND the mapInPandas partial-sum refinement
+    dim2 = similarity.PANDAS_ASSIGN_DIM + 172
+    M2 = rng.random((60, dim2))
+    df2 = spark.createDataFrame(
+        [(int(i), [float(x) for x in M2[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    cents2, assigned2 = similarity.build_ivf(df2, n_centroids=4,
+                                             iterations=1)
+    assert len(cents2) == 4 and len(cents2[0]) == dim2
+    cells = [r.ivf_cell for r in assigned2.select("ivf_cell").collect()]
+    assert len(cells) == 60 and set(cells) <= {0, 1, 2, 3}
+    # refinement moved centroids to true cell means: re-deriving the
+    # mean of cell 0's members must reproduce centroid 0 (1 iteration)
+    first = similarity.assign_cells(df2, [
+        [float(x) for x in M2[i]] for i in range(4)]).collect()
+    members = [M2[r.vec_id] for r in first if r.ivf_cell == 0]
+    if members:
+        want = np.mean(members, axis=0)
+        assert np.allclose(cents2[0], want)
+
+
 def test_neardup_max_block_guard(spark):
     """Blocks over max_block are dropped before the O(block²) self-join;
     smaller blocks are unaffected."""
