@@ -656,6 +656,79 @@ def emb_ann_ivf(spark, sf_dir, query_vec_id: int = 0, k: int = 10):
     )
 
 
+def emb_ann_ivf_check(spark, sf_dir, query_vec_id: int = 0, k: int = 10):
+    """Exact quality gate over the approximate path: IVF top-k (nprobe
+    4 of 8 cells) must recover ≥ 60 % of the brute-force top-k for the
+    probe query.  Deterministic for a fixed corpus → constant-true
+    oracle; 'no_oracle' stops meaning 'unverified' for the ANN tier."""
+    ivf = emb_ann_ivf(spark, sf_dir, query_vec_id=query_vec_id, k=k)
+    embs = _embs(spark, sf_dir)
+    qrow = embs.filter(F.col("vec_id") == query_vec_id) \
+        .select("embedding").head()
+    q = [float(x) for x in qrow[0]]
+    exact = similarity.brute_force_topk(
+        embs.filter(F.col("vec_id") != query_vec_id), q, k=k
+    )
+    hits = ivf.select("vec_id").join(exact.select("vec_id"),
+                                     "vec_id").count()
+    return spark.createDataFrame(
+        [(k, bool(hits >= int(0.6 * k)))], "k int, recall_ok boolean"
+    )
+
+
+EMB_ANN_IVF_CHECK_SQL = """
+SELECT CAST(10 AS INT) AS k, TRUE AS recall_ok
+"""
+
+
+def doc_minhash_check(spark, sf_dir):
+    """Exact contract gate over the MinHash-LSH tier: emitted pairs are
+    unique, ordered (doc_a < doc_b), at-or-above the verify threshold,
+    and — the recall floor — EVERY normalized exact-duplicate pair is
+    recovered (identical shingle sets share all LSH buckets, so a miss
+    means a broken signature/banding).  Deterministic for a fixed
+    corpus → constant-true oracle."""
+    # persist the (tiny) pair set: the check drives TWO actions over it,
+    # and re-evaluating the full sketch+verify pipeline per action would
+    # double the cost of the most expensive declared query
+    mm = doc_minhash_dedup(spark, sf_dir).persist()
+    docs = _docs(spark, sf_dir)
+    groups = docs.select(
+        dedup.content_hash("text").alias("ch"),
+        F.col("doc_id").alias("p"),
+    )
+    epairs = dedup.bucket_pairs(groups, ["ch"], "p")
+    missed = epairs.join(
+        mm.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")),
+        ["a", "b"], "left_anti",
+    ).count()
+    agg = mm.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("jaccard").alias("minj"),
+        F.count_distinct("doc_a", "doc_b").alias("distinct_pairs"),
+        F.sum((F.col("doc_a") < F.col("doc_b")).cast("long")).alias(
+            "ordered"),
+    ).head()
+    mm.unpersist()
+    return spark.createDataFrame(
+        [(
+            bool(agg.n > 0),
+            bool(agg.minj >= 0.3),
+            bool(agg.distinct_pairs == agg.n),
+            bool(agg.ordered == agg.n),
+            bool(missed == 0),
+        )],
+        "nonempty boolean, above_threshold boolean, pairs_unique boolean,"
+        " pairs_ordered boolean, exact_dups_recalled boolean",
+    )
+
+
+DOC_MINHASH_CHECK_SQL = """
+SELECT TRUE AS nonempty, TRUE AS above_threshold, TRUE AS pairs_unique,
+       TRUE AS pairs_ordered, TRUE AS exact_dups_recalled
+"""
+
+
 # --- multimodal columns ---------------------------------------------------
 
 def _media(spark, sf_dir):
@@ -857,6 +930,7 @@ QUERIES = {
     ),
     "doc_jaccard_blocked": (doc_jaccard_blocked, DOC_JACCARD_BLOCKED_SQL),
     "doc_minhash_dedup": (doc_minhash_dedup, None),
+    "doc_minhash_check": (doc_minhash_check, DOC_MINHASH_CHECK_SQL),
     "doc_simhash": (doc_simhash, None),
     "doc_winnow_overlap": (doc_winnow_overlap, None),
     "doc_langid": (doc_langid, DOC_LANGID_SQL),
@@ -868,6 +942,7 @@ QUERIES = {
     "doc_stratified_sample": (doc_stratified_sample, DOC_STRATIFIED_SAMPLE_SQL),
     "emb_neardup_blocked": (emb_neardup_blocked, EMB_NEARDUP_BLOCKED_SQL),
     "emb_ann_ivf": (emb_ann_ivf, None),
+    "emb_ann_ivf_check": (emb_ann_ivf_check, EMB_ANN_IVF_CHECK_SQL),
     "emb_neardup_ivf": (emb_neardup_ivf, None),
     "mm_media_stats": (mm_media_stats, MM_MEDIA_STATS_SQL),
     "mm_frame_sample": (mm_frame_sample, MM_FRAME_SAMPLE_SQL),
