@@ -661,6 +661,45 @@ GROUP BY 1, 2, 3
 """
 
 
+def _promoted_panels() -> dict:
+    """Promote queries/panels.py's nine DuckDB-parity panels (previously
+    test-only) to driver-declared queries over the fixture corpus: the
+    Spark side reads the corpus parquet (applying the heap-explode `pre`
+    where needed); the oracle SQL is the panel SQL with its table view
+    rewritten to the corpus path (plus a section-extract CTE for the
+    jvmstats_heap view)."""
+    from garmadon_spark.queries import panels
+
+    d = fixture_corpus_dir()
+    heap_cte = (
+        "WITH jvmstats_heap AS (\n"
+        "  SELECT application_id, timestamp,\n"
+        f"         {_sect('heap', 'used')} AS heap_used,\n"
+        f"         {_sect('heap', 'max')} AS heap_max\n"
+        f"  FROM '{d}/jvmstats_event.parquet'\n"
+        ")\n"
+    )
+
+    def make_fn(table, fn):
+        # `pre` only shapes the DuckDB view — the panel fns take the RAW
+        # event table and do their own extraction (e.g. explode_heap)
+        def q(spark, sf_dir):
+            return fn(_corpus_tables(spark, (table,))[table])
+
+        q.__name__ = f"panel_{fn.__name__}"
+        return q
+
+    out = {}
+    for name, (table, fn, sql, pre) in panels.PANELS.items():
+        if pre == "jvmstats_heap":
+            oracle = heap_cte + sql
+        else:
+            oracle = sql.replace(f"FROM {table}",
+                                 f"FROM '{d}/{table}.parquet'")
+        out[f"panel_{name}"] = (make_fn(table, fn), oracle)
+    return out
+
+
 _PANEL_FNS = {
     "garmadon_spark_storage": garmadon_spark_storage,
     "garmadon_rdd_storage": garmadon_rdd_storage,
@@ -687,4 +726,5 @@ QUERIES = {
         name: (fn, _marker_panels_sql(fixture_corpus_dir())[name])
         for name, fn in _PANEL_FNS.items()
     },
+    **_promoted_panels(),
 }

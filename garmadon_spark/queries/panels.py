@@ -229,14 +229,17 @@ FROM gc_event GROUP BY collector_name
 def container_memory_headroom(container_monitoring: DataFrame) -> DataFrame:
     """Peak memory vs limit per container (MEMORY rows only — the filter
     reaches the scan)."""
+    # float32 gauge → double BEFORE arithmetic: float math rounds
+    # differently per engine (DuckDB keeps FLOAT ops in float32)
+    val = F.col("value").cast("double")
     return (
         container_monitoring.filter(F.col("type") == "MEMORY")
         .groupBy("application_id", "container_id")
         .agg(
-            F.round(F.max("value"), 4).alias("peak_memory"),
+            F.round(F.max(val), 4).alias("peak_memory"),
             F.max("limit").alias("memory_limit"),
             F.round(
-                (F.max("limit") - F.max("value")) * 100.0 / F.max("limit"), 4
+                (F.max("limit") - F.max(val)) * 100.0 / F.max("limit"), 4
             ).alias("headroom_pct"),
         )
     )
@@ -244,10 +247,10 @@ def container_memory_headroom(container_monitoring: DataFrame) -> DataFrame:
 
 CONTAINER_MEMORY_HEADROOM_SQL = """
 SELECT application_id, container_id,
-       ROUND(MAX(value), 4) AS peak_memory,
+       ROUND(MAX(CAST(value AS DOUBLE)), 4) AS peak_memory,
        MAX("limit") AS memory_limit,
-       ROUND((MAX("limit") - MAX(value)) * 100.0 / MAX("limit"), 4)
-           AS headroom_pct
+       ROUND((MAX("limit") - MAX(CAST(value AS DOUBLE))) * 100.0
+             / MAX("limit"), 4) AS headroom_pct
 FROM container_monitoring_event
 WHERE type = 'MEMORY'
 GROUP BY 1, 2
