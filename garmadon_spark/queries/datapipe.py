@@ -729,6 +729,98 @@ SELECT TRUE AS nonempty, TRUE AS above_threshold, TRUE AS pairs_unique,
 """
 
 
+def doc_simhash_check(spark, sf_dir):
+    """Exact invariants over the SimHash tier: fingerprints stay within
+    56 bits, and every normalized exact-duplicate group maps to ONE
+    fingerprint (identical token multisets must hash identically — a
+    split group means a broken bit-vote).  Constant-true oracle."""
+    # two actions below — persist the (doc, simhash) table so the
+    # fingerprint computation runs once
+    fps = dedup.simhash(_fanout(spark, _docs(spark, sf_dir))).persist()
+    docs = _docs(spark, sf_dir)
+    joined = docs.select(
+        dedup.content_hash("text").alias("ch"),
+        F.col("doc_id").alias("doc"),
+    ).join(fps, "doc")
+    bad_groups = (
+        joined.groupBy("ch")
+        .agg(F.count_distinct("simhash").alias("nfp"),
+             F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("nfp") > 1))
+        .count()
+    )
+    rng = fps.agg(F.min("simhash").alias("lo"), F.max("simhash").alias("hi"),
+                  F.count(F.lit(1)).alias("n")).head()
+    fps.unpersist()
+    return spark.createDataFrame(
+        [(
+            bool(rng.n > 0),
+            bool(bad_groups == 0),
+            bool(rng.lo >= 0 and rng.hi < (1 << 56)),
+        )],
+        "nonempty boolean, dup_groups_consistent boolean, in_range boolean",
+    )
+
+
+DOC_SIMHASH_CHECK_SQL = """
+SELECT TRUE AS nonempty, TRUE AS dup_groups_consistent, TRUE AS in_range
+"""
+
+
+def doc_winnow_check(spark, sf_dir):
+    """Exact recall floor for winnowed fingerprints: every normalized
+    exact-duplicate pair (group ≤ max_doc_freq, both members holding ≥
+    min_common fingerprints) must surface in the overlap pairs —
+    identical normalized text has identical window minima.  Plus the
+    pair contract (ordered, unique).  Constant-true oracle."""
+    base = _fanout(spark, _docs(spark, sf_dir))
+    # fps feeds both the overlap pipeline and the eligibility join;
+    # persist so winnowing runs once across the check's actions
+    fps = text.fingerprint_winnow(base).persist()
+    ov = text.fingerprint_overlap(fps, min_common=3).persist()
+    eligible = (
+        _docs(spark, sf_dir)
+        .select(dedup.content_hash("text").alias("ch"),
+                F.col("doc_id").alias("doc"))
+        .join(
+            fps.select(F.col("doc_id").alias("doc"),
+                       F.size("fingerprints").alias("nfp")),
+            "doc",
+        )
+        .filter(F.col("nfp") >= 3)
+        .select("ch", F.col("doc").alias("p"))
+    )
+    epairs = dedup.bucket_pairs(eligible, ["ch"], "p", max_bucket=20)
+    missed = epairs.join(
+        ov.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")),
+        ["a", "b"], "left_anti",
+    ).count()
+    agg = ov.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("doc_a", "doc_b").alias("distinct_pairs"),
+        F.sum((F.col("doc_a") < F.col("doc_b")).cast("long")).alias(
+            "ordered"),
+    ).head()
+    ov.unpersist()
+    fps.unpersist()
+    return spark.createDataFrame(
+        [(
+            bool(agg.n > 0),
+            bool(agg.distinct_pairs == agg.n),
+            bool(agg.ordered == agg.n),
+            bool(missed == 0),
+        )],
+        "nonempty boolean, pairs_unique boolean, pairs_ordered boolean,"
+        " exact_dups_recalled boolean",
+    )
+
+
+DOC_WINNOW_CHECK_SQL = """
+SELECT TRUE AS nonempty, TRUE AS pairs_unique, TRUE AS pairs_ordered,
+       TRUE AS exact_dups_recalled
+"""
+
+
 # --- multimodal columns ---------------------------------------------------
 
 def _media(spark, sf_dir):
@@ -932,7 +1024,9 @@ QUERIES = {
     "doc_minhash_dedup": (doc_minhash_dedup, None),
     "doc_minhash_check": (doc_minhash_check, DOC_MINHASH_CHECK_SQL),
     "doc_simhash": (doc_simhash, None),
+    "doc_simhash_check": (doc_simhash_check, DOC_SIMHASH_CHECK_SQL),
     "doc_winnow_overlap": (doc_winnow_overlap, None),
+    "doc_winnow_check": (doc_winnow_check, DOC_WINNOW_CHECK_SQL),
     "doc_langid": (doc_langid, DOC_LANGID_SQL),
     "doc_quality": (doc_quality, DOC_QUALITY_SQL),
     "doc_bpe_tokens": (doc_bpe_tokens, DOC_BPE_TOKENS_SQL),
