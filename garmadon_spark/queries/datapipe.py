@@ -1008,6 +1008,73 @@ def emb_neardup_ivf(spark, sf_dir):
     ).withColumnRenamed("blk", "ivf_cell")
 
 
+def emb_neardup_ivf_check(spark, sf_dir):
+    """Exact cross-consistency gate between the two near-dup tiers: an
+    IVF-cell pair whose members also share a label must appear in the
+    (oracle-verified) label-blocked pair set, and a label-blocked pair
+    whose members share an IVF cell must appear in the IVF pair set —
+    same threshold, same rounded cosine, two independent blocking keys.
+    Plus the pair contract (unique, ordered, ≥ threshold).
+    Deterministic for a fixed corpus → constant-true oracle."""
+    ivf = emb_neardup_ivf(spark, sf_dir).persist()
+    blocked = emb_neardup_blocked(spark, sf_dir).persist()
+    labels = _embs(spark, sf_dir).select("vec_id", "label")
+    cells = spark.read.parquet(
+        f"{_ensure_ivf_index(spark, sf_dir)}/vectors"
+    ).select("vec_id", "ivf_cell")
+
+    def attach(pairs, dim_df, col, out_a, out_b):
+        return (
+            pairs.join(
+                dim_df.select(F.col("vec_id").alias("id_a"),
+                              F.col(col).alias(out_a)), "id_a")
+            .join(
+                dim_df.select(F.col("vec_id").alias("id_b"),
+                              F.col(col).alias(out_b)), "id_b")
+        )
+
+    ivf_same_label = attach(
+        ivf.select("id_a", "id_b"), labels, "label", "la", "lb"
+    ).filter(F.col("la") == F.col("lb"))
+    missed_in_blocked = ivf_same_label.join(
+        blocked.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+    ).count()
+    blocked_same_cell = attach(
+        blocked.select("id_a", "id_b"), cells, "ivf_cell", "ca", "cb"
+    ).filter(F.col("ca") == F.col("cb"))
+    missed_in_ivf = blocked_same_cell.join(
+        ivf.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+    ).count()
+    agg = ivf.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("id_a", "id_b").alias("distinct_pairs"),
+        F.sum((F.col("id_a") < F.col("id_b")).cast("long")).alias("ordered"),
+        F.min("cosine").alias("minc"),
+    ).head()
+    ivf.unpersist()
+    blocked.unpersist()
+    return spark.createDataFrame(
+        [(
+            bool(agg.n > 0),
+            bool(agg.distinct_pairs == agg.n),
+            bool(agg.ordered == agg.n),
+            bool(agg.minc >= 0.25),
+            bool(missed_in_blocked == 0),
+            bool(missed_in_ivf == 0),
+        )],
+        "nonempty boolean, pairs_unique boolean, pairs_ordered boolean,"
+        " above_threshold boolean, consistent_with_blocked boolean,"
+        " blocked_consistent_with_ivf boolean",
+    )
+
+
+EMB_NEARDUP_IVF_CHECK_SQL = """
+SELECT TRUE AS nonempty, TRUE AS pairs_unique, TRUE AS pairs_ordered,
+       TRUE AS above_threshold, TRUE AS consistent_with_blocked,
+       TRUE AS blocked_consistent_with_ivf
+"""
+
+
 QUERIES = {
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
     "doc_exact_dedup": (doc_exact_dedup, DOC_EXACT_DEDUP_SQL),
@@ -1038,6 +1105,9 @@ QUERIES = {
     "emb_ann_ivf": (emb_ann_ivf, None),
     "emb_ann_ivf_check": (emb_ann_ivf_check, EMB_ANN_IVF_CHECK_SQL),
     "emb_neardup_ivf": (emb_neardup_ivf, None),
+    "emb_neardup_ivf_check": (
+        emb_neardup_ivf_check, EMB_NEARDUP_IVF_CHECK_SQL
+    ),
     "mm_media_stats": (mm_media_stats, MM_MEDIA_STATS_SQL),
     "mm_frame_sample": (mm_frame_sample, MM_FRAME_SAMPLE_SQL),
     "mm_feature_extract": (mm_feature_extract, None),

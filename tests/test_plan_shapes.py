@@ -61,6 +61,48 @@ def test_contamination_eval_side_is_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_jaccard_pairs_scans_corpus_once(spark):
+    """The df-capped bucket_pairs formulation must evaluate the corpus
+    ONE time — the exploded self-join it replaced scanned (and
+    re-tokenized) its identical upstream twice."""
+    from garmadon_spark.queries.datapipe import doc_jaccard_blocked
+
+    plan = _plan(doc_jaccard_blocked(spark, SF))
+    scans = [l for l in plan.splitlines()
+             if "FileScan" in l and "documents" in l]
+    assert len(scans) == 1, plan
+
+
+def test_neardup_block_guard_is_broadcast_semi(spark):
+    """The max_block census must reach the vectors as a broadcast
+    LeftSemi — never a shuffle of the embedding column."""
+    from garmadon_spark.queries.datapipe import emb_neardup_blocked
+
+    plan = _plan(emb_neardup_blocked(spark, SF))
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", plan), plan
+
+
+def test_high_dim_assignment_is_arrow(spark):
+    """Past PANDAS_ASSIGN_DIM the assignment must plan as an Arrow
+    python eval (one matmul per batch), and below it must NOT (JVM
+    expressions keep the oracle hash-stable)."""
+    from pyspark.sql import Row
+
+    from garmadon_spark.operators import similarity
+
+    lo = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i), 1.0]) for i in range(4)])
+    hi_dim = similarity.PANDAS_ASSIGN_DIM + 1
+    hi = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i)] * hi_dim) for i in range(4)])
+    cents_lo = [[1.0, 0.0], [0.0, 1.0]]
+    cents_hi = [[1.0] * hi_dim, [0.5] * hi_dim]
+    assert "ArrowEvalPython" not in _plan(
+        similarity.assign_cells(lo, cents_lo))
+    assert "ArrowEvalPython" in _plan(
+        similarity.assign_cells(hi, cents_hi))
+
+
 def test_ivf_probe_prunes_partitions(spark, tmp_path):
     from pyspark.sql import Row
 
