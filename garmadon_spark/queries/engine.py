@@ -294,6 +294,51 @@ def garmadon_os_devices(spark, sf_dir):
     )
 
 
+def garmadon_fs_failures_by_action_uri(spark, sf_dir):
+    """Compound lucene filter panel (`event_type:FS_EVENT AND
+    status:FAILURE AND uri:*` — the garmadon-hdfs dashboard's most
+    common query family): failure counts + duration stats per
+    (uri, action)."""
+    df = _corpus_tables(spark, ("fs_event",))["fs_event"]
+    return (
+        df.filter(F.col("status") == "FAILURE")
+        .groupBy("uri", "action")
+        .agg(
+            F.count(F.lit(1)).alias("failures"),
+            F.round(F.avg("method_duration_millis"), 4).alias("avg_ms"),
+            F.max("method_duration_millis").alias("max_ms"),
+        )
+    )
+
+
+def garmadon_gc_cause_by_collector(spark, sf_dir):
+    """`collector_name:* AND cause:*` cross-tab (garmadon-gc dashboard):
+    pause stats per (collector, cause)."""
+    df = _corpus_tables(spark, ("gc_event",))["gc_event"]
+    return df.groupBy("collector_name", "cause").agg(
+        F.count(F.lit(1)).alias("n_collections"),
+        F.round(F.avg("pause_time"), 4).alias("avg_pause_ms"),
+        F.max("pause_time").alias("max_pause_ms"),
+    )
+
+
+def garmadon_task_failures_by_host(spark, sf_dir):
+    """`event_type:SPARK_TASK_EVENT AND status:failed` per executor host
+    (garmadon-spark-job dashboard): failure concentration by machine —
+    the classic bad-node hunt."""
+    df = _corpus_tables(spark, ("spark_task_event",))["spark_task_event"]
+    return df.groupBy("executor_hostname").agg(
+        F.count(F.lit(1)).alias("n_tasks"),
+        F.sum(
+            F.when(F.col("status") == "failed", 1).otherwise(0)
+        ).alias("failed"),
+        F.round(
+            F.sum(F.when(F.col("status") == "failed", 1).otherwise(0))
+            / F.count(F.lit(1)), 4,
+        ).alias("failure_ratio"),
+    )
+
+
 def garmadon_path_events(spark, sf_dir):
     """S12 MapReduce PATH_EVENT tally (MapReduceTracer.java:79-215):
     datasets read/written per app."""
@@ -384,6 +429,33 @@ SELECT exit_status,
        COUNT(DISTINCT container_id) AS n_containers,
        COUNT(DISTINCT container_hostname) AS n_hosts
 FROM '{d}/container_event.parquet'
+GROUP BY 1
+""",
+        "garmadon_fs_failures_by_action_uri": f"""
+SELECT uri, action,
+       COUNT(*) AS failures,
+       ROUND(AVG(method_duration_millis), 4) AS avg_ms,
+       MAX(method_duration_millis) AS max_ms
+FROM '{d}/fs_event.parquet'
+WHERE status = 'FAILURE'
+GROUP BY 1, 2
+""",
+        "garmadon_gc_cause_by_collector": f"""
+SELECT collector_name, cause,
+       COUNT(*) AS n_collections,
+       ROUND(AVG(pause_time), 4) AS avg_pause_ms,
+       MAX(pause_time) AS max_pause_ms
+FROM '{d}/gc_event.parquet'
+GROUP BY 1, 2
+""",
+        "garmadon_task_failures_by_host": f"""
+SELECT executor_hostname,
+       COUNT(*) AS n_tasks,
+       CAST(SUM(CASE WHEN status = 'failed' THEN 1 ELSE 0 END) AS BIGINT)
+           AS failed,
+       ROUND(SUM(CASE WHEN status = 'failed' THEN 1 ELSE 0 END)
+             / COUNT(*), 4) AS failure_ratio
+FROM '{d}/spark_task_event.parquet'
 GROUP BY 1
 """,
         "garmadon_os_devices": f"""
@@ -710,6 +782,9 @@ _PANEL_FNS = {
     "garmadon_app_states": garmadon_app_states,
     "garmadon_container_exit": garmadon_container_exit,
     "garmadon_os_devices": garmadon_os_devices,
+    "garmadon_fs_failures_by_action_uri": garmadon_fs_failures_by_action_uri,
+    "garmadon_gc_cause_by_collector": garmadon_gc_cause_by_collector,
+    "garmadon_task_failures_by_host": garmadon_task_failures_by_host,
 }
 
 QUERIES = {
