@@ -555,6 +555,93 @@ WHERE l_partkey = p_partkey
 """
 
 
+def tpch_small_qty_revenue(spark, sf_dir):
+    """Q17 shape — correlated per-group aggregate as a filter: yearly
+    revenue lost to small orders of Brand#1 parts, where 'small' means
+    quantity below 20 % of that part's average.
+
+    Plan: the per-part averages are an aggregate of the fact table that
+    is tiny (one row per part) — joined back BROADCAST, so the
+    correlated-subquery shape costs one extra scan + a broadcast, not a
+    shuffle join (at 100 TB the agg side is still part-cardinality)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    avg_qty = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cut")
+    )
+    return (
+        li.join(
+            F.broadcast(part.filter(F.col("p_brand") == "Brand#1")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(avg_qty), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small_orders"),
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        )
+    )
+
+
+TPCH_SMALL_QTY_REVENUE_SQL = """
+SELECT COUNT(*) AS n_small_orders,
+       ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < (
+    SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey
+  )
+"""
+
+
+def tpch_idle_customers(spark, sf_dir):
+    """Q22 shape — anti-join + scalar subquery: well-funded customers
+    (account balance above the positive-balance average) with NO urgent
+    orders, grouped by market segment.  (Every fixture customer has
+    SOME order, so the anti-join discriminates on the priority-filtered
+    order set — a 0-row query would pass its oracle vacuously.)
+
+    Plan: the scalar average is a one-row broadcast; the NOT EXISTS is
+    a left_anti join on o_custkey — Spark's native anti-join, with the
+    priority filter pushed to the orders scan before it."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("cut")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("cut"))
+        .join(
+            orders.filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+TPCH_IDLE_CUSTOMERS_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       ROUND(SUM(c_acctbal), 2) AS total_acctbal
+FROM customer c
+WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                     WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "tpch_pricing_summary": (tpch_pricing_summary, TPCH_PRICING_SUMMARY_SQL),
     "tpch_top_orders": (tpch_top_orders, TPCH_TOP_ORDERS_SQL),
@@ -572,6 +659,10 @@ QUERIES = {
     "tpch_volume_shipping": (tpch_volume_shipping, TPCH_VOLUME_SHIPPING_SQL),
     "tpch_market_share": (tpch_market_share, TPCH_MARKET_SHARE_SQL),
     "tpch_promo_revenue": (tpch_promo_revenue, TPCH_PROMO_REVENUE_SQL),
+    "tpch_small_qty_revenue": (
+        tpch_small_qty_revenue, TPCH_SMALL_QTY_REVENUE_SQL
+    ),
+    "tpch_idle_customers": (tpch_idle_customers, TPCH_IDLE_CUSTOMERS_SQL),
     "tpch_discounted_revenue": (
         tpch_discounted_revenue,
         TPCH_DISCOUNTED_REVENUE_SQL,
