@@ -76,3 +76,66 @@ def resolve_component(
         .otherwise(F.lit("APP_SLAVE"))
     )
     return out.withColumn("component", resolved).drop("_am_container_id")
+
+
+def enrich_as_of(
+    events: DataFrame,
+    states: DataFrame,
+    key: str = "application_id",
+    ts_col: str = "timestamp",
+    state_cols: tuple[str, ...] = ("state",),
+    payload_cols: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """AS-OF join: each event gets the state row with the greatest
+    state-timestamp ≤ the event's timestamp (per key) — the event-TIME
+    form of J1's latest-value lookup, for timeline-correct enrichment
+    (what state was the app in WHEN this sample was taken, not at scan
+    end).
+
+    Spark lacks a native as-of join; the classic range-join rewrite
+    explodes O(events × states-per-key).  This is the sort-based form:
+    union both sides tagged, one window per key ordered by
+    (ts, is_event) — state rows sort BEFORE events at equal timestamps,
+    making the match inclusive — and a running last(ignorenulls) carries
+    each state column forward.  ONE shuffle on the key, O(1) window
+    state per row, no range blowup; at 100 TB this is a single exchange
+    of events ⊕ states.
+
+    ``states`` must be unique per (key, ts) — ties there make the match
+    nondeterministic in ANY as-of implementation; dedupe first (e.g.
+    arg-max over kafka coordinates).
+    """
+    if payload_cols is None:
+        payload_cols = tuple(
+            c for c in events.columns if c not in (key, ts_col)
+        )
+    ev_types = dict(events.dtypes)
+    st_types = dict(states.dtypes)
+    ev = events.select(
+        key, ts_col,
+        *[F.col(c) for c in payload_cols],
+        F.lit(1).alias("_is_ev"),
+        *[F.lit(None).cast(st_types[c]).alias(f"_s_{c}")
+          for c in state_cols],
+    )
+    st = states.select(
+        key, ts_col,
+        *[F.lit(None).cast(ev_types[c]).alias(c) for c in payload_cols],
+        F.lit(0).alias("_is_ev"),
+        *[F.col(c).alias(f"_s_{c}") for c in state_cols],
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts_col, "_is_ev")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = ev.unionByName(st).select(
+        key, ts_col, *payload_cols, "_is_ev",
+        *[
+            F.last(f"_s_{c}", ignorenulls=True).over(w).alias(f"{c}_asof")
+            for c in state_cols
+        ],
+    )
+    return out.filter(F.col("_is_ev") == 1).drop("_is_ev")

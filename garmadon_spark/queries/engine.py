@@ -339,6 +339,44 @@ def garmadon_task_failures_by_host(spark, sf_dir):
     )
 
 
+def garmadon_app_state_asof(spark, sf_dir):
+    """J1's event-TIME variant: every container-monitoring sample
+    enriched with the application state AS OF its timestamp (not the
+    final state) via operators.enrich.enrich_as_of — union + per-key
+    window carry-forward, one shuffle, no range-join blowup.  Events
+    before the first state row report NONE.  Oracle: DuckDB's native
+    ASOF LEFT JOIN over the same deduped state table."""
+    from garmadon_spark.operators.enrich import enrich_as_of
+
+    t = _corpus_tables(
+        spark, ("application_event", "container_monitoring_event")
+    )
+    tiebreak = (F.col("kafka_offset") * F.lit(8)
+                + F.col("kafka_partition"))
+    states = (
+        t["application_event"]
+        .groupBy("application_id", "timestamp")
+        .agg(F.max_by("state", tiebreak).alias("state"))
+    )
+    ev = t["container_monitoring_event"].select(
+        "application_id", "timestamp", "container_id"
+    )
+    enriched = enrich_as_of(ev, states, state_cols=("state",),
+                            payload_cols=("container_id",))
+    return (
+        enriched.select(
+            F.coalesce(F.col("state_asof"), F.lit("NONE")).alias(
+                "state_asof"),
+            "container_id",
+        )
+        .groupBy("state_asof")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("container_id").alias("n_containers"),
+        )
+    )
+
+
 def garmadon_path_events(spark, sf_dir):
     """S12 MapReduce PATH_EVENT tally (MapReduceTracer.java:79-215):
     datasets read/written per app."""
@@ -429,6 +467,22 @@ SELECT exit_status,
        COUNT(DISTINCT container_id) AS n_containers,
        COUNT(DISTINCT container_hostname) AS n_hosts
 FROM '{d}/container_event.parquet'
+GROUP BY 1
+""",
+        "garmadon_app_state_asof": f"""
+WITH st AS (
+  SELECT application_id, timestamp,
+         arg_max(state, kafka_offset * 8 + kafka_partition) AS state
+  FROM '{d}/application_event.parquet'
+  GROUP BY 1, 2
+)
+SELECT COALESCE(st.state, 'NONE') AS state_asof,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT ev.container_id) AS n_containers
+FROM '{d}/container_monitoring_event.parquet' ev
+ASOF LEFT JOIN st
+  ON ev.application_id = st.application_id
+ AND ev.timestamp >= st.timestamp
 GROUP BY 1
 """,
         "garmadon_fs_failures_by_action_uri": f"""
@@ -785,6 +839,7 @@ _PANEL_FNS = {
     "garmadon_fs_failures_by_action_uri": garmadon_fs_failures_by_action_uri,
     "garmadon_gc_cause_by_collector": garmadon_gc_cause_by_collector,
     "garmadon_task_failures_by_host": garmadon_task_failures_by_host,
+    "garmadon_app_state_asof": garmadon_app_state_asof,
 }
 
 QUERIES = {

@@ -232,6 +232,31 @@ def test_wide_event_table_union(garmadon):
     assert gc_rows.filter(F.col("action").isNotNull()).count() == 0
 
 
+def test_enrich_as_of_semantics(spark):
+    """AS-OF enrichment: greatest state-ts ≤ event-ts per key, INCLUSIVE
+    at equality (state sorts before the event), null before the first
+    state, carry-forward between states."""
+    from garmadon_spark.operators.enrich import enrich_as_of
+
+    states = spark.createDataFrame(
+        [("a", 10, "NEW"), ("a", 20, "RUNNING"), ("b", 5, "NEW")],
+        "application_id string, timestamp long, state string",
+    )
+    events = spark.createDataFrame(
+        [("a", 9, "e1"), ("a", 10, "e2"), ("a", 15, "e3"),
+         ("a", 25, "e4"), ("b", 4, "e5")],
+        "application_id string, timestamp long, container_id string",
+    )
+    out = {
+        r.container_id: r.state_asof
+        for r in enrich_as_of(
+            events, states, payload_cols=("container_id",)
+        ).collect()
+    }
+    assert out == {"e1": None, "e2": "NEW", "e3": "NEW",
+                   "e4": "RUNNING", "e5": None}
+
+
 def test_decode_all_covers_every_marker(spark):
     """Every one of the 20 registered markers decodes through the wire
     codec (encode_frame → decode_frames → decode_all) with a fixture row
