@@ -556,6 +556,34 @@ FROM hourly
 """
 
 
+# --- multi-granularity rollup ---------------------------------------------
+
+def ev_rollup_day_type(spark, sf_dir):
+    """Hierarchical rollup — (day, event_type), per-day subtotals, and
+    the grand total in ONE pass (`ROLLUP`): the hypertable-style
+    multi-granularity panel (hourly chart + daily summary + total tile)
+    without three scans.  Partial aggregation handles all grouping sets
+    in a single shuffle; at 100 TB this replaces N separate dashboards
+    queries over the same window."""
+    return (
+        _events(spark, sf_dir)
+        .rollup(F.to_date("ts").alias("day"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+EV_ROLLUP_DAY_TYPE_SQL = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY ROLLUP (1, 2)
+"""
+
+
 # --- conditional ratio metric ---------------------------------------------
 
 def ev_failure_ratio(spark, sf_dir):
@@ -615,5 +643,6 @@ QUERIES = {
     "ev_user_sessions": (ev_user_sessions, EV_USER_SESSIONS_SQL),
     "ev_topk_per_hour": (ev_topk_per_hour, EV_TOPK_PER_HOUR_SQL),
     "ev_moving_avg": (ev_moving_avg, EV_MOVING_AVG_SQL),
+    "ev_rollup_day_type": (ev_rollup_day_type, EV_ROLLUP_DAY_TYPE_SQL),
     "ev_failure_ratio": (ev_failure_ratio, EV_FAILURE_RATIO_SQL),
 }
