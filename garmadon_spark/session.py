@@ -88,9 +88,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     Works against any caller-supplied SparkSession (the driver builds its
     own), so the two correctness-critical confs are (re)applied here:
     UTC session time (the oracle compares naive wall-clock timestamps) and
-    nanos-as-long (the events fixture stores TIMESTAMP(NANOS), which the
+    nanos-as-long (older fixtures store TIMESTAMP(NANOS), which the
     vectorized reader otherwise rejects); nanos are floor-divided to
     micros, matching DuckDB's ns→us truncation.
+
+    ``events.ts`` is normalized to a session-TZ TIMESTAMP whatever the
+    fixture's physical type: TIMESTAMP(NANOS) → bigint (nanosAsLong) →
+    floor-div to micros; TIMESTAMP(MICROS, isAdjustedToUTC=false) →
+    TIMESTAMP_NTZ → cast (wall-clock preserving under the UTC session
+    TZ); already-LTZ stays as-is.  Downstream numeric casts
+    (``ts.cast('long')`` in sessionization) require LTZ.
     """
     from pyspark.sql import functions as F
 
@@ -99,8 +106,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 
