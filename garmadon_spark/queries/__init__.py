@@ -49,6 +49,9 @@ _FRONT = [
     "panel_top_shuffle_apps",
     "panel_flink_checkpoint_panel",
     "panel_spark_task_locality_spill",
+    "panel_fs_compound_dashboard",
+    "panel_spark_executor_churn",
+    "panel_container_vcore_usage",
     # datapipe tail: never inside the window through r3.
     "doc_repetition",
     "doc_contamination",

@@ -289,6 +289,119 @@ LIMIT 5
 """
 
 
+def fs_compound_dashboard(fs_events: DataFrame,
+                          prefix: str = "/user") -> DataFrame:
+    """The garmadon-hdfs dashboard's widest lucene conjunction
+    (`event_type:FS_EVENT AND uri:$uri AND action:$action AND
+    dst_path:$path AND NOT framework:""`, grafana/garmadon-hdfs.json):
+    path-hierarchy prefix ⊕ NOT-empty-field ⊕ tag membership, grouped
+    by the two dashboard template variables (uri, action).  All
+    conjuncts sit ahead of the agg so the equality/NOT-empty legs reach
+    the Parquet scan as pushed filters; the tag test is an
+    array_contains on the scan output."""
+    from garmadon_spark.operators.normalize import strip_uri_prefix
+
+    stripped = strip_uri_prefix(F.col("dst_path"), F.col("uri"))
+    return (
+        fs_events.withColumn("path", stripped)
+        .filter(
+            F.col("path").startswith(prefix)
+            & (F.col("framework") != "")
+            & F.array_contains("tags", "YARN_APPLICATION")
+        )
+        .groupBy("uri", "action")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("method_duration_millis"), 4).alias("avg_ms"),
+            F.max("method_duration_millis").alias("max_ms"),
+        )
+    )
+
+
+FS_COMPOUND_DASHBOARD_SQL = """
+SELECT uri, action, COUNT(*) AS cnt,
+       ROUND(AVG(method_duration_millis), 4) AS avg_ms,
+       MAX(method_duration_millis) AS max_ms
+FROM (SELECT uri, action, method_duration_millis, framework, tags,
+             replace(dst_path, uri, '') AS path
+      FROM fs_event)
+WHERE path LIKE '/user%' AND framework <> ''
+  AND list_contains(tags, 'YARN_APPLICATION')
+GROUP BY uri, action
+"""
+
+
+def spark_executor_churn(executor_state_events: DataFrame) -> DataFrame:
+    """The garmadon-spark-job executor panels: per (app, attempt) counts
+    of `state:ADDED`, `state:REMOVED`, and the dashboard's double
+    negation `NOT state:REMOVED AND NOT state:ADDED` residual
+    (blacklisting etc.), plus the worst task_failures gauge
+    (grafana/garmadon-spark-job.json).  Four panel filters share one
+    scan + one shuffle as conditional counts."""
+    return (
+        executor_state_events.groupBy("application_id", "attempt_id")
+        .agg(
+            F.count(F.when(F.col("state") == "ADDED", 1)).alias("added"),
+            F.count(F.when(F.col("state") == "REMOVED", 1)).alias(
+                "removed"
+            ),
+            F.count(
+                F.when(~F.col("state").isin("ADDED", "REMOVED"), 1)
+            ).alias("other_state_events"),
+            F.max("task_failures").alias("max_task_failures"),
+        )
+    )
+
+
+SPARK_EXECUTOR_CHURN_SQL = """
+SELECT application_id, attempt_id,
+       COUNT(*) FILTER (WHERE state = 'ADDED') AS added,
+       COUNT(*) FILTER (WHERE state = 'REMOVED') AS removed,
+       COUNT(*) FILTER (WHERE state NOT IN ('ADDED', 'REMOVED'))
+           AS other_state_events,
+       MAX(task_failures) AS max_task_failures
+FROM spark_executor_state_event
+GROUP BY 1, 2
+"""
+
+
+def container_vcore_usage(container_monitoring: DataFrame) -> DataFrame:
+    """The garmadon-yarn-application monitoring panels' compound filter
+    (`event_type:CONTAINER_MONITORING_EVENT AND type:VCORE AND tags:...
+    AND hostname:$hostname AND component:$component AND
+    username:$username`, grafana/garmadon-yarn-application.json): mean
+    and peak vcore usage vs limit per (hostname, component, username) —
+    the three remaining template variables become the group key."""
+    # float32 gauge → double BEFORE arithmetic (same rule as
+    # container_memory_headroom: float32 division rounds differently
+    # per engine)
+    val = F.col("value").cast("double")
+    return (
+        container_monitoring.filter(
+            (F.col("type") == "VCORE")
+            & F.array_contains("tags", "YARN_APPLICATION")
+        )
+        .groupBy("hostname", "component", "username")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg(val / F.col("limit")), 4).alias(
+                "avg_usage_ratio"
+            ),
+            F.round(F.max(val), 4).alias("peak_value"),
+        )
+    )
+
+
+CONTAINER_VCORE_USAGE_SQL = """
+SELECT hostname, component, username, COUNT(*) AS cnt,
+       ROUND(AVG(CAST(value AS DOUBLE) / "limit"), 4) AS avg_usage_ratio,
+       ROUND(MAX(CAST(value AS DOUBLE)), 4) AS peak_value
+FROM container_monitoring_event
+WHERE type = 'VCORE' AND list_contains(tags, 'YARN_APPLICATION')
+GROUP BY 1, 2, 3
+"""
+
+
 # panel name -> (fixture table, fn, sql, pre)  — pre maps the raw table
 # (e.g. the heap explode) before the DuckDB view is created.
 PANELS = {
@@ -312,4 +425,12 @@ PANELS = {
     "spark_task_locality_spill": ("spark_task_event",
                                   spark_task_locality_spill,
                                   SPARK_TASK_LOCALITY_SPILL_SQL, None),
+    "fs_compound_dashboard": ("fs_event", fs_compound_dashboard,
+                              FS_COMPOUND_DASHBOARD_SQL, None),
+    "spark_executor_churn": ("spark_executor_state_event",
+                             spark_executor_churn,
+                             SPARK_EXECUTOR_CHURN_SQL, None),
+    "container_vcore_usage": ("container_monitoring_event",
+                              container_vcore_usage,
+                              CONTAINER_VCORE_USAGE_SQL, None),
 }

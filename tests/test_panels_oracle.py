@@ -20,7 +20,7 @@ def panel_env(spark, tmp_path_factory):
     con = duckdb.connect()
     for name in ("fs_event", "gc_event", "jvmstats_event",
                  "container_monitoring_event", "spark_task_event",
-                 "flink_job_event"):
+                 "flink_job_event", "spark_executor_state_event"):
         con.sql(
             f"CREATE VIEW {name} AS SELECT * "
             f"FROM '{os.path.join(d, name + '.parquet', '*.parquet')}'"
@@ -50,7 +50,7 @@ def panel_env(spark, tmp_path_factory):
         name: spark.read.parquet(os.path.join(d, f"{name}.parquet"))
         for name in ("fs_event", "gc_event", "jvmstats_event",
                      "container_monitoring_event", "spark_task_event",
-                     "flink_job_event")
+                     "flink_job_event", "spark_executor_state_event")
     }
     return con, dfs
 
