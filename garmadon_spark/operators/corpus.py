@@ -1,0 +1,195 @@
+"""Corpus-preparation operators for LLM training-data pipelines: PII
+scrubbing, boilerplate line removal (line-frequency dedup), and
+sequence packing.
+
+These extend the engine's read-side surface with the operations a
+pretraining-corpus pipeline runs between raw scrape and tokenizer.
+Scale design per operator:
+
+- ``scrub_pii``: regexp redaction as pure JVM scalar expressions —
+  zero shuffle, whole-stage codegen, linear scan.
+- ``remove_frequent_lines``: drop lines whose document frequency
+  reaches ``min_df`` (boilerplate: nav bars, cookie banners, license
+  headers — the CCNet/RefinedWeb cleanup step).  Plan: line explode →
+  df-count keyed on a 64-bit line hash (the shuffle moves hashes, not
+  strings) → the heavy-line set (small: it is the boilerplate
+  vocabulary, not the corpus) broadcast back as an anti-join →
+  order-preserving reassembly.  Two uniform-keyed shuffles total.
+- ``pack_sequences``: concat-then-chunk packing bookkeeping: each doc
+  gets its token span in a per-shard stream and every ``seq_len``-token
+  pack it touches.  One running-sum window per shard (state O(1));
+  shards scale with the cluster, there is no global sort.  At 100 TB
+  the shard key is the input split / date partition instead of
+  ``doc_id % n`` — same plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# (name, pattern, replacement) — applied IN ORDER on the progressively
+# scrubbed text (so a phone-like fragment inside an already-redacted IP
+# is not double-counted).  Patterns stay inside the syntax subset that
+# Java regex (Spark) and RE2 (DuckDB oracle) evaluate identically.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\b\+?[0-9]{3}[-. ][0-9]{3,4}(?:[-. ][0-9]{3,4})?\b",
+     "<PHONE>"),
+]
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: list[tuple[str, str, str]] | None = None,
+) -> DataFrame:
+    """Redact PII-shaped spans; adds ``n_<name>`` match counts and
+    replaces ``text_col`` with the scrubbed text.  All scalar
+    expressions — no shuffle, no Python."""
+    pats = PII_PATTERNS if patterns is None else patterns
+    cur: Column = F.col(text_col)
+    counts = []
+    for name, pat, repl in pats:
+        counts.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, repl)
+    others = [c for c in df.columns if c != text_col]
+    return df.select(*others, *counts, cur.alias(text_col))
+
+
+def split_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+) -> DataFrame:
+    """One row per (doc, line_no, line).  ``delim`` is a Java regex."""
+    return df.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), delim, -1)).alias(
+            "line_no", "line"
+        ),
+    )
+
+
+def heavy_lines(
+    lines: DataFrame, id_col: str = "doc_id", min_df: int = 2
+) -> DataFrame:
+    """Lines appearing in >= min_df distinct docs, keyed by xxhash64 —
+    the aggregation shuffles 8-byte hashes instead of line strings.
+    Collision risk is the standard 64-bit birthday bound (negligible at
+    boilerplate-set sizes; join on the string itself if a corpus ever
+    approaches 2^32 distinct lines)."""
+    return (
+        lines.groupBy(F.xxhash64("line").alias("line_h"))
+        .agg(F.count_distinct(id_col).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+
+
+def remove_frequent_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+    min_df: int = 2,
+) -> DataFrame:
+    """Boilerplate removal: drop every line whose doc-frequency reaches
+    ``min_df``, preserving intra-doc line order.  Returns one row per
+    input doc: (id, n_lines_before, n_lines_kept, text) — docs whose
+    every line was heavy keep an empty string.
+
+    The heavy set is broadcast (it is the boilerplate vocabulary —
+    bounded, not corpus-sized), so the anti-join adds no shuffle; the
+    reassembly is the one shuffle on the doc id."""
+    lines = split_lines(df, id_col, text_col, delim)
+    heavy = heavy_lines(lines, id_col, min_df).select("line_h")
+    kept = lines.join(
+        F.broadcast(heavy),
+        F.xxhash64("line") == F.col("line_h"),
+        "left_anti",
+    )
+    # join delimiter: the literal first alternative of the split regex
+    # covers the common cases ('\n', ' '); callers with exotic regex
+    # delimiters should re-split downstream instead
+    reassembled = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                lambda x: x["line"],
+            ),
+            delim.split("|")[0],
+        ).alias(text_col),
+    )
+    before = df.select(
+        id_col,
+        F.size(F.split(F.col(text_col), delim, -1))
+        .cast("long")
+        .alias("n_lines_before"),
+    )
+    return before.join(reassembled, id_col, "left").select(
+        id_col,
+        "n_lines_before",
+        F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+        F.coalesce(text_col, F.lit("")).alias(text_col),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int = 256,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: within each shard, docs are
+    concatenated in ``id_col`` order and the token stream is cut into
+    ``seq_len``-token packs (docs may straddle a boundary — the
+    standard pretraining layout).  Returns the per-doc assignment:
+    (id, shard, n_tokens, start_token, first_pack, last_pack)."""
+    toks = F.size(F.split(F.col(text_col), " ", -1)).cast("long")
+    d = df.select(
+        id_col,
+        (F.col(id_col) % n_shards).alias("shard"),
+        toks.alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    d = d.withColumn("cum", F.sum("n_tokens").over(w))
+    return d.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        (F.col("cum") - F.col("n_tokens")).alias("start_token"),
+        F.expr(f"(cum - n_tokens) div {seq_len}").alias("first_pack"),
+        F.expr(f"(cum - 1) div {seq_len}").alias("last_pack"),
+    )
+
+
+def pack_summary(assigned: DataFrame, seq_len: int = 256) -> DataFrame:
+    """Per-(shard, pack) occupancy: doc count, token count (== seq_len
+    for every pack but a shard's last), and boundary-straddling docs.
+    The 1→N doc→pack expansion is bounded by ceil(n_tokens/seq_len)
+    per doc."""
+    ex = assigned.select(
+        "shard",
+        "start_token",
+        "n_tokens",
+        (F.col("first_pack") != F.col("last_pack")).alias("straddles"),
+        F.explode(F.sequence("first_pack", "last_pack")).alias("pack"),
+    )
+    in_pack = F.least(
+        F.col("start_token") + F.col("n_tokens"),
+        (F.col("pack") + 1) * seq_len,
+    ) - F.greatest(F.col("start_token"), F.col("pack") * seq_len)
+    return ex.groupBy("shard", "pack").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(in_pack).alias("pack_tokens"),
+        F.count(F.when(F.col("straddles"), 1)).alias("n_boundary_docs"),
+    )

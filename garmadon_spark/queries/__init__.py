@@ -53,6 +53,9 @@ _FRONT = [
     "panel_spark_executor_churn",
     "panel_container_vcore_usage",
     # datapipe tail: never inside the window through r3.
+    "doc_pii_scrub",
+    "doc_line_dedup",
+    "doc_pack_sequences",
     "doc_repetition",
     "doc_contamination",
     "doc_dup_groups",

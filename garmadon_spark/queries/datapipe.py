@@ -1075,6 +1075,166 @@ SELECT TRUE AS nonempty, TRUE AS pairs_unique, TRUE AS pairs_ordered,
 """
 
 
+def doc_pii_scrub(spark, sf_dir):
+    """PII scrubbing (operators/corpus.py::scrub_pii) demonstrated on
+    deterministic synthetic spans: the fixture corpus carries no PII, so
+    each doc gets an email + IPv4 + phone derived from its doc_id, and
+    the scrubber's match counts and post-redaction length are the
+    verified output.  Zero shuffle — scalar regexp expressions only."""
+    from garmadon_spark.operators.corpus import scrub_pii
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), did, F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"), F.lit("."),
+            (F.col("doc_id") % 100).cast("string"), F.lit(" tel 555-0"),
+            (F.col("doc_id") % 100 + 100).cast("string"),
+        ).alias("text"),
+    )
+    return scrub_pii(synth).select(
+        "doc_id", "n_email", "n_ipv4", "n_phone",
+        F.length("text").cast("long").alias("scrubbed_len"),
+    )
+
+
+DOC_PII_SCRUB_SQL = r"""
+WITH synth AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com from 10.0.'
+              || (doc_id % 256) || '.' || (doc_id % 100)
+              || ' tel 555-0' || (doc_id % 100 + 100) AS t0
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t0,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+         regexp_replace(t0,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g') AS t1
+  FROM synth
+), s2 AS (
+  SELECT doc_id, n_email,
+         len(regexp_extract_all(t1,
+             '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ipv4,
+         regexp_replace(t1, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b',
+                        '<IP>', 'g') AS t2
+  FROM s1
+), s3 AS (
+  SELECT doc_id, n_email, n_ipv4,
+         len(regexp_extract_all(t2,
+             '\b\+?[0-9]{3}[-. ][0-9]{3,4}(?:[-. ][0-9]{3,4})?\b'))
+             AS n_phone,
+         regexp_replace(t2,
+             '\b\+?[0-9]{3}[-. ][0-9]{3,4}(?:[-. ][0-9]{3,4})?\b',
+             '<PHONE>', 'g') AS t3
+  FROM s2
+)
+SELECT doc_id, n_email, n_ipv4, n_phone,
+       CAST(length(t3) AS BIGINT) AS scrubbed_len
+FROM s3
+"""
+
+
+_EIGHT_TOKEN_LINES = (
+    "transform(sequence(0, cast(ceil(size(split(text, ' ', -1))/8.0)"
+    " as int) - 1), i -> array_join(slice(split(text, ' ', -1),"
+    " i*8+1, 8), ' '))"
+)
+
+
+def doc_line_dedup(spark, sf_dir):
+    """Boilerplate line removal (operators/corpus.py::
+    remove_frequent_lines) — the CCNet/RefinedWeb line-frequency
+    cleanup.  The fixture docs are single-line, so each doc is first
+    recut into deterministic 8-token lines (near-duplicate docs then
+    share repeated lines); lines appearing in >=2 docs are dropped.
+    Output: per-doc before/after line counts + surviving char count."""
+    from garmadon_spark.operators.corpus import remove_frequent_lines
+
+    docs = _docs(spark, sf_dir)
+    ml = docs.select(
+        "doc_id",
+        F.expr(f"array_join({_EIGHT_TOKEN_LINES}, '\\n')").alias("text"),
+    )
+    out = remove_frequent_lines(ml, min_df=2, delim="\n")
+    return out.select(
+        "doc_id", "n_lines_before", "n_lines_kept",
+        F.length("text").cast("long").alias("chars_kept"),
+    )
+
+
+DOC_LINE_DEDUP_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), cut AS (
+  SELECT doc_id,
+         list_transform(range(0, CAST(ceil(len(t)/8.0) AS INT)),
+             i -> array_to_string(t[i*8+1 : i*8+8], ' ')) AS lines
+  FROM toks
+), lines AS (
+  SELECT doc_id, unnest(lines) AS line FROM cut
+), heavy AS (
+  SELECT line FROM lines GROUP BY line
+  HAVING count(DISTINCT doc_id) >= 2
+), hl AS (
+  SELECT coalesce(list(line), []) AS h FROM heavy
+)
+SELECT c.doc_id,
+       CAST(len(c.lines) AS BIGINT) AS n_lines_before,
+       CAST(len(list_filter(c.lines, x -> NOT list_contains(h, x)))
+            AS BIGINT) AS n_lines_kept,
+       CAST(coalesce(length(array_to_string(
+            list_filter(c.lines, x -> NOT list_contains(h, x)), chr(10))),
+            0) AS BIGINT) AS chars_kept
+FROM cut c CROSS JOIN hl
+"""
+
+
+def doc_pack_sequences(spark, sf_dir):
+    """Sequence packing (operators/corpus.py::pack_sequences +
+    pack_summary): concat-then-chunk the sharded token stream into
+    256-token packs; per-(shard, pack) occupancy is the verified
+    output.  One running-sum window per shard — no global sort."""
+    from garmadon_spark.operators.corpus import pack_sequences, pack_summary
+
+    docs = _docs(spark, sf_dir)
+    assigned = pack_sequences(docs, seq_len=256, n_shards=8)
+    return pack_summary(assigned, seq_len=256)
+
+
+DOC_PACK_SEQUENCES_SQL = """
+WITH d AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), s AS (
+  SELECT *, CAST(SUM(n_tokens) OVER (
+      PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum
+  FROM d
+), spans AS (
+  SELECT shard, n_tokens, cum - n_tokens AS start_tok, cum,
+         (cum - n_tokens) // 256 AS first_pack,
+         (cum - 1) // 256 AS last_pack
+  FROM s
+), ex AS (
+  SELECT shard, start_tok, cum, n_tokens,
+         first_pack <> last_pack AS straddles,
+         unnest(range(first_pack, last_pack + 1)) AS pack
+  FROM spans
+)
+SELECT shard, pack, COUNT(*) AS n_docs,
+       CAST(SUM(least(cum, (pack + 1) * 256)
+                - greatest(start_tok, pack * 256)) AS BIGINT)
+           AS pack_tokens,
+       COUNT(*) FILTER (straddles) AS n_boundary_docs
+FROM ex GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
     "doc_exact_dedup": (doc_exact_dedup, DOC_EXACT_DEDUP_SQL),
@@ -1113,4 +1273,7 @@ QUERIES = {
     "mm_feature_extract": (mm_feature_extract, None),
     "mm_feature_check": (mm_feature_check, MM_FEATURE_CHECK_SQL),
     "mm_resize": (mm_resize, MM_RESIZE_SQL),
+    "doc_pii_scrub": (doc_pii_scrub, DOC_PII_SCRUB_SQL),
+    "doc_line_dedup": (doc_line_dedup, DOC_LINE_DEDUP_SQL),
+    "doc_pack_sequences": (doc_pack_sequences, DOC_PACK_SEQUENCES_SQL),
 }

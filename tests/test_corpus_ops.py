@@ -1,0 +1,127 @@
+"""Corpus-prep operators (operators/corpus.py): PII scrub, boilerplate
+line removal, sequence packing — exact semantics on handcrafted docs."""
+
+from __future__ import annotations
+
+import pytest
+
+from garmadon_spark.operators import corpus
+
+
+def test_scrub_pii_counts_and_redaction(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "write to a@b.com or c.d@e.org today"),
+            (2, "server 10.0.42.7 answered, call 555-0134 now"),
+            (3, "ip-free and phone-free text"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in corpus.scrub_pii(df).collect()}
+    assert rows[1].n_email == 2 and rows[1].n_ipv4 == 0
+    assert rows[1].text == "write to <EMAIL> or <EMAIL> today"
+    assert rows[2].n_ipv4 == 1 and rows[2].n_phone == 1
+    assert rows[2].text == "server <IP> answered, call <PHONE> now"
+    assert rows[3].n_email == rows[3].n_ipv4 == rows[3].n_phone == 0
+    assert rows[3].text == "ip-free and phone-free text"
+
+
+def test_scrub_pii_no_double_count(spark):
+    # the IP is redacted before the phone pattern runs, so its digit
+    # runs are not also counted as a phone number
+    df = spark.createDataFrame(
+        [(1, "octets 111.222.333.444 only")], "doc_id long, text string"
+    )
+    r = corpus.scrub_pii(df).collect()[0]
+    assert r.n_ipv4 == 1 and r.n_phone == 0
+    assert r.text == "octets <IP> only"
+
+
+@pytest.fixture()
+def lined_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "cookie banner\nunique one\ncopyright foo"),
+            (2, "cookie banner\nunique two"),
+            (3, "copyright foo\ncookie banner"),
+            (4, "all alone here"),
+            (5, "cookie banner"),  # nothing survives
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_remove_frequent_lines(spark, lined_docs):
+    out = {
+        r.doc_id: r
+        for r in corpus.remove_frequent_lines(
+            lined_docs, min_df=2
+        ).collect()
+    }
+    assert len(out) == 5
+    assert out[1].text == "unique one" and out[1].n_lines_before == 3
+    assert out[2].text == "unique two"
+    assert out[3].text == "" and out[3].n_lines_kept == 0
+    assert out[4].text == "all alone here" and out[4].n_lines_kept == 1
+    assert out[5].text == "" and out[5].n_lines_before == 1
+
+
+def test_remove_frequent_lines_preserves_order(spark):
+    df = spark.createDataFrame(
+        [(1, "z last\nboiler\na first\nboiler"), (2, "boiler")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.text
+        for r in corpus.remove_frequent_lines(df, min_df=2).collect()
+    }
+    assert out[1] == "z last\na first"
+
+
+def test_heavy_line_antijoin_is_broadcast(spark, lined_docs):
+    plan = corpus.remove_frequent_lines(
+        lined_docs, min_df=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_pack_sequences_assignment(spark):
+    # shard 0 gets doc 8 (3 tokens); shard 1 gets docs 1 (4), 9 (5):
+    # stream = [0,4) ⊕ [4,9) with seq_len 4 → doc 9 straddles packs 1-2
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (8, "x y z"), (9, "p q r s t")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in corpus.pack_sequences(df, seq_len=4, n_shards=8).collect()
+    }
+    assert rows[8].shard == 0 and rows[8].first_pack == 0
+    assert rows[1].shard == 1
+    assert (rows[1].first_pack, rows[1].last_pack) == (0, 0)
+    assert rows[9].start_token == 4
+    assert (rows[9].first_pack, rows[9].last_pack) == (1, 2)
+
+
+def test_pack_summary_invariants(spark):
+    import random
+
+    rng = random.Random(7)
+    docs = [
+        (i, " ".join("w" for _ in range(rng.randint(1, 40))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    assigned = corpus.pack_sequences(df, seq_len=32, n_shards=4)
+    summary = corpus.pack_summary(assigned, seq_len=32).collect()
+    total = sum(r.pack_tokens for r in summary)
+    expect = sum(len(t.split(" ")) for _, t in docs)
+    assert total == expect
+    # every pack except each shard's last is exactly full
+    by_shard = {}
+    for r in summary:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, packs in by_shard.items():
+        packs.sort(key=lambda r: r.pack)
+        assert all(p.pack_tokens == 32 for p in packs[:-1])
+        assert 0 < packs[-1].pack_tokens <= 32
