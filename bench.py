@@ -93,11 +93,14 @@ def ingest_bench(spark, sf_dir: str, n_target: int = 500_000) -> dict:
         raw = spark.read.parquet(tmp)
         n = raw.count()
         # min-of-2 on both legs: a transient load spike during the
-        # single timed pass recorded a 2× artifact in two past rounds
+        # single timed pass recorded a 2× artifact in two past rounds.
+        # Each archive pass writes a FRESH directory — the sink appends,
+        # so reusing one target would make pass 2 do extra listing/commit
+        # work over pass 1's files (r4 advisor note).
         dt = dt_arch = None
         from garmadon_spark.sinks.archive import write_daily_archive
 
-        for _ in range(2):
+        for i in range(2):
             t0 = time.time()
             typed = decode_typed(decode_frames(raw), 1)
             flat = typed.select("header.*", "body.*", "timestamp")
@@ -105,7 +108,7 @@ def ingest_bench(spark, sf_dir: str, n_target: int = 500_000) -> dict:
             d = time.time() - t0
             dt = d if dt is None else min(dt, d)
             t1 = time.time()
-            write_daily_archive(flat, f"{tmp}/archive")
+            write_daily_archive(flat, f"{tmp}/archive{i}")
             d = time.time() - t1
             dt_arch = d if dt_arch is None else min(dt_arch, d)
         return {
@@ -192,25 +195,33 @@ def main():
         df.write.format("noop").mode("overwrite").save()
         return round(time.time() - t0, 3)
 
-    timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name, (fn, _sql) in qs.items():
         try:
-            timings[name] = run_one(fn)
+            cold[name] = run_one(fn)
         except Exception as e:  # keep benching; a failed query shows as -1
             print(f"bench error {name}: {e}", file=sys.stderr)
-            timings[name] = -1.0
+            cold[name] = -1.0
 
-    # Steady-state pass: a first execution can be dominated by JIT
-    # compilation of freshly-generated wholestage code or a transient
-    # load spike; re-time the slow tail once and report the min (cold
-    # numbers preserved in "queries_cold" for transparency).
-    cold = dict(timings)
+    # Steady-state pass: re-time EVERY query and report min-of-2 (r4
+    # judge: per-query cold numbers swung 2–3× with JVM/JIT/page-cache
+    # session state across rounds, hiding real regressions).  Both
+    # passes are preserved in BENCH_FULL.json so a reader can separate
+    # code regressions (steady moves) from session noise (only cold
+    # moves).  Builder queries with a session memo (minhash/simhash/
+    # winnow/neardup pair tables) recompute on every call — the memo
+    # only short-circuits their *_check consumers — so their steady
+    # number is still the pipeline's compute cost.
+    timings = dict(cold)
+    warm: dict[str, float] = {}
     for name, (fn, _sql) in qs.items():
-        if timings[name] >= 3.0:
-            try:
-                timings[name] = min(timings[name], run_one(fn))
-            except Exception as e:
-                print(f"bench error {name} (rerun): {e}", file=sys.stderr)
+        if cold[name] < 0:
+            continue
+        try:
+            warm[name] = run_one(fn)
+            timings[name] = min(timings[name], warm[name])
+        except Exception as e:
+            print(f"bench error {name} (rerun): {e}", file=sys.stderr)
 
     try:
         ingest = ingest_bench(spark, sf_dir)
@@ -223,6 +234,10 @@ def main():
         print(f"bench error ivf_assign: {e}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    cold_total = round(sum(t for t in cold.values() if t >= 0), 3)
+    # cold-vs-steady spread for the whole set: high values mean the
+    # session (JIT / page cache / load), not the code, dominated pass 1
+    variance = round((cold_total - total) / total, 3) if total else None
 
     # Full breakdown goes to a side file; the printed line must stay well
     # under 2000 chars — the driver captures only the last 2000 chars of
@@ -233,7 +248,10 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "queries_cold": {k: v for k, v in cold.items() if v != timings[k]},
+        "queries_cold": cold,
+        "queries_warm": warm,
+        "cold_total_sec": cold_total,
+        "variance": variance,
         "sf": sf,
         **ingest,
     }
@@ -257,6 +275,8 @@ def main():
         "queries": {},
         "n_queries": len(timings),
         "n_failed": len(failed),
+        "cold_total_sec": cold_total,
+        "variance": variance,
         "queries_full": "BENCH_FULL.json",
         "sf": sf,
         **ingest,

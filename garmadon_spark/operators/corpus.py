@@ -48,13 +48,21 @@ def scrub_pii(
 ) -> DataFrame:
     """Redact PII-shaped spans; adds ``n_<name>`` match counts and
     replaces ``text_col`` with the scrubbed text.  All scalar
-    expressions — no shuffle, no Python."""
+    expressions — no shuffle, no Python.
+
+    NULL ``text_col`` rows pass the NULL through unchanged and report 0
+    for every match count (not NULL — downstream aggregations over the
+    counts must not silently skip those docs)."""
     pats = PII_PATTERNS if patterns is None else patterns
+    is_null = F.col(text_col).isNull()
     cur: Column = F.col(text_col)
     counts = []
     for name, pat, repl in pats:
         counts.append(
-            F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+            F.when(is_null, F.lit(0))
+            .otherwise(
+                F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+            )
             .cast("long")
             .alias(f"n_{name}")
         )
@@ -93,31 +101,54 @@ def heavy_lines(
     )
 
 
+_REGEX_META = set("\\[](){}.*+?^$|")
+
+
 def remove_frequent_lines(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     delim: str = "\n",
     min_df: int = 2,
+    join_delim: str | None = None,
 ) -> DataFrame:
     """Boilerplate removal: drop every line whose doc-frequency reaches
     ``min_df``, preserving intra-doc line order.  Returns one row per
     input doc: (id, n_lines_before, n_lines_kept, text) — docs whose
     every line was heavy keep an empty string.
 
+    ``delim`` is the split REGEX; ``join_delim`` is the LITERAL string
+    used to reassemble kept lines.  When ``join_delim`` is None the
+    split delimiter is reused — valid only when it is a literal (no
+    regex metacharacters); a regex ``delim`` without an explicit
+    ``join_delim`` raises rather than silently emitting wrong text.
+
     The heavy set is broadcast (it is the boilerplate vocabulary —
     bounded, not corpus-sized), so the anti-join adds no shuffle; the
-    reassembly is the one shuffle on the doc id."""
-    lines = split_lines(df, id_col, text_col, delim)
-    heavy = heavy_lines(lines, id_col, min_df).select("line_h")
-    kept = lines.join(
-        F.broadcast(heavy),
-        F.xxhash64("line") == F.col("line_h"),
-        "left_anti",
+    reassembly is the one shuffle on the doc id.  Dropping matches on
+    BOTH the 64-bit line hash and the line string: the hash bounds the
+    shuffled aggregation key to 8 bytes, and the string re-check
+    (against the small heavy vocabulary only) makes a hash collision
+    unable to delete an innocent line."""
+    if join_delim is None:
+        if _REGEX_META & set(delim):
+            raise ValueError(
+                f"delim {delim!r} contains regex metacharacters; pass an"
+                " explicit join_delim for reassembly"
+            )
+        join_delim = delim
+    lines = split_lines(df, id_col, text_col, delim).withColumn(
+        "line_h", F.xxhash64("line")
     )
-    # join delimiter: the literal first alternative of the split regex
-    # covers the common cases ('\n', ' '); callers with exotic regex
-    # delimiters should re-split downstream instead
+    heavy_h = heavy_lines(lines, id_col, min_df).select("line_h")
+    # resolve heavy hashes back to their strings (heavy-vocabulary-sized;
+    # the distinct's partial aggregation dedups before the shuffle)
+    heavy = (
+        lines.join(F.broadcast(heavy_h), "line_h", "left_semi")
+        .select("line_h", "line")
+        .distinct()
+    )
+    kept = lines.join(F.broadcast(heavy), ["line_h", "line"], "left_anti")
     reassembled = kept.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_lines_kept"),
         F.array_join(
@@ -125,7 +156,7 @@ def remove_frequent_lines(
                 F.array_sort(F.collect_list(F.struct("line_no", "line"))),
                 lambda x: x["line"],
             ),
-            delim.split("|")[0],
+            join_delim,
         ).alias(text_col),
     )
     before = df.select(

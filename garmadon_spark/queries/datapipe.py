@@ -40,6 +40,58 @@ def _fanout(spark, df):
     return df.repartition(spark.sparkContext.defaultParallelism)
 
 
+# --- session-scoped result memo -------------------------------------------
+#
+# The sketch-tier *builder* queries (minhash pairs, simhash fingerprints,
+# winnowed fingerprints/overlaps) each have an exact-bound ``*_check``
+# companion that runs a handful of small actions over the builder's
+# result.  Before this memo, each check re-evaluated the entire sketch
+# pipeline from the parquet scan — doubling the cost of the most
+# expensive queries in the declared set for no information (the r4
+# perf-weak finding).  Pattern mirrors engine._fixture_dfs: one session
+# at a time, keyed on (result name, corpus dir).
+#
+# Builders ALWAYS recompute and re-publish (their benched cost stays the
+# honest cost of the pipeline); only the checks read the memo.  This is
+# the local analogue of the 100 TB deployment checkpointing its
+# signature/pair tables between the sketch job and downstream audits.
+
+_RESULT_MEMO: dict = {}
+
+
+def _memo_store(spark, sf_dir, name, df):
+    """Builder side: persist the freshly-built result and publish it for
+    consumer queries, unpersisting any previous materialization."""
+    import os
+
+    if _RESULT_MEMO.get("_sid") != id(spark):
+        _RESULT_MEMO.clear()  # one session at a time; drop stale handles
+        _RESULT_MEMO["_sid"] = id(spark)
+    key = (name, os.path.realpath(sf_dir))
+    old = _RESULT_MEMO.get(key)
+    if old is not None:
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    df = df.persist()
+    _RESULT_MEMO[key] = df
+    return df
+
+
+def _memo_fetch(spark, sf_dir, name, builder):
+    """Consumer side: reuse the published table if this session already
+    built it; otherwise run ``builder`` (which publishes via
+    ``_memo_store``)."""
+    import os
+
+    if _RESULT_MEMO.get("_sid") == id(spark):
+        df = _RESULT_MEMO.get((name, os.path.realpath(sf_dir)))
+        if df is not None:
+            return df
+    return builder()
+
+
 # --- document fingerprinting ---------------------------------------------
 
 def doc_fingerprint(spark, sf_dir):
@@ -365,24 +417,39 @@ FROM reach GROUP BY node
 def doc_minhash_dedup(spark, sf_dir):
     """Tier-3 dedup: MinHash signatures → LSH band buckets → exact-Jaccard
     verification of candidates only.  The scale path: no all-pairs stage
-    anywhere.  Rows-only check (sketch internals aren't SQL)."""
-    return dedup.minhash_dedup(
-        _fanout(spark, _docs(spark, sf_dir)), n=2, num_hashes=64, bands=16,
-        threshold=0.3,
+    anywhere.  Rows-only check (sketch internals aren't SQL).  Publishes
+    the verified pair table for ``doc_minhash_check``."""
+    return _memo_store(
+        spark, sf_dir, "minhash_pairs",
+        dedup.minhash_dedup(
+            _fanout(spark, _docs(spark, sf_dir)), n=2, num_hashes=64,
+            bands=16, threshold=0.3,
+        ),
     )
 
 
 def doc_simhash(spark, sf_dir):
     """Tier-4 dedup: 56-bit SimHash fingerprints (deterministic,
-    content-derived).  Rows-only check."""
-    return dedup.simhash(_fanout(spark, _docs(spark, sf_dir)))
+    content-derived).  Rows-only check.  Publishes the fingerprint table
+    for ``doc_simhash_check``."""
+    return _memo_store(
+        spark, sf_dir, "simhash_fps",
+        dedup.simhash(_fanout(spark, _docs(spark, sf_dir))),
+    )
 
 
 def doc_winnow_overlap(spark, sf_dir):
     """Winnowed-fingerprint near-dup candidates (MOSS-style rolling-hash
-    sampling).  Rows-only check."""
-    fps = text.fingerprint_winnow(_fanout(spark, _docs(spark, sf_dir)))
-    return text.fingerprint_overlap(fps, min_common=3)
+    sampling).  Rows-only check.  Publishes both the fingerprint and the
+    overlap-pair tables for ``doc_winnow_check``."""
+    fps = _memo_store(
+        spark, sf_dir, "winnow_fps",
+        text.fingerprint_winnow(_fanout(spark, _docs(spark, sf_dir))),
+    )
+    return _memo_store(
+        spark, sf_dir, "winnow_overlap",
+        text.fingerprint_overlap(fps, min_common=3),
+    )
 
 
 # --- text analysis: language ID / quality / BPE-ish tokens ----------------
@@ -573,10 +640,14 @@ FROM documents
 def emb_neardup_blocked(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs within label blocks — the
     vector-space dedup tier (blocked form is oracle-checkable; the
-    corpus-wide form uses IVF cells as blocks)."""
-    return similarity.neardup_pairs_blocked(
-        _fanout(spark, _embs(spark, sf_dir)), block_col="label",
-        threshold=0.25,
+    corpus-wide form uses IVF cells as blocks).  Publishes the pair
+    table for ``emb_neardup_ivf_check``."""
+    return _memo_store(
+        spark, sf_dir, "neardup_blocked",
+        similarity.neardup_pairs_blocked(
+            _fanout(spark, _embs(spark, sf_dir)), block_col="label",
+            threshold=0.25,
+        ),
     )
 
 
@@ -688,10 +759,11 @@ def doc_minhash_check(spark, sf_dir):
     recovered (identical shingle sets share all LSH buckets, so a miss
     means a broken signature/banding).  Deterministic for a fixed
     corpus → constant-true oracle."""
-    # persist the (tiny) pair set: the check drives TWO actions over it,
-    # and re-evaluating the full sketch+verify pipeline per action would
-    # double the cost of the most expensive declared query
-    mm = doc_minhash_dedup(spark, sf_dir).persist()
+    # the pair table is published (persisted) by doc_minhash_dedup, which
+    # the bench/driver run moments before this check — reuse it instead
+    # of re-evaluating the whole sketch+verify pipeline per action
+    mm = _memo_fetch(spark, sf_dir, "minhash_pairs",
+                     lambda: doc_minhash_dedup(spark, sf_dir))
     docs = _docs(spark, sf_dir)
     groups = docs.select(
         dedup.content_hash("text").alias("ch"),
@@ -709,7 +781,6 @@ def doc_minhash_check(spark, sf_dir):
         F.sum((F.col("doc_a") < F.col("doc_b")).cast("long")).alias(
             "ordered"),
     ).head()
-    mm.unpersist()
     return spark.createDataFrame(
         [(
             bool(agg.n > 0),
@@ -734,9 +805,10 @@ def doc_simhash_check(spark, sf_dir):
     56 bits, and every normalized exact-duplicate group maps to ONE
     fingerprint (identical token multisets must hash identically — a
     split group means a broken bit-vote).  Constant-true oracle."""
-    # two actions below — persist the (doc, simhash) table so the
-    # fingerprint computation runs once
-    fps = dedup.simhash(_fanout(spark, _docs(spark, sf_dir))).persist()
+    # the fingerprint table is published (persisted) by doc_simhash —
+    # reuse it so the two actions below don't recompute the bit-votes
+    fps = _memo_fetch(spark, sf_dir, "simhash_fps",
+                      lambda: doc_simhash(spark, sf_dir))
     docs = _docs(spark, sf_dir)
     joined = docs.select(
         dedup.content_hash("text").alias("ch"),
@@ -751,7 +823,6 @@ def doc_simhash_check(spark, sf_dir):
     )
     rng = fps.agg(F.min("simhash").alias("lo"), F.max("simhash").alias("hi"),
                   F.count(F.lit(1)).alias("n")).head()
-    fps.unpersist()
     return spark.createDataFrame(
         [(
             bool(rng.n > 0),
@@ -773,11 +844,19 @@ def doc_winnow_check(spark, sf_dir):
     min_common fingerprints) must surface in the overlap pairs —
     identical normalized text has identical window minima.  Plus the
     pair contract (ordered, unique).  Constant-true oracle."""
-    base = _fanout(spark, _docs(spark, sf_dir))
-    # fps feeds both the overlap pipeline and the eligibility join;
-    # persist so winnowing runs once across the check's actions
-    fps = text.fingerprint_winnow(base).persist()
-    ov = text.fingerprint_overlap(fps, min_common=3).persist()
+    # both tables are published (persisted) by doc_winnow_overlap —
+    # fetch the overlap first (its builder publishes the fingerprints
+    # too), then the fingerprints are guaranteed present
+    ov = _memo_fetch(spark, sf_dir, "winnow_overlap",
+                     lambda: doc_winnow_overlap(spark, sf_dir))
+    fps = _memo_fetch(
+        spark, sf_dir, "winnow_fps",
+        lambda: _memo_store(
+            spark, sf_dir, "winnow_fps",
+            text.fingerprint_winnow(
+                _fanout(spark, _docs(spark, sf_dir))),
+        ),
+    )
     eligible = (
         _docs(spark, sf_dir)
         .select(dedup.content_hash("text").alias("ch"),
@@ -801,8 +880,6 @@ def doc_winnow_check(spark, sf_dir):
         F.sum((F.col("doc_a") < F.col("doc_b")).cast("long")).alias(
             "ordered"),
     ).head()
-    ov.unpersist()
-    fps.unpersist()
     return spark.createDataFrame(
         [(
             bool(agg.n > 0),
@@ -1003,9 +1080,12 @@ def emb_neardup_ivf(spark, sf_dir):
     engine-defined)."""
     path = _ensure_ivf_index(spark, sf_dir)
     assigned = spark.read.parquet(f"{path}/vectors")
-    return similarity.neardup_pairs_blocked(
-        assigned, block_col="ivf_cell", threshold=0.25
-    ).withColumnRenamed("blk", "ivf_cell")
+    return _memo_store(
+        spark, sf_dir, "neardup_ivf",
+        similarity.neardup_pairs_blocked(
+            assigned, block_col="ivf_cell", threshold=0.25
+        ).withColumnRenamed("blk", "ivf_cell"),
+    )
 
 
 def emb_neardup_ivf_check(spark, sf_dir):
@@ -1016,8 +1096,12 @@ def emb_neardup_ivf_check(spark, sf_dir):
     same threshold, same rounded cosine, two independent blocking keys.
     Plus the pair contract (unique, ordered, ≥ threshold).
     Deterministic for a fixed corpus → constant-true oracle."""
-    ivf = emb_neardup_ivf(spark, sf_dir).persist()
-    blocked = emb_neardup_blocked(spark, sf_dir).persist()
+    # both pair tables are published (persisted) by their builder
+    # queries, which run just before this check in the declared set
+    ivf = _memo_fetch(spark, sf_dir, "neardup_ivf",
+                      lambda: emb_neardup_ivf(spark, sf_dir))
+    blocked = _memo_fetch(spark, sf_dir, "neardup_blocked",
+                          lambda: emb_neardup_blocked(spark, sf_dir))
     labels = _embs(spark, sf_dir).select("vec_id", "label")
     cells = spark.read.parquet(
         f"{_ensure_ivf_index(spark, sf_dir)}/vectors"
@@ -1051,8 +1135,6 @@ def emb_neardup_ivf_check(spark, sf_dir):
         F.sum((F.col("id_a") < F.col("id_b")).cast("long")).alias("ordered"),
         F.min("cosine").alias("minc"),
     ).head()
-    ivf.unpersist()
-    blocked.unpersist()
     return spark.createDataFrame(
         [(
             bool(agg.n > 0),
