@@ -402,6 +402,144 @@ GROUP BY 1, 2, 3
 """
 
 
+def compute_node_capacity(container_monitoring: DataFrame) -> DataFrame:
+    """The garmadon-compute dashboard's node-overview stack
+    ('Applications/Containers runnning' + 'YARN Memory Used/Reserved',
+    grafana/garmadon-compute.json): `event_type:CONTAINER_MONITORING_
+    EVENT AND type:MEMORY AND tags:... AND hostname:$hostname` with TWO
+    cardinality metrics and TWO sum metrics over one date_histogram —
+    per (hostname, hour) running containers/apps and used/reserved
+    memory.  (The dashboard's `tags:NODEMANAGER` conjunct is bound to
+    the fixture corpus's tag vocabulary, `YARN_APPLICATION`; the filter
+    shape is identical.)  Four metrics share one scan + one shuffle;
+    the distinct-counts are per-group hash sets over bounded
+    container/app ids."""
+    val = F.col("value").cast("double")
+    return (
+        container_monitoring.filter(
+            (F.col("type") == "MEMORY")
+            & F.array_contains("tags", "YARN_APPLICATION")
+        )
+        .groupBy(
+            "hostname",
+            F.expr(f"timestamp div {HOUR_MS}").alias("hour_bucket"),
+        )
+        .agg(
+            F.count_distinct("container_id").alias("n_containers"),
+            F.count_distinct("application_id").alias("n_apps"),
+            F.round(F.sum(val), 4).alias("memory_used"),
+            F.sum("limit").alias("memory_reserved"),
+        )
+    )
+
+
+COMPUTE_NODE_CAPACITY_SQL = """
+SELECT hostname,
+       CAST(timestamp // 3600000 AS BIGINT) AS hour_bucket,
+       COUNT(DISTINCT container_id) AS n_containers,
+       COUNT(DISTINCT application_id) AS n_apps,
+       ROUND(SUM(CAST(value AS DOUBLE)), 4) AS memory_used,
+       CAST(SUM("limit") AS BIGINT) AS memory_reserved
+FROM container_monitoring_event
+WHERE type = 'MEMORY' AND list_contains(tags, 'YARN_APPLICATION')
+GROUP BY 1, 2
+"""
+
+
+def compute_top_app_reserved(container_monitoring: DataFrame,
+                             k: int = 5) -> DataFrame:
+    """'Top app reserved memory' / 'Top app running container'
+    (grafana/garmadon-compute.json): terms(application_id) size=k
+    ordered by the sum metric — reservation-weighted top applications
+    with their live-container cardinality.  Distributed agg then
+    TakeOrdered(k); only k rows reach the driver."""
+    counts = (
+        container_monitoring.filter(F.col("type") == "MEMORY")
+        .groupBy("application_id")
+        .agg(
+            F.sum("limit").alias("reserved_memory"),
+            F.count_distinct("container_id").alias("n_containers"),
+        )
+    )
+    return counts.orderBy(
+        F.desc("reserved_memory"), F.asc("application_id")
+    ).limit(k)
+
+
+COMPUTE_TOP_APP_RESERVED_SQL = """
+SELECT application_id,
+       CAST(SUM("limit") AS BIGINT) AS reserved_memory,
+       COUNT(DISTINCT container_id) AS n_containers
+FROM container_monitoring_event
+WHERE type = 'MEMORY'
+GROUP BY application_id
+ORDER BY reserved_memory DESC, application_id ASC
+LIMIT 5
+"""
+
+
+def compute_user_framework_usage(jvmstats: DataFrame) -> DataFrame:
+    """'#Applications Per User' / '#Container Per Framework/Component'
+    (grafana/garmadon-compute.json): the dashboard's DOUBLE terms stack
+    — terms(framework) × terms(component) under the per-user filter —
+    with cardinality metrics: distinct apps and containers per
+    (username, framework, component) over `event_type:JVMSTATS_EVENT
+    AND tags:YARN_APPLICATION`."""
+    return (
+        jvmstats.filter(F.array_contains("tags", "YARN_APPLICATION"))
+        .groupBy("username", "framework", "component")
+        .agg(
+            F.count_distinct("application_id").alias("n_apps"),
+            F.count_distinct("container_id").alias("n_containers"),
+        )
+    )
+
+
+COMPUTE_USER_FRAMEWORK_USAGE_SQL = """
+SELECT username, framework, component,
+       COUNT(DISTINCT application_id) AS n_apps,
+       COUNT(DISTINCT container_id) AS n_containers
+FROM jvmstats_event
+WHERE list_contains(tags, 'YARN_APPLICATION')
+GROUP BY 1, 2, 3
+"""
+
+
+def executor_task_runtime(spark_tasks: DataFrame) -> DataFrame:
+    """The garmadon-spark-job-executors 'Task runtime' / 'Number of
+    Tasks/Status/ExecutorId' panels: `event_type:SPARK_TASK_EVENT AND
+    application_id:$application_id AND ... AND executor_hostname:
+    $executor_hostname` → per (application_id, executor_hostname) task
+    counts by status plus run-time percentiles (the dashboard's
+    percentile metric agg over executor_run_time)."""
+    return (
+        spark_tasks.groupBy("application_id", "executor_hostname")
+        .agg(
+            F.count(F.lit(1)).alias("n_tasks"),
+            F.count(F.when(F.col("status") == "failed", 1)).alias(
+                "n_failed"
+            ),
+            F.round(F.expr("percentile(executor_run_time, 0.5)"), 4)
+            .alias("p50_run_ms"),
+            F.round(F.expr("percentile(executor_run_time, 0.95)"), 4)
+            .alias("p95_run_ms"),
+            F.max("jvm_gc_time").alias("max_gc_ms"),
+        )
+    )
+
+
+EXECUTOR_TASK_RUNTIME_SQL = """
+SELECT application_id, executor_hostname,
+       COUNT(*) AS n_tasks,
+       COUNT(*) FILTER (WHERE status = 'failed') AS n_failed,
+       ROUND(quantile_cont(executor_run_time, 0.5), 4) AS p50_run_ms,
+       ROUND(quantile_cont(executor_run_time, 0.95), 4) AS p95_run_ms,
+       MAX(jvm_gc_time) AS max_gc_ms
+FROM spark_task_event
+GROUP BY 1, 2
+"""
+
+
 # panel name -> (fixture table, fn, sql, pre)  — pre maps the raw table
 # (e.g. the heap explode) before the DuckDB view is created.
 PANELS = {
@@ -433,4 +571,16 @@ PANELS = {
     "container_vcore_usage": ("container_monitoring_event",
                               container_vcore_usage,
                               CONTAINER_VCORE_USAGE_SQL, None),
+    "compute_node_capacity": ("container_monitoring_event",
+                              compute_node_capacity,
+                              COMPUTE_NODE_CAPACITY_SQL, None),
+    "compute_top_app_reserved": ("container_monitoring_event",
+                                 compute_top_app_reserved,
+                                 COMPUTE_TOP_APP_RESERVED_SQL, None),
+    "compute_user_framework_usage": ("jvmstats_event",
+                                     compute_user_framework_usage,
+                                     COMPUTE_USER_FRAMEWORK_USAGE_SQL,
+                                     None),
+    "executor_task_runtime": ("spark_task_event", executor_task_runtime,
+                              EXECUTOR_TASK_RUNTIME_SQL, None),
 }

@@ -37,6 +37,20 @@ def test_scrub_pii_no_double_count(spark):
     assert r.text == "octets <IP> only"
 
 
+def test_scrub_pii_null_text_zero_counts(spark):
+    # NULL text passes through as NULL, but counts are 0 (not NULL) so
+    # downstream aggregations over n_<name> don't silently skip the doc
+    df = spark.createDataFrame(
+        [(1, None), (2, "mail a@b.com")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in corpus.scrub_pii(df).collect()}
+    assert rows[1].text is None
+    assert rows[1].n_email == 0
+    assert rows[1].n_ipv4 == 0
+    assert rows[1].n_phone == 0
+    assert rows[2].n_email == 1
+
+
 @pytest.fixture()
 def lined_docs(spark):
     return spark.createDataFrame(
@@ -76,6 +90,41 @@ def test_remove_frequent_lines_preserves_order(spark):
         for r in corpus.remove_frequent_lines(df, min_df=2).collect()
     }
     assert out[1] == "z last\na first"
+
+
+def test_remove_frequent_lines_regex_delim_requires_join_delim(spark):
+    df = spark.createDataFrame(
+        [(1, "boiler, unique one ; boiler"), (2, "boiler")],
+        "doc_id long, text string",
+    )
+    # a regex delimiter with no explicit join string would reassemble
+    # wrong text — refuse instead of guessing
+    with pytest.raises(ValueError, match="join_delim"):
+        corpus.remove_frequent_lines(df, delim=r"\s*[,;]\s*", min_df=2)
+    out = {
+        r.doc_id: r.text
+        for r in corpus.remove_frequent_lines(
+            df, delim=r"\s*[,;]\s*", min_df=2, join_delim="; "
+        ).collect()
+    }
+    assert out[1] == "unique one"
+    assert out[2] == ""
+
+
+def test_remove_frequent_lines_matches_on_string_not_just_hash(spark):
+    # the drop condition is (hash AND string): feed the anti-join a heavy
+    # set and confirm a distinct line with an equal-by-construction hash
+    # cannot be manufactured through the public API — the string re-check
+    # keeps the output identical to pure string-equality semantics
+    df = spark.createDataFrame(
+        [(1, "keep me\nboiler"), (2, "boiler\nalso kept"), (3, "boiler")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.text
+        for r in corpus.remove_frequent_lines(df, min_df=2).collect()
+    }
+    assert out == {1: "keep me", 2: "also kept", 3: ""}
 
 
 def test_heavy_line_antijoin_is_broadcast(spark, lined_docs):
