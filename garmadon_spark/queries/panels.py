@@ -540,6 +540,47 @@ GROUP BY 1, 2
 """
 
 
+def stage_shuffle_timeline(spark_tasks: DataFrame) -> DataFrame:
+    """The garmadon-spark-job-stages dashboard condensed: its 'Number of
+    Tasks/Status' triple stack (terms(stage) × terms(status) ×
+    date_histogram) carrying the CPU/shuffle sum metrics of the
+    stage-timeline panels (run time, GC, remote-fetch wait, shuffle
+    write time, bytes fetched/written) — per (stage_id, status, hour)
+    in ONE scan + ONE shuffle instead of the dashboard's 14 separate
+    targets."""
+    return (
+        spark_tasks.groupBy(
+            "stage_id",
+            "status",
+            F.expr(f"timestamp div {HOUR_MS}").alias("hour_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_tasks"),
+            F.sum("executor_run_time").alias("run_ms"),
+            F.sum("jvm_gc_time").alias("gc_ms"),
+            F.sum("shuffle_read_fetch_wait_time").alias("fetch_wait_ms"),
+            F.sum("shuffle_write_shuffle_time").alias("write_ms"),
+            F.sum("shuffle_read_total_bytes").alias("bytes_fetched"),
+            F.sum("shuffle_write_shuffle_bytes").alias("bytes_written"),
+        )
+    )
+
+
+STAGE_SHUFFLE_TIMELINE_SQL = """
+SELECT stage_id, status,
+       CAST(timestamp // 3600000 AS BIGINT) AS hour_bucket,
+       COUNT(*) AS n_tasks,
+       CAST(SUM(executor_run_time) AS BIGINT) AS run_ms,
+       CAST(SUM(jvm_gc_time) AS BIGINT) AS gc_ms,
+       CAST(SUM(shuffle_read_fetch_wait_time) AS BIGINT) AS fetch_wait_ms,
+       CAST(SUM(shuffle_write_shuffle_time) AS BIGINT) AS write_ms,
+       CAST(SUM(shuffle_read_total_bytes) AS BIGINT) AS bytes_fetched,
+       CAST(SUM(shuffle_write_shuffle_bytes) AS BIGINT) AS bytes_written
+FROM spark_task_event
+GROUP BY 1, 2, 3
+"""
+
+
 # panel name -> (fixture table, fn, sql, pre)  — pre maps the raw table
 # (e.g. the heap explode) before the DuckDB view is created.
 PANELS = {
@@ -583,4 +624,6 @@ PANELS = {
                                      None),
     "executor_task_runtime": ("spark_task_event", executor_task_runtime,
                               EXECUTOR_TASK_RUNTIME_SQL, None),
+    "stage_shuffle_timeline": ("spark_task_event", stage_shuffle_timeline,
+                               STAGE_SHUFFLE_TIMELINE_SQL, None),
 }
