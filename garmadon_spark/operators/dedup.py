@@ -53,6 +53,38 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    seen_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tier-1 dedup, incremental form — the production corpus-update
+    workflow: dedup an INCREMENT (today's crawl) against the accepted
+    corpus's persisted hash index without touching historical text.
+
+    ``seen_index`` carries one ``content_hash`` column (the index a
+    deployment maintains as a table, appended after every accepted
+    batch).  Two steps, each one bounded shuffle: (1) self-dedup the
+    increment (groupBy hash, keep min id — uniform 128-bit key);
+    (2) anti-join survivors against the index.  At 100 TB the index
+    side is a table bucketed on content_hash, so the anti-join is a
+    zero-Exchange sort-merge join (sinks/archive.py::write_bucketed
+    layout); re-running a failed batch is idempotent because both
+    steps are deterministic.
+
+    Returns the accepted increment rows: (id_col, content_hash)."""
+    inc = new_docs.select(
+        F.col(id_col), content_hash(text_col).alias("content_hash")
+    )
+    survivors = inc.groupBy("content_hash").agg(
+        F.min(id_col).alias(id_col)
+    )
+    return survivors.join(
+        seen_index.select("content_hash"), "content_hash", "left_anti"
+    ).select(id_col, "content_hash")
+
+
 def tokens(col: str = "text") -> Column:
     return F.filter(F.split(normalized_text(col), " "), lambda t: t != "")
 

@@ -131,6 +131,38 @@ HAVING COUNT(*) > 1
 """
 
 
+def doc_incremental_dedup(spark, sf_dir):
+    """Incremental corpus update (operators/dedup.py::
+    incremental_exact_dedup): docs with doc_id % 5 == 0 play today's
+    increment, the rest are the accepted corpus whose persisted hash
+    index is all a deployment retains — the daily-crawl workflow where
+    100 TB of history is never re-read.  Returns the accepted increment
+    rows."""
+    docs = _docs(spark, sf_dir)
+    increment = docs.filter(F.col("doc_id") % 5 == 0)
+    historical = docs.filter(F.col("doc_id") % 5 != 0)
+    index = historical.select(
+        dedup.content_hash("text").alias("content_hash")
+    ).distinct()
+    return dedup.incremental_exact_dedup(increment, index)
+
+
+DOC_INCREMENTAL_DEDUP_SQL = """
+WITH hist AS (
+    SELECT DISTINCT
+           md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash
+    FROM documents WHERE doc_id % 5 <> 0
+), inc AS (
+    SELECT MIN(doc_id) AS doc_id,
+           md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash
+    FROM documents WHERE doc_id % 5 = 0
+    GROUP BY 2
+)
+SELECT doc_id, content_hash FROM inc
+WHERE content_hash NOT IN (SELECT content_hash FROM hist)
+"""
+
+
 # --- text statistics ------------------------------------------------------
 
 def doc_token_stats(spark, sf_dir):
@@ -1320,6 +1352,9 @@ FROM ex GROUP BY 1, 2
 QUERIES = {
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
     "doc_exact_dedup": (doc_exact_dedup, DOC_EXACT_DEDUP_SQL),
+    "doc_incremental_dedup": (
+        doc_incremental_dedup, DOC_INCREMENTAL_DEDUP_SQL
+    ),
     "doc_token_stats": (doc_token_stats, DOC_TOKEN_STATS_SQL),
     "doc_lang_stats": (doc_lang_stats, DOC_LANG_STATS_SQL),
     "doc_top_tokens": (doc_top_tokens, DOC_TOP_TOKENS_SQL),

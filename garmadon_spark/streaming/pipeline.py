@@ -107,6 +107,32 @@ def windowed_counts(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("kafka_partition", "kafka_offset"),
+    ts_col: str = "timestamp",
+    watermark: str = "26 hours",
+) -> DataFrame:
+    """Streaming exact dedup at the ingest boundary (the W8 redelivery
+    guard as engine state): drop any event whose identity re-appears
+    within the watermark — Kafka's at-least-once redeliveries carry the
+    same (partition, offset), the reference's own dedup identity
+    (PartitionedWriter offset recovery).  `dropDuplicatesWithinWatermark`
+    keeps ONE state entry per key and expires it at the watermark, so
+    state is bounded by keys-per-26 h, not stream history (the unbounded
+    `dropDuplicates` trap at 100 TB/day).  Also the streaming front door
+    for corpus exact-dedup: key on `content_hash` to suppress
+    re-scraped documents at ingest instead of re-running batch dedup."""
+    with_time = events.withColumn(
+        "event_time", F.timestamp_millis(F.col(ts_col))
+    )
+    return (
+        with_time.withWatermark("event_time", watermark)
+        .dropDuplicatesWithinWatermark(list(key_cols))
+        .drop("event_time")
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, available_now: bool = True):
     """Test/debug sink: run the streaming query into an in-memory table."""
     writer = (

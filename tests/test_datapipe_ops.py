@@ -39,6 +39,35 @@ def test_exact_duplicates(docs):
     assert groups[0].dup_count == 3 and groups[0].keep_doc_id == 0
 
 
+def test_incremental_exact_dedup(spark, docs):
+    # historical corpus accepted docs 0 and 4; its hash index is all
+    # the increment sees.  Increment: 1 (dup of historical 0), 2
+    # (normalized dup of 0), 3 (NOT an exact dup — accepted), 5 (new),
+    # plus an increment-internal dup pair (6, 7) that collapses to 6.
+    hist = docs.filter(F.col("doc_id").isin(0, 4))
+    index = hist.select(dedup.content_hash("text").alias("content_hash"))
+    extra = spark.createDataFrame(
+        [(6, "repeated increment text"), (7, "repeated increment text")],
+        "doc_id long, text string",
+    )
+    inc = docs.filter(F.col("doc_id").isin(1, 2, 3, 5)).select(
+        "doc_id", "text"
+    ).unionByName(extra)
+    accepted = sorted(
+        r.doc_id
+        for r in dedup.incremental_exact_dedup(inc, index).collect()
+    )
+    assert accepted == [3, 5, 6]
+
+
+def test_incremental_dedup_idempotent(spark, docs):
+    # re-running the same increment against an index that already
+    # absorbed it accepts nothing — the failed-batch retry property
+    inc = docs.filter(F.col("doc_id").isin(3, 5)).select("doc_id", "text")
+    index = inc.select(dedup.content_hash("text").alias("content_hash"))
+    assert dedup.incremental_exact_dedup(inc, index).count() == 0
+
+
 # --- blocked jaccard ------------------------------------------------------
 
 def test_jaccard_pairs_blocked(docs):

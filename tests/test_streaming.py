@@ -63,6 +63,40 @@ def test_archive_incremental_append(spark, event_dir, tmp_path):
     assert spark.read.parquet(out).count() == full.count()
 
 
+# --- streaming ingest dedup (W8 redelivery guard) -------------------------
+
+def test_dedup_stream_drops_redeliveries(spark, event_dir, tmp_path):
+    src = str(tmp_path / "src")
+    base = spark.read.parquet(f"{event_dir}/fs_event.parquet")
+    # first delivery, then a later micro-batch redelivers half of it
+    # with the same (kafka_partition, kafka_offset) identity
+    base.write.mode("overwrite").parquet(src)
+    redelivered = base.limit(base.count() // 2)
+    redelivered.write.mode("append").parquet(src)
+    deduped = pipeline.dedup_stream(
+        pipeline.stream_events(spark, src, "FS_EVENT")
+    )
+    q = (
+        deduped.writeStream.format("memory").queryName("dedup_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM dedup_out")
+    # exactly one survivor per identity — the fixture itself may carry
+    # offset collisions (seed-dependent), so distinct identities is the
+    # contract, not the raw pre-redelivery row count
+    n_ids = (
+        base.select("kafka_partition", "kafka_offset").distinct().count()
+    )
+    assert got.count() == n_ids
+    assert (
+        got.select("kafka_partition", "kafka_offset").distinct().count()
+        == n_ids
+    )
+    # schema passes through untouched (the helper column is dropped)
+    assert set(got.columns) == set(base.columns)
+
+
 # --- watermarked windows (W4) ---------------------------------------------
 
 def test_windowed_counts_matches_batch(spark, event_dir, tmp_path):
