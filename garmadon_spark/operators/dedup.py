@@ -302,6 +302,93 @@ def lsh_candidate_pairs(
     )
 
 
+def incremental_minhash(
+    new_docs: DataFrame,
+    hist_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Tier-3 dedup, incremental form: near-dup an INCREMENT against the
+    corpus's PERSISTED signature index — the daily-update workflow where
+    historical text is never re-read and similarity is estimated from
+    the stored signatures alone (matching-component fraction, the
+    standard MinHash estimator; E[est] = true Jaccard).
+
+    ``hist_index`` is (doc, signature array<long>) — what
+    ``minhash_signatures`` emits and a deployment appends per accepted
+    batch.  Candidate generation: band the increment's fresh signatures
+    TOGETHER with the index's, bucket-join, and keep only pairs touching
+    an increment doc (an `is_new` flag rides the banding payload, so
+    settled hist–hist pairs are discarded at expansion, not re-verified).
+    Returns (doc_a, doc_b, est_jaccard) with est ≥ threshold; identical
+    texts have identical signatures ⇒ est 1.0, the recall floor the
+    check queries pin."""
+    inc_sigs = minhash_signatures(
+        new_docs, id_col=id_col, text_col=text_col, n=n,
+        num_hashes=num_hashes,
+    ).withColumn("is_new", F.lit(True))
+    sigs = hist_index.select(
+        "doc", "signature", F.lit(False).alias("is_new")
+    ).unionByName(inc_sigs)
+    rows_per_band = num_hashes // bands
+    band_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda bi: F.struct(
+            bi.alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(
+                            F.col("signature"),
+                            bi * rows_per_band + 1,
+                            rows_per_band,
+                        ),
+                        lambda v: v.cast("string"),
+                    ),
+                )
+            ).alias("bucket"),
+        ),
+    )
+    banded = explode_computed(
+        sigs, band_structs, "bb", ["doc", "is_new"]
+    ).select(
+        F.struct("doc", "is_new").alias("p"), "bb.band", "bb.bucket"
+    )
+    cands = (
+        bucket_pairs(banded, ["band", "bucket"], "p")
+        .filter(F.col("a.is_new") | F.col("b.is_new"))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc").alias("doc_a"),
+                     F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col("doc").alias("doc_b"),
+                     F.col("signature").alias("sig_b"))
+    est = (
+        F.aggregate(
+            F.zip_with(
+                "sig_a", "sig_b",
+                lambda x, y: F.when(x == y, 1).otherwise(0),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(num_hashes)
+    )
+    return (
+        cands.join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b", F.round(est, 4).alias("est_jaccard")
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
 def minhash_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -460,6 +460,82 @@ def doc_minhash_dedup(spark, sf_dir):
     )
 
 
+def doc_minhash_incremental(spark, sf_dir):
+    """Incremental MinHash near-dup (operators/dedup.py::
+    incremental_minhash): docs with doc_id % 5 == 0 play today's
+    increment, the rest the accepted corpus represented ONLY by its
+    persisted signature index — similarity comes from stored signatures
+    (matching-component estimator), historical text is never re-read,
+    and settled hist–hist pairs are discarded at band expansion.
+    Rows-only (sketch estimates aren't SQL); the adjacent ``_check``
+    pins the exact contract.  Publishes the pair table for it."""
+    docs = _fanout(spark, _docs(spark, sf_dir))
+    inc = docs.filter(F.col("doc_id") % 5 == 0)
+    hist = docs.filter(F.col("doc_id") % 5 != 0)
+    index = dedup.minhash_signatures(hist, n=2, num_hashes=64)
+    return _memo_store(
+        spark, sf_dir, "minhash_incr_pairs",
+        dedup.incremental_minhash(
+            inc, index, n=2, num_hashes=64, bands=16, threshold=0.3
+        ),
+    )
+
+
+def doc_minhash_incremental_check(spark, sf_dir):
+    """Exact contract gate over the incremental MinHash tier: pairs are
+    unique, ordered, at-or-above threshold, EVERY pair touches an
+    increment doc (settled history must not be re-emitted), and the
+    recall floor — every normalized exact-duplicate pair with at least
+    one increment member is recovered at estimated Jaccard exactly 1.0
+    (identical shingle sets ⇒ identical signatures ⇒ all bands collide).
+    Deterministic for a fixed corpus → constant-true oracle."""
+    pairs = _memo_fetch(spark, sf_dir, "minhash_incr_pairs",
+                        lambda: doc_minhash_incremental(spark, sf_dir))
+    docs = _docs(spark, sf_dir)
+    groups = docs.select(
+        dedup.content_hash("text").alias("ch"),
+        F.col("doc_id").alias("p"),
+    )
+    epairs = dedup.bucket_pairs(groups, ["ch"], "p").filter(
+        (F.col("a") % 5 == 0) | (F.col("b") % 5 == 0)
+    )
+    exact_pairs = pairs.filter(F.col("est_jaccard") == 1.0).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    missed = epairs.join(exact_pairs, ["a", "b"], "left_anti").count()
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("est_jaccard").alias("mine"),
+        F.count_distinct("doc_a", "doc_b").alias("distinct_pairs"),
+        F.sum((F.col("doc_a") < F.col("doc_b")).cast("long")).alias(
+            "ordered"),
+        F.sum(
+            ((F.col("doc_a") % 5 == 0) | (F.col("doc_b") % 5 == 0))
+            .cast("long")
+        ).alias("touches_increment"),
+    ).head()
+    return spark.createDataFrame(
+        [(
+            bool(agg.n > 0),
+            bool(agg.mine >= 0.3),
+            bool(agg.distinct_pairs == agg.n),
+            bool(agg.ordered == agg.n),
+            bool(agg.touches_increment == agg.n),
+            bool(missed == 0),
+        )],
+        "nonempty boolean, above_threshold boolean, pairs_unique boolean,"
+        " pairs_ordered boolean, increment_only boolean,"
+        " exact_dups_recalled boolean",
+    )
+
+
+DOC_MINHASH_INCREMENTAL_CHECK_SQL = """
+SELECT TRUE AS nonempty, TRUE AS above_threshold, TRUE AS pairs_unique,
+       TRUE AS pairs_ordered, TRUE AS increment_only,
+       TRUE AS exact_dups_recalled
+"""
+
+
 def doc_simhash(spark, sf_dir):
     """Tier-4 dedup: 56-bit SimHash fingerprints (deterministic,
     content-derived).  Rows-only check.  Publishes the fingerprint table
@@ -1367,6 +1443,10 @@ QUERIES = {
     "doc_jaccard_blocked": (doc_jaccard_blocked, DOC_JACCARD_BLOCKED_SQL),
     "doc_minhash_dedup": (doc_minhash_dedup, None),
     "doc_minhash_check": (doc_minhash_check, DOC_MINHASH_CHECK_SQL),
+    "doc_minhash_incremental": (doc_minhash_incremental, None),
+    "doc_minhash_incremental_check": (
+        doc_minhash_incremental_check, DOC_MINHASH_INCREMENTAL_CHECK_SQL
+    ),
     "doc_simhash": (doc_simhash, None),
     "doc_simhash_check": (doc_simhash_check, DOC_SIMHASH_CHECK_SQL),
     "doc_winnow_overlap": (doc_winnow_overlap, None),

@@ -60,6 +60,29 @@ def test_incremental_exact_dedup(spark, docs):
     assert accepted == [3, 5, 6]
 
 
+def test_incremental_minhash_finds_cross_and_intra_pairs(spark, docs):
+    # history = docs 0 and 4, represented ONLY by signatures; increment
+    # = exact dup of 0 (doc 1), normalized dup (doc 2), near dup
+    # (doc 3), unrelated (doc 5)
+    hist = docs.filter(F.col("doc_id").isin(0, 4))
+    index = dedup.minhash_signatures(hist, n=2, num_hashes=64)
+    inc = docs.filter(F.col("doc_id").isin(1, 2, 3, 5))
+    pairs = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in dedup.incremental_minhash(
+            inc, index, n=2, num_hashes=64, bands=16, threshold=0.3
+        ).collect()
+    }
+    # identical shingle sets ⇒ identical signatures ⇒ est exactly 1.0
+    assert pairs[(0, 1)] == 1.0 and pairs[(0, 2)] == 1.0
+    assert pairs[(1, 2)] == 1.0          # intra-increment pair
+    assert all(a < b for a, b in pairs)
+    # every pair touches an increment doc (hist-hist never re-emitted)
+    assert all(a in (1, 2, 3, 5) or b in (1, 2, 3, 5) for a, b in pairs)
+    # unrelated doc 5 pairs with nothing
+    assert not any(5 in p for p in pairs)
+
+
 def test_incremental_dedup_idempotent(spark, docs):
     # re-running the same increment against an index that already
     # absorbed it accepts nothing — the failed-batch retry property
