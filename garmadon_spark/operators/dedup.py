@@ -311,12 +311,19 @@ def incremental_minhash(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    persist_sigs: bool = True,
 ) -> DataFrame:
     """Tier-3 dedup, incremental form: near-dup an INCREMENT against the
     corpus's PERSISTED signature index — the daily-update workflow where
     historical text is never re-read and similarity is estimated from
     the stored signatures alone (matching-component fraction, the
     standard MinHash estimator; E[est] = true Jaccard).
+
+    The unioned signature table feeds THREE plan branches (banding +
+    both sides of the estimator join); ``persist_sigs`` materializes it
+    once (the minhash_dedup persist_shingles rule).  In a deployment the
+    index side is already a stored table — only the increment's
+    signatures are fresh work.
 
     ``hist_index`` is (doc, signature array<long>) — what
     ``minhash_signatures`` emits and a deployment appends per accepted
@@ -334,6 +341,10 @@ def incremental_minhash(
     sigs = hist_index.select(
         "doc", "signature", F.lit(False).alias("is_new")
     ).unionByName(inc_sigs)
+    if persist_sigs:
+        from pyspark import StorageLevel
+
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     rows_per_band = num_hashes // bands
     band_structs = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
