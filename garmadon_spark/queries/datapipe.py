@@ -536,6 +536,89 @@ SELECT TRUE AS nonempty, TRUE AS above_threshold, TRUE AS pairs_unique,
 """
 
 
+def doc_minhash_groups(spark, sf_dir):
+    """The decision a corpus-wide dedup pipeline actually ships: LSH
+    verified pairs → connected components (transitive closure) → one
+    canonical survivor per group.  Composes the published minhash pair
+    table with operators/dedup.py::components (min-label propagation,
+    per-round localCheckpoint); `doc_dup_groups` is the same closure
+    over the oracle-checkable blocked-Jaccard pairs — this is the
+    corpus-wide (sketch-driven) form.  Rows-only; the adjacent
+    ``_check`` pins the closure contract."""
+    pairs = _memo_fetch(spark, sf_dir, "minhash_pairs",
+                        lambda: doc_minhash_dedup(spark, sf_dir))
+    comp = dedup.components(pairs)
+    return _memo_store(
+        spark, sf_dir, "minhash_groups",
+        comp.select(
+            "doc_id",
+            F.col("component").alias("dup_group"),
+            (F.col("doc_id") == F.col("component")).alias("keep"),
+        ),
+    )
+
+
+def doc_minhash_groups_check(spark, sf_dir):
+    """Exact closure contract over the sketch-driven groups: both ends
+    of every verified pair share a component (no split edges), every
+    component keeps EXACTLY its minimum doc id (one survivor, correct
+    canonical choice), and every normalized exact-duplicate group lands
+    inside ONE component.  Deterministic for a fixed corpus →
+    constant-true oracle."""
+    groups = _memo_fetch(spark, sf_dir, "minhash_groups",
+                         lambda: doc_minhash_groups(spark, sf_dir))
+    pairs = _memo_fetch(spark, sf_dir, "minhash_pairs",
+                        lambda: doc_minhash_dedup(spark, sf_dir))
+    ga = groups.select(F.col("doc_id").alias("doc_a"),
+                       F.col("dup_group").alias("grp_a"))
+    gb = groups.select(F.col("doc_id").alias("doc_b"),
+                       F.col("dup_group").alias("grp_b"))
+    split_edges = (
+        pairs.join(ga, "doc_a").join(gb, "doc_b")
+        .filter(F.col("grp_a") != F.col("grp_b"))
+        .count()
+    )
+    bad_keeps = (
+        groups.groupBy("dup_group")
+        .agg(
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .filter(
+            (F.col("n_keep") != 1) | (F.col("min_doc") != F.col("dup_group"))
+        )
+        .count()
+    )
+    docs = _docs(spark, sf_dir)
+    split_exact_groups = (
+        docs.select(dedup.content_hash("text").alias("ch"),
+                    F.col("doc_id"))
+        .join(groups.select("doc_id", "dup_group"), "doc_id")
+        .groupBy("ch")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.count_distinct("dup_group").alias("ngrp"))
+        .filter((F.col("n") >= 2) & (F.col("ngrp") > 1))
+        .count()
+    )
+    n = groups.count()
+    return spark.createDataFrame(
+        [(
+            bool(n > 0),
+            bool(split_edges == 0),
+            bool(bad_keeps == 0),
+            bool(split_exact_groups == 0),
+        )],
+        "nonempty boolean, closure_holds boolean, one_min_keep_per_group"
+        " boolean, exact_dup_groups_whole boolean",
+    )
+
+
+DOC_MINHASH_GROUPS_CHECK_SQL = """
+SELECT TRUE AS nonempty, TRUE AS closure_holds,
+       TRUE AS one_min_keep_per_group, TRUE AS exact_dup_groups_whole
+"""
+
+
 def doc_simhash(spark, sf_dir):
     """Tier-4 dedup: 56-bit SimHash fingerprints (deterministic,
     content-derived).  Rows-only check.  Publishes the fingerprint table
@@ -1446,6 +1529,10 @@ QUERIES = {
     "doc_minhash_incremental": (doc_minhash_incremental, None),
     "doc_minhash_incremental_check": (
         doc_minhash_incremental_check, DOC_MINHASH_INCREMENTAL_CHECK_SQL
+    ),
+    "doc_minhash_groups": (doc_minhash_groups, None),
+    "doc_minhash_groups_check": (
+        doc_minhash_groups_check, DOC_MINHASH_GROUPS_CHECK_SQL
     ),
     "doc_simhash": (doc_simhash, None),
     "doc_simhash_check": (doc_simhash_check, DOC_SIMHASH_CHECK_SQL),
