@@ -254,6 +254,39 @@ def write_ivf_index(
     return centroids
 
 
+def append_to_ivf_index(
+    new_embs: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index update: assign NEW vectors to the EXISTING
+    centroids and append them into the cell-partitioned layout — no
+    rebuild, no historical read.  This is how a production ANN index
+    absorbs the daily embedding batch: centroids stay fixed between
+    periodic re-trains (quantization drifts only as the distribution
+    does), the append touches just the new rows, and every subsequent
+    probe sees old + new vectors through the same partition-pruned scan.
+
+    Dynamic partition overwrite is NOT used — mode('append') adds files
+    to existing `ivf_cell=` directories; re-running a failed batch is
+    the caller's idempotency concern (wrap with the W8 offset guard or
+    dedup on `vec_id` downstream)."""
+    spark = new_embs.sparkSession
+    centroids = [
+        list(r.centroid)
+        for r in spark.read.parquet(f"{path}/centroids")
+        .orderBy("ivf_cell").collect()
+    ]
+    assigned = assign_cells(new_embs, centroids, vec_col)
+    (
+        assigned.repartition(len(centroids), "ivf_cell")
+        .write.mode("append")
+        .partitionBy("ivf_cell")
+        .parquet(f"{path}/vectors")
+    )
+
+
 def ivf_topk_from_index(
     spark,
     path: str,

@@ -529,6 +529,41 @@ def test_ivf_index_partition_pruning(spark, embs, tmp_path):
         assert int(m.group(1)) <= 2
 
 
+def test_ivf_index_incremental_append(spark, embs, tmp_path):
+    """Appending a batch to an existing index == building on the union
+    with the SAME fixed centroids: assignments identical, probes see old
+    + new vectors through the unchanged pruned-scan path."""
+    path = str(tmp_path / "ivf_incr")
+    old = embs.filter(F.col("vec_id") % 2 == 0)
+    new = embs.filter(F.col("vec_id") % 2 == 1)
+    cents = similarity.write_ivf_index(old, path, n_centroids=4,
+                                       iterations=1)
+    n_old = spark.read.parquet(f"{path}/vectors").count()
+    similarity.append_to_ivf_index(new, path)
+    after = spark.read.parquet(f"{path}/vectors")
+    assert after.count() == n_old + new.count()
+    # appended rows landed in their nearest-centroid cell
+    expect = {
+        r.vec_id: r.ivf_cell
+        for r in similarity.assign_cells(new, cents).collect()
+    }
+    got = {
+        r.vec_id: r.ivf_cell
+        for r in after.filter(F.col("vec_id") % 2 == 1)
+        .select("vec_id", "ivf_cell").collect()
+    }
+    assert got == expect
+    # a probe for a NEW vector's neighbourhood now finds it — top-1 is
+    # the vector itself, through the same partition-pruned plan
+    q = [float(x) for x in new.filter(F.col("vec_id") == 1)
+         .head()["embedding"]]
+    res = similarity.ivf_topk_from_index(spark, path, q, k=3, nprobe=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cell" in plan
+    rows = res.collect()
+    assert rows[0].vec_id == 1 and abs(rows[0].cosine - 1.0) < 1e-4
+
+
 # --- deterministic sampling -----------------------------------------------
 
 def test_hash_sample_deterministic_and_monotone(spark):
