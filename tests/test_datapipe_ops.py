@@ -60,6 +60,41 @@ def test_incremental_exact_dedup(spark, docs):
     assert accepted == [3, 5, 6]
 
 
+def test_incremental_dedup_bucketed_index_no_exchange(spark, docs):
+    """The 100 TB layout claim in incremental_exact_dedup's docstring,
+    plan-pinned: with the hash index AND the increment's hash table both
+    bucketed on content_hash, the anti-join is a sort-merge join with
+    ZERO Exchange — each task reads bucket i of both sides."""
+    from garmadon_spark.sinks import archive
+
+    db = "incr_bkt_test"
+    inc_hashes = docs.select(
+        "doc_id", dedup.content_hash("text").alias("content_hash")
+    ).groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+    index = docs.limit(2).select(
+        dedup.content_hash("text").alias("content_hash")
+    )
+    try:
+        archive.write_bucketed(inc_hashes, "inc_b", ["content_hash"],
+                               n_buckets=4, database=db)
+        archive.write_bucketed(index, "index_b", ["content_hash"],
+                               n_buckets=4, database=db)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            accepted = spark.table(f"{db}.inc_b").join(
+                spark.table(f"{db}.index_b"), "content_hash", "left_anti"
+            )
+            plan = accepted._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan
+            assert accepted.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
 def test_incremental_minhash_finds_cross_and_intra_pairs(spark, docs):
     # history = docs 0 and 4, represented ONLY by signatures; increment
     # = exact dup of 0 (doc 1), normalized dup (doc 2), near dup
