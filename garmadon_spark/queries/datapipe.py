@@ -810,6 +810,65 @@ FROM ratios
 """
 
 
+def doc_corpus_filter(spark, sf_dir):
+    """The C4/RefinedWeb-style cleaning pipeline composed END-TO-END as
+    one declared query: per-doc verdicts for the length gate, the
+    quality gate (composite surface-statistics score), and exact-dedup
+    survivorship (min doc id of the normalized content-hash group), plus
+    the conjunction a corpus build ships.  One extra shuffle beyond the
+    parts (the hash-group min); the gates themselves are scan-side
+    scalar expressions — at 100 TB this is the single pass that decides
+    the training set."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    q = text.quality_score(_fanout(spark, docs)).select(
+        "doc_id", "quality_score"
+    )
+    w = Window.partitionBy(dedup.content_hash("text"))
+    keep = docs.select(
+        "doc_id",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("pass_dedup"),
+    )
+    return (
+        docs.select("doc_id", "n_chars")
+        .join(q, "doc_id")
+        .join(keep, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("n_chars") >= 100).alias("pass_length"),
+            (F.col("quality_score") >= 0.15).alias("pass_quality"),
+            "pass_dedup",
+            (
+                (F.col("n_chars") >= 100)
+                & (F.col("quality_score") >= 0.15)
+                & F.col("pass_dedup")
+            ).alias("accepted"),
+        )
+    )
+
+
+DOC_CORPUS_FILTER_SQL = f"""
+WITH q AS ({DOC_QUALITY_SQL}),
+keep AS (
+    SELECT doc_id,
+           doc_id = MIN(doc_id) OVER (
+               PARTITION BY md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))))
+           ) AS pass_dedup
+    FROM documents
+)
+SELECT d.doc_id,
+       d.n_chars >= 100 AS pass_length,
+       q.quality_score >= 0.15 AS pass_quality,
+       keep.pass_dedup,
+       (d.n_chars >= 100 AND q.quality_score >= 0.15
+        AND keep.pass_dedup) AS accepted
+FROM documents d
+JOIN q USING (doc_id)
+JOIN keep USING (doc_id)
+"""
+
+
 def doc_bpe_tokens(spark, sf_dir):
     """Token counting: whitespace tokens + BPE-ish regex segmentation
     (letter runs / digit runs / single punctuation)."""
@@ -1540,6 +1599,7 @@ QUERIES = {
     "doc_winnow_check": (doc_winnow_check, DOC_WINNOW_CHECK_SQL),
     "doc_langid": (doc_langid, DOC_LANGID_SQL),
     "doc_quality": (doc_quality, DOC_QUALITY_SQL),
+    "doc_corpus_filter": (doc_corpus_filter, DOC_CORPUS_FILTER_SQL),
     "doc_bpe_tokens": (doc_bpe_tokens, DOC_BPE_TOKENS_SQL),
     "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),
     "doc_contamination": (doc_contamination, DOC_CONTAMINATION_SQL),
