@@ -818,33 +818,25 @@ def doc_corpus_filter(spark, sf_dir):
     the conjunction a corpus build ships.  One extra shuffle beyond the
     parts (the hash-group min); the gates themselves are scan-side
     scalar expressions — at 100 TB this is the single pass that decides
-    the training set."""
+    the training set.  quality_score preserves its input columns, so no
+    joins: the whole query is scan → scalar gates → ONE window shuffle
+    (identical window expressions collapse to a single Window
+    operator)."""
     from pyspark.sql import Window
 
-    docs = _docs(spark, sf_dir)
-    q = text.quality_score(_fanout(spark, docs)).select(
-        "doc_id", "quality_score"
-    )
+    scored = text.quality_score(_fanout(spark, _docs(spark, sf_dir)))
     w = Window.partitionBy(dedup.content_hash("text"))
-    keep = docs.select(
+    pass_dedup = F.col("doc_id") == F.min("doc_id").over(w)
+    return scored.select(
         "doc_id",
-        (F.col("doc_id") == F.min("doc_id").over(w)).alias("pass_dedup"),
-    )
-    return (
-        docs.select("doc_id", "n_chars")
-        .join(q, "doc_id")
-        .join(keep, "doc_id")
-        .select(
-            "doc_id",
-            (F.col("n_chars") >= 100).alias("pass_length"),
-            (F.col("quality_score") >= 0.15).alias("pass_quality"),
-            "pass_dedup",
-            (
-                (F.col("n_chars") >= 100)
-                & (F.col("quality_score") >= 0.15)
-                & F.col("pass_dedup")
-            ).alias("accepted"),
-        )
+        (F.col("n_chars") >= 100).alias("pass_length"),
+        (F.col("quality_score") >= 0.15).alias("pass_quality"),
+        pass_dedup.alias("pass_dedup"),
+        (
+            (F.col("n_chars") >= 100)
+            & (F.col("quality_score") >= 0.15)
+            & pass_dedup
+        ).alias("accepted"),
     )
 
 
