@@ -125,3 +125,32 @@ def test_ivf_probe_prunes_partitions(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", scan)
     assert m and "ivf_cell" in m.group(1) and " IN " in m.group(1), scan
     assert probe.count() == 5
+
+
+def test_corpus_filter_single_window_no_joins(spark):
+    """doc_corpus_filter's plan contract: scan-side scalar gates + ONE
+    Window (the content-hash group minimum), zero joins — the identical
+    window expressions for pass_dedup and accepted must collapse into a
+    single Window operator."""
+    from garmadon_spark.queries.datapipe import doc_corpus_filter
+
+    plan = _plan(doc_corpus_filter(spark, "/root/testdata/sf0.001"))
+    assert "Join" not in plan
+    assert len(re.findall(r"\bWindow\b", plan)) == 1
+
+
+def test_compute_panel_filter_reaches_scan(spark):
+    """The compute-dashboard panels' type equality must be a pushed
+    parquet filter, not a post-scan residual-only predicate."""
+    from garmadon_spark.queries.engine import (
+        _corpus_tables,
+    )
+    from garmadon_spark.queries.panels import compute_node_capacity
+
+    cm = _corpus_tables(spark, ("container_monitoring_event",))[
+        "container_monitoring_event"
+    ]
+    plan = _plan(compute_node_capacity(cm))
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", scan)
+    assert m and "type" in m.group(1), scan
