@@ -18,10 +18,11 @@ Four tiers, each a different cost/recall point at 100 TB:
    similarity of the token multiset; near-dup candidates share one of
    four 16-bit chunks (Hamming ≤ 3 ⇒ some chunk equal by pigeonhole).
 
-All hashing is content-derived (md5 → integers), so results are
-deterministic across engines and runs — no Math.random, no seed state.
-MinHash permutations are (aᵢ·x + bᵢ) mod p with constants derived from
-the permutation index.
+All hashing is content-derived, so results are deterministic across
+engines and runs — no Math.random, no seed state.  MinHash component i
+hashes each shingle with xxhash64 seeded by i — K independent hash
+functions, NOT K affine transforms of one base hash (see _minhash_mins
+for why the affine family is broken).
 """
 
 from __future__ import annotations
@@ -29,7 +30,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-MERSENNE_61 = (1 << 61) - 1
 
 
 def normalized_text(col: str = "text") -> Column:
@@ -239,6 +239,28 @@ def jaccard_pairs(
     )
 
 
+def _minhash_mins(shingle_col: str, num_hashes: int) -> list:
+    """The K min-aggregate expressions of a MinHash signature: component
+    i is min over shingles of an INDEPENDENT 64-bit hash (xxhash64
+    seeded by i).
+
+    Independence matters and the cheap-looking alternative is broken:
+    affine transforms ``(h·(2i+1)+cᵢ) mod M`` of ONE base hash are
+    monotone in h whenever the multiplier can't wrap (h < 2⁵⁶ from an
+    md5 prefix, M = 2⁶¹−1 ⇒ every multiplier < 32 is monotone), so the
+    low components all pick the SAME argmin shingle and two documents
+    sharing just their minimum-hash shingle "match" on ~15 of 64
+    components.  Measured on the sf0.1 corpus: mean estimated Jaccard
+    0.51 vs mean exact 0.04 over the emitted pairs.  Per-component
+    seeded hashing restores P(match) = J (audited unbiased after the
+    change); exact-verify paths were never wrong — they only paid for
+    the inflated candidate set."""
+    return [
+        F.min(F.xxhash64(F.col(shingle_col), F.lit(i))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -249,19 +271,12 @@ def minhash_signatures(
     """Tier 3a: K-permutation MinHash signature per doc.
 
     One explode + one groupBy(doc) — the K mins are computed as K
-    aggregate expressions over the shingle hashes (JVM-side, map-side
-    combinable), NOT K passes."""
+    aggregate expressions over per-component seeded shingle hashes
+    (JVM-side, map-side combinable), NOT K passes."""
     ex = explode_computed(
         docs, shingles(text_col, n), "s", [F.col(id_col).alias("doc")]
-    ).withColumn("h", _hash64(F.col("s")))
-    mins = [
-        F.min(
-            (F.col("h") * F.lit(2 * i + 1) + F.lit(i * i + 1))
-            % F.lit(MERSENNE_61)
-        ).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-    sig = ex.groupBy("doc").agg(*mins)
+    )
+    sig = ex.groupBy("doc").agg(*_minhash_mins("s", num_hashes))
     return sig.select(
         "doc", F.array(*[f"mh_{i}" for i in range(num_hashes)]).alias("signature")
     )
@@ -428,17 +443,8 @@ def minhash_dedup(
                      shingles(text_col, n).alias("sh"))
     if persist_shingles:
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    ex = explode_computed(sh, F.col("sh"), "s", ["doc"]).withColumn(
-        "h", _hash64(F.col("s"))
-    )
-    mins = [
-        F.min(
-            (F.col("h") * F.lit(2 * i + 1) + F.lit(i * i + 1))
-            % F.lit(MERSENNE_61)
-        ).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-    sigs = ex.groupBy("doc").agg(*mins).select(
+    ex = explode_computed(sh, F.col("sh"), "s", ["doc"])
+    sigs = ex.groupBy("doc").agg(*_minhash_mins("s", num_hashes)).select(
         "doc",
         F.array(*[f"mh_{i}" for i in range(num_hashes)]).alias("signature"),
     )

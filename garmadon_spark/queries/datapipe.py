@@ -455,7 +455,7 @@ def doc_minhash_dedup(spark, sf_dir):
         spark, sf_dir, "minhash_pairs",
         dedup.minhash_dedup(
             _fanout(spark, _docs(spark, sf_dir)), n=2, num_hashes=64,
-            bands=16, threshold=0.3,
+            bands=32, threshold=0.3,
         ),
     )
 
@@ -476,7 +476,7 @@ def doc_minhash_incremental(spark, sf_dir):
     return _memo_store(
         spark, sf_dir, "minhash_incr_pairs",
         dedup.incremental_minhash(
-            inc, index, n=2, num_hashes=64, bands=16, threshold=0.3
+            inc, index, n=2, num_hashes=64, bands=32, threshold=0.3
         ),
     )
 
