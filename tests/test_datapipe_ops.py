@@ -118,6 +118,45 @@ def test_incremental_minhash_finds_cross_and_intra_pairs(spark, docs):
     assert not any(5 in p for p in pairs)
 
 
+def test_minhash_estimator_tracks_exact_jaccard(spark):
+    """Regression guard for component independence: over 30 doc pairs of
+    ~1/3 true Jaccard, every per-pair signature estimate must sit near
+    the truth.  The broken affine-of-one-hash family had the right MEAN
+    but a bimodal per-pair distribution (≈0 or ≥0.5 depending on whether
+    the shared region held the minimum-hash shingle), which is exactly
+    what selection at a threshold turns into corpus-level bias — so the
+    bound is on the worst pair, not the average."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for p in range(30):
+        shared = [f"s{p}_{i}" for i in range(100)]
+        a = shared + [f"a{p}_{i}" for i in range(100)]
+        b = shared + [f"b{p}_{i}" for i in range(100)]
+        rng.shuffle(a)
+        rng.shuffle(b)
+        rows.append((2 * p, " ".join(a)))
+        rows.append((2 * p + 1, " ".join(b)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(df, n=1, num_hashes=64)
+    by_doc = {r.doc: list(r.signature) for r in sigs.collect()}
+    sh = {
+        r.doc_id: set(r.sh)
+        for r in df.select(
+            "doc_id", dedup.shingles("text", 1).alias("sh")
+        ).collect()
+    }
+    devs = []
+    for p in range(30):
+        sa, sb = by_doc[2 * p], by_doc[2 * p + 1]
+        est = sum(1 for x, y in zip(sa, sb) if x == y) / 64
+        exact = len(sh[2 * p] & sh[2 * p + 1]) / len(sh[2 * p] | sh[2 * p + 1])
+        devs.append(abs(est - exact))
+    assert max(devs) < 0.25, max(devs)
+    assert sum(devs) / len(devs) < 0.08, sum(devs) / len(devs)
+
+
 def test_incremental_dedup_idempotent(spark, docs):
     # re-running the same increment against an index that already
     # absorbed it accepts nothing — the failed-batch retry property
