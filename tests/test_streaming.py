@@ -97,6 +97,45 @@ def test_dedup_stream_drops_redeliveries(spark, event_dir, tmp_path):
     assert set(got.columns) == set(base.columns)
 
 
+# --- streaming corpus-quality monitor -------------------------------------
+
+def test_quality_monitor_stream_matches_batch(spark, tmp_path):
+    from garmadon_spark.session import load_table
+    from garmadon_spark.streaming import corpus as scorpus
+
+    src = str(tmp_path / "docs")
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    with_ts = docs.withColumn(
+        "ts",
+        F.timestamp_millis(
+            F.lit(1_700_000_000_000)
+            + (F.col("doc_id") % 5) * 3_600_000
+        ),
+    )
+    with_ts.write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .parquet(src)
+    )
+    q = (
+        scorpus.monitor_quality(stream)
+        .writeStream.format("memory").queryName("qmon")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.bucket, r.lang): (r.n_docs, r.avg_quality, r.low_quality_frac)
+        for r in spark.sql("SELECT * FROM qmon").collect()
+    }
+    exp = {
+        (r.bucket, r.lang): (r.n_docs, r.avg_quality, r.low_quality_frac)
+        for r in scorpus.monitor_quality(
+            spark.read.parquet(src)
+        ).collect()
+    }
+    assert got == exp and len(got) > 1
+
+
 # --- watermarked windows (W4) ---------------------------------------------
 
 def test_windowed_counts_matches_batch(spark, event_dir, tmp_path):
