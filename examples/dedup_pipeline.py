@@ -6,7 +6,10 @@
     tier 2  blocked n-gram Jaccard (shingle df-cap)
     tier 3  MinHash → LSH buckets → exact-Jaccard verify
   → union of pair evidence → connected components → keep/drop decision
-  → deduplicated corpus written out.
+  → deduplicated corpus written out
+  → DAY 2: the incremental path — hash index + signature index persisted
+    from day 1, today's increment deduped against them without re-reading
+    the accepted corpus.
 
 Run: ``python examples/dedup_pipeline.py [sf_dir] [out_dir]``
 """
@@ -69,6 +72,38 @@ def main():
     print(
         f"docs={n_docs} kept={n_kept} dropped={n_docs - n_kept} "
         f"dup_groups_touched={n_groups} out={out_dir}"
+    )
+
+    # ---- day 2: incremental update against the persisted indexes ----
+    # The accepted corpus is represented ONLY by its hash index and its
+    # MinHash signature index — the daily job never re-reads day 1.
+    accepted = spark.read.parquet(f"{out_dir}/documents_dedup")
+    accepted.select(
+        dedup.content_hash("text").alias("content_hash")
+    ).distinct().write.mode("overwrite").parquet(f"{out_dir}/hash_index")
+    dedup.minhash_signatures(accepted, n=2, num_hashes=64).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/sig_index")
+
+    # today's increment: re-scraped copies of some accepted docs plus
+    # genuinely new ones (stand-in: perturbed copies of the corpus tail)
+    increment = docs.orderBy(F.desc("doc_id")).limit(max(n_docs // 10, 5))
+    increment = increment.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.col("text"))  # exact re-scrape
+        .otherwise(F.concat(F.col("text"), F.lit(" updated")))
+        .alias("text"),
+    )
+    hash_index = spark.read.parquet(f"{out_dir}/hash_index")
+    new_exact = dedup.incremental_exact_dedup(increment, hash_index)
+    sig_index = spark.read.parquet(f"{out_dir}/sig_index")
+    near = dedup.incremental_minhash(
+        increment, sig_index, n=2, num_hashes=64, bands=32, threshold=0.5
+    )
+    print(
+        f"increment={increment.count()} "
+        f"new_after_exact={new_exact.count()} "
+        f"near_dup_pairs_vs_corpus={near.count()}"
     )
 
 
