@@ -526,6 +526,65 @@ def simhash_candidates(fps: DataFrame, chunk_bits: int = 14,
     )
 
 
+def incremental_simhash(
+    new_docs: DataFrame,
+    hist_fps: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    chunk_bits: int = 14,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Tier-4 dedup, incremental form: fingerprint the INCREMENT and
+    match it against the corpus's stored SimHash table — the cheapest
+    incremental index (8 bytes per historical doc, no text, no shingle
+    sets).  Candidates by chunk-pigeonhole (Hamming ≤ n_chunks−1 ⇒ some
+    chunk equal), verified by Hamming distance computed from the stored
+    fingerprints alone; an ``is_new`` flag rides the chunk payload so
+    settled hist–hist pairs are discarded at expansion.
+
+    ``hist_fps`` is (doc, simhash) — what ``simhash`` emits and a
+    deployment appends per accepted batch."""
+    inc = simhash(new_docs, id_col, text_col).withColumn(
+        "is_new", F.lit(True)
+    )
+    fps = hist_fps.select(
+        "doc", "simhash", F.lit(False).alias("is_new")
+    ).unionByName(inc)
+    mask = (1 << chunk_bits) - 1
+    chunks = fps.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright(F.col("simhash"), i * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("c"),
+        F.struct(
+            F.col("doc"), F.col("simhash"), F.col("is_new")
+        ).alias("p"),
+    ).select("c.chunk", "c.val", "p")
+    return (
+        bucket_pairs(chunks, ["chunk", "val"], "p")
+        .filter(F.col("a.is_new") | F.col("b.is_new"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def components(
     pairs: DataFrame,
     id_a: str = "doc_a",

@@ -157,6 +157,24 @@ def test_minhash_estimator_tracks_exact_jaccard(spark):
     assert sum(devs) / len(devs) < 0.08, sum(devs) / len(devs)
 
 
+def test_incremental_simhash_matches_stored_fingerprints(spark, docs):
+    # history = docs 0 and 4, represented ONLY by 8-byte fingerprints
+    hist = docs.filter(F.col("doc_id").isin(0, 4))
+    fps = dedup.simhash(hist)
+    inc = docs.filter(F.col("doc_id").isin(1, 2, 3, 5))
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.incremental_simhash(inc, fps, max_hamming=8)
+        .collect()
+    }
+    # identical token multisets ⇒ identical fingerprints ⇒ hamming 0
+    assert pairs[(0, 1)] == 0 and pairs[(0, 2)] == 0
+    assert pairs[(1, 2)] == 0            # intra-increment pair
+    # every pair touches an increment doc; unrelated docs stay apart
+    assert all(a in (1, 2, 3, 5) or b in (1, 2, 3, 5) for a, b in pairs)
+    assert (0, 4) not in pairs and (4, 5) not in pairs
+
+
 def test_incremental_dedup_idempotent(spark, docs):
     # re-running the same increment against an index that already
     # absorbed it accepts nothing — the failed-batch retry property
