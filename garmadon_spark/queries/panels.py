@@ -581,6 +581,141 @@ GROUP BY 1, 2, 3
 """
 
 
+def flink_task_throughput(flink_tasks: DataFrame) -> DataFrame:
+    """The garmadon-flink-job-tasks dashboard condensed: per (job,
+    task) record/byte throughput, network-buffer backpressure gauges
+    (pool usage, queue lengths — the dashboard's 'estimate of the
+    output/input buffers usage'), and late-record drops.  Fourteen
+    sum/max targets over one scan + one shuffle."""
+    return (
+        flink_tasks.groupBy("job_name", "task_name")
+        .agg(
+            F.sum("num_records_in").alias("records_in"),
+            F.sum("num_records_out").alias("records_out"),
+            F.sum(
+                F.col("num_bytes_in_local") + F.col("num_bytes_in_remote")
+            ).alias("bytes_in"),
+            F.sum("num_bytes_out").alias("bytes_out"),
+            F.round(F.max("buffers_in_pool_usage").cast("double"), 4)
+            .alias("max_in_pool_usage"),
+            F.round(F.max("buffers_out_pool_usage").cast("double"), 4)
+            .alias("max_out_pool_usage"),
+            F.max("buffers_input_queue_length").alias("max_in_queue"),
+            F.sum("num_late_records_dropped").alias("late_dropped"),
+        )
+    )
+
+
+FLINK_TASK_THROUGHPUT_SQL = """
+SELECT job_name, task_name,
+       CAST(SUM(num_records_in) AS BIGINT) AS records_in,
+       CAST(SUM(num_records_out) AS BIGINT) AS records_out,
+       CAST(SUM(num_bytes_in_local + num_bytes_in_remote) AS BIGINT)
+           AS bytes_in,
+       CAST(SUM(num_bytes_out) AS BIGINT) AS bytes_out,
+       ROUND(CAST(MAX(buffers_in_pool_usage) AS DOUBLE), 4)
+           AS max_in_pool_usage,
+       ROUND(CAST(MAX(buffers_out_pool_usage) AS DOUBLE), 4)
+           AS max_out_pool_usage,
+       MAX(buffers_input_queue_length) AS max_in_queue,
+       CAST(SUM(num_late_records_dropped) AS BIGINT) AS late_dropped
+FROM flink_task_event
+GROUP BY 1, 2
+"""
+
+
+def flink_cluster_capacity(flink_jm: DataFrame) -> DataFrame:
+    """The garmadon-flink-job JobManager panels: per application the
+    registered TaskManager count, running jobs, and slot occupancy —
+    including the utilization ratio the capacity panels chart."""
+    return (
+        flink_jm.groupBy("application_id")
+        .agg(
+            F.max("num_registered_task_managers").alias("task_managers"),
+            F.max("num_running_jobs").alias("running_jobs"),
+            F.min("task_slots_available").alias("min_slots_available"),
+            F.max("task_slots_total").alias("slots_total"),
+            F.round(
+                (F.max("task_slots_total") - F.min("task_slots_available"))
+                / F.greatest(F.max("task_slots_total"), F.lit(1)),
+                4,
+            ).alias("peak_slot_utilization"),
+        )
+    )
+
+
+FLINK_CLUSTER_CAPACITY_SQL = """
+SELECT application_id,
+       MAX(num_registered_task_managers) AS task_managers,
+       MAX(num_running_jobs) AS running_jobs,
+       MIN(task_slots_available) AS min_slots_available,
+       MAX(task_slots_total) AS slots_total,
+       ROUND((MAX(task_slots_total) - MIN(task_slots_available))
+             / GREATEST(MAX(task_slots_total), 1), 4)
+           AS peak_slot_utilization
+FROM flink_job_manager_event
+GROUP BY application_id
+"""
+
+
+def flink_tm_network_segments(flink_tm: DataFrame) -> DataFrame:
+    """TaskManager network-memory panels: per (application, host) the
+    floor of available network segments and the worst availability
+    ratio — segment exhaustion is Flink's classic backpressure cause."""
+    return (
+        flink_tm.groupBy("application_id", "hostname")
+        .agg(
+            F.min("network_available_memory_segments").alias(
+                "min_available_segments"
+            ),
+            F.max("network_total_memory_segments").alias("total_segments"),
+            F.round(
+                F.min("network_available_memory_segments")
+                / F.greatest(
+                    F.max("network_total_memory_segments"), F.lit(1)
+                ),
+                4,
+            ).alias("min_availability_ratio"),
+        )
+    )
+
+
+FLINK_TM_NETWORK_SEGMENTS_SQL = """
+SELECT application_id, hostname,
+       MIN(network_available_memory_segments) AS min_available_segments,
+       MAX(network_total_memory_segments) AS total_segments,
+       ROUND(MIN(network_available_memory_segments)
+             / GREATEST(MAX(network_total_memory_segments), 1), 4)
+           AS min_availability_ratio
+FROM flink_task_manager_event
+GROUP BY 1, 2
+"""
+
+
+def spark_stage_state_timeline(stage_states: DataFrame) -> DataFrame:
+    """The spark-job-stages state machine: per (stage, name) the
+    transition count, distinct states seen, and task count — the
+    dashboard's stage lifecycle table."""
+    return (
+        stage_states.groupBy("stage_id", "stage_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.count_distinct("state").alias("states_seen"),
+            F.max("num_tasks").alias("num_tasks"),
+        )
+    )
+
+
+SPARK_STAGE_STATE_TIMELINE_SQL = """
+SELECT stage_id, stage_name,
+       COUNT(*) AS n_transitions,
+       COUNT(DISTINCT state) AS states_seen,
+       MAX(num_tasks) AS num_tasks
+FROM spark_stage_state_event
+GROUP BY 1, 2
+"""
+
+
 # panel name -> (fixture table, fn, sql, pre)  — pre maps the raw table
 # (e.g. the heap explode) before the DuckDB view is created.
 PANELS = {
@@ -626,4 +761,15 @@ PANELS = {
                               EXECUTOR_TASK_RUNTIME_SQL, None),
     "stage_shuffle_timeline": ("spark_task_event", stage_shuffle_timeline,
                                STAGE_SHUFFLE_TIMELINE_SQL, None),
+    "flink_task_throughput": ("flink_task_event", flink_task_throughput,
+                              FLINK_TASK_THROUGHPUT_SQL, None),
+    "flink_cluster_capacity": ("flink_job_manager_event",
+                               flink_cluster_capacity,
+                               FLINK_CLUSTER_CAPACITY_SQL, None),
+    "flink_tm_network_segments": ("flink_task_manager_event",
+                                  flink_tm_network_segments,
+                                  FLINK_TM_NETWORK_SEGMENTS_SQL, None),
+    "spark_stage_state_timeline": ("spark_stage_state_event",
+                                   spark_stage_state_timeline,
+                                   SPARK_STAGE_STATE_TIMELINE_SQL, None),
 }

@@ -18,9 +18,10 @@ def panel_env(spark, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("garmadon_panels"))
     fixtures.write_parquet(spark, d, n_apps=6, seed=11)
     con = duckdb.connect()
-    for name in ("fs_event", "gc_event", "jvmstats_event",
-                 "container_monitoring_event", "spark_task_event",
-                 "flink_job_event", "spark_executor_state_event"):
+    # every table any panel reads — derived from the registry so a new
+    # panel over a new event family can't silently miss the fixture
+    tables = sorted({table for table, _fn, _sql, _pre in PANELS.values()})
+    for name in tables:
         con.sql(
             f"CREATE VIEW {name} AS SELECT * "
             f"FROM '{os.path.join(d, name + '.parquet', '*.parquet')}'"
@@ -48,9 +49,7 @@ def panel_env(spark, tmp_path_factory):
     """)
     dfs = {
         name: spark.read.parquet(os.path.join(d, f"{name}.parquet"))
-        for name in ("fs_event", "gc_event", "jvmstats_event",
-                     "container_monitoring_event", "spark_task_event",
-                     "flink_job_event", "spark_executor_state_event")
+        for name in tables
     }
     return con, dfs
 
