@@ -125,11 +125,13 @@ def remove_frequent_lines(
 
     The heavy set is broadcast (it is the boilerplate vocabulary —
     bounded, not corpus-sized), so the anti-join adds no shuffle; the
-    reassembly is the one shuffle on the doc id.  Dropping matches on
-    BOTH the 64-bit line hash and the line string: the hash bounds the
-    shuffled aggregation key to 8 bytes, and the string re-check
-    (against the small heavy vocabulary only) makes a hash collision
-    unable to delete an innocent line."""
+    reassembly is the one shuffle on the doc id.  Collision safety in
+    two stages: the corpus-wide doc-frequency count shuffles only the
+    8-byte line hash, then the doc frequency is RE-COUNTED per (hash,
+    string) within the heavy-hash subset alone (boilerplate-vocabulary-
+    sized, so shuffling those strings is cheap) — an innocent line whose
+    hash collides with boilerplate is only dropped if its OWN string's
+    doc frequency reaches ``min_df``."""
     if join_delim is None:
         if _REGEX_META & set(delim):
             raise ValueError(
@@ -141,12 +143,14 @@ def remove_frequent_lines(
         "line_h", F.xxhash64("line")
     )
     heavy_h = heavy_lines(lines, id_col, min_df).select("line_h")
-    # resolve heavy hashes back to their strings (heavy-vocabulary-sized;
-    # the distinct's partial aggregation dedups before the shuffle)
+    # per-string df recount within the heavy-hash subset: collisions
+    # inflate the hash-keyed count, never the string-keyed one
     heavy = (
         lines.join(F.broadcast(heavy_h), "line_h", "left_semi")
+        .groupBy("line_h", "line")
+        .agg(F.count_distinct(id_col).alias("df"))
+        .filter(F.col("df") >= min_df)
         .select("line_h", "line")
-        .distinct()
     )
     kept = lines.join(F.broadcast(heavy), ["line_h", "line"], "left_anti")
     reassembled = kept.groupBy(id_col).agg(

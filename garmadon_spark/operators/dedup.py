@@ -282,13 +282,12 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
-) -> DataFrame:
-    """Tier 3b: band the signature, bucket-join docs sharing a band hash.
-    Shuffle key = (band index, band hash): uniform unless true duplicates
-    exist — exactly the skew we *want* to find."""
-    band_structs = F.transform(
+def _band_structs(bands: int, rows_per_band: int) -> Column:
+    """The LSH banding expression — array of (band, bucket-hash) structs
+    over a `signature` column.  ONE definition shared by the batch and
+    incremental candidate generators so a change to band hashing can
+    never desynchronize them."""
+    return F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda bi: F.struct(
             bi.alias("band"),
@@ -307,9 +306,17 @@ def lsh_candidate_pairs(
             ).alias("bucket"),
         ),
     )
-    banded = explode_computed(signatures, band_structs, "bb", ["doc"]).select(
-        "doc", "bb.band", "bb.bucket"
-    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Tier 3b: band the signature, bucket-join docs sharing a band hash.
+    Shuffle key = (band index, band hash): uniform unless true duplicates
+    exist — exactly the skew we *want* to find."""
+    banded = explode_computed(
+        signatures, _band_structs(bands, rows_per_band), "bb", ["doc"]
+    ).select("doc", "bb.band", "bb.bucket")
     return (
         bucket_pairs(banded, ["band", "bucket"], "doc")
         .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
@@ -348,12 +355,33 @@ def incremental_minhash(
     settled hist–hist pairs are discarded at expansion, not re-verified).
     Returns (doc_a, doc_b, est_jaccard) with est ≥ threshold; identical
     texts have identical signatures ⇒ est 1.0, the recall floor the
-    check queries pin."""
+    check queries pin.
+
+    Retry-safe: docs already present in the index are dropped from the
+    INDEX side before the union (failed-batch re-runs would otherwise
+    duplicate signature rows → self-pairs and multiplied joins).  The
+    index's signature width must match ``num_hashes`` — a mismatched
+    index silently mis-estimates, so it raises instead.
+
+    Note the persisted union is held for the session (like
+    minhash_dedup's shingle cache) — pass ``persist_sigs=False`` for
+    one-shot semantics."""
+    first = hist_index.select(F.size("signature").alias("k")).first()
+    if first is not None and first.k != num_hashes:
+        raise ValueError(
+            f"hist_index signatures have {first.k} components,"
+            f" num_hashes={num_hashes} — est_jaccard would be silently"
+            " wrong; rebuild the index or match num_hashes"
+        )
     inc_sigs = minhash_signatures(
         new_docs, id_col=id_col, text_col=text_col, n=n,
         num_hashes=num_hashes,
     ).withColumn("is_new", F.lit(True))
-    sigs = hist_index.select(
+    hist_only = hist_index.join(
+        F.broadcast(new_docs.select(F.col(id_col).alias("doc"))),
+        "doc", "left_anti",
+    )
+    sigs = hist_only.select(
         "doc", "signature", F.lit(False).alias("is_new")
     ).unionByName(inc_sigs)
     if persist_sigs:
@@ -361,27 +389,8 @@ def incremental_minhash(
 
         sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     rows_per_band = num_hashes // bands
-    band_structs = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda bi: F.struct(
-            bi.alias("band"),
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.slice(
-                            F.col("signature"),
-                            bi * rows_per_band + 1,
-                            rows_per_band,
-                        ),
-                        lambda v: v.cast("string"),
-                    ),
-                )
-            ).alias("bucket"),
-        ),
-    )
     banded = explode_computed(
-        sigs, band_structs, "bb", ["doc", "is_new"]
+        sigs, _band_structs(bands, rows_per_band), "bb", ["doc", "is_new"]
     ).select(
         F.struct("doc", "is_new").alias("p"), "bb.band", "bb.bucket"
     )
@@ -489,13 +498,14 @@ def simhash(
     return agg.select("doc", fp.alias("simhash"))
 
 
-def simhash_candidates(fps: DataFrame, chunk_bits: int = 14,
-                       n_chunks: int = 4) -> DataFrame:
-    """Near-dup candidates: docs sharing any chunk_bits-wide chunk of the
-    fingerprint (pigeonhole over n_chunks chunks)."""
+def _chunk_explode(fps: DataFrame, chunk_bits: int, n_chunks: int,
+                   payload_cols: list[str]) -> DataFrame:
+    """The SimHash chunk-pigeonhole expression — one (chunk, val, p) row
+    per fingerprint chunk, with ``payload_cols`` riding in the struct.
+    ONE definition shared by the batch and incremental candidate
+    generators."""
     mask = (1 << chunk_bits) - 1
-    chunks = fps.select(
-        "doc", "simhash",
+    return fps.select(
         F.explode(
             F.array(
                 *[
@@ -509,10 +519,15 @@ def simhash_candidates(fps: DataFrame, chunk_bits: int = 14,
                 ]
             )
         ).alias("c"),
-    ).select(
-        "c.chunk", "c.val",
-        F.struct(F.col("doc"), F.col("simhash")).alias("p"),
-    )
+        F.struct(*[F.col(c) for c in payload_cols]).alias("p"),
+    ).select("c.chunk", "c.val", "p")
+
+
+def simhash_candidates(fps: DataFrame, chunk_bits: int = 14,
+                       n_chunks: int = 4) -> DataFrame:
+    """Near-dup candidates: docs sharing any chunk_bits-wide chunk of the
+    fingerprint (pigeonhole over n_chunks chunks)."""
+    chunks = _chunk_explode(fps, chunk_bits, n_chunks, ["doc", "simhash"])
     return (
         bucket_pairs(chunks, ["chunk", "val"], "p")
         .select(
@@ -544,32 +559,21 @@ def incremental_simhash(
     settled hist–hist pairs are discarded at expansion.
 
     ``hist_fps`` is (doc, simhash) — what ``simhash`` emits and a
-    deployment appends per accepted batch."""
+    deployment appends per accepted batch.  Retry-safe: docs already in
+    the index are dropped from the INDEX side before the union, so a
+    failed-batch re-run cannot pair a doc with itself."""
     inc = simhash(new_docs, id_col, text_col).withColumn(
         "is_new", F.lit(True)
     )
-    fps = hist_fps.select(
+    hist_only = hist_fps.join(
+        F.broadcast(new_docs.select(F.col(id_col).alias("doc"))),
+        "doc", "left_anti",
+    )
+    fps = hist_only.select(
         "doc", "simhash", F.lit(False).alias("is_new")
     ).unionByName(inc)
-    mask = (1 << chunk_bits) - 1
-    chunks = fps.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("chunk"),
-                        F.shiftright(F.col("simhash"), i * chunk_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("val"),
-                    )
-                    for i in range(n_chunks)
-                ]
-            )
-        ).alias("c"),
-        F.struct(
-            F.col("doc"), F.col("simhash"), F.col("is_new")
-        ).alias("p"),
-    ).select("c.chunk", "c.val", "p")
+    chunks = _chunk_explode(fps, chunk_bits, n_chunks,
+                            ["doc", "simhash", "is_new"])
     return (
         bucket_pairs(chunks, ["chunk", "val"], "p")
         .filter(F.col("a.is_new") | F.col("b.is_new"))

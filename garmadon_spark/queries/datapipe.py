@@ -159,7 +159,9 @@ WITH hist AS (
     GROUP BY 2
 )
 SELECT doc_id, content_hash FROM inc
-WHERE content_hash NOT IN (SELECT content_hash FROM hist)
+WHERE NOT EXISTS (
+    SELECT 1 FROM hist WHERE hist.content_hash = inc.content_hash
+)
 """
 
 
@@ -464,12 +466,13 @@ def _ensure_sig_index(spark, sf_dir) -> str:
     """Materialize the historical partition's MinHash signature index
     once per corpus (offline-job semantics, the emb_ann_ivf precedent:
     a deployment appends to this table per accepted batch — the daily
-    job only sketches the increment).  Keyed on the corpus file's
-    identity via the same cache-path scheme as the IVF index."""
+    job only sketches the increment).  Keyed on the DOCUMENTS file's
+    identity (the table it derives from) so a regenerated corpus
+    rebuilds the index."""
     import os
 
-    path = _ivf_index_path(sf_dir).replace("garmadon_ivf_",
-                                           "garmadon_sigidx_")
+    path = _index_cache_path(sf_dir, "documents.parquet",
+                             "garmadon_sigidx_")
     if not os.path.exists(os.path.join(path, "_OK")):
         docs = _fanout(spark, _docs(spark, sf_dir))
         hist = docs.filter(F.col("doc_id") % 5 != 0)
@@ -938,22 +941,28 @@ WHERE ROUND(c, 4) >= 0.25
 """
 
 
-def _ivf_index_path(sf_dir: str) -> str:
-    """Deterministic per-corpus cache location for the materialized IVF
-    index, keyed by the embeddings file's identity (path + mtime + size)
-    so a regenerated corpus rebuilds."""
+def _index_cache_path(sf_dir: str, source_file: str, prefix: str) -> str:
+    """Deterministic per-corpus cache location for a materialized index,
+    keyed by the SOURCE file's identity (path + mtime + size) so a
+    regenerated corpus rebuilds — the index must be keyed on the table
+    it derives from (sig index ↔ documents, IVF ↔ embeddings), not a
+    sibling."""
     import hashlib
     import os
     import tempfile
 
-    p = os.path.join(os.path.realpath(sf_dir), "embeddings.parquet")
+    p = os.path.join(os.path.realpath(sf_dir), source_file)
     try:
         st = os.stat(p)
         key = f"{p}:{st.st_mtime_ns}:{st.st_size}"
     except OSError:
         key = p
     h = hashlib.sha1(key.encode()).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), f"garmadon_ivf_{h}")
+    return os.path.join(tempfile.gettempdir(), f"{prefix}{h}")
+
+
+def _ivf_index_path(sf_dir: str) -> str:
+    return _index_cache_path(sf_dir, "embeddings.parquet", "garmadon_ivf_")
 
 
 def _ensure_ivf_index(spark, sf_dir) -> str:

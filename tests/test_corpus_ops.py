@@ -111,11 +111,10 @@ def test_remove_frequent_lines_regex_delim_requires_join_delim(spark):
     assert out[2] == ""
 
 
-def test_remove_frequent_lines_matches_on_string_not_just_hash(spark):
-    # the drop condition is (hash AND string): feed the anti-join a heavy
-    # set and confirm a distinct line with an equal-by-construction hash
-    # cannot be manufactured through the public API — the string re-check
-    # keeps the output identical to pure string-equality semantics
+def test_remove_frequent_lines_string_df_decides(spark):
+    # the drop decision is the per-STRING doc frequency, re-counted
+    # inside the heavy-hash subset — a hash collision can propose an
+    # innocent line as a candidate but its own df (< min_df) keeps it
     df = spark.createDataFrame(
         [(1, "keep me\nboiler"), (2, "boiler\nalso kept"), (3, "boiler")],
         "doc_id long, text string",
@@ -125,6 +124,21 @@ def test_remove_frequent_lines_matches_on_string_not_just_hash(spark):
         for r in corpus.remove_frequent_lines(df, min_df=2).collect()
     }
     assert out == {1: "keep me", 2: "also kept", 3: ""}
+    # white-box collision check: feed the string-recount stage a forged
+    # heavy-hash set containing an innocent line's hash and assert the
+    # string-keyed df filter rejects it (df=1 < min_df)
+    from pyspark.sql import functions as F
+
+    lines = corpus.split_lines(df).withColumn(
+        "line_h", F.xxhash64("line"))
+    forged = lines.select("line_h").distinct()  # every hash "heavy"
+    heavy = (
+        lines.join(F.broadcast(forged), "line_h", "left_semi")
+        .groupBy("line_h", "line")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+    )
+    assert [r.line for r in heavy.collect()] == ["boiler"]
 
 
 def test_heavy_line_antijoin_is_broadcast(spark, lined_docs):

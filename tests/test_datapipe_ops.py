@@ -157,6 +157,37 @@ def test_minhash_estimator_tracks_exact_jaccard(spark):
     assert sum(devs) / len(devs) < 0.08, sum(devs) / len(devs)
 
 
+def test_incremental_retry_no_self_pairs(spark, docs):
+    """Failed-batch retry: the increment's docs are ALREADY in the
+    index (their signatures were appended before the crash).  Re-running
+    must not emit self-pairs or duplicated rows — the index side drops
+    increment doc ids before the union."""
+    inc = docs.filter(F.col("doc_id").isin(0, 1, 3)).select(
+        "doc_id", "text"
+    )
+    index = dedup.minhash_signatures(docs, n=2, num_hashes=64)
+    pairs = dedup.incremental_minhash(
+        inc, index, n=2, num_hashes=64, bands=32, threshold=0.3
+    ).collect()
+    keys = [(r.doc_a, r.doc_b) for r in pairs]
+    assert all(a != b for a, b in keys)
+    assert len(keys) == len(set(keys))
+    sfp = dedup.simhash(docs)
+    spairs = dedup.incremental_simhash(inc, sfp, max_hamming=8).collect()
+    skeys = [(r.doc_a, r.doc_b) for r in spairs]
+    assert all(a != b for a, b in skeys)
+    assert len(skeys) == len(set(skeys))
+
+
+def test_incremental_minhash_rejects_width_mismatch(spark, docs):
+    index = dedup.minhash_signatures(
+        docs.filter(F.col("doc_id") == 0), n=2, num_hashes=32
+    )
+    inc = docs.filter(F.col("doc_id") == 1).select("doc_id", "text")
+    with pytest.raises(ValueError, match="num_hashes"):
+        dedup.incremental_minhash(inc, index, n=2, num_hashes=64)
+
+
 def test_incremental_simhash_matches_stored_fingerprints(spark, docs):
     # history = docs 0 and 4, represented ONLY by 8-byte fingerprints
     hist = docs.filter(F.col("doc_id").isin(0, 4))
