@@ -372,3 +372,172 @@ def neardup_pairs_blocked(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# --- Product quantization (PQ) -------------------------------------------
+#
+# Jégou/Douze/Schmid, "Product Quantization for Nearest Neighbor Search"
+# (IEEE TPAMI 2011) — the standard memory-bound ANN representation: split
+# the D-dim vector into M subspaces, k-means each subspace independently
+# (KSUB centroids), store each vector as its M centroid ids (M bytes at
+# KSUB ≤ 256).  A 256-dim float32 vector (1 KiB) becomes 16 bytes at
+# M=16 — the difference between an embedding corpus that fits in cluster
+# RAM/page-cache and one that doesn't.  Query-time scoring is ADC
+# (asymmetric distance computation): one M×KSUB lookup table per query,
+# each stored code scored by M table lookups — no decode, no float math
+# per dimension.
+#
+# Scale shape: codebooks are M·KSUB·(D/M) floats (≤ ~64 KiB) and ride
+# the UDF closure like the IVF centroid matrix; training reads a fixed-
+# size sample (codebook quality saturates in the thousands of vectors —
+# same contract as faiss `train()`); encoding is a single map-only linear
+# scan; the ADC scan reads M bytes/vector instead of 4·D.  Compose with
+# the IVF layout above (IVF-PQ) by encoding each cell's residuals and the
+# probe reads nprobe/K of the *compressed* corpus.
+
+PQ_TRAIN_SAMPLE = 16_384
+
+
+def _kmeans_np(data: "np.ndarray", k: int, iterations: int) -> "np.ndarray":
+    """Deterministic driver-side Lloyd on a sample: seed = first k rows
+    (matches build_ivf's seeding contract), empty clusters keep their
+    previous centroid.  Sample-sized input → O(sample·k·dsub) per round
+    on the driver, never distributed work."""
+    k = min(k, len(data))
+    cents = data[:k].copy()
+    for _ in range(iterations):
+        d2 = ((data[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            mask = assign == j
+            if mask.any():
+                cents[j] = data[mask].mean(axis=0)
+    return cents
+
+
+def train_pq(
+    embs: DataFrame,
+    m: int = 16,
+    ksub: int = 64,
+    iterations: int = 5,
+    sample: int = PQ_TRAIN_SAMPLE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Train the M per-subspace codebooks on a deterministic sample
+    (first `sample` vectors by id — stable across runs, like build_ivf's
+    seeding).  Vectors are L2-normalized before quantization so the ADC
+    inner product approximates cosine.  Returns
+    ``codebooks[m][ksub][d/m]`` as plain lists (closure-safe)."""
+    rows = embs.orderBy(id_col).limit(sample).select(vec_col).collect()
+    X = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    X /= norms
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return [
+        _kmeans_np(
+            np.ascontiguousarray(X[:, j * dsub:(j + 1) * dsub]),
+            ksub, iterations,
+        ).tolist()
+        for j in range(m)
+    ]
+
+
+def pq_encode(
+    embs: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-only encode: each vector → its M nearest-subcentroid ids.
+
+    One Arrow batch does M matmuls of (batch × dsub) @ (dsub × ksub) —
+    argmin ‖x−c‖² computed as argmax (x·c − ‖c‖²/2), so no per-row
+    Python.  Codes come back as array<int> for inspectability; the 100 TB
+    storage form packs them to a BinaryType column of M bytes (KSUB ≤
+    256) — same information, 4× narrower than the int array."""
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    dsub = books[0].shape[1]
+    half_sq = [(-0.5 * (b ** 2).sum(axis=1)) for b in books]
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def _codes(v: pd.Series) -> pd.Series:
+        X = np.asarray(v.to_list(), dtype=np.float64)
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        X /= norms
+        out = np.empty((len(X), m), dtype=np.int32)
+        for j in range(m):
+            sub = X[:, j * dsub:(j + 1) * dsub]
+            out[:, j] = (sub @ books[j].T + half_sq[j]).argmax(axis=1)
+        return pd.Series(list(out))
+
+    return embs.select(id_col, _codes(F.col(vec_col)).alias("pq_codes"))
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks: list,
+    query_vec,
+    k: int = 10,
+    rerank: int = 0,
+    embs: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k over the compressed corpus.
+
+    The query's M×KSUB inner-product table is built driver-side and
+    rides the closure; each stored code costs M table gathers (one
+    vectorized fancy-index per Arrow batch).  With ``rerank`` > 0 the
+    ADC pass only shortlists `rerank` candidates and the exact cosine
+    re-scores just those — at 100 TB that is a full scan of the 16-byte
+    codes plus a point lookup of `rerank` raw vectors, never a full scan
+    of the float corpus.  The shortlist join broadcasts (rerank ≤
+    thousands)."""
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    dsub = books[0].shape[1]
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    qn = np.linalg.norm(q) or 1.0
+    q = q / qn
+    lut = np.stack([
+        books[j] @ q[j * dsub:(j + 1) * dsub] for j in range(m)
+    ])  # m × ksub
+    idx = np.arange(m)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _adc(c: pd.Series) -> pd.Series:
+        C = np.asarray(c.to_list(), dtype=np.int64)  # batch × m
+        return pd.Series(lut[idx[None, :], C].sum(axis=1))
+
+    scored = codes.select(id_col, _adc(F.col("pq_codes")).alias("adc"))
+    if rerank and embs is not None:
+        short = (
+            scored.orderBy(F.desc("adc"), F.asc(id_col))
+            .limit(rerank).select(id_col)
+        )
+        qcol = _lit_vec([float(x) for x in query_vec])
+        return (
+            embs.join(F.broadcast(short), [id_col])
+            .select(
+                id_col,
+                F.round(cosine(F.col(vec_col), qcol), 6).alias("cosine"),
+            )
+            .orderBy(F.desc("cosine"), F.asc(id_col))
+            .limit(k)
+        )
+    return (
+        scored.select(id_col, F.round(F.col("adc"), 6).alias("adc"))
+        .orderBy(F.desc("adc"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1024,6 +1024,105 @@ SELECT CAST(10 AS INT) AS k, TRUE AS recall_ok
 """
 
 
+# Driver-side PQ codebooks per (session, corpus) — the codes DataFrame
+# itself rides the _RESULT_MEMO like every other published table.
+_PQ_BOOKS: dict = {}
+
+_PQ_M = 16
+_PQ_KSUB = 64
+
+
+def _ensure_pq(spark, sf_dir):
+    """Train the PQ codebooks + encode the corpus once per (session,
+    corpus); publish the 16-byte-code table for the topk query and the
+    check.  Offline-job semantics like _ensure_ivf_index: a deployment
+    trains periodically and encodes each embedding batch on arrival."""
+    import os
+
+    key = (id(spark), os.path.realpath(sf_dir))
+    if key not in _PQ_BOOKS:
+        _PQ_BOOKS.clear()
+        books = similarity.train_pq(
+            _embs(spark, sf_dir), m=_PQ_M, ksub=_PQ_KSUB, iterations=5
+        )
+        _PQ_BOOKS[key] = books
+        _memo_store(
+            spark, sf_dir, "pq_codes",
+            similarity.pq_encode(_embs(spark, sf_dir), books),
+        )
+    codes = _memo_fetch(
+        spark, sf_dir, "pq_codes",
+        lambda: _memo_store(
+            spark, sf_dir, "pq_codes",
+            similarity.pq_encode(_embs(spark, sf_dir), _PQ_BOOKS[key]),
+        ),
+    )
+    return _PQ_BOOKS[key], codes
+
+
+def emb_pq_topk(spark, sf_dir, query_vec_id: int = 0, k: int = 10):
+    """Product-quantized ANN top-k (Jégou et al., TPAMI 2011): the ADC
+    pass scans 16-byte codes (vs 256-byte float vectors — 16× less IO,
+    the representation that keeps a 100 TB embedding corpus in cluster
+    page-cache), shortlists 4k candidates, and exact-cosine re-ranks
+    only the shortlist (a broadcast-joined point lookup of raw vectors).
+    Rows-only check (quantization internals aren't SQL); the adjacent
+    ``emb_pq_check`` pins the recall + code-shape contract."""
+    embs = _embs(spark, sf_dir)
+    qrow = embs.filter(F.col("vec_id") == query_vec_id) \
+        .select("embedding").head()
+    q = [float(x) for x in qrow[0]]
+    books, codes = _ensure_pq(spark, sf_dir)
+    return similarity.pq_topk(
+        codes.filter(F.col("vec_id") != query_vec_id), books, q,
+        k=k, rerank=4 * k, embs=embs,
+    )
+
+
+def emb_pq_check(spark, sf_dir, query_vec_id: int = 0, k: int = 10):
+    """Exact gates over the PQ tier: code table is full-corpus and
+    well-formed (M codes per vector, every code < KSUB), and the
+    re-ranked ADC top-k recovers ≥ 60 % of the brute-force top-k — the
+    same recall floor as the IVF check.  Deterministic for a fixed
+    corpus → constant-true oracle."""
+    pq = emb_pq_topk(spark, sf_dir, query_vec_id=query_vec_id, k=k)
+    embs = _embs(spark, sf_dir)
+    _, codes = _ensure_pq(spark, sf_dir)
+    qrow = embs.filter(F.col("vec_id") == query_vec_id) \
+        .select("embedding").head()
+    q = [float(x) for x in qrow[0]]
+    exact = similarity.brute_force_topk(
+        embs.filter(F.col("vec_id") != query_vec_id), q, k=k
+    )
+    hits = pq.select("vec_id").join(exact.select("vec_id"), "vec_id").count()
+    shape = codes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.size("pq_codes")).alias("wmin"),
+        F.max(F.size("pq_codes")).alias("wmax"),
+        F.max(F.array_max("pq_codes")).alias("cmax"),
+        F.min(F.array_min("pq_codes")).alias("cmin"),
+    ).head()
+    n_embs = embs.count()
+    return spark.createDataFrame(
+        [(
+            k,
+            bool(hits >= int(0.6 * k)),
+            bool(shape.n == n_embs),
+            bool(shape.wmin == _PQ_M and shape.wmax == _PQ_M),
+            bool(shape.cmin >= 0 and shape.cmax < _PQ_KSUB),
+        )],
+        "k int, recall_ok boolean, codes_full_corpus boolean,"
+        " code_width_ok boolean, code_range_ok boolean",
+    )
+
+
+EMB_PQ_CHECK_SQL = """
+SELECT CAST(10 AS INT) AS k, TRUE AS recall_ok,
+       TRUE AS codes_full_corpus, TRUE AS code_width_ok,
+       TRUE AS code_range_ok
+"""
+
+
 def doc_minhash_check(spark, sf_dir):
     """Exact contract gate over the MinHash-LSH tier: emitted pairs are
     unique, ordered (doc_a < doc_b), at-or-above the verify threshold,
@@ -1630,6 +1729,8 @@ QUERIES = {
     "emb_neardup_blocked": (emb_neardup_blocked, EMB_NEARDUP_BLOCKED_SQL),
     "emb_ann_ivf": (emb_ann_ivf, None),
     "emb_ann_ivf_check": (emb_ann_ivf_check, EMB_ANN_IVF_CHECK_SQL),
+    "emb_pq_topk": (emb_pq_topk, None),
+    "emb_pq_check": (emb_pq_check, EMB_PQ_CHECK_SQL),
     "emb_neardup_ivf": (emb_neardup_ivf, None),
     "emb_neardup_ivf_check": (
         emb_neardup_ivf_check, EMB_NEARDUP_IVF_CHECK_SQL

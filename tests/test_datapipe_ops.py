@@ -334,6 +334,37 @@ def test_brute_force_vs_ivf_recall(embs):
     assert probed == embs.count()
 
 
+def test_pq_encode_shape_and_determinism(embs):
+    books = similarity.train_pq(embs, m=16, ksub=64, iterations=3)
+    assert len(books) == 16 and len(books[0]) == 64
+    codes = similarity.pq_encode(embs, books)
+    rows = {r.vec_id: list(r.pq_codes) for r in codes.collect()}
+    assert len(rows) == embs.count()
+    assert all(len(c) == 16 for c in rows.values())
+    assert all(0 <= x < 64 for c in rows.values() for x in c)
+    # encode is a pure function of (vector, codebooks)
+    again = {r.vec_id: list(r.pq_codes)
+             for r in similarity.pq_encode(embs, books).collect()}
+    assert rows == again
+
+
+def test_pq_adc_recall_and_rerank(embs):
+    qrow = embs.filter(F.col("vec_id") == 0).first()
+    q = [float(x) for x in qrow.embedding]
+    rest = embs.filter(F.col("vec_id") != 0)
+    exact = [r.vec_id for r in similarity.brute_force_topk(
+        rest, q, k=10).collect()]
+    books = similarity.train_pq(embs, m=16, ksub=64, iterations=5)
+    codes = similarity.pq_encode(rest, books)
+    adc = [r.vec_id for r in similarity.pq_topk(
+        codes, books, q, k=10).collect()]
+    reranked = [r.vec_id for r in similarity.pq_topk(
+        codes, books, q, k=10, rerank=40, embs=rest).collect()]
+    # re-ranking the ADC shortlist with exact cosine never loses recall
+    assert len(set(reranked) & set(exact)) >= len(set(adc) & set(exact))
+    assert len(set(reranked) & set(exact)) >= 6
+
+
 def test_neardup_pairs_blocked_self_similarity(spark):
     rows = [
         Row(vec_id=0, label=1, embedding=[1.0, 0.0, 0.0]),
