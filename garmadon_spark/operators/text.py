@@ -292,3 +292,77 @@ def fingerprint_overlap(
         .agg(F.count(F.lit(1)).alias("common_fingerprints"))
         .filter(F.col("common_fingerprints") >= min_common)
     )
+
+
+# --- bigram-LM perplexity scoring -----------------------------------------
+
+def bigram_instances(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """One row per bigram INSTANCE — (id, w1, w2) with multiplicity,
+    unlike dedup.shingles which distincts.  Tokens staged through a
+    projection (computed once) and the bigram array exploded through
+    explode_computed so the tokenize never duplicates below an
+    exchange."""
+    from garmadon_spark.operators.dedup import explode_computed
+
+    staged = df.select(id_col, tokens(text_col).alias("_toks"))
+    staged = staged.select("*", F.size(F.col("_toks")).alias("_n"))
+    blen = F.greatest(F.col("_n") - 1, F.lit(0))
+    bg = F.arrays_zip(
+        F.slice(F.col("_toks"), 1, blen),
+        F.slice(F.col("_toks"), 2, blen),
+    )
+    return explode_computed(staged, bg, "_bg", [id_col]).select(
+        id_col,
+        F.col("_bg")["0"].alias("w1"),
+        F.col("_bg")["1"].alias("w2"),
+    )
+
+
+def perplexity_scores(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Per-document cross-entropy / perplexity under an add-1-smoothed
+    bigram LM trained on the corpus itself — the CCNet-style quality
+    signal (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+    Datasets from Web Crawl Data", LREC 2020): fluent prose scores low,
+    boilerplate/gibberish scores high.
+
+    Model: P(w2|w1) = (c(w1,w2)+1) / (c(w1)+V), c(·) counted over the
+    corpus bigram table, V = distinct tokens participating in bigrams.
+    Docs with <2 tokens have no bigrams and are not scored.
+
+    Shuffle shape: the bigram table is built once (persisted — three
+    consumers), two count aggregates with map-side combine, one join
+    back on (w1,w2) + one on w1, one per-doc aggregate.  At 100 TB the
+    production variant prunes the model to the top-K n-grams (coverage
+    saturates fast under Zipf) and broadcasts it, turning the score pass
+    into a map-only scan; the exact formulation here keeps the DuckDB
+    oracle bit-for-bit checkable."""
+    bg = bigram_instances(df, text_col, id_col).persist()
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        bg.select(F.col("w1").alias("tok"))
+        .union(bg.select(F.col("w2").alias("tok")))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    logp = F.log(
+        (F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("v"))
+    )
+    return (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (-F.avg(logp)).alias("_ce"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            F.round(F.col("_ce"), 4).alias("cross_entropy"),
+            F.round(F.exp(F.col("_ce")), 2).alias("ppl"),
+        )
+    )

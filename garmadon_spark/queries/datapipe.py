@@ -701,6 +701,51 @@ FROM scored
 """
 
 
+def doc_perplexity(spark, sf_dir):
+    """Per-document cross-entropy/perplexity under an add-1 bigram LM
+    trained on the corpus itself (operators/text.py::perplexity_scores)
+    — the CCNet quality-filter signal.  Exact SQL-expressible model →
+    hash-checked oracle, not a constant-true gate."""
+    return text.perplexity_scores(_fanout(spark, _docs(spark, sf_dir)))
+
+
+DOC_PERPLEXITY_SQL = """
+WITH toks AS (
+    SELECT doc_id,
+           string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))),
+                        ' ') AS t
+    FROM documents
+), ex AS (
+    SELECT doc_id,
+           unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS big
+    FROM toks
+), bg AS (
+    SELECT doc_id, split_part(big, ' ', 1) AS w1,
+           split_part(big, ' ', 2) AS w2
+    FROM ex
+), c12 AS (
+    SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2
+), c1 AS (
+    SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1
+), voc AS (
+    SELECT COUNT(*) AS v
+    FROM (SELECT w1 AS tok FROM bg UNION SELECT w2 FROM bg)
+), scored AS (
+    SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+           -AVG(LN((c12.c12 + 1.0) / (c1.c1 + voc.v))) AS ce
+    FROM bg
+    JOIN c12 USING (w1, w2)
+    JOIN c1 USING (w1)
+    CROSS JOIN voc
+    GROUP BY bg.doc_id
+)
+SELECT doc_id, n_bigrams,
+       ROUND(ce, 4) AS cross_entropy,
+       ROUND(EXP(ce), 2) AS ppl
+FROM scored
+"""
+
+
 def doc_repetition(spark, sf_dir):
     """Repeated-content concentration (Gopher-style filters): fraction
     of each document taken by its most frequent token / bigram.
@@ -1723,6 +1768,7 @@ QUERIES = {
     "doc_corpus_filter": (doc_corpus_filter, DOC_CORPUS_FILTER_SQL),
     "doc_bpe_tokens": (doc_bpe_tokens, DOC_BPE_TOKENS_SQL),
     "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),
+    "doc_perplexity": (doc_perplexity, DOC_PERPLEXITY_SQL),
     "doc_contamination": (doc_contamination, DOC_CONTAMINATION_SQL),
     "doc_dup_groups": (doc_dup_groups, DOC_DUP_GROUPS_SQL),
     "doc_stratified_sample": (doc_stratified_sample, DOC_STRATIFIED_SAMPLE_SQL),

@@ -501,6 +501,33 @@ def test_repetition_stats(spark):
     assert out[4].top_token_frac == 1.0 and out[4].top_bigram_frac == 0.0
 
 
+def test_perplexity_scores_semantics(spark):
+    rows = [
+        Row(doc_id=0, text="the cat sat on the mat"),
+        Row(doc_id=1, text="the cat sat on the mat"),   # exact duplicate
+        Row(doc_id=2, text="the cat sat on the mat"),   # exact duplicate
+        Row(doc_id=3, text="zq xv qj wk bn mp"),        # all-unseen bigrams
+        Row(doc_id=4, text="single"),                   # <2 tokens: unscored
+        Row(doc_id=5, text=""),                         # empty: unscored
+    ]
+    out = {r.doc_id: r
+           for r in text.perplexity_scores(spark.createDataFrame(rows)).collect()}
+    assert set(out) == {0, 1, 2, 3}            # short/empty docs not scored
+    assert out[0].n_bigrams == 5               # 6 tokens -> 5 bigram instances
+    # identical docs score identically under the shared model
+    assert out[0].ppl == out[1].ppl == out[2].ppl
+    # a thrice-repeated fluent doc is less surprising than one-off bigrams
+    assert out[0].cross_entropy < out[3].cross_entropy
+    import math
+    assert abs(out[0].ppl - round(math.exp(out[0].cross_entropy), 1)) < 0.6
+
+
+def test_bigram_instances_multiplicity(spark):
+    df = spark.createDataFrame([Row(doc_id=0, text="a b a b a")])
+    rows = [(r.w1, r.w2) for r in text.bigram_instances(df).collect()]
+    assert sorted(rows) == [("a", "b"), ("a", "b"), ("b", "a"), ("b", "a")]
+
+
 def test_repetition_stats_matches_counter_property(spark):
     """Property check: the sorted-array max-run trick equals the plain
     Python Counter max-multiplicity for arbitrary token streams."""
