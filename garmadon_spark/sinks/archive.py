@@ -53,11 +53,33 @@ def write_daily_archive(
     compression: str = "gzip",
     max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
     sort_within: bool = True,
+    sub_buckets: int = 1,
 ) -> None:
-    """K3/W1: day-partitioned gzip parquet, timestamp-sorted within files."""
+    """K3/W1: day-partitioned gzip parquet, timestamp-sorted within files.
+
+    ``sub_buckets`` is the hot-day escape hatch: the default
+    ``repartition(day)`` gives one task (and one well-sized file) per
+    day — optimal when days are balanced, but a single skewed day
+    serializes its entire compression on one task.  With sub_buckets=N
+    the shuffle key becomes (day, floor(hour·N/24)) — N CONTIGUOUS
+    intra-day time slices — so each day splits across N tasks whose
+    files still cover disjoint, sorted time ranges and footer-stats
+    time pruning is unchanged.  Measured locally: on BALANCED days
+    finer grain is strictly slower (more, smaller gzip files) — keep 1
+    unless a day exceeds what one task should compress (at 100 TB: day
+    volume ≫ executor-hour), then size N ≈ day_bytes /
+    target_file_bytes (N ≤ 24 with hour granularity)."""
     out = df.withColumn("day", day_bucket(ts_col))
     if sort_within:
-        out = out.repartition(F.col("day")).sortWithinPartitions("day", ts_col)
+        if sub_buckets > 1:
+            from garmadon_spark.operators.bucketing import event_time
+
+            hour = F.hour(event_time(ts_col))
+            split = F.floor(hour * sub_buckets / 24)
+            out = out.repartition(F.col("day"), split)
+        else:
+            out = out.repartition(F.col("day"))
+        out = out.sortWithinPartitions("day", ts_col)
     (
         out.write.mode("append")
         .option("compression", compression)

@@ -35,6 +35,34 @@ def test_daily_archive_layout_and_pruning(spark, garmadon, tmp_path):
     assert "PartitionFilters" in plan and "day" in plan
 
 
+def test_daily_archive_sub_buckets_same_data_more_files(spark, garmadon,
+                                                        tmp_path):
+    """The hot-day knob splits a day across tasks without changing the
+    data: same rows back, ≥ as many files per day, and per-file ts
+    ranges within a day stay disjoint (footer pruning intact)."""
+    src = garmadon["fs_event"]
+    flat = str(tmp_path / "flat")
+    split = str(tmp_path / "split")
+    archive.write_daily_archive(src, flat)
+    archive.write_daily_archive(src, split, sub_buckets=4)
+    a, b = spark.read.parquet(flat), spark.read.parquet(split)
+    assert b.count() == a.count() == src.count()
+    assert sorted(map(repr, a.collect())) == sorted(map(repr, b.collect()))
+    day = sorted(d for d in os.listdir(split) if d.startswith("day="))[0]
+    files = [f for f in os.listdir(os.path.join(split, day))
+             if f.endswith(".parquet")]
+    spans = []
+    for f in files:
+        stats = (
+            spark.read.parquet(os.path.join(split, day, f))
+            .agg(F.min("timestamp"), F.max("timestamp")).head()
+        )
+        spans.append((stats[0], stats[1]))
+    spans.sort()
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # disjoint, ordered time slices
+
+
 def test_hourly_index(spark, garmadon, tmp_path):
     path = str(tmp_path / "index")
     df = garmadon["gc_event"].withColumn("event_type", F.lit("GC_EVENT"))
