@@ -423,17 +423,20 @@ def train_pq(
     sample: int = PQ_TRAIN_SAMPLE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    normalize: bool = True,
 ) -> list:
     """Train the M per-subspace codebooks on a deterministic sample
     (first `sample` vectors by id — stable across runs, like build_ivf's
     seeding).  Vectors are L2-normalized before quantization so the ADC
-    inner product approximates cosine.  Returns
+    inner product approximates cosine (``normalize=False`` for inputs
+    that are already in the target space, e.g. IVF residuals).  Returns
     ``codebooks[m][ksub][d/m]`` as plain lists (closure-safe)."""
     rows = embs.orderBy(id_col).limit(sample).select(vec_col).collect()
     X = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(X, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    X /= norms
+    if normalize:
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        X /= norms
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -521,6 +524,169 @@ def pq_topk(
         return pd.Series(lut[idx[None, :], C].sum(axis=1))
 
     scored = codes.select(id_col, _adc(F.col("pq_codes")).alias("adc"))
+    if rerank and embs is not None:
+        short = (
+            scored.orderBy(F.desc("adc"), F.asc(id_col))
+            .limit(rerank).select(id_col)
+        )
+        qcol = _lit_vec([float(x) for x in query_vec])
+        return (
+            embs.join(F.broadcast(short), [id_col])
+            .select(
+                id_col,
+                F.round(cosine(F.col(vec_col), qcol), 6).alias("cosine"),
+            )
+            .orderBy(F.desc("cosine"), F.asc(id_col))
+            .limit(k)
+        )
+    return (
+        scored.select(id_col, F.round(F.col("adc"), 6).alias("adc"))
+        .orderBy(F.desc("adc"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+# --- IVF-PQ: coarse pruning × compressed scan ----------------------------
+#
+# The composition used by every billion-scale ANN deployment (faiss
+# IVFxx,PQyy): the IVF coarse quantizer prunes WHICH vectors to read
+# (nprobe/K of the corpus), PQ compresses WHAT is read (M bytes instead
+# of 4·D).  Codes quantize the RESIDUAL x−c(x) — residual magnitudes are
+# much smaller than vector magnitudes, so the same codebook budget
+# carries more precision (Jégou et al., TPAMI 2011 §IV).
+#
+# Inner-product scoring makes the residual trick cheap on Spark: with
+# normalized vectors, IP(q, x) = q·c(x) + q·r(x), and q·r decomposes per
+# subspace exactly like plain PQ — so ONE query LUT serves every cell
+# and the per-cell term q·c is a 64-entry literal map, not a per-cell
+# table rebuild (L2-ADC would need per-cell LUTs).
+
+def build_ivfpq(
+    embs: DataFrame,
+    n_centroids: int = 8,
+    m: int = 16,
+    ksub: int = 64,
+    iterations: int = 2,
+    pq_iterations: int = 5,
+    sample: int = PQ_TRAIN_SAMPLE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train coarse + fine quantizers and encode the corpus.
+
+    Returns (centroids, codebooks, codes) where codes has
+    (id, ivf_cell, pq_codes).  The residual staging is a map-only
+    expression after the broadcast-argmin cell assignment; at 100 TB
+    `codes` is written partitioned by ivf_cell (the write_ivf_index
+    layout) and is the ONLY thing the probe scans."""
+    norm = _norm(F.col(vec_col))
+    normed = embs.withColumn(
+        vec_col,
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / norm),
+    )
+    centroids, assigned = build_ivf(
+        normed, n_centroids, iterations, id_col, vec_col
+    )
+    cent_map = {i: c for i, c in enumerate(centroids)}
+    cent_items = []
+    for cid, c in cent_map.items():
+        cent_items += [F.lit(cid), _lit_vec(c)]
+    resid = F.zip_with(
+        F.col(vec_col),
+        F.element_at(F.create_map(*cent_items), F.col("ivf_cell")),
+        lambda x, c: x - c,
+    )
+    residuals = assigned.select(id_col, "ivf_cell", resid.alias("_resid"))
+    books = train_pq(
+        residuals, m=m, ksub=ksub, iterations=pq_iterations,
+        sample=sample, id_col=id_col, vec_col="_resid", normalize=False,
+    )
+    codes = _pq_encode_raw(residuals, books, id_col, "_resid").select(
+        id_col, "ivf_cell", "pq_codes"
+    )
+    return centroids, books, codes
+
+
+def _pq_encode_raw(
+    df: DataFrame, codebooks: list, id_col: str, vec_col: str
+) -> DataFrame:
+    """pq_encode WITHOUT the L2 re-normalization — residuals must be
+    quantized as-is (they are differences of unit vectors, not unit
+    vectors)."""
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    dsub = books[0].shape[1]
+    half_sq = [(-0.5 * (b ** 2).sum(axis=1)) for b in books]
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def _codes(v: pd.Series) -> pd.Series:
+        X = np.asarray(v.to_list(), dtype=np.float64)
+        out = np.empty((len(X), m), dtype=np.int32)
+        for j in range(m):
+            sub = X[:, j * dsub:(j + 1) * dsub]
+            out[:, j] = (sub @ books[j].T + half_sq[j]).argmax(axis=1)
+        return pd.Series(list(out))
+
+    return df.withColumn("pq_codes", _codes(F.col(vec_col)))
+
+
+def ivfpq_topk(
+    codes: DataFrame,
+    centroids: list,
+    codebooks: list,
+    query_vec,
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 0,
+    embs: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe nprobe cells, ADC-score their codes, optionally re-rank.
+
+    score = q·c(cell)  (literal map lookup)  +  Σ_j LUT[j][code_j]
+    The scan reads only the probed cells' M-byte codes — at 100 TB with
+    the cell-partitioned layout that is (nprobe/K)·(M/4D) of a raw
+    full scan; rerank adds a point lookup of shortlist vectors."""
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    dsub = books[0].shape[1]
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    qn = np.linalg.norm(q) or 1.0
+    q = q / qn
+    csims = [
+        float(np.dot(q, np.asarray(c)) / (np.linalg.norm(c) or 1.0))
+        for c in centroids
+    ]
+    probe = sorted(range(len(csims)), key=lambda i: -csims[i])[:nprobe]
+    qc = {cid: float(np.dot(q, np.asarray(centroids[cid]))) for cid in probe}
+    lut = np.stack([
+        books[j] @ q[j * dsub:(j + 1) * dsub] for j in range(m)
+    ])
+    idx = np.arange(m)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _adc(c: pd.Series) -> pd.Series:
+        C = np.asarray(c.to_list(), dtype=np.int64)
+        return pd.Series(lut[idx[None, :], C].sum(axis=1))
+
+    qc_items = []
+    for cid, v in qc.items():
+        qc_items += [F.lit(cid), F.lit(v)]
+    scored = (
+        codes.filter(F.col("ivf_cell").isin(probe))
+        .select(
+            id_col,
+            (
+                F.element_at(F.create_map(*qc_items), F.col("ivf_cell"))
+                + _adc(F.col("pq_codes"))
+            ).alias("adc"),
+        )
+    )
     if rerank and embs is not None:
         short = (
             scored.orderBy(F.desc("adc"), F.asc(id_col))

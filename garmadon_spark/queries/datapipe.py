@@ -1168,6 +1168,88 @@ SELECT CAST(10 AS INT) AS k, TRUE AS recall_ok,
 """
 
 
+_IVFPQ_MEMO: dict = {}
+
+
+def _ensure_ivfpq(spark, sf_dir):
+    """Train coarse+fine quantizers and encode the corpus once per
+    (session, corpus) — the IVF-PQ index build is the offline job; the
+    queries only probe.  The codes table rides the _RESULT_MEMO."""
+    import os
+
+    key = (id(spark), os.path.realpath(sf_dir))
+    if key not in _IVFPQ_MEMO:
+        _IVFPQ_MEMO.clear()
+        cents, books, codes = similarity.build_ivfpq(
+            _embs(spark, sf_dir), n_centroids=8, m=_PQ_M, ksub=_PQ_KSUB
+        )
+        _IVFPQ_MEMO[key] = (cents, books)
+        _memo_store(spark, sf_dir, "ivfpq_codes", codes)
+    cents, books = _IVFPQ_MEMO[key]
+    codes = _memo_fetch(
+        spark, sf_dir, "ivfpq_codes",
+        lambda: _memo_store(
+            spark, sf_dir, "ivfpq_codes",
+            similarity.build_ivfpq(
+                _embs(spark, sf_dir), n_centroids=8, m=_PQ_M,
+                ksub=_PQ_KSUB,
+            )[2],
+        ),
+    )
+    return cents, books, codes
+
+
+def emb_ann_ivfpq(spark, sf_dir, query_vec_id: int = 0, k: int = 10):
+    """IVF-PQ ANN (the faiss IVFxx,PQyy composition): coarse cells prune
+    WHICH vectors are read (nprobe/8 of the corpus), residual PQ codes
+    compress WHAT is read (16 bytes vs 256), exact cosine re-ranks the
+    shortlist.  At 100 TB with the cell-partitioned code layout the
+    probe reads (nprobe/K)·(M/4D) of a raw scan.  Rows-only; the
+    adjacent ``emb_ann_ivfpq_check`` pins the recall floor."""
+    embs = _embs(spark, sf_dir)
+    qrow = embs.filter(F.col("vec_id") == query_vec_id) \
+        .select("embedding").head()
+    q = [float(x) for x in qrow[0]]
+    cents, books, codes = _ensure_ivfpq(spark, sf_dir)
+    return similarity.ivfpq_topk(
+        codes.filter(F.col("vec_id") != query_vec_id), cents, books, q,
+        k=k, nprobe=4, rerank=4 * k, embs=embs,
+    )
+
+
+def emb_ann_ivfpq_check(spark, sf_dir, query_vec_id: int = 0, k: int = 10):
+    """Recall gate for the composed index: probing half the cells over
+    16-byte residual codes must still recover ≥ 60 % of the brute-force
+    top-k (same floor as the IVF and PQ gates), and the code table
+    covers the full corpus.  Constant-true oracle."""
+    ivfpq = emb_ann_ivfpq(spark, sf_dir, query_vec_id=query_vec_id, k=k)
+    embs = _embs(spark, sf_dir)
+    _, _, codes = _ensure_ivfpq(spark, sf_dir)
+    qrow = embs.filter(F.col("vec_id") == query_vec_id) \
+        .select("embedding").head()
+    q = [float(x) for x in qrow[0]]
+    exact = similarity.brute_force_topk(
+        embs.filter(F.col("vec_id") != query_vec_id), q, k=k
+    )
+    hits = ivfpq.select("vec_id").join(
+        exact.select("vec_id"), "vec_id"
+    ).count()
+    return spark.createDataFrame(
+        [(
+            k,
+            bool(hits >= int(0.6 * k)),
+            bool(codes.count() == embs.count()),
+        )],
+        "k int, recall_ok boolean, codes_full_corpus boolean",
+    )
+
+
+EMB_ANN_IVFPQ_CHECK_SQL = """
+SELECT CAST(10 AS INT) AS k, TRUE AS recall_ok,
+       TRUE AS codes_full_corpus
+"""
+
+
 def doc_minhash_check(spark, sf_dir):
     """Exact contract gate over the MinHash-LSH tier: emitted pairs are
     unique, ordered (doc_a < doc_b), at-or-above the verify threshold,
@@ -1777,6 +1859,8 @@ QUERIES = {
     "emb_ann_ivf_check": (emb_ann_ivf_check, EMB_ANN_IVF_CHECK_SQL),
     "emb_pq_topk": (emb_pq_topk, None),
     "emb_pq_check": (emb_pq_check, EMB_PQ_CHECK_SQL),
+    "emb_ann_ivfpq": (emb_ann_ivfpq, None),
+    "emb_ann_ivfpq_check": (emb_ann_ivfpq_check, EMB_ANN_IVFPQ_CHECK_SQL),
     "emb_neardup_ivf": (emb_neardup_ivf, None),
     "emb_neardup_ivf_check": (
         emb_neardup_ivf_check, EMB_NEARDUP_IVF_CHECK_SQL

@@ -365,6 +365,24 @@ def test_pq_adc_recall_and_rerank(embs):
     assert len(set(reranked) & set(exact)) >= 6
 
 
+def test_ivfpq_recall_and_pruning(embs):
+    qrow = embs.filter(F.col("vec_id") == 0).first()
+    q = [float(x) for x in qrow.embedding]
+    rest = embs.filter(F.col("vec_id") != 0)
+    exact = [r.vec_id for r in similarity.brute_force_topk(
+        rest, q, k=10).collect()]
+    cents, books, codes = similarity.build_ivfpq(
+        embs, n_centroids=8, m=16, ksub=64)
+    codes = codes.filter(F.col("vec_id") != 0)
+    top = [r.vec_id for r in similarity.ivfpq_topk(
+        codes, cents, books, q, k=10, nprobe=4, rerank=40,
+        embs=rest).collect()]
+    assert len(set(top) & set(exact)) >= 6
+    # the probe reads a strict subset of cells
+    probed_rows = codes.filter(F.col("ivf_cell").isin([0, 1, 2, 3])).count()
+    assert probed_rows < codes.count()
+
+
 def test_neardup_pairs_blocked_self_similarity(spark):
     rows = [
         Row(vec_id=0, label=1, embedding=[1.0, 0.0, 0.0]),

@@ -76,6 +76,7 @@ def main():
         for name, fn in (
             ("doc_minhash_dedup", datapipe.doc_minhash_dedup),
             ("doc_dup_groups", datapipe.doc_dup_groups),
+            ("doc_perplexity", datapipe.doc_perplexity),
         ):
             # untimed warmup: the first execution of the 64-column
             # minhash agg / label-propagation loop pays several seconds
