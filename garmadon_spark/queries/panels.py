@@ -718,6 +718,97 @@ GROUP BY 1, 2
 
 # panel name -> (fixture table, fn, sql, pre)  — pre maps the raw table
 # (e.g. the heap explode) before the DuckDB view is created.
+def server_disk_io_timeline(jvmstats: DataFrame) -> DataFrame:
+    """'I/O Disks' / 'Disks bytes reads/writes'
+    (grafana/garmadon-server-overview.json): `event_type:OS AND
+    tags:FORWARDER AND hostname:$hostname` → the dashboard's DOUBLE
+    bucket agg — terms(disk, size 50, asc by term) × date_histogram —
+    with sum(reads)/sum(writes) metric aggs over the E3 device pivot
+    (EventHelper.java:20-44).  The fixture carries no forwarder-host
+    JVMs, so the tag filter binds to the tags present
+    (YARN_APPLICATION); the construct — tag filter → device pivot →
+    per-(device, time-bucket) sums — is the dashboard's."""
+    from garmadon_spark.operators.jvmstats import explode_os_devices
+
+    dev = explode_os_devices(
+        jvmstats.filter(F.array_contains("tags", "YARN_APPLICATION"))
+    )
+    m = F.col("metrics")
+    return (
+        dev.filter(F.map_contains_key(m, "reads"))
+        .groupBy(
+            F.expr(f"timestamp div {MINUTE_MS}").alias("minute_bucket"),
+            "device",
+        )
+        .agg(
+            F.round(F.sum(F.element_at(m, F.lit("reads"))), 4)
+            .alias("sum_reads"),
+            F.round(F.sum(F.element_at(m, F.lit("writes"))), 4)
+            .alias("sum_writes"),
+        )
+    )
+
+
+SERVER_DISK_IO_TIMELINE_SQL = """
+WITH dev AS (
+  SELECT CAST(timestamp // 60000 AS BIGINT) AS minute_bucket,
+         split_part(p.name, '_', 1) AS device,
+         substr(p.name, len(split_part(p.name, '_', 1)) + 2) AS metric,
+         TRY_CAST(p.value AS DOUBLE) AS v
+  FROM jvmstats_event,
+       LATERAL unnest(section) AS u(s),
+       LATERAL unnest(u.s.property) AS q(p)
+  WHERE u.s.name = 'disk' AND list_contains(tags, 'YARN_APPLICATION')
+)
+SELECT minute_bucket, device,
+       ROUND(SUM(CASE WHEN metric = 'reads' THEN v END), 4) AS sum_reads,
+       ROUND(SUM(CASE WHEN metric = 'writes' THEN v END), 4) AS sum_writes
+FROM dev GROUP BY 1, 2
+"""
+
+
+def server_network_timeline(jvmstats: DataFrame) -> DataFrame:
+    """'Network tx/rx' (grafana/garmadon-server-overview.json):
+    terms(network, size 50) × date_histogram with sum(rx)/sum(tx) over
+    the same device pivot — the network leg of the server-overview
+    dashboard (same tag-binding note as server_disk_io_timeline)."""
+    from garmadon_spark.operators.jvmstats import explode_os_devices
+
+    dev = explode_os_devices(
+        jvmstats.filter(F.array_contains("tags", "YARN_APPLICATION"))
+    )
+    m = F.col("metrics")
+    return (
+        dev.filter(F.map_contains_key(m, "rx"))
+        .groupBy(
+            F.expr(f"timestamp div {MINUTE_MS}").alias("minute_bucket"),
+            "device",
+        )
+        .agg(
+            F.round(F.sum(F.element_at(m, F.lit("rx"))), 4).alias("sum_rx"),
+            F.round(F.sum(F.element_at(m, F.lit("tx"))), 4).alias("sum_tx"),
+        )
+    )
+
+
+SERVER_NETWORK_TIMELINE_SQL = """
+WITH dev AS (
+  SELECT CAST(timestamp // 60000 AS BIGINT) AS minute_bucket,
+         split_part(p.name, '_', 1) AS device,
+         substr(p.name, len(split_part(p.name, '_', 1)) + 2) AS metric,
+         TRY_CAST(p.value AS DOUBLE) AS v
+  FROM jvmstats_event,
+       LATERAL unnest(section) AS u(s),
+       LATERAL unnest(u.s.property) AS q(p)
+  WHERE u.s.name = 'network' AND list_contains(tags, 'YARN_APPLICATION')
+)
+SELECT minute_bucket, device,
+       ROUND(SUM(CASE WHEN metric = 'rx' THEN v END), 4) AS sum_rx,
+       ROUND(SUM(CASE WHEN metric = 'tx' THEN v END), 4) AS sum_tx
+FROM dev GROUP BY 1, 2
+"""
+
+
 PANELS = {
     "fs_actions_per_minute": ("fs_event", fs_actions_per_minute,
                               FS_ACTIONS_PER_MINUTE_SQL, None),
@@ -769,6 +860,10 @@ PANELS = {
     "flink_tm_network_segments": ("flink_task_manager_event",
                                   flink_tm_network_segments,
                                   FLINK_TM_NETWORK_SEGMENTS_SQL, None),
+    "server_disk_io_timeline": ("jvmstats_event", server_disk_io_timeline,
+                                SERVER_DISK_IO_TIMELINE_SQL, None),
+    "server_network_timeline": ("jvmstats_event", server_network_timeline,
+                                SERVER_NETWORK_TIMELINE_SQL, None),
     "spark_stage_state_timeline": ("spark_stage_state_event",
                                    spark_stage_state_timeline,
                                    SPARK_STAGE_STATE_TIMELINE_SQL, None),
