@@ -1,0 +1,80 @@
+"""Similarity-search tiers side by side — the ANN decision ladder a
+deployment actually walks:
+
+  brute force (exact baseline) → IVF (read fewer vectors) →
+  PQ (read smaller vectors) → IVF-PQ (both)
+
+For each tier: top-10 for one probe query, recall vs the exact answer,
+and the fraction of the corpus BYTES the scan reads — the number that
+decides which tier survives at 100 TB.
+
+Run: ``python examples/ann_pipeline.py [sf_dir]``
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from garmadon_spark.operators import similarity
+from garmadon_spark.session import get_spark, load_table
+
+DIM = 64
+FLOAT_BYTES = 4 * DIM          # raw float32 row payload
+N_CENTROIDS, NPROBE = 8, 4
+M, KSUB = 16, 64               # PQ: 16 one-byte codes per vector
+K, RERANK = 10, 40
+
+
+def recall(approx, exact) -> float:
+    return len(set(approx) & set(exact)) / len(exact)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("ann-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    n = embs.count()
+    q = [float(x) for x in
+         embs.filter(F.col("vec_id") == 0).head().embedding]
+    rest = embs.filter(F.col("vec_id") != 0)
+
+    exact = [r.vec_id for r in
+             similarity.brute_force_topk(rest, q, k=K).collect()]
+    print(f"brute force: reads 100% of {n * FLOAT_BYTES} B, recall 1.0")
+
+    cents, assigned = similarity.build_ivf(embs, n_centroids=N_CENTROIDS,
+                                           iterations=2)
+    ivf = [r.vec_id for r in similarity.ivf_topk(
+        assigned.filter(F.col("vec_id") != 0), cents, q, k=K,
+        nprobe=NPROBE).collect()]
+    frac = NPROBE / N_CENTROIDS
+    print(f"IVF nprobe={NPROBE}/{N_CENTROIDS}: reads ~{frac:.0%} of the "
+          f"float corpus, recall {recall(ivf, exact)}")
+
+    books = similarity.train_pq(embs, m=M, ksub=KSUB)
+    codes = similarity.pq_encode(rest, books)
+    pq = [r.vec_id for r in similarity.pq_topk(
+        codes, books, q, k=K, rerank=RERANK, embs=rest).collect()]
+    print(f"PQ M={M}: reads 100% of {n * M} B codes "
+          f"({FLOAT_BYTES // M}x smaller) + {RERANK} raw vectors, "
+          f"recall {recall(pq, exact)}")
+
+    c2, b2, codes2 = similarity.build_ivfpq(
+        embs, n_centroids=N_CENTROIDS, m=M, ksub=KSUB)
+    ivfpq = [r.vec_id for r in similarity.ivfpq_topk(
+        codes2.filter(F.col("vec_id") != 0), c2, b2, q, k=K,
+        nprobe=NPROBE, rerank=RERANK, embs=rest).collect()]
+    print(f"IVF-PQ: reads ~{frac:.0%} of the {FLOAT_BYTES // M}x-smaller "
+          f"codes (~{frac / (FLOAT_BYTES // M):.1%} of a raw scan) + "
+          f"{RERANK} raw vectors, recall {recall(ivfpq, exact)}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,9 +1,10 @@
 """Pretraining-corpus preparation pipeline, end to end — the corpus-prep
 tier composed the way a dataset build actually runs:
 
-  documents → PII scrub → boilerplate line removal → quality/length/
-  dedup gates (doc_corpus_filter semantics) → accepted set →
-  sequence packing bookkeeping → per-language quality telemetry
+  documents → PII scrub → boilerplate line removal → bigram-LM
+  perplexity gate (CCNet-style: drop the most-surprising tail) →
+  quality/length/dedup gates (doc_corpus_filter semantics) → accepted
+  set → sequence packing bookkeeping → per-language quality telemetry
   (the batch form of streaming/corpus.monitor_quality, for backfills).
 
 Run: ``python examples/corpus_pipeline.py [sf_dir] [out_dir]``
@@ -46,7 +47,19 @@ def main():
     ).select("doc_id", "text")
     base = scrubbed.drop("text").join(cleaned, "doc_id")
 
-    # 3. gates: length + quality + exact-dedup survivorship, one pass
+    # 3. bigram-LM perplexity gate (CCNet-style): score every doc under
+    # the corpus-trained model, drop the most-surprising 5 % — a
+    # relative cutoff, so it transfers across corpora without tuning
+    ppl = text.perplexity_scores(base.select("doc_id", "text"))
+    cut = ppl.agg(
+        F.expr("percentile(cross_entropy, 0.95)")
+    ).head()[0]
+    base = base.join(
+        ppl.filter(F.col("cross_entropy") <= cut).select("doc_id"), "doc_id"
+    )
+    n_ppl = base.count()
+
+    # 4. gates: length + quality + exact-dedup survivorship, one pass
     scored = text.quality_score(base)
     w = Window.partitionBy(dedup.content_hash("text"))
     flagged = scored.withColumn(
@@ -62,7 +75,7 @@ def main():
     ).parquet(f"{out_dir}/accepted")
     n_ok = spark.read.parquet(f"{out_dir}/accepted").count()
 
-    # 4. sequence-packing bookkeeping over the accepted set
+    # 5. sequence-packing bookkeeping over the accepted set
     assigned = corpus.pack_sequences(
         spark.read.parquet(f"{out_dir}/accepted"), seq_len=256, n_shards=8
     )
@@ -72,7 +85,7 @@ def main():
         F.round(F.avg(F.col("pack_tokens") / 256.0), 4)
     ).head()[0]
 
-    # 5. per-language quality telemetry (archive-backfill form of the
+    # 6. per-language quality telemetry (archive-backfill form of the
     # streaming monitor)
     tele = (
         scored.groupBy("lang")
@@ -85,7 +98,7 @@ def main():
     top = [(r.lang, r.n_docs, r.avg_quality) for r in tele.head(3)]
 
     print(
-        f"docs={n_in} pii_docs={n_pii} accepted={n_ok} "
+        f"docs={n_in} pii_docs={n_pii} ppl_kept={n_ppl} accepted={n_ok} "
         f"rejected={n_in - n_ok} packs={n_packs} avg_fill={fill} "
         f"top_langs={top} out={out_dir}"
     )
