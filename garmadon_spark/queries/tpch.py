@@ -642,6 +642,313 @@ GROUP BY c_mktsegment
 """
 
 
+# --- Q6-style filtered revenue --------------------------------------------
+
+def tpch_filtered_revenue(spark, sf_dir):
+    """Q6 shape: pure filter→global-aggregate, the predicate-pushdown
+    benchmark.  Every predicate (date range, discount band, quantity cap)
+    reaches the parquet scan as a PushedFilter; the aggregate is a
+    map-side partial + single-row final — no data ever shuffles, only
+    per-partition sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+TPCH_FILTERED_REVENUE_SQL = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+# --- Q9-style product-line profit -----------------------------------------
+
+def tpch_nation_profit(spark, sf_dir):
+    """Q9 shape: profit by supplier nation × ship year for one product
+    line (substring match on part name), 4-way join.  The testdata has no
+    partsupp table, so supply cost is proxied as 60 % of the part's
+    retail price — deterministic and oracle-replicated, preserving the
+    query SHAPE (fact ⋈ three broadcast dims, derived profit expression,
+    two-level grouping) rather than the TPC-H constant.
+
+    Plan: part is filtered BEFORE the broadcast (name predicate pushed to
+    its scan), so the lineitem side is semi-filtered by the join itself;
+    supplier and nation are broadcast; the single shuffle is the final
+    nation×year aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    - F.col("p_retailprice") * 0.6 * F.col("l_quantity")
+                ),
+                2,
+            ).alias("sum_profit")
+        )
+    )
+
+
+TPCH_NATION_PROFIT_SQL = """
+SELECT n_name AS nation,
+       EXTRACT(year FROM l_shipdate) AS o_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)
+                 - p_retailprice * 0.6 * l_quantity), 2) AS sum_profit
+FROM lineitem, part, supplier, nation
+WHERE l_partkey = p_partkey
+  AND l_suppkey = s_suppkey
+  AND s_nationkey = n_nationkey
+  AND p_name LIKE '%red%'
+GROUP BY n_name, EXTRACT(year FROM l_shipdate)
+"""
+
+
+# --- Q12-style conditional counts ------------------------------------------
+
+def tpch_late_shipments(spark, sf_dir):
+    """Q12 shape: conditional aggregation (CASE-WHEN counts) over the
+    orders⋈lineitem join.  The testdata lineitem has no
+    shipmode/commitdate/receiptdate, so "late" is l_shipdate more than
+    90 days after o_orderdate, bucketed by ship year — same shape
+    (fact-fact join, two branch counts per group), different predicate.
+
+    Plan: one orderkey shuffle for the join (removed entirely on a
+    bucketed archive), the lateness predicate evaluated post-join in
+    codegen, one small shuffle for the per-year aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(late)
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+TPCH_LATE_SHIPMENTS_SQL = """
+SELECT EXTRACT(year FROM l_shipdate) AS ship_year,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem, orders
+WHERE l_orderkey = o_orderkey
+  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY EXTRACT(year FROM l_shipdate)
+"""
+
+
+# --- Q15-style max-over-aggregate ------------------------------------------
+
+def tpch_top_supplier(spark, sf_dir):
+    """Q15 shape: aggregate-then-argmax — quarterly revenue per supplier,
+    return the supplier(s) hitting the global maximum (TPC-H's
+    revenue-view + MAX subquery).
+
+    Plan: one suppkey shuffle builds the per-supplier revenue table
+    (supplier-cardinality rows); the global max is a one-row aggregate
+    broadcast back over it, so the argmax costs no second full shuffle;
+    supplier enrichment is a broadcast join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            F.col("s_suppkey"),
+            F.col("s_name"),
+            F.col("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+TPCH_TOP_SUPPLIER_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue, supplier
+WHERE l_suppkey = s_suppkey
+  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+# --- Q18-style large-volume orders -----------------------------------------
+
+def tpch_large_orders(spark, sf_dir):
+    """Q18 shape: HAVING-filtered aggregate used as a semi-filter — orders
+    whose total line quantity exceeds 300 (top ~0.5 % of the fixture
+    distribution), enriched with customer and order detail.
+
+    Plan: the quantity rollup is one orderkey shuffle producing a TINY
+    surviving set; that set drives the orders join (orderkey shuffle,
+    both removed on a bucketed archive) and customer is broadcast.  The
+    big table is aggregated FIRST, never joined at full width."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+TPCH_LARGE_ORDERS_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > 300
+) big, orders, customer
+WHERE big.l_orderkey = o_orderkey
+  AND o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+# --- Q21-style exists / not-exists -----------------------------------------
+
+def tpch_waiting_suppliers(spark, sf_dir):
+    """Q21 shape: the double-correlated EXISTS / NOT EXISTS — suppliers
+    who were the SOLE late shipper on a multi-supplier finalized order.
+    The testdata has no commit/receipt dates, so "late" is shipping more
+    than 60 days after the order date (oracle-replicated); the
+    shape — l1 late, EXISTS l2 (another supplier on the order), NOT
+    EXISTS l3 (another LATE supplier on the order) — is intact.
+
+    Plan: EXISTS ⇒ left_semi, NOT EXISTS ⇒ left_anti, both native Spark
+    join types on the orderkey — no correlated per-row subquery ever
+    executes.  All three legs derive from one shared late/all lineitem
+    scan; nation and supplier are broadcast; final count is a
+    supplier-cardinality aggregate with a deterministic top-20."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"),
+        F.col("l_suppkey").alias("o3_suppkey"),
+    )
+    l1 = late.join(
+        others,
+        (F.col("l_orderkey") == F.col("o2_orderkey"))
+        & (F.col("l_suppkey") != F.col("o2_suppkey")),
+        "left_semi",
+    ).join(
+        late_others,
+        (F.col("l_orderkey") == F.col("o3_orderkey"))
+        & (F.col("l_suppkey") != F.col("o3_suppkey")),
+        "left_anti",
+    )
+    return (
+        l1.join(F.broadcast(supp), l1.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+TPCH_WAITING_SUPPLIERS_SQL = """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem, orders
+  WHERE l_orderkey = o_orderkey
+    AND o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM late l1, supplier
+WHERE l1.l_suppkey = s_suppkey
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
     "tpch_pricing_summary": (tpch_pricing_summary, TPCH_PRICING_SUMMARY_SQL),
     "tpch_top_orders": (tpch_top_orders, TPCH_TOP_ORDERS_SQL),
@@ -667,4 +974,12 @@ QUERIES = {
         tpch_discounted_revenue,
         TPCH_DISCOUNTED_REVENUE_SQL,
     ),
+    "tpch_filtered_revenue": (tpch_filtered_revenue,
+                              TPCH_FILTERED_REVENUE_SQL),
+    "tpch_nation_profit": (tpch_nation_profit, TPCH_NATION_PROFIT_SQL),
+    "tpch_late_shipments": (tpch_late_shipments, TPCH_LATE_SHIPMENTS_SQL),
+    "tpch_top_supplier": (tpch_top_supplier, TPCH_TOP_SUPPLIER_SQL),
+    "tpch_large_orders": (tpch_large_orders, TPCH_LARGE_ORDERS_SQL),
+    "tpch_waiting_suppliers": (tpch_waiting_suppliers,
+                               TPCH_WAITING_SUPPLIERS_SQL),
 }

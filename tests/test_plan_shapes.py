@@ -29,6 +29,45 @@ def test_tpch_dimension_joins_are_broadcast(spark):
         assert "SortMergeJoin" not in plan, name
 
 
+def test_waiting_suppliers_uses_native_semi_anti(spark):
+    """Q21's EXISTS / NOT EXISTS must plan as Spark's native left-semi /
+    left-anti joins — never a correlated per-row subquery or a cartesian
+    product (the 100 TB killer for exists-shapes)."""
+    from garmadon_spark.queries.tpch import tpch_waiting_suppliers
+
+    plan = _plan(tpch_waiting_suppliers(spark, SF))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "Cartesian" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_large_orders_aggregates_before_join(spark):
+    """Q18's quantity rollup must run BEFORE the orders join — the plan
+    has a HashAggregate below the join, so only the tiny >300-qty
+    survivor set is ever joined."""
+    from garmadon_spark.queries.tpch import tpch_large_orders
+
+    plan = _plan(tpch_large_orders(spark, SF))
+    join_pos = plan.find("Join")
+    agg_pos = plan.rfind("HashAggregate")
+    assert join_pos != -1 and agg_pos != -1
+    # executedPlan prints top-down: a later (deeper) aggregate than the
+    # join means the aggregate is a child of the join, i.e. runs first
+    assert agg_pos > join_pos
+
+
+def test_filtered_revenue_predicates_reach_scan(spark):
+    """Q6 is THE pushdown benchmark: date range, discount band, and
+    quantity cap must all appear in the parquet scan's PushedFilters."""
+    from garmadon_spark.queries.tpch import tpch_filtered_revenue
+
+    plan = _plan(tpch_filtered_revenue(spark, SF))
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, (col, pushed)
+
+
 def test_filtered_stats_filter_reaches_scan(spark):
     from garmadon_spark.queries.dashboard import ev_filtered_stats
 
