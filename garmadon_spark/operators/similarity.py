@@ -374,6 +374,57 @@ def neardup_pairs_blocked(
     )
 
 
+def semantic_dedup(
+    embs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): turn a near-duplicate PAIR table (from any
+    blocking tier — label blocks, IVF cells, LSH) into a full-corpus
+    keep/drop verdict.  Pairs → connected components (transitive
+    closure, dedup.components) → one representative per semantic group.
+
+    Representative policy: the member with the largest L2 norm (rounded
+    to 4 decimals so the argmax is stable across engines), tie-broken by
+    smallest id — a deterministic stand-in for the paper's
+    distance-to-centroid rank that needs no second pass over the
+    vectors.  Vectors in no pair are their own singleton group and are
+    always kept.
+
+    Scale shape: the component loop shuffles label-sized rows (not
+    vectors); the norm is computed in the same scan that reads the ids;
+    the final rank is one window over ``sem_group`` — groups are
+    near-dup clusters plus singletons, so partitions are tiny and the
+    shuffle is one pass of (id, norm, group) triples.  The output is the
+    artifact a curation pipeline writes back: every vector, its semantic
+    group, and whether it survives."""
+    from pyspark.sql import Window
+
+    from garmadon_spark.operators.dedup import components
+
+    comp = components(pairs, id_a="id_a", id_b="id_b")
+    base = embs.select(
+        F.col(id_col).alias("vec_id"),
+        F.round(_norm(F.col(vec_col)), 4).alias("_l2"),
+    )
+    labeled = (
+        base.join(
+            comp.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left"
+        )
+        .withColumn("sem_group", F.coalesce("component", F.col("vec_id")))
+    )
+    w = Window.partitionBy("sem_group").orderBy(
+        F.desc("_l2"), F.asc("vec_id")
+    )
+    return labeled.select(
+        "vec_id",
+        "sem_group",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
 # --- Product quantization (PQ) -------------------------------------------
 #
 # Jégou/Douze/Schmid, "Product Quantization for Nearest Neighbor Search"

@@ -986,6 +986,65 @@ WHERE ROUND(c, 4) >= 0.25
 """
 
 
+def emb_semdedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup end-to-end: near-dup pairs (label
+    blocks, reusing the pair table emb_neardup_blocked just published)
+    → connected components → one surviving representative per semantic
+    group (max rounded L2 norm, min-id tie-break), singletons kept.
+    The oracle replays the whole chain — pair generation, recursive
+    transitive closure, the argmax — in SQL, so the composite is
+    hash-checked, not rows-only."""
+    pairs = _memo_fetch(spark, sf_dir, "neardup_blocked",
+                        lambda: emb_neardup_blocked(spark, sf_dir))
+    return similarity.semantic_dedup(_embs(spark, sf_dir), pairs)
+
+
+EMB_SEMDEDUP_SQL = """
+WITH RECURSIVE e0 AS (SELECT vec_id, label, embedding FROM embeddings),
+ok AS (SELECT label FROM e0 GROUP BY label HAVING COUNT(*) <= 10000),
+e AS (SELECT e0.* FROM e0 JOIN ok USING (label)),
+prs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           a.embedding AS va, b.embedding AS vb
+    FROM e a, e b
+    WHERE a.label = b.label AND a.vec_id < b.vec_id
+), un AS (
+    SELECT id_a, id_b,
+           CAST(unnest(va) AS DOUBLE) AS x, CAST(unnest(vb) AS DOUBLE) AS y
+    FROM prs
+), sim AS (
+    SELECT id_a, id_b
+    FROM un GROUP BY id_a, id_b
+    HAVING ROUND(SUM(x * y) / (sqrt(SUM(x * x)) * sqrt(SUM(y * y))), 4)
+           >= 0.25
+), edges AS (
+    SELECT id_a AS a, id_b AS b FROM sim
+    UNION
+    SELECT id_b, id_a FROM sim
+), reach AS (
+    SELECT a AS node, a AS lab FROM edges
+    UNION
+    SELECT e2.a, r.lab FROM edges e2 JOIN reach r ON r.node = e2.b
+), comp AS (
+    SELECT node, MIN(lab) AS component FROM reach GROUP BY node
+), norms AS (
+    SELECT vec_id,
+           ROUND(sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS l2
+    FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+    GROUP BY vec_id
+), allv AS (
+    SELECT n.vec_id, COALESCE(c.component, n.vec_id) AS sem_group, n.l2
+    FROM norms n LEFT JOIN comp c ON c.node = n.vec_id
+), ranked AS (
+    SELECT vec_id, sem_group,
+           row_number() OVER (PARTITION BY sem_group
+                              ORDER BY l2 DESC, vec_id ASC) AS rn
+    FROM allv
+)
+SELECT vec_id, sem_group, (rn = 1) AS keep FROM ranked
+"""
+
+
 def _index_cache_path(sf_dir: str, source_file: str, prefix: str) -> str:
     """Deterministic per-corpus cache location for a materialized index,
     keyed by the SOURCE file's identity (path + mtime + size) so a
@@ -1855,6 +1914,7 @@ QUERIES = {
     "doc_dup_groups": (doc_dup_groups, DOC_DUP_GROUPS_SQL),
     "doc_stratified_sample": (doc_stratified_sample, DOC_STRATIFIED_SAMPLE_SQL),
     "emb_neardup_blocked": (emb_neardup_blocked, EMB_NEARDUP_BLOCKED_SQL),
+    "emb_semdedup": (emb_semdedup, EMB_SEMDEDUP_SQL),
     "emb_ann_ivf": (emb_ann_ivf, None),
     "emb_ann_ivf_check": (emb_ann_ivf_check, EMB_ANN_IVF_CHECK_SQL),
     "emb_pq_topk": (emb_pq_topk, None),
