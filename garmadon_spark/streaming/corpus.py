@@ -20,7 +20,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from garmadon_spark.operators import text
+from garmadon_spark.operators import dedup, text
+
+
+def clean_corpus_stream(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "26 hours",
+    min_quality: float = 0.15,
+    text_col: str = "text",
+) -> DataFrame:
+    """The streaming front door of the corpus tier: exact-dedup
+    re-scraped documents on their normalized content hash, then gate on
+    the composite quality score — so duplicates and junk never reach
+    the archive, instead of being cleaned up by tomorrow's batch job.
+
+    Dedup state is one row per content hash within the watermark
+    (``dropDuplicatesWithinWatermark`` — bounded by distinct docs per
+    26 h, not stream history; the unbounded ``dropDuplicates`` trap at
+    100 TB/day).  The quality gate is a stateless scalar filter fused
+    into the same stage.  On a batch DataFrame (backfill over the
+    archive) the same function keeps one row per hash via a
+    min-(ts, id)-free ``dropDuplicates`` — callers comparing the two
+    paths should compare surviving hash SETS, which are identical, not
+    which copy survived (streaming keeps the first ARRIVAL)."""
+    hashed = docs.withColumn(
+        "content_hash", dedup.content_hash(text_col)
+    )
+    if hashed.isStreaming:
+        deduped = hashed.withWatermark(
+            ts_col, watermark
+        ).dropDuplicatesWithinWatermark(["content_hash"])
+    else:
+        deduped = hashed.dropDuplicates(["content_hash"])
+    scored = text.quality_score(deduped, text_col=text_col)
+    return scored.filter(F.col("quality_score") >= min_quality)
 
 
 def monitor_quality(

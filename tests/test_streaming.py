@@ -136,6 +136,48 @@ def test_quality_monitor_stream_matches_batch(spark, tmp_path):
     assert got == exp and len(got) > 1
 
 
+def test_clean_corpus_stream_matches_batch(spark, tmp_path):
+    """The streaming ingest front door (hash-dedup + quality gate) must
+    keep exactly the batch path's surviving content-hash set — which
+    COPY of a duplicate survives differs (first arrival vs arbitrary),
+    the set of surviving contents must not."""
+    from garmadon_spark.session import load_table
+    from garmadon_spark.streaming import corpus as scorpus
+
+    src = str(tmp_path / "docs")
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    # inject exact re-scrapes: every third doc appears twice with a new id
+    dupes = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    both = docs.unionByName(dupes).withColumn(
+        "ts",
+        F.timestamp_millis(
+            F.lit(1_700_000_000_000) + (F.col("doc_id") % 7) * 3_600_000
+        ),
+    )
+    both.write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .parquet(src)
+    )
+    q = (
+        scorpus.clean_corpus_stream(stream)
+        .writeStream.format("memory").queryName("ccs")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM ccs").collect()
+    exp = scorpus.clean_corpus_stream(spark.read.parquet(src)).collect()
+    assert {r.content_hash for r in got} == {r.content_hash for r in exp}
+    assert len(got) == len(exp) > 0
+    # the dedup actually fired: no surviving hash from an injected dupe
+    # pair appears twice, and every survivor clears the quality gate
+    assert len({r.content_hash for r in got}) == len(got)
+    assert all(r.quality_score >= 0.15 for r in got)
+
+
 # --- watermarked windows (W4) ---------------------------------------------
 
 def test_windowed_counts_matches_batch(spark, event_dir, tmp_path):
