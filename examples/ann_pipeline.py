@@ -75,6 +75,16 @@ def main():
           f"codes (~{frac / (FLOAT_BYTES // M):.1%} of a raw scan) + "
           f"{RERANK} raw vectors, recall {recall(ivfpq, exact)}")
 
+    # the same index also DEDUPES: IVF cells as the blocking key →
+    # near-dup pairs → semantic groups → one survivor per group
+    pairs = similarity.neardup_pairs_blocked(
+        assigned, block_col="ivf_cell", threshold=0.3
+    )
+    verdict = similarity.semantic_dedup(embs, pairs)
+    kept = verdict.filter(F.col("keep")).count()
+    print(f"semantic dedup @0.3 over IVF cells: keep {kept}/{n} "
+          f"({n - kept} semantically-redundant vectors dropped)")
+
 
 if __name__ == "__main__":
     main()
