@@ -621,6 +621,128 @@ GROUP BY 1
 """
 
 
+def _hourly_series(spark, sf_dir):
+    return (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        )
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+def ev_gapfill_locf(spark, sf_dir):
+    """Gap-filled hourly timeline with last-observation-carried-forward
+    — Grafana's "fill forward" null mode as a relational operator
+    (TimescaleDB time_bucket_gapfill + locf; Spark has no native
+    equivalent).  The per-type hourly series joins a dense
+    sequence()-generated bucket axis (axis-sized, never event-sized);
+    empty buckets surface as is_gap rows carrying the last observed
+    average forward.  operators/timeseries.py."""
+    from garmadon_spark.operators import timeseries
+
+    series = _hourly_series(spark, sf_dir)
+    dense = timeseries.gapfill(series, group_cols=("event_type",))
+    return timeseries.locf(
+        dense, "avg_value", group_cols=("event_type",)
+    ).select("event_type", "bucket", "is_gap", "avg_value",
+             "avg_value_locf")
+
+
+EV_GAPFILL_LOCF_SQL = """
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS bucket,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM events GROUP BY 1, 2
+), bounds AS (
+    SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM hourly
+), axis AS (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+    FROM bounds
+), grid AS (
+    SELECT g.event_type, a.bucket
+    FROM (SELECT DISTINCT event_type FROM hourly) g, axis a
+), dense AS (
+    SELECT grid.event_type, grid.bucket, h.avg_value,
+           h.avg_value IS NULL AS is_gap
+    FROM grid LEFT JOIN hourly h USING (event_type, bucket)
+)
+SELECT event_type, bucket, is_gap, avg_value,
+       COALESCE(
+         avg_value,
+         last_value(avg_value IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       ) AS avg_value_locf
+FROM dense
+"""
+
+
+def ev_gapfill_interp(spark, sf_dir):
+    """Gap-filled hourly timeline with linear interpolation — Grafana's
+    "connect nulls" as data: each empty bucket takes the value on the
+    line between its nearest observed neighbors, time-weighted; edge
+    gaps fall back to the single available neighbor.  Two axis-sized
+    windows (look-back, look-forward), no event-sized work after the
+    aggregate."""
+    from garmadon_spark.operators import timeseries
+
+    series = _hourly_series(spark, sf_dir)
+    dense = timeseries.gapfill(series, group_cols=("event_type",))
+    # decimals=5, NOT 4: a single-bucket gap interpolates to the exact
+    # midpoint of two 4-decimal values, which lies ON the .00005
+    # rounding boundary where Spark (BigDecimal HALF_UP) and DuckDB
+    # (double multiply+round) disagree; at 5 decimals midpoints sit on
+    # grid points instead of ties.
+    return timeseries.interpolate(
+        dense, "avg_value", group_cols=("event_type",), decimals=5
+    ).select("event_type", "bucket", "is_gap", "avg_value",
+             "avg_value_interp")
+
+
+EV_GAPFILL_INTERP_SQL = """
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS bucket,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM events GROUP BY 1, 2
+), bounds AS (
+    SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM hourly
+), axis AS (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+    FROM bounds
+), grid AS (
+    SELECT g.event_type, a.bucket
+    FROM (SELECT DISTINCT event_type FROM hourly) g, axis a
+), dense AS (
+    SELECT grid.event_type, grid.bucket, h.avg_value,
+           h.avg_value IS NULL AS is_gap
+    FROM grid LEFT JOIN hourly h USING (event_type, bucket)
+), nbr AS (
+    SELECT event_type, bucket, is_gap, avg_value,
+           last_value(avg_value IGNORE NULLS) OVER back AS pv,
+           last_value(CASE WHEN avg_value IS NOT NULL THEN bucket END
+                      IGNORE NULLS) OVER back AS pt,
+           first_value(avg_value IGNORE NULLS) OVER fwd AS nv,
+           first_value(CASE WHEN avg_value IS NOT NULL THEN bucket END
+                       IGNORE NULLS) OVER fwd AS nt
+    FROM dense
+    WINDOW back AS (PARTITION BY event_type ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           fwd AS (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, bucket, is_gap, avg_value,
+       ROUND(CASE
+         WHEN avg_value IS NOT NULL THEN avg_value
+         WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+           pv + (nv - pv) * (epoch(bucket) - epoch(pt))
+                          / (epoch(nt) - epoch(pt))
+         ELSE COALESCE(pv, nv) END, 5) AS avg_value_interp
+FROM nbr
+"""
+
+
 QUERIES = {
     "ev_count_by_type": (ev_count_by_type, EV_COUNT_BY_TYPE_SQL),
     "ev_date_histogram_hour": (ev_date_histogram_hour, EV_DATE_HISTOGRAM_HOUR_SQL),
@@ -645,4 +767,6 @@ QUERIES = {
     "ev_moving_avg": (ev_moving_avg, EV_MOVING_AVG_SQL),
     "ev_rollup_day_type": (ev_rollup_day_type, EV_ROLLUP_DAY_TYPE_SQL),
     "ev_failure_ratio": (ev_failure_ratio, EV_FAILURE_RATIO_SQL),
+    "ev_gapfill_locf": (ev_gapfill_locf, EV_GAPFILL_LOCF_SQL),
+    "ev_gapfill_interp": (ev_gapfill_interp, EV_GAPFILL_INTERP_SQL),
 }
