@@ -743,6 +743,96 @@ FROM nbr
 """
 
 
+def ev_value_histogram(spark, sf_dir):
+    """ES `histogram` aggregation (the non-time axis of a Grafana
+    heatmap panel): fixed-width value buckets (width 50) per event
+    type, count + mean per cell.  floor(value/width)*width is a scalar
+    expression — the histogram costs exactly one shuffle on the
+    (type, bucket) key, same as any terms agg; no sort, no range
+    partitioning."""
+    width = 50
+    bucket = (F.floor(F.col("value") / width) * width).cast("long")
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type", bucket.alias("value_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+EV_VALUE_HISTOGRAM_SQL = """
+SELECT event_type,
+       CAST(FLOOR(value / 50) * 50 AS BIGINT) AS value_bucket,
+       COUNT(*) AS cnt,
+       ROUND(AVG(value), 4) AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def ev_significant_users(spark, sf_dir):
+    """ES `significant_terms`: terms over-represented in a foreground
+    set relative to the background corpus — here, users whose share of
+    `error` events exceeds their share of all events (lift ≥ 1.5, ≥ 5
+    foreground hits), the "who is causing the errors" panel.
+
+    Plan shape: TWO aggregates over one scan lineage (foreground is a
+    filtered groupBy, background a full groupBy on the same key) joined
+    on the term, plus two single-row totals broadcast via crossJoin —
+    the join is term-cardinality sized, the scan is read once per agg
+    (a single-pass pivot-style fused variant trades that for a wider
+    aggregate; at 100 TB prefer whichever side AQE sizes smaller)."""
+    ev = _events(spark, sf_dir)
+    fg = ev.filter(F.col("event_type") == "error")
+    fg_counts = fg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("fg_cnt")
+    )
+    bg_counts = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("bg_cnt")
+    )
+    fg_total = fg.agg(F.count(F.lit(1)).alias("fg_total"))
+    bg_total = ev.agg(F.count(F.lit(1)).alias("bg_total"))
+    lift = F.round(
+        (F.col("fg_cnt") / F.col("fg_total"))
+        / (F.col("bg_cnt") / F.col("bg_total")),
+        4,
+    )
+    return (
+        fg_counts.join(bg_counts, "user_id")
+        .crossJoin(F.broadcast(fg_total))
+        .crossJoin(F.broadcast(bg_total))
+        .select("user_id", "fg_cnt", "bg_cnt", lift.alias("lift"))
+        .filter((F.col("lift") >= 1.5) & (F.col("fg_cnt") >= 5))
+        .orderBy(F.desc("lift"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+EV_SIGNIFICANT_USERS_SQL = """
+WITH fg AS (
+    SELECT user_id, COUNT(*) AS fg_cnt FROM events
+    WHERE event_type = 'error' GROUP BY user_id
+), bg AS (
+    SELECT user_id, COUNT(*) AS bg_cnt FROM events GROUP BY user_id
+), tot AS (
+    SELECT (SELECT COUNT(*) FROM events WHERE event_type = 'error')
+             AS fg_total,
+           (SELECT COUNT(*) FROM events) AS bg_total
+)
+SELECT user_id, fg_cnt, bg_cnt,
+       ROUND((fg_cnt * 1.0 / fg_total) / (bg_cnt * 1.0 / bg_total), 4)
+         AS lift
+FROM fg JOIN bg USING (user_id), tot
+WHERE ROUND((fg_cnt * 1.0 / fg_total) / (bg_cnt * 1.0 / bg_total), 4)
+        >= 1.5
+  AND fg_cnt >= 5
+ORDER BY lift DESC, user_id ASC
+LIMIT 10
+"""
+
+
 QUERIES = {
     "ev_count_by_type": (ev_count_by_type, EV_COUNT_BY_TYPE_SQL),
     "ev_date_histogram_hour": (ev_date_histogram_hour, EV_DATE_HISTOGRAM_HOUR_SQL),
@@ -769,4 +859,8 @@ QUERIES = {
     "ev_failure_ratio": (ev_failure_ratio, EV_FAILURE_RATIO_SQL),
     "ev_gapfill_locf": (ev_gapfill_locf, EV_GAPFILL_LOCF_SQL),
     "ev_gapfill_interp": (ev_gapfill_interp, EV_GAPFILL_INTERP_SQL),
+    "ev_value_histogram": (ev_value_histogram, EV_VALUE_HISTOGRAM_SQL),
+    "ev_significant_users": (
+        ev_significant_users, EV_SIGNIFICANT_USERS_SQL
+    ),
 }
