@@ -1,0 +1,121 @@
+"""Continuous-aggregate maintenance: a materialized rollup table kept
+current by partition-scoped merges — history is never rescanned.
+
+The dashboard surface reads hourly/terms aggregates; at 100 TB/day
+recomputing them from raw events for every panel load is the cost
+center.  The standard fix (TimescaleDB continuous aggregates,
+Druid/Pinot rollup segments) is a materialized partial-aggregate table
+refreshed incrementally.  Spark-native form:
+
+- The rollup stores RE-AGGREGABLE partials (count/sum/min/max) keyed by
+  (day, bucket, group) — never avg or percentiles, which don't merge.
+  Derived metrics (avg = sum/count) are computed at read time.
+- Maintenance aggregates ONLY the increment, unions it with the
+  existing partials of the DAYS THE INCREMENT TOUCHES (a
+  partition-pruned read — late events reopen exactly their day), and
+  rewrites those day partitions via dynamic partition overwrite.
+  Untouched history is neither read nor written.
+- Work per refresh = O(increment) + O(rollup rows of touched days);
+  rollup rows are bucket-granular (24 × groups per day), so the merge
+  side is dashboard-sized regardless of event volume.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def build_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    bucket: str = "hour",
+) -> DataFrame:
+    """The rollup shape: (day, bucket, groups) → mergeable partials.
+    One shuffle on the rollup key; map-side partial aggregation does
+    the heavy reduction before it."""
+    return (
+        events.groupBy(
+            F.to_date(F.col(ts_col)).alias("day"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),
+            *group_cols,
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(value_col).alias("sum_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+    )
+
+
+def _merge_partials(
+    partials: DataFrame, group_cols: tuple[str, ...]
+) -> DataFrame:
+    return partials.groupBy("day", "bucket", *group_cols).agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum_value").alias("sum_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+
+
+def maintain_rollup(
+    spark: SparkSession,
+    increment: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+    group_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    bucket: str = "hour",
+) -> list:
+    """Fold one increment (today's batch, a late-data redelivery, a
+    backfill) into the materialized rollup at ``path``.  Returns the
+    day partitions that were rewritten.
+
+    The day list is collected driver-side — it is partition-count
+    sized, the same contract as archive.committed_offsets.  Dynamic
+    partition overwrite replaces exactly the touched day directories;
+    concurrent readers keep seeing committed files."""
+    inc = build_rollup(increment, ts_col, group_cols, value_col, bucket)
+    days = [r.day for r in inc.select("day").distinct().collect()]
+    if os.path.isdir(path) and any(
+        e.startswith("day=") for e in os.listdir(path)
+    ):
+        existing = spark.read.parquet(path).filter(
+            F.col("day").isin(days)
+        )
+        # align column order; the partition column comes back last
+        existing = existing.select(*inc.columns)
+        merged = _merge_partials(existing.unionByName(inc), group_cols)
+    else:
+        merged = inc
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.repartition("day")
+            .write.partitionBy("day")
+            .mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return days
+
+
+def read_rollup(
+    spark: SparkSession, path: str, group_cols: tuple[str, ...] = ("event_type",)
+) -> DataFrame:
+    """Dashboard-facing view of the rollup: partials plus the derived
+    mean.  Filters on day/bucket prune partitions before any IO."""
+    df = spark.read.parquet(path)
+    return df.select(
+        "day", "bucket", *group_cols, "cnt", "sum_value", "min_value",
+        "max_value",
+        F.round(F.col("sum_value") / F.col("cnt"), 4).alias("avg_value"),
+    )

@@ -1,0 +1,96 @@
+"""Continuous-aggregate rollup: incremental maintenance must equal the
+from-scratch rollup, touch only the day partitions the increment hits,
+and keep partials mergeable across redeliveries of late data."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from garmadon_spark.session import load_table
+from garmadon_spark.sinks import rollup
+
+
+def _events(spark):
+    return load_table(spark, "/root/testdata/sf0.001", "events")
+
+
+def _key(r):
+    return (r.day, r.bucket, r.event_type)
+
+
+def _vals(r):
+    return (r.cnt, round(r.sum_value, 4), r.min_value, r.max_value)
+
+
+def test_incremental_maintenance_equals_full_rebuild(spark, tmp_path):
+    path = str(tmp_path / "rollup")
+    ev = _events(spark)
+    cut = "2024-01-15"
+    early = ev.filter(F.to_date("ts") < cut)
+    late = ev.filter(F.to_date("ts") >= cut)
+
+    rollup.maintain_rollup(spark, early, path)
+    days = rollup.maintain_rollup(spark, late, path)
+    assert all(str(d) >= cut for d in days)
+
+    got = {
+        _key(r): _vals(r)
+        for r in spark.read.parquet(path).collect()
+    }
+    exp = {
+        _key(r): _vals(r)
+        for r in rollup.build_rollup(ev).collect()
+    }
+    assert got == exp and len(got) > 10
+
+
+def test_late_data_reopens_only_its_day(spark, tmp_path):
+    path = str(tmp_path / "rollup")
+    ev = _events(spark)
+    one_day = "2024-01-10"
+    first_half = ev.filter(
+        (F.to_date("ts") == one_day) & (F.hour("ts") < 12)
+    )
+    late_half = ev.filter(
+        (F.to_date("ts") == one_day) & (F.hour("ts") >= 12)
+    )
+    other = ev.filter(F.to_date("ts") != one_day)
+
+    rollup.maintain_rollup(spark, other.unionByName(first_half), path)
+    untouched = sorted(
+        e for e in os.listdir(path) if e.startswith("day=")
+        and one_day not in e
+    )
+    mtimes = {
+        e: os.path.getmtime(os.path.join(path, e)) for e in untouched
+    }
+    days = rollup.maintain_rollup(spark, late_half, path)
+    assert [str(d) for d in days] == [one_day]
+    # untouched day partitions were neither rewritten...
+    assert all(
+        os.path.getmtime(os.path.join(path, e)) == mtimes[e]
+        for e in untouched
+    )
+    # ...and the reopened day merged its partials (full-day parity)
+    got = {
+        _key(r): _vals(r)
+        for r in spark.read.parquet(path).collect()
+        if str(r.day) == one_day
+    }
+    exp = {
+        _key(r): _vals(r)
+        for r in rollup.build_rollup(
+            ev.filter(F.to_date("ts") == one_day)
+        ).collect()
+    }
+    assert got == exp and len(got) > 0
+
+
+def test_read_rollup_derives_avg(spark, tmp_path):
+    path = str(tmp_path / "rollup")
+    rollup.maintain_rollup(spark, _events(spark), path)
+    view = rollup.read_rollup(spark, path)
+    r = view.filter(F.col("cnt") > 0).head()
+    assert r.avg_value == round(r.sum_value / r.cnt, 4)
