@@ -108,6 +108,55 @@ def maintain_rollup(
     return days
 
 
+def rollup_query(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    ts_col: str = "ts",
+    group_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    bucket: str = "hour",
+    available_now: bool = True,
+):
+    """The continuous aggregate fed by the stream itself: every
+    micro-batch folds into the materialized rollup via
+    ``maintain_rollup`` inside ``foreachBatch`` — the Structured
+    Streaming idiom for sinks that need a merge, not an append.
+
+    Replay semantics, honestly: foreachBatch is at-least-once, and a
+    MERGE sink is not naturally idempotent — re-folding a replayed
+    batch would double-count its partials.  A per-batch marker file
+    under ``path/_rollup_batches`` skips batches already folded,
+    narrowing the double-count window to a crash BETWEEN the partition
+    commit and the marker write.  Closing that window needs a
+    transactional table format (Delta/Iceberg MERGE) — the documented
+    production swap, same trade recorded for W8 in sinks/archive.py.
+    Returns the started StreamingQuery."""
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        marker_dir = os.path.join(path, "_rollup_batches")
+        marker = os.path.join(marker_dir, f"{batch_id}.done")
+        if os.path.exists(marker):
+            return
+        maintain_rollup(
+            batch_df.sparkSession, batch_df, path,
+            ts_col, group_cols, value_col, bucket,
+        )
+        os.makedirs(marker_dir, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write("done")
+
+    writer = (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def read_rollup(
     spark: SparkSession, path: str, group_cols: tuple[str, ...] = ("event_type",)
 ) -> DataFrame:

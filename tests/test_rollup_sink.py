@@ -88,6 +88,39 @@ def test_late_data_reopens_only_its_day(spark, tmp_path):
     assert got == exp and len(got) > 0
 
 
+def test_streaming_rollup_matches_batch(spark, tmp_path):
+    """foreachBatch-fed continuous aggregate == from-scratch rollup,
+    and a restart over the same source re-folds nothing (checkpoint +
+    batch markers)."""
+    src = str(tmp_path / "src")
+    path = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    ev = _events(spark)
+    ev.write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = rollup.rollup_query(stream, path, ckpt)
+    q.awaitTermination()
+    got = {
+        _key(r): _vals(r) for r in spark.read.parquet(path).collect()
+    }
+    exp = {_key(r): _vals(r) for r in rollup.build_rollup(ev).collect()}
+    assert got == exp and len(got) > 10
+    # restart with the same checkpoint: no new batches, no re-fold
+    q2 = rollup.rollup_query(
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .parquet(src),
+        path, ckpt,
+    )
+    q2.awaitTermination()
+    again = {
+        _key(r): _vals(r) for r in spark.read.parquet(path).collect()
+    }
+    assert again == exp
+
+
 def test_read_rollup_derives_avg(spark, tmp_path):
     path = str(tmp_path / "rollup")
     rollup.maintain_rollup(spark, _events(spark), path)
