@@ -105,6 +105,46 @@ def locf(
     )
 
 
+def counter_rate(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str = "timestamp",
+    group_cols: tuple[str, ...] = (),
+    bucket_ms: int = 3_600_000,
+    out_col: str = "increase",
+) -> DataFrame:
+    """Prometheus ``increase()`` over a cumulative counter column, with
+    counter-reset handling: per group (ordered by time) the per-sample
+    delta is ``value - lag(value)``; a NEGATIVE delta means the process
+    restarted and its counter began again at ~0, so the whole current
+    value counts as increase (the Prometheus reset rule).  Summed into
+    fixed time buckets — integer arithmetic end to end, no float.
+
+    The first sample of a bucket deltas against the PREVIOUS bucket's
+    last sample (lag crosses bucket edges), so bucket increases sum to
+    the true total — the off-by-one-bucket error of bucketing first and
+    diffing second.  One window shuffle on the group key, then the
+    bucket aggregate; both group-cardinality-bound, the window never
+    sees more than the samples themselves."""
+    w = Window.partitionBy(*group_cols).orderBy(ts_col, value_col)
+    prev = F.lag(value_col).over(w)
+    val = F.col(value_col)
+    inc = (
+        F.when(prev.isNull(), F.lit(0))
+        .when(val >= prev, val - prev)
+        .otherwise(val)
+    )
+    return (
+        df.select(
+            *group_cols,
+            F.expr(f"{ts_col} div {bucket_ms}").alias("bucket"),
+            inc.alias("_inc"),
+        )
+        .groupBy("bucket", *group_cols)
+        .agg(F.sum("_inc").cast("long").alias(out_col))
+    )
+
+
 def _masked(col: str, when_col: Column) -> Column:
     return F.when(when_col.isNotNull(), F.col(col))
 

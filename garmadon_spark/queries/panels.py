@@ -176,6 +176,43 @@ GROUP BY application_id, job_id, job_name
 """
 
 
+def flink_checkpoint_rate(flink_job_events: DataFrame) -> DataFrame:
+    """Checkpoints completed per hour per job, derived from the
+    CUMULATIVE counter the reporter exports
+    (total_number_of_checkpoints, flink_event.proto:26) — the
+    Prometheus increase() panel, counter resets (job restarts) handled
+    by operators/timeseries.py::counter_rate.  Integer arithmetic end
+    to end."""
+    from garmadon_spark.operators.timeseries import counter_rate
+
+    return counter_rate(
+        flink_job_events,
+        "total_number_of_checkpoints",
+        ts_col="timestamp",
+        group_cols=("job_id",),
+        bucket_ms=HOUR_MS,
+        out_col="checkpoints_completed",
+    ).withColumnRenamed("bucket", "hour_bucket")
+
+
+FLINK_CHECKPOINT_RATE_SQL = """
+WITH d AS (
+  SELECT job_id,
+         CAST(timestamp // 3600000 AS BIGINT) AS hour_bucket,
+         total_number_of_checkpoints AS v,
+         lag(total_number_of_checkpoints) OVER (
+           PARTITION BY job_id
+           ORDER BY timestamp, total_number_of_checkpoints) AS pv
+  FROM flink_job_event
+)
+SELECT hour_bucket, job_id,
+       CAST(SUM(CASE WHEN pv IS NULL THEN 0
+                     WHEN v >= pv THEN v - pv
+                     ELSE v END) AS BIGINT) AS checkpoints_completed
+FROM d GROUP BY 1, 2
+"""
+
+
 def spark_task_locality_spill(spark_tasks: DataFrame) -> DataFrame:
     """Spark-task dashboard shape: per (locality, status) task counts,
     spill volume (disk + memory), and mean run time — the terms-bucket
@@ -827,6 +864,8 @@ PANELS = {
                          TOP_SHUFFLE_APPS_SQL, None),
     "flink_checkpoint_panel": ("flink_job_event", flink_checkpoint_panel,
                                FLINK_CHECKPOINT_PANEL_SQL, None),
+    "flink_checkpoint_rate": ("flink_job_event", flink_checkpoint_rate,
+                              FLINK_CHECKPOINT_RATE_SQL, None),
     "spark_task_locality_spill": ("spark_task_event",
                                   spark_task_locality_spill,
                                   SPARK_TASK_LOCALITY_SPILL_SQL, None),

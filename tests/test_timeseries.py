@@ -66,6 +66,31 @@ def test_interpolate_is_time_weighted_with_edge_fallback(spark):
     assert all(got[("b", h)] == 7.0 for h in range(5))
 
 
+def test_counter_rate_handles_resets(spark):
+    """Prometheus reset rule: a counter dropping means restart — the
+    whole new value counts as increase, never a negative delta."""
+    rows = [
+        # job j: 5 -> 9 (inc 4) -> RESET to 2 (inc 2) -> 4 (inc 2)
+        ("j", 0, 5), ("j", 1_000_000, 9),
+        ("j", 3_700_000, 2), ("j", 3_800_000, 4),
+        # job k: monotone across the bucket edge: 10 -> 25
+        ("k", 3_500_000, 10), ("k", 3_700_000, 25),
+    ]
+    df = spark.createDataFrame(
+        rows, "job string, timestamp long, ckpts long"
+    )
+    got = {
+        (r.job, r.bucket): r.increase
+        for r in timeseries.counter_rate(
+            df, "ckpts", group_cols=("job",)
+        ).collect()
+    }
+    assert got[("j", 0)] == 4          # first sample contributes 0
+    assert got[("j", 1)] == 2 + 2      # reset absorbed, then +2
+    assert got[("k", 0)] == 0
+    assert got[("k", 1)] == 15         # delta crosses the bucket edge
+
+
 def test_dense_axis_no_groups_is_plain_range(spark):
     axis = timeseries.dense_axis(_series(spark)).collect()
     assert len(axis) == 5
