@@ -85,12 +85,15 @@ def enrich_as_of(
     ts_col: str = "timestamp",
     state_cols: tuple[str, ...] = ("state",),
     payload_cols: tuple[str, ...] | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """AS-OF join: each event gets the state row with the greatest
     state-timestamp ≤ the event's timestamp (per key) — the event-TIME
     form of J1's latest-value lookup, for timeline-correct enrichment
     (what state was the app in WHEN this sample was taken, not at scan
-    end).
+    end).  ``direction="forward"`` flips the match to the SMALLEST
+    state-timestamp ≥ the event's (the "next scheduled change" lookup);
+    both directions are inclusive at equal timestamps.
 
     Spark lacks a native as-of join; the classic range-join rewrite
     explodes O(events × states-per-key).  This is the sort-based form:
@@ -126,15 +129,28 @@ def enrich_as_of(
     )
     from pyspark.sql import Window
 
-    w = (
-        Window.partitionBy(key)
-        .orderBy(ts_col, "_is_ev")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    if direction == "backward":
+        # states sort BEFORE events at equal ts -> inclusive match
+        w = (
+            Window.partitionBy(key)
+            .orderBy(ts_col, "_is_ev")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        pick = F.last
+    elif direction == "forward":
+        # events sort BEFORE states at equal ts -> inclusive match
+        w = (
+            Window.partitionBy(key)
+            .orderBy(F.col(ts_col), F.desc("_is_ev"))
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        pick = F.first
+    else:
+        raise ValueError(f"direction must be backward|forward: {direction}")
     out = ev.unionByName(st).select(
         key, ts_col, *payload_cols, "_is_ev",
         *[
-            F.last(f"_s_{c}", ignorenulls=True).over(w).alias(f"{c}_asof")
+            pick(f"_s_{c}", ignorenulls=True).over(w).alias(f"{c}_asof")
             for c in state_cols
         ],
     )

@@ -255,6 +255,16 @@ def test_enrich_as_of_semantics(spark):
     }
     assert out == {"e1": None, "e2": "NEW", "e3": "NEW",
                    "e4": "RUNNING", "e5": None}
+    # forward direction: smallest state-ts >= event-ts, inclusive
+    fwd = {
+        r.container_id: r.state_asof
+        for r in enrich_as_of(
+            events, states, payload_cols=("container_id",),
+            direction="forward",
+        ).collect()
+    }
+    assert fwd == {"e1": "NEW", "e2": "NEW", "e3": "RUNNING",
+                   "e4": None, "e5": "NEW"}
 
 
 def test_decode_all_covers_every_marker(spark):
