@@ -108,6 +108,38 @@ def write_hourly_index(
     )
 
 
+def read_archive(
+    spark: SparkSession,
+    path: str,
+    start_day: str | None = None,
+    end_day: str | None = None,
+    start_ts: int | None = None,
+    end_ts: int | None = None,
+) -> DataFrame:
+    """Time-range read over the day-partitioned archive with both
+    pruning tiers the layout was designed for:
+
+    - day bounds become PARTITION filters — directories outside the
+      range are never listed into the scan (the planning-time prune);
+    - timestamp bounds (epoch millis) push into the parquet scan, where
+      the per-file footer stats of the time-sorted files
+      (write_daily_archive sorts within partitions) skip whole files
+      and row groups inside the boundary days.
+
+    Passing only what you need keeps the plan minimal; with no bounds
+    this is a plain full scan."""
+    df = spark.read.parquet(path)
+    if start_day is not None:
+        df = df.filter(F.col("day") >= start_day)
+    if end_day is not None:
+        df = df.filter(F.col("day") <= end_day)
+    if start_ts is not None:
+        df = df.filter(F.col("timestamp") >= start_ts)
+    if end_ts is not None:
+        df = df.filter(F.col("timestamp") <= end_ts)
+    return df
+
+
 def register_table(
     spark: SparkSession, table: str, path: str, database: str = "garmadon"
 ) -> None:

@@ -35,6 +35,31 @@ def test_daily_archive_layout_and_pruning(spark, garmadon, tmp_path):
     assert "PartitionFilters" in plan and "day" in plan
 
 
+def test_read_archive_time_range_prunes_and_matches(spark, garmadon,
+                                                    tmp_path):
+    """read_archive: day bounds land in PartitionFilters (planning-time
+    prune), ts bounds in PushedFilters (footer-stats prune), and the
+    result equals a manual filter over the full scan."""
+    path = str(tmp_path / "fs_event")
+    archive.write_daily_archive(garmadon["fs_event"], path)
+    days = sorted(d[4:] for d in os.listdir(path) if d.startswith("day="))
+    lo, hi = days[0], days[-2] if len(days) > 2 else days[-1]
+    full = spark.read.parquet(path)
+    ts_mid = full.approxQuantile("timestamp", [0.5], 0.0)[0]
+    got = archive.read_archive(
+        spark, path, start_day=lo, end_day=hi, end_ts=int(ts_mid)
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "day" in plan.split(
+        "PartitionFilters")[1].split("]")[0]
+    assert "timestamp" in plan.split("PushedFilters")[1].split("]")[0]
+    exp = full.filter(
+        (F.col("day") >= lo) & (F.col("day") <= hi)
+        & (F.col("timestamp") <= int(ts_mid))
+    )
+    assert got.count() == exp.count() > 0
+
+
 def test_daily_archive_sub_buckets_same_data_more_files(spark, garmadon,
                                                         tmp_path):
     """The hot-day knob splits a day across tasks without changing the
