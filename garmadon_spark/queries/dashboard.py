@@ -833,6 +833,51 @@ LIMIT 10
 """
 
 
+def ev_hist_quantile(spark, sf_dir):
+    """p95 served FROM the histogram rollup (sinks/rollup.py — the
+    mergeable-bin-counts representation a materialized rollup stores):
+    Prometheus histogram_quantile semantics, linear interpolation
+    inside the rank's bin.  The oracle replays the exact bin walk in
+    SQL, so the estimator itself is hash-checked — and the companion
+    test pins the ≤ bin_width error contract against raw-event
+    percentiles."""
+    from garmadon_spark.sinks.rollup import (
+        build_histogram_rollup, histogram_quantile,
+    )
+
+    hist = build_histogram_rollup(
+        _events(spark, sf_dir), bin_width=10.0
+    )
+    return histogram_quantile(
+        hist, 0.95, bin_width=10.0, per_bucket=False
+    )
+
+
+EV_HIST_QUANTILE_SQL = """
+WITH h AS (
+    SELECT event_type, CAST(FLOOR(value / 10) AS BIGINT) AS bin,
+           COUNT(*) AS cnt
+    FROM events GROUP BY 1, 2
+), c AS (
+    SELECT event_type, bin, cnt,
+           SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum,
+           SUM(cnt) OVER (PARTITION BY event_type) AS total
+    FROM h
+), hit AS (
+    SELECT event_type, bin, cnt, cum, 0.95 * total AS rank,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY bin) AS rn
+    FROM c WHERE cum >= 0.95 * total
+)
+SELECT event_type,
+       ROUND(bin * 10 + GREATEST(0.0, LEAST(1.0,
+             (rank - (cum - cnt)) / cnt)) * 10, 4) AS p95_est
+FROM hit WHERE rn = 1
+"""
+
+
 QUERIES = {
     "ev_count_by_type": (ev_count_by_type, EV_COUNT_BY_TYPE_SQL),
     "ev_date_histogram_hour": (ev_date_histogram_hour, EV_DATE_HISTOGRAM_HOUR_SQL),
@@ -863,4 +908,5 @@ QUERIES = {
     "ev_significant_users": (
         ev_significant_users, EV_SIGNIFICANT_USERS_SQL
     ),
+    "ev_hist_quantile": (ev_hist_quantile, EV_HIST_QUANTILE_SQL),
 }

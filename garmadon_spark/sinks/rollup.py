@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -106,6 +106,130 @@ def maintain_rollup(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return days
+
+
+def _fold_partials(spark, inc: DataFrame, path: str, merge_fn) -> list:
+    """Shared maintenance core: merge the increment's partials with the
+    existing partials of the touched days, dynamic-overwrite exactly
+    those day partitions."""
+    days = [r.day for r in inc.select("day").distinct().collect()]
+    if os.path.isdir(path) and any(
+        e.startswith("day=") for e in os.listdir(path)
+    ):
+        existing = spark.read.parquet(path).filter(
+            F.col("day").isin(days)
+        ).select(*inc.columns)
+        merged = merge_fn(existing.unionByName(inc))
+    else:
+        merged = inc
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.repartition("day")
+            .write.partitionBy("day")
+            .mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return days
+
+
+def build_histogram_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    bin_width: float = 10.0,
+    bucket: str = "hour",
+) -> DataFrame:
+    """The Prometheus-histogram partial: per (day, bucket, group,
+    value-bin) observation counts.  Bin counts are the ONLY percentile
+    representation that merges exactly (sum the bins) — avg/percentile
+    partials don't — so this is what a rollup stores when dashboards
+    need p95 without rescanning events.  Bin error is bounded by
+    bin_width by construction."""
+    bin_col = (F.floor(F.col(value_col) / bin_width)).cast("long")
+    return (
+        events.groupBy(
+            F.to_date(F.col(ts_col)).alias("day"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),
+            *group_cols,
+            bin_col.alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def maintain_histogram_rollup(
+    spark: SparkSession,
+    increment: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+    group_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    bin_width: float = 10.0,
+    bucket: str = "hour",
+) -> list:
+    """Fold an increment into the materialized histogram rollup — same
+    partition-scoped merge discipline as maintain_rollup, the merge
+    being a plain sum of bin counts."""
+    inc = build_histogram_rollup(
+        increment, ts_col, group_cols, value_col, bin_width, bucket
+    )
+
+    def merge(partials: DataFrame) -> DataFrame:
+        return partials.groupBy(
+            "day", "bucket", *group_cols, "bin"
+        ).agg(F.sum("cnt").alias("cnt"))
+
+    return _fold_partials(spark, inc, path, merge)
+
+
+def histogram_quantile(
+    hist: DataFrame,
+    q: float,
+    bin_width: float = 10.0,
+    group_cols: tuple[str, ...] = ("event_type",),
+    per_bucket: bool = True,
+) -> DataFrame:
+    """Prometheus ``histogram_quantile(q, ...)``: estimate the
+    q-quantile from bin counts by linear interpolation inside the
+    target bin.  Exact rank semantics up to bin resolution — the
+    estimate is always within bin_width of the true value.
+
+    Runs entirely over the rollup (bin-cardinality rows): one window
+    for the cumulative counts, one aggregate for the pick — never
+    touches raw events."""
+    keys = ([*group_cols, "bucket"] if per_bucket else list(group_cols))
+    # collapse away any extra rollup dimensions (day, or bucket when
+    # per_bucket=False): the walk needs exactly one row per (key, bin)
+    hist = hist.groupBy(*keys, "bin").agg(F.sum("cnt").alias("cnt"))
+    w = Window.partitionBy(*keys).orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    tot = hist.groupBy(*keys).agg(F.sum("cnt").alias("total"))
+
+    ranked = cum.join(tot, keys).withColumn(
+        "rank", F.lit(q) * F.col("total")
+    )
+    hit = ranked.filter(F.col("cum") >= F.col("rank"))
+    first_hit = hit.groupBy(*keys).agg(
+        F.min_by(F.struct("bin", "cnt", "cum", "rank"), "bin").alias("h")
+    )
+    lower = F.col("h.bin") * bin_width
+    frac = (
+        (F.col("h.rank") - (F.col("h.cum") - F.col("h.cnt")))
+        / F.col("h.cnt")
+    )
+    est = lower + F.greatest(
+        F.lit(0.0), F.least(F.lit(1.0), frac)
+    ) * bin_width
+    return first_hit.select(
+        *keys, F.round(est, 4).alias(f"p{int(q * 100)}_est")
+    )
 
 
 def rollup_query(

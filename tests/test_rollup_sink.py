@@ -121,6 +121,53 @@ def test_streaming_rollup_matches_batch(spark, tmp_path):
     assert again == exp
 
 
+def test_histogram_rollup_incremental_equals_full(spark, tmp_path):
+    path = str(tmp_path / "hist")
+    ev = _events(spark)
+    cut = "2024-01-15"
+    rollup.maintain_histogram_rollup(
+        spark, ev.filter(F.to_date("ts") < cut), path
+    )
+    rollup.maintain_histogram_rollup(
+        spark, ev.filter(F.to_date("ts") >= cut), path
+    )
+    got = {
+        (r.day, r.bucket, r.event_type, r.bin): r.cnt
+        for r in spark.read.parquet(path).collect()
+    }
+    exp = {
+        (r.day, r.bucket, r.event_type, r.bin): r.cnt
+        for r in rollup.build_histogram_rollup(ev).collect()
+    }
+    assert got == exp and len(got) > 10
+
+
+def test_histogram_quantile_within_bin_resolution(spark, tmp_path):
+    """histogram_quantile over the rollup must land within one bin of
+    the exact percentile computed from raw events — the Prometheus
+    error contract."""
+    ev = _events(spark)
+    bin_width = 10.0
+    hist = rollup.build_histogram_rollup(ev, bin_width=bin_width)
+    est = {
+        r.event_type: r.p95_est
+        for r in rollup.histogram_quantile(
+            hist, 0.95, bin_width=bin_width, per_bucket=False
+        ).collect()
+    }
+    exact = {
+        r.event_type: r.p
+        for r in ev.groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.95)").alias("p"))
+        .collect()
+    }
+    assert set(est) == set(exact) and len(est) >= 3
+    for t in exact:
+        assert abs(est[t] - exact[t]) <= bin_width, (
+            t, est[t], exact[t]
+        )
+
+
 def test_read_rollup_derives_avg(spark, tmp_path):
     path = str(tmp_path / "rollup")
     rollup.maintain_rollup(spark, _events(spark), path)
