@@ -878,6 +878,59 @@ FROM hit WHERE rn = 1
 """
 
 
+def ev_distinct_merge_check(spark, sf_dir):
+    """The property the cardinality rollup depends on, driver-checked:
+    per-hour HLL sketch partials UNIONED to per-type estimate within
+    5·rsd of the true distinct count — while the naive alternative
+    (summing per-hour exact distincts) overcounts, because users span
+    hours.  Mergeability is what lets a rollup serve "distinct users
+    this week" from hourly rows (sinks/rollup.py::
+    build_distinct_rollup/distinct_estimate)."""
+    from garmadon_spark.sinks.rollup import (
+        build_distinct_rollup, distinct_estimate,
+    )
+
+    ev = _events(spark, sf_dir)
+    lg_k = 12
+    est = distinct_estimate(
+        build_distinct_rollup(ev, lg_k=lg_k)
+    ).withColumnRenamed("distinct_est", "est")
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact"),
+    )
+    naive = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts"))
+        .agg(F.count_distinct("user_id").alias("d"))
+        .groupBy("event_type")
+        .agg(F.sum("d").alias("naive_sum"))
+    )
+    rsd = 1.04 / (2 ** lg_k) ** 0.5
+    return (
+        est.join(exact, "event_type")
+        .join(naive, "event_type")
+        .select(
+            "event_type",
+            (
+                F.abs(F.col("est") - F.col("exact"))
+                <= F.greatest(
+                    F.lit(5 * rsd) * F.col("exact"), F.lit(2.0)
+                )
+            ).alias("merged_within_bound"),
+            (F.col("naive_sum") > F.col("exact")).alias(
+                "naive_overcounts"
+            ),
+        )
+    )
+
+
+EV_DISTINCT_MERGE_CHECK_SQL = """
+SELECT DISTINCT event_type,
+       TRUE AS merged_within_bound,
+       TRUE AS naive_overcounts
+FROM events
+"""
+
+
 QUERIES = {
     "ev_count_by_type": (ev_count_by_type, EV_COUNT_BY_TYPE_SQL),
     "ev_date_histogram_hour": (ev_date_histogram_hour, EV_DATE_HISTOGRAM_HOUR_SQL),
@@ -909,4 +962,7 @@ QUERIES = {
         ev_significant_users, EV_SIGNIFICANT_USERS_SQL
     ),
     "ev_hist_quantile": (ev_hist_quantile, EV_HIST_QUANTILE_SQL),
+    "ev_distinct_merge_check": (
+        ev_distinct_merge_check, EV_DISTINCT_MERGE_CHECK_SQL
+    ),
 }

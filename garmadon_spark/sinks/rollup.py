@@ -232,6 +232,71 @@ def histogram_quantile(
     )
 
 
+def build_distinct_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_cols: tuple[str, ...] = ("event_type",),
+    id_col: str = "user_id",
+    bucket: str = "hour",
+    lg_k: int = 12,
+) -> DataFrame:
+    """The cardinality partial: a Datasketches HLL sketch per (day,
+    bucket, group) — COUNT(DISTINCT) does not merge across partials,
+    sketches do (union), which is what lets a rollup answer "distinct
+    users this week" from per-hour rows without ever rescanning events.
+    ``lg_k=12`` ⇒ ~1.6 % rsd in ~2.5 KiB per cell."""
+    return (
+        events.groupBy(
+            F.to_date(F.col(ts_col)).alias("day"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),
+            *group_cols,
+        )
+        .agg(F.hll_sketch_agg(id_col, F.lit(lg_k)).alias("hll"))
+    )
+
+
+def maintain_distinct_rollup(
+    spark: SparkSession,
+    increment: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+    group_cols: tuple[str, ...] = ("event_type",),
+    id_col: str = "user_id",
+    bucket: str = "hour",
+    lg_k: int = 12,
+) -> list:
+    """Fold an increment into the materialized sketch rollup: the merge
+    is hll_union_agg over the sketch column — same partition-scoped
+    discipline as the scalar/histogram rollups."""
+    inc = build_distinct_rollup(
+        increment, ts_col, group_cols, id_col, bucket, lg_k
+    )
+
+    def merge(partials: DataFrame) -> DataFrame:
+        return partials.groupBy("day", "bucket", *group_cols).agg(
+            F.hll_union_agg("hll", F.lit(True)).alias("hll")
+        )
+
+    return _fold_partials(spark, inc, path, merge)
+
+
+def distinct_estimate(
+    sketches: DataFrame,
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Roll sketch cells up to any coarser grain (drop day/bucket from
+    ``group_cols`` to widen the window) and estimate: one union
+    aggregate over sketch-sized rows, then hll_sketch_estimate."""
+    return (
+        sketches.groupBy(*group_cols)
+        .agg(F.hll_union_agg("hll", F.lit(True)).alias("hll"))
+        .select(
+            *group_cols,
+            F.hll_sketch_estimate("hll").alias("distinct_est"),
+        )
+    )
+
+
 def rollup_query(
     stream: DataFrame,
     path: str,

@@ -168,6 +168,48 @@ def test_histogram_quantile_within_bin_resolution(spark, tmp_path):
         )
 
 
+def test_distinct_rollup_merges_and_bounds_error(spark, tmp_path):
+    """HLL sketch partials: incremental maintenance then a coarse-grain
+    union must estimate within 5·rsd of the true distinct count — and
+    crucially, summing per-hour exact distincts would OVERCOUNT (users
+    span hours); the sketch union does not."""
+    path = str(tmp_path / "hll")
+    ev = _events(spark)
+    cut = "2024-01-15"
+    rollup.maintain_distinct_rollup(
+        spark, ev.filter(F.to_date("ts") < cut), path
+    )
+    rollup.maintain_distinct_rollup(
+        spark, ev.filter(F.to_date("ts") >= cut), path
+    )
+    est = {
+        r.event_type: r.distinct_est
+        for r in rollup.distinct_estimate(
+            spark.read.parquet(path)
+        ).collect()
+    }
+    exact = {
+        r.event_type: r.d
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("d"))
+        .collect()
+    }
+    rsd = 1.04 / (2 ** 12) ** 0.5
+    assert set(est) == set(exact) and len(est) >= 3
+    for t in exact:
+        assert abs(est[t] - exact[t]) <= max(5 * rsd * exact[t], 2.0), (
+            t, est[t], exact[t]
+        )
+    # the naive alternative really is wrong: summing hourly distincts
+    hourly_sum = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts"))
+        .agg(F.count_distinct("user_id").alias("d"))
+        .groupBy("event_type").agg(F.sum("d").alias("s"))
+        .collect()
+    )
+    assert all(r.s > exact[r.event_type] for r in hourly_sum)
+
+
 def test_read_rollup_derives_avg(spark, tmp_path):
     path = str(tmp_path / "rollup")
     rollup.maintain_rollup(spark, _events(spark), path)
