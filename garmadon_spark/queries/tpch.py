@@ -949,6 +949,63 @@ LIMIT 20
 """
 
 
+# --- bucketized range join -------------------------------------------------
+
+def tpch_window_shipments(spark, sf_dir):
+    """Point-in-interval analytics: shipments landing inside ANY urgent
+    order's first week (the interval table is UNRELATED to the point's
+    own order — a true non-equi range join, not a filter).  Expressed
+    through operators/rangejoin.py::point_in_interval_join: buckets
+    make it an equi-join + residual filter, so the plan is a hash join
+    on the bucket id — never the BroadcastNestedLoopJoin Spark would
+    pick for a raw BETWEEN join (plan-pinned in
+    tests/test_plan_shapes.py).  Week-wide windows, 7-day buckets: each
+    interval explodes to ≤2 buckets."""
+    from garmadon_spark.operators.rangejoin import point_in_interval_join
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    day = lambda c: F.datediff(F.col(c), F.lit("1970-01-01"))  # noqa: E731
+    windows = (
+        orders.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-02-01"))
+        )
+        .select(
+            F.col("o_orderkey").alias("w_orderkey"),
+            F.col("o_orderdate"),
+            day("o_orderdate").alias("w_start"),
+            (day("o_orderdate") + 7).alias("w_end"),
+        )
+    )
+    points = li.select(day("l_shipdate").alias("ship_day"))
+    return (
+        point_in_interval_join(
+            points, windows, "ship_day", "w_start", "w_end",
+            bucket_width=7,
+        )
+        .groupBy("w_orderkey", "o_orderdate")
+        .agg(F.count(F.lit(1)).alias("n_shipments"))
+        .orderBy(F.desc("n_shipments"), F.asc("w_orderkey"))
+        .limit(25)
+    )
+
+
+TPCH_WINDOW_SHIPMENTS_SQL = """
+SELECT o_orderkey AS w_orderkey, o_orderdate, COUNT(*) AS n_shipments
+FROM orders, lineitem
+WHERE o_orderpriority = '1-URGENT'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-02-01'
+  AND l_shipdate >= o_orderdate
+  AND l_shipdate <= o_orderdate + INTERVAL 7 DAY
+GROUP BY o_orderkey, o_orderdate
+ORDER BY n_shipments DESC, w_orderkey ASC
+LIMIT 25
+"""
+
+
 QUERIES = {
     "tpch_pricing_summary": (tpch_pricing_summary, TPCH_PRICING_SUMMARY_SQL),
     "tpch_top_orders": (tpch_top_orders, TPCH_TOP_ORDERS_SQL),
@@ -982,4 +1039,6 @@ QUERIES = {
     "tpch_large_orders": (tpch_large_orders, TPCH_LARGE_ORDERS_SQL),
     "tpch_waiting_suppliers": (tpch_waiting_suppliers,
                                TPCH_WAITING_SUPPLIERS_SQL),
+    "tpch_window_shipments": (tpch_window_shipments,
+                              TPCH_WINDOW_SHIPMENTS_SQL),
 }

@@ -68,6 +68,18 @@ def test_filtered_revenue_predicates_reach_scan(spark):
         assert col in pushed, (col, pushed)
 
 
+def test_range_join_is_hash_join_not_nested_loop(spark):
+    """The bucketized range join must plan as an equi hash join on the
+    bucket id — a raw BETWEEN join would be BroadcastNestedLoopJoin
+    (O(points x intervals), the 100 TB killer)."""
+    from garmadon_spark.queries.tpch import tpch_window_shipments
+
+    plan = _plan(tpch_window_shipments(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Cartesian" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
 def test_filtered_stats_filter_reaches_scan(spark):
     from garmadon_spark.queries.dashboard import ev_filtered_stats
 
