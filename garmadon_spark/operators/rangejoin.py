@@ -24,6 +24,54 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Join interval rows that OVERLAP (``l_start <= r_end AND r_start
+    <= l_end``).  Both sides explode to their buckets, so an
+    overlapping pair meets in every shared bucket; the pair is kept
+    only in the FIRST bucket both occupy — ``greatest(l_start, r_start)
+    div width`` — which emits each pair exactly once without a dedup
+    shuffle (the "report at the stab point" trick from interval-tree
+    literature)."""
+    lb = left.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.expr(f"{l_start} div {bucket_width}"),
+                F.expr(f"{l_end} div {bucket_width}"),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.expr(f"{r_start} div {bucket_width}"),
+                F.expr(f"{r_end} div {bucket_width}"),
+            )
+        ),
+    )
+    first_shared = F.expr(
+        f"greatest({l_start}, {r_start}) div {bucket_width}"
+    )
+    return (
+        lb.join(rb, "_bkt")
+        .filter(
+            (F.col(l_start) <= F.col(r_end))
+            & (F.col(r_start) <= F.col(l_end))
+            & (F.col("_bkt") == first_shared)
+        )
+        .drop("_bkt")
+    )
+
+
 def point_in_interval_join(
     points: DataFrame,
     intervals: DataFrame,

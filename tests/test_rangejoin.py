@@ -1,0 +1,75 @@
+"""Bucketized range joins vs brute force — exact same pair sets, no
+duplicates, across bucket widths (the correctness must not depend on
+the tuning knob)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from garmadon_spark.operators.rangejoin import (
+    interval_overlap_join, point_in_interval_join,
+)
+
+
+def _data(spark, seed=7):
+    rng = random.Random(seed)
+    points = [(i, rng.randint(0, 400)) for i in range(150)]
+    intervals = []
+    for j in range(60):
+        s = rng.randint(0, 380)
+        intervals.append((j, s, s + rng.randint(0, 40)))
+    p = spark.createDataFrame(points, "pid long, ts long")
+    i = spark.createDataFrame(intervals, "iid long, lo long, hi long")
+    return p, i
+
+
+@pytest.mark.parametrize("width", [1, 7, 50, 1000])
+def test_point_in_interval_matches_brute_force(spark, width):
+    p, i = _data(spark)
+    got = sorted(
+        (r.pid, r.iid)
+        for r in point_in_interval_join(
+            p, i, "ts", "lo", "hi", bucket_width=width
+        ).collect()
+    )
+    exp = sorted(
+        (r.pid, r.iid)
+        for r in p.crossJoin(i)
+        .filter((F.col("ts") >= F.col("lo")) & (F.col("ts") <= F.col("hi")))
+        .collect()
+    )
+    assert got == exp and len(exp) > 50
+    assert len(got) == len(set(got))  # duplicate-free
+
+
+@pytest.mark.parametrize("width", [1, 7, 50, 1000])
+def test_interval_overlap_matches_brute_force(spark, width):
+    _, i = _data(spark)
+    a = i.select(
+        F.col("iid").alias("aid"),
+        F.col("lo").alias("a_lo"), F.col("hi").alias("a_hi"),
+    )
+    b = i.select(
+        F.col("iid").alias("bid"),
+        F.col("lo").alias("b_lo"), F.col("hi").alias("b_hi"),
+    )
+    got = sorted(
+        (r.aid, r.bid)
+        for r in interval_overlap_join(
+            a, b, "a_lo", "a_hi", "b_lo", "b_hi", bucket_width=width
+        ).collect()
+    )
+    exp = sorted(
+        (r.aid, r.bid)
+        for r in a.crossJoin(b)
+        .filter(
+            (F.col("a_lo") <= F.col("b_hi"))
+            & (F.col("b_lo") <= F.col("a_hi"))
+        )
+        .collect()
+    )
+    assert got == exp and len(exp) > 100
+    assert len(got) == len(set(got))
