@@ -208,6 +208,28 @@ def jaccard_pairs(
     near-duplicates in any useful sense).  Pass ``max_df=None`` for the
     exact uncapped form.  Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
     """
+    common = _ngram_common_counts(
+        docs, block_cols, id_col, text_col, n, max_df
+    )
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        common.select(
+            "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _ngram_common_counts(
+    docs: DataFrame,
+    block_cols: tuple[str, ...],
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_df: int | None,
+) -> DataFrame:
+    """Shared core of the n-gram pair tiers: (doc_a, doc_b, na, nb,
+    common) for every in-block pair sharing a (capped) shingle."""
     base = docs.select(
         *block_cols,
         F.col(id_col).alias("doc"),
@@ -222,7 +244,7 @@ def jaccard_pairs(
     pairs = bucket_pairs(
         bucketed, [*block_cols, "s"], "p", max_bucket=max_df
     )
-    common = (
+    return (
         pairs.select(
             F.col("a.doc").alias("doc_a"), F.col("a.n_sh").alias("na"),
             F.col("b.doc").alias("doc_b"), F.col("b.n_sh").alias("nb"),
@@ -230,12 +252,36 @@ def jaccard_pairs(
         .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("common"))
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    block_cols: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    threshold: float = 0.2,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Asymmetric near-dup detection: max-containment
+    ``common / min(na, nb)`` — the measure that catches a SHORT doc
+    quoted inside a long one, which symmetric Jaccard dilutes toward 0
+    as the length ratio grows (a full-quote pair at 10:1 length has
+    jaccard ≤ 0.1 but containment 1.0).  Same bucketed single-scan
+    plan as jaccard_pairs; emits both scores so the caller sees which
+    regime flagged the pair."""
+    common = _ngram_common_counts(
+        docs, block_cols, id_col, text_col, n, max_df
+    )
+    cont = F.col("common") / F.least(F.col("na"), F.col("nb"))
     jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
     return (
         common.select(
-            "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+            "doc_a", "doc_b",
+            F.round(cont, 4).alias("containment"),
+            F.round(jac, 4).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col("containment") >= threshold)
     )
 
 

@@ -410,6 +410,27 @@ WHERE ROUND(c / (na + nb - c), 4) >= 0.1
 """
 
 
+def doc_containment(spark, sf_dir):
+    """Asymmetric near-dup tier: max-containment c/min(na,nb) within
+    (lang, source) blocks — catches short-doc-quoted-in-long-doc pairs
+    that symmetric Jaccard dilutes (dedup.containment_pairs; same
+    bucketed single-scan plan as the Jaccard tier)."""
+    return dedup.containment_pairs(
+        _fanout(spark, _docs(spark, sf_dir)), ("lang", "source"), n=2,
+        threshold=0.2,
+    )
+
+
+DOC_CONTAINMENT_SQL = f"""
+WITH {_JACCARD_PAIRS_CTES}
+SELECT doc_a, doc_b,
+       ROUND(c / LEAST(na, nb), 4) AS containment,
+       ROUND(c / (na + nb - c), 4) AS jaccard
+FROM common
+WHERE ROUND(c / LEAST(na, nb), 4) >= 0.2
+"""
+
+
 def doc_dup_groups(spark, sf_dir):
     """Pairs → groups: connected components over the blocked-Jaccard
     near-dup pairs (transitive closure), one canonical survivor (min
@@ -1890,6 +1911,7 @@ QUERIES = {
         EMB_LABEL_CENTROID_DIST_SQL,
     ),
     "doc_jaccard_blocked": (doc_jaccard_blocked, DOC_JACCARD_BLOCKED_SQL),
+    "doc_containment": (doc_containment, DOC_CONTAINMENT_SQL),
     "doc_minhash_dedup": (doc_minhash_dedup, None),
     "doc_minhash_check": (doc_minhash_check, DOC_MINHASH_CHECK_SQL),
     "doc_minhash_incremental": (doc_minhash_incremental, None),
