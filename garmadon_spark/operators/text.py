@@ -228,6 +228,43 @@ def stratified_hash_sample(
     return df.filter(hash_sample_bucket(F.col(key_col), buckets) < threshold)
 
 
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col,
+    k: int,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Weight-proportional sampling without replacement, deterministic:
+    Efraimidis–Spirakis A-ES — each row draws a stable uniform u from
+    its key hash and ranks by u^(1/w); the top-k per group is a
+    weighted sample (heavier rows win proportionally more often).
+    Hash-derived u (not rng) keeps the sample identical across engines,
+    runs and retries, same contract as hash_sample_bucket.
+
+    Plan: scalar key expression + one top-k per group (TakeOrdered when
+    ungrouped, a tiny window shuffle when grouped) — no full sort.  The
+    standard pick for 'sample 10 M docs proportional to length' on a
+    corpus too big to rand()-and-sort."""
+    # u in (0, 1]: 8 md5 hex chars -> [0, 2^32) -> shift to avoid u=0
+    u = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8),
+               16, 10).cast("double") + 1.0
+    ) / float(2 ** 32)
+    key = F.pow(u, 1.0 / weight_col)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc("_es_key"), F.asc(key_col)
+    )
+    return (
+        df.withColumn("_es_key", F.round(key, 12))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_es_key", "_rn")
+    )
+
+
 def fingerprint_winnow(
     df: DataFrame,
     id_col: str = "doc_id",

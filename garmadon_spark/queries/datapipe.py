@@ -1647,6 +1647,37 @@ WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
 """
 
 
+def doc_weighted_sample(spark, sf_dir):
+    """Weight-proportional sampling (Efraimidis–Spirakis A-ES): top-20
+    docs per language ranked by u^(1/n_chars) with a hash-derived
+    uniform — longer docs win proportionally more often, and the
+    sample is deterministic across engines/runs/retries
+    (text.weighted_sample; the ES key is rounded to 12 decimals so
+    libm pow() last-ulp differences can't reorder the rank)."""
+    return text.weighted_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang", "n_chars"),
+        "doc_id", F.col("n_chars"), k=20, group_cols=("lang",),
+    )
+
+
+DOC_WEIGHTED_SAMPLE_SQL = """
+WITH keyed AS (
+    SELECT doc_id, lang, n_chars,
+           ROUND(pow(
+             (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) + 1.0) / 4294967296.0,
+             1.0 / n_chars), 12) AS k
+    FROM documents
+), r AS (
+    SELECT doc_id, lang, n_chars,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY k DESC, doc_id ASC) AS rn
+    FROM keyed
+)
+SELECT doc_id, lang, n_chars FROM r WHERE rn <= 20
+"""
+
+
 def emb_neardup_ivf(spark, sf_dir):
     """Corpus-wide embedding near-dup — the scale path: IVF cells as the
     blocking key (no label needed, no all-pairs).  A true near-duplicate
@@ -1935,6 +1966,7 @@ QUERIES = {
     "doc_contamination": (doc_contamination, DOC_CONTAMINATION_SQL),
     "doc_dup_groups": (doc_dup_groups, DOC_DUP_GROUPS_SQL),
     "doc_stratified_sample": (doc_stratified_sample, DOC_STRATIFIED_SAMPLE_SQL),
+    "doc_weighted_sample": (doc_weighted_sample, DOC_WEIGHTED_SAMPLE_SQL),
     "emb_neardup_blocked": (emb_neardup_blocked, EMB_NEARDUP_BLOCKED_SQL),
     "emb_semdedup": (emb_semdedup, EMB_SEMDEDUP_SQL),
     "emb_ann_ivf": (emb_ann_ivf, None),
