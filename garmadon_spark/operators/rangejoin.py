@@ -39,7 +39,10 @@ def interval_overlap_join(
     only in the FIRST bucket both occupy — ``greatest(l_start, r_start)
     div width`` — which emits each pair exactly once without a dedup
     shuffle (the "report at the stab point" trick from interval-tree
-    literature)."""
+    literature).  Same domain contract as point_in_interval_join:
+    non-negative integral bounds; inverted intervals are dropped."""
+    left = left.filter(F.col(l_end) >= F.col(l_start))
+    right = right.filter(F.col(r_end) >= F.col(r_start))
     lb = left.withColumn(
         "_bkt",
         F.explode(
@@ -82,9 +85,15 @@ def point_in_interval_join(
     how: str = "inner",
 ) -> DataFrame:
     """Join each point row to every interval row with
-    ``start <= point <= end``.  The three columns must be integral
-    (epoch days/millis etc. — cast dates before calling).  Returns the
-    combined columns; duplicate-free by construction."""
+    ``start <= point <= end``.  The three columns must be integral and
+    NON-NEGATIVE (epoch days/millis etc. — cast dates before calling;
+    ``div`` truncates toward zero, so negative coordinates would fold
+    buckets -w..w-1 together).  Inverted intervals (end < start) match
+    nothing and are dropped before the explode — Spark's ``sequence``
+    would otherwise silently generate a DESCENDING bucket list for
+    them.  Returns the combined columns; duplicate-free by
+    construction."""
+    intervals = intervals.filter(F.col(end_col) >= F.col(start_col))
     p = points.withColumn(
         "_bkt", F.expr(f"{point_col} div {bucket_width}")
     )

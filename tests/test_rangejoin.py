@@ -45,6 +45,20 @@ def test_point_in_interval_matches_brute_force(spark, width):
     assert len(got) == len(set(got))  # duplicate-free
 
 
+def test_inverted_intervals_match_nothing(spark):
+    """end < start must match nothing — without the guard, Spark's
+    sequence() silently generates a DESCENDING bucket list for the
+    inverted row and the join emits bogus pairs."""
+    p = spark.createDataFrame([(1, 50)], "pid long, ts long")
+    i = spark.createDataFrame(
+        [(1, 60, 40), (2, 40, 60)], "iid long, lo long, hi long"
+    )
+    got = point_in_interval_join(
+        p, i, "ts", "lo", "hi", bucket_width=7
+    ).collect()
+    assert [(r.pid, r.iid) for r in got] == [(1, 2)]
+
+
 @pytest.mark.parametrize("width", [1, 7, 50, 1000])
 def test_interval_overlap_matches_brute_force(spark, width):
     _, i = _data(spark)
