@@ -931,6 +931,60 @@ FROM events
 """
 
 
+def ev_anomaly_zscore(spark, sf_dir):
+    """Volume-anomaly detection the way an alerting panel computes it:
+    each (type, hour) count scored against its own trailing 24-hour
+    window (mean/stddev EXCLUDING the current bucket — the baseline
+    must not absorb the spike it is judging), flag |z| ≥ 3.  One
+    shuffle for the hourly counts, one type-keyed window over the
+    bucket-granular series — the window input is dashboard-sized, not
+    event-sized."""
+    from pyspark.sql import Window
+
+    hourly = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-24, -1)
+    )
+    z = F.round(
+        (F.col("cnt") - F.avg("cnt").over(w))
+        / F.stddev_samp("cnt").over(w),
+        4,
+    )
+    return (
+        hourly.withColumn("z", z)
+        .filter(F.col("z").isNotNull() & (F.abs(F.col("z")) >= 3.0))
+        .select("event_type", "bucket", "cnt", "z")
+    )
+
+
+EV_ANOMALY_ZSCORE_SQL = """
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS bucket,
+           COUNT(*) AS cnt
+    FROM events GROUP BY 1, 2
+), scored AS (
+    SELECT event_type, bucket, cnt,
+           ROUND((cnt - AVG(cnt) OVER w) / STDDEV_SAMP(cnt) OVER w, 4)
+               AS z
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, bucket, cnt, z
+FROM scored
+WHERE z IS NOT NULL AND ABS(z) >= 3.0
+"""
+
+
 QUERIES = {
     "ev_count_by_type": (ev_count_by_type, EV_COUNT_BY_TYPE_SQL),
     "ev_date_histogram_hour": (ev_date_histogram_hour, EV_DATE_HISTOGRAM_HOUR_SQL),
@@ -965,4 +1019,5 @@ QUERIES = {
     "ev_distinct_merge_check": (
         ev_distinct_merge_check, EV_DISTINCT_MERGE_CHECK_SQL
     ),
+    "ev_anomaly_zscore": (ev_anomaly_zscore, EV_ANOMALY_ZSCORE_SQL),
 }
