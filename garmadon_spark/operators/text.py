@@ -245,7 +245,8 @@ def weighted_sample(
     Plan: scalar key expression + one top-k per group (TakeOrdered when
     ungrouped, a tiny window shuffle when grouped) — no full sort.  The
     standard pick for 'sample 10 M docs proportional to length' on a
-    corpus too big to rand()-and-sort."""
+    corpus too big to rand()-and-sort.  Weights must be POSITIVE
+    (u^(1/w) is undefined at w ≤ 0)."""
     # u in (0, 1]: 8 md5 hex chars -> [0, 2^32) -> shift to avoid u=0
     u = (
         F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8),

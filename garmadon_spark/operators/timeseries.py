@@ -124,8 +124,11 @@ def counter_rate(
     last sample (lag crosses bucket edges), so bucket increases sum to
     the true total — the off-by-one-bucket error of bucketing first and
     diffing second.  One window shuffle on the group key, then the
-    bucket aggregate; both group-cardinality-bound, the window never
-    sees more than the samples themselves."""
+    bucket aggregate.  The window is one ordered partition per GROUP —
+    fine for metric streams (samples-per-series bounded by scrape rate
+    × retention); for multi-year retentions run per archive
+    day-partition with the previous day's last sample unioned in, so
+    the cross-midnight delta survives the split."""
     w = Window.partitionBy(*group_cols).orderBy(ts_col, value_col)
     prev = F.lag(value_col).over(w)
     val = F.col(value_col)

@@ -954,9 +954,14 @@ def ev_anomaly_zscore(spark, sf_dir):
         .orderBy("bucket")
         .rowsBetween(-24, -1)
     )
+    # try_divide: a zero-variance baseline yields NULL (no judgement),
+    # matching DuckDB's NULL-on-division-by-zero — a plain `/` raises
+    # under ANSI mode the moment any 24-hour window is flat
     z = F.round(
-        (F.col("cnt") - F.avg("cnt").over(w))
-        / F.stddev_samp("cnt").over(w),
+        F.try_divide(
+            F.col("cnt") - F.avg("cnt").over(w),
+            F.stddev_samp("cnt").over(w),
+        ),
         4,
     )
     return (
