@@ -92,7 +92,21 @@ def point_in_interval_join(
     nothing and are dropped before the explode — Spark's ``sequence``
     would otherwise silently generate a DESCENDING bucket list for
     them.  Returns the combined columns; duplicate-free by
-    construction."""
+    construction.
+
+    ``how`` accepts ``inner`` and ``left`` only.  For ``left``, the
+    range predicate is part of the JOIN CONDITION, not a post-join
+    filter — a post-join filter on interval columns would silently
+    drop the null-extended rows an outer join exists to keep (the
+    round-5 advisor footgun).  Both modes still plan as a hash equi-
+    join on the bucket id with the range check as the join residual,
+    never BroadcastNestedLoopJoin."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"how={how!r}: only 'inner' and 'left' keep correct range "
+            "semantics (semi/anti would drop the interval columns the "
+            "residual predicate needs)"
+        )
     intervals = intervals.filter(F.col(end_col) >= F.col(start_col))
     p = points.withColumn(
         "_bkt", F.expr(f"{point_col} div {bucket_width}")
@@ -106,11 +120,23 @@ def point_in_interval_join(
             )
         ),
     )
-    return (
-        p.join(i, "_bkt", how)
-        .filter(
-            (F.col(point_col) >= F.col(start_col))
-            & (F.col(point_col) <= F.col(end_col))
+    if how == "inner":
+        return (
+            p.join(i, "_bkt")
+            .filter(
+                (F.col(point_col) >= F.col(start_col))
+                & (F.col(point_col) <= F.col(end_col))
+            )
+            .drop("_bkt")
         )
-        .drop("_bkt")
+    # left outer: fold the residual into the condition so unmatched
+    # points survive as one null-extended row (their single bucket
+    # joins at most one exploded copy of any qualifying interval, so
+    # matched pairs stay duplicate-free exactly as in inner mode)
+    i = i.withColumnRenamed("_bkt", "_bkt_i")
+    cond = (
+        (p["_bkt"] == i["_bkt_i"])
+        & (p[point_col] >= i[start_col])
+        & (p[point_col] <= i[end_col])
     )
+    return p.join(i, cond, "left").drop("_bkt", "_bkt_i")

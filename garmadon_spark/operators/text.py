@@ -253,14 +253,25 @@ def weighted_sample(
                16, 10).cast("double") + 1.0
     ) / float(2 ** 32)
     key = F.pow(u, 1.0 / weight_col)
+    scored = df.withColumn("_es_key", F.round(key, 12))
+    if not group_cols:
+        # global top-k plans as TakeOrderedAndProject (per-partition
+        # heap + driver merge of k rows) — NOT a single-partition
+        # window sort of the whole input (the round-5 advisor found
+        # the old Window.partitionBy() path contradicting this
+        # docstring's scale contract)
+        return (
+            scored.orderBy(F.desc("_es_key"), F.asc(key_col))
+            .limit(k)
+            .drop("_es_key")
+        )
     from pyspark.sql import Window
 
     w = Window.partitionBy(*group_cols).orderBy(
         F.desc("_es_key"), F.asc(key_col)
     )
     return (
-        df.withColumn("_es_key", F.round(key, 12))
-        .withColumn("_rn", F.row_number().over(w))
+        scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_es_key", "_rn")
     )

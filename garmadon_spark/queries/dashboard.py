@@ -653,7 +653,7 @@ def ev_gapfill_locf(spark, sf_dir):
 EV_GAPFILL_LOCF_SQL = """
 WITH hourly AS (
     SELECT event_type, date_trunc('hour', ts) AS bucket,
-           ROUND(AVG(value), 4) AS avg_value
+           ROUND(AVG(value), 4) AS avg_value, TRUE AS _present
     FROM events GROUP BY 1, 2
 ), bounds AS (
     SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM hourly
@@ -664,8 +664,12 @@ WITH hourly AS (
     SELECT g.event_type, a.bucket
     FROM (SELECT DISTINCT event_type FROM hourly) g, axis a
 ), dense AS (
+    -- is_gap is ROW PRESENCE, matching timeseries.gapfill's _present
+    -- marker — NOT avg_value IS NULL, which would diverge when an
+    -- aggregated value is legitimately NULL for a present bucket
+    -- (e.g. AVG over all-NULL values)
     SELECT grid.event_type, grid.bucket, h.avg_value,
-           h.avg_value IS NULL AS is_gap
+           h._present IS NULL AS is_gap
     FROM grid LEFT JOIN hourly h USING (event_type, bucket)
 )
 SELECT event_type, bucket, is_gap, avg_value,
@@ -704,7 +708,7 @@ def ev_gapfill_interp(spark, sf_dir):
 EV_GAPFILL_INTERP_SQL = """
 WITH hourly AS (
     SELECT event_type, date_trunc('hour', ts) AS bucket,
-           ROUND(AVG(value), 4) AS avg_value
+           ROUND(AVG(value), 4) AS avg_value, TRUE AS _present
     FROM events GROUP BY 1, 2
 ), bounds AS (
     SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM hourly
@@ -715,8 +719,9 @@ WITH hourly AS (
     SELECT g.event_type, a.bucket
     FROM (SELECT DISTINCT event_type FROM hourly) g, axis a
 ), dense AS (
+    -- is_gap = row presence, same contract as the LOCF oracle above
     SELECT grid.event_type, grid.bucket, h.avg_value,
-           h.avg_value IS NULL AS is_gap
+           h._present IS NULL AS is_gap
     FROM grid LEFT JOIN hourly h USING (event_type, bucket)
 ), nbr AS (
     SELECT event_type, bucket, is_gap, avg_value,

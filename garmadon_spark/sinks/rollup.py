@@ -22,10 +22,45 @@ refreshed incrementally.  Spark-native form:
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """FileSystem handle + Path, resolved through Hadoop's FS API — the
+    probe works for file://, hdfs://, s3a://, abfss:// alike.  A driver
+    -local ``os.path`` probe silently returns False on remote stores,
+    which would clobber the merge-with-existing read into a plain
+    overwrite and let foreachBatch replay markers never dedupe (the
+    round-5 advisor finding)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _has_day_partitions(spark: SparkSession, path: str) -> bool:
+    fs, jpath = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return False
+    return any(
+        st.getPath().getName().startswith("day=")
+        for st in fs.listStatus(jpath)
+    )
+
+
+def _marker_exists(spark: SparkSession, marker: str) -> bool:
+    fs, jpath = _hadoop_fs(spark, marker)
+    return fs.exists(jpath)
+
+
+def _write_marker(spark: SparkSession, marker: str) -> None:
+    fs, jpath = _hadoop_fs(spark, marker)
+    out = fs.create(jpath, True)  # mkdirs parents implicitly
+    try:
+        out.write(bytearray(b"done"))
+    finally:
+        out.close()
 
 
 def build_rollup(
@@ -82,30 +117,9 @@ def maintain_rollup(
     partition overwrite replaces exactly the touched day directories;
     concurrent readers keep seeing committed files."""
     inc = build_rollup(increment, ts_col, group_cols, value_col, bucket)
-    days = [r.day for r in inc.select("day").distinct().collect()]
-    if os.path.isdir(path) and any(
-        e.startswith("day=") for e in os.listdir(path)
-    ):
-        existing = spark.read.parquet(path).filter(
-            F.col("day").isin(days)
-        )
-        # align column order; the partition column comes back last
-        existing = existing.select(*inc.columns)
-        merged = _merge_partials(existing.unionByName(inc), group_cols)
-    else:
-        merged = inc
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            merged.repartition("day")
-            .write.partitionBy("day")
-            .mode("overwrite")
-            .parquet(path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    return days
+    return _fold_partials(
+        spark, inc, path, lambda p: _merge_partials(p, group_cols)
+    )
 
 
 def _fold_partials(spark, inc: DataFrame, path: str, merge_fn) -> list:
@@ -113,9 +127,8 @@ def _fold_partials(spark, inc: DataFrame, path: str, merge_fn) -> list:
     existing partials of the touched days, dynamic-overwrite exactly
     those day partitions."""
     days = [r.day for r in inc.select("day").distinct().collect()]
-    if os.path.isdir(path) and any(
-        e.startswith("day=") for e in os.listdir(path)
-    ):
+    if _has_day_partitions(spark, path):
+        # align column order; the partition column comes back last
         existing = spark.read.parquet(path).filter(
             F.col("day").isin(days)
         ).select(*inc.columns)
@@ -315,27 +328,27 @@ def rollup_query(
     Replay semantics, honestly: foreachBatch is at-least-once, and a
     MERGE sink is not naturally idempotent — re-folding a replayed
     batch would double-count its partials.  A per-batch marker file
-    under ``path/_rollup_batches`` skips batches already folded,
-    narrowing the double-count window to a crash BETWEEN the partition
-    commit and the marker write.  Closing that window needs a
-    transactional table format (Delta/Iceberg MERGE) — the documented
-    production swap, same trade recorded for W8 in sinks/archive.py.
-    Returns the started StreamingQuery."""
+    under ``path/_rollup_batches`` (probed and written through the
+    Hadoop FS API, so the dedup works on hdfs://s3a:// paths too)
+    skips batches already folded, narrowing the double-count window to
+    a crash BETWEEN the partition commit and the marker write.
+    Closing that window needs a transactional table format
+    (Delta/Iceberg MERGE) — the documented production swap, same trade
+    recorded for W8 in sinks/archive.py.  Returns the started
+    StreamingQuery."""
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        marker_dir = os.path.join(path, "_rollup_batches")
-        marker = os.path.join(marker_dir, f"{batch_id}.done")
-        if os.path.exists(marker):
+        sess = batch_df.sparkSession
+        marker = f"{path}/_rollup_batches/{batch_id}.done"
+        if _marker_exists(sess, marker):
             return
         maintain_rollup(
-            batch_df.sparkSession, batch_df, path,
+            sess, batch_df, path,
             ts_col, group_cols, value_col, bucket,
         )
-        os.makedirs(marker_dir, exist_ok=True)
-        with open(marker, "w") as fh:
-            fh.write("done")
+        _write_marker(sess, marker)
 
     writer = (
         stream.writeStream.foreachBatch(_fold)

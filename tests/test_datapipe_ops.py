@@ -789,3 +789,24 @@ def test_stratified_rates(spark):
     assert by_lang.get("zh") == 1000          # rate 1.0 keeps everything
     assert 120 <= by_lang.get("en", 0) <= 290  # ~20%
     assert "de" not in by_lang and "fr" not in by_lang  # default 0
+
+
+def test_weighted_sample_ungrouped_takeordered(spark):
+    """The ungrouped path must (a) plan as TakeOrderedAndProject — a
+    per-partition heap, never a single-partition global window sort
+    (the round-5 advisor finding) — and (b) return exactly the global
+    top-k of the grouped path's ES key ordering."""
+    rows = [(i, (i % 97) + 1) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, weight long")
+    out = text.weighted_sample(df, "doc_id", F.col("weight"), k=25)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    got = sorted(r.doc_id for r in out.collect())
+    # reference: one-group windowed variant via a constant group column
+    ref = text.weighted_sample(
+        df.withColumn("g", F.lit(1)), "doc_id", F.col("weight"), k=25,
+        group_cols=("g",),
+    )
+    exp = sorted(r.doc_id for r in ref.collect())
+    assert got == exp and len(got) == 25

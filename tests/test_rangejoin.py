@@ -45,6 +45,40 @@ def test_point_in_interval_matches_brute_force(spark, width):
     assert len(got) == len(set(got))  # duplicate-free
 
 
+@pytest.mark.parametrize("width", [7, 1000])
+def test_point_in_interval_left_matches_brute_force(spark, width):
+    """how='left' must KEEP unmatched points as null-extended rows —
+    the round-5 advisor found the old post-join residual filter
+    silently degraded it to inner semantics."""
+    p, i = _data(spark)
+    got = sorted(
+        (r.pid, r.iid)
+        for r in point_in_interval_join(
+            p, i, "ts", "lo", "hi", bucket_width=width, how="left"
+        ).collect()
+    )
+    exp = sorted(
+        (r.pid, r.iid)
+        for r in p.join(
+            i,
+            (F.col("ts") >= F.col("lo")) & (F.col("ts") <= F.col("hi")),
+            "left",
+        ).collect()
+    )
+    assert got == exp
+    # the brute-force left join really exercises both branches
+    assert any(iid is None for _, iid in exp)
+    assert sum(1 for _, iid in exp if iid is not None) > 50
+
+
+def test_point_in_interval_rejects_unsupported_how(spark):
+    p, i = _data(spark)
+    with pytest.raises(ValueError, match="left_semi"):
+        point_in_interval_join(
+            p, i, "ts", "lo", "hi", bucket_width=7, how="left_semi"
+        )
+
+
 def test_inverted_intervals_match_nothing(spark):
     """end < start must match nothing — without the guard, Spark's
     sequence() silently generates a DESCENDING bucket list for the
