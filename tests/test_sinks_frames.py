@@ -153,6 +153,57 @@ def test_compact_day(spark, garmadon, tmp_path):
     assert spark.read.parquet(part).count() == before
 
 
+def test_compact_day_swap_keeps_partition_visible(spark, garmadon, tmp_path):
+    """The renameat2 RENAME_EXCHANGE swap must never leave a window
+    where the partition directory is absent or empty of parquet files
+    — a poller thread hammers the directory for the whole compaction
+    and records any moment it saw neither old nor new files."""
+    import threading
+
+    path = str(tmp_path / "cmpatomic")
+    archive.write_daily_archive(garmadon["fs_event"], path)
+    day = sorted(d for d in os.listdir(path) if d.startswith("day="))[0][4:]
+    part = os.path.join(path, f"day={day}")
+    before = spark.read.parquet(part).count()
+
+    gaps: list[str] = []
+    stop = threading.Event()
+
+    def poll():
+        while not stop.is_set():
+            try:
+                names = os.listdir(part)
+            except FileNotFoundError:
+                gaps.append("missing-dir")
+                continue
+            if not any(n.endswith(".parquet") for n in names):
+                gaps.append("no-parquet-files")
+
+    t = threading.Thread(target=poll, daemon=True)
+    t.start()
+    try:
+        archive.compact_day(spark, path, day, target_files=1)
+    finally:
+        stop.set()
+        t.join(timeout=10)
+    assert gaps == []
+    assert spark.read.parquet(part).count() == before
+    assert not os.path.exists(part + "._compact_tmp")
+    assert not os.path.exists(part + "._compact_bak")
+
+
+def test_exchange_dirs_swaps_atomically(tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    os.makedirs(a), os.makedirs(b)
+    open(os.path.join(a, "x"), "w").close()
+    open(os.path.join(b, "y"), "w").close()
+    if not archive._exchange_dirs(a, b):
+        import pytest
+
+        pytest.skip("renameat2 RENAME_EXCHANGE unsupported here")
+    assert os.listdir(a) == ["y"] and os.listdir(b) == ["x"]
+
+
 # --- frame codec (S2/S3) --------------------------------------------------
 
 HDR = {"application_id": "app_1", "attempt_id": "att_1", "framework": "SPARK",
