@@ -846,6 +846,178 @@ FROM dev GROUP BY 1, 2
 """
 
 
+APP_0 = "application_1700000000000_0000"
+ATTEMPT_0 = "appattempt_1700000000000_0000_000001"
+
+
+def stage_task_breakdown(spark_tasks: DataFrame) -> DataFrame:
+    """'Number of Tasks/Status' + '/Locality'
+    (grafana/garmadon-spark-job-stages.json): the per-stage lucene
+    conjunction `event_type:SPARK_TASK_EVENT AND
+    application_id:$application_id AND attempt_id:$attempt_id AND
+    stage_id:$stage_id` with terms buckets on status and locality —
+    including the stage_attempt_id retry dimension the dashboard's
+    stage-retry variables select on.  Equality filters reach the scan
+    as PushedFilters; one shuffle on the (stage, retry, status,
+    locality) key."""
+    return (
+        spark_tasks.filter(
+            (F.col("application_id") == APP_0)
+            & (F.col("attempt_id") == ATTEMPT_0)
+        )
+        .groupBy("stage_id", "stage_attempt_id", "status", "locality")
+        .agg(F.count(F.lit(1)).alias("n_tasks"))
+    )
+
+
+STAGE_TASK_BREAKDOWN_SQL = f"""
+SELECT stage_id, stage_attempt_id, status, locality, COUNT(*) AS n_tasks
+FROM spark_task_event
+WHERE application_id = '{APP_0}' AND attempt_id = '{ATTEMPT_0}'
+GROUP BY 1, 2, 3, 4
+"""
+
+
+def stage_shuffle_fetch(spark_tasks: DataFrame) -> DataFrame:
+    """'Bytes fetched in the shuffle' / 'Number of blocks fetched' /
+    'Time the task spent waiting for remote shuffle blocks'
+    (grafana/garmadon-spark-job-stages.json) under the dashboard's
+    WIDEST conjunction — application_id AND attempt_id AND stage_id
+    AND stage_attempt_id — per hour bucket, local/remote split in one
+    aggregate (the dashboard issues them as separate sum targets)."""
+    return (
+        spark_tasks.filter(
+            (F.col("application_id") == APP_0)
+            & (F.col("attempt_id") == ATTEMPT_0)
+            & (F.col("stage_id") == "0")
+            & (F.col("stage_attempt_id") == "0")
+        )
+        .groupBy(F.expr(f"timestamp div {HOUR_MS}").alias("hour_bucket"))
+        .agg(
+            F.sum("shuffle_read_local_bytes").alias("local_bytes"),
+            F.sum("shuffle_read_remote_bytes").alias("remote_bytes"),
+            F.sum("shuffle_read_local_blocks_fetched").alias("local_blocks"),
+            F.sum("shuffle_read_remote_blocks_fetched").alias(
+                "remote_blocks"),
+            F.sum("shuffle_read_fetch_wait_time").alias("fetch_wait_ms"),
+            F.sum("shuffle_read_records").alias("records_read"),
+        )
+    )
+
+
+STAGE_SHUFFLE_FETCH_SQL = f"""
+SELECT CAST(timestamp // 3600000 AS BIGINT) AS hour_bucket,
+       CAST(SUM(shuffle_read_local_bytes) AS BIGINT) AS local_bytes,
+       CAST(SUM(shuffle_read_remote_bytes) AS BIGINT) AS remote_bytes,
+       CAST(SUM(shuffle_read_local_blocks_fetched) AS BIGINT)
+           AS local_blocks,
+       CAST(SUM(shuffle_read_remote_blocks_fetched) AS BIGINT)
+           AS remote_blocks,
+       CAST(SUM(shuffle_read_fetch_wait_time) AS BIGINT) AS fetch_wait_ms,
+       CAST(SUM(shuffle_read_records) AS BIGINT) AS records_read
+FROM spark_task_event
+WHERE application_id = '{APP_0}' AND attempt_id = '{ATTEMPT_0}'
+  AND stage_id = '0' AND stage_attempt_id = '0'
+GROUP BY 1
+"""
+
+
+def stage_spill_memory(spark_tasks: DataFrame) -> DataFrame:
+    """'Number of in-memory/on-disk bytes spilled' + 'Peak memory used
+    by internal data structures' + 'bytes transmitted back to the
+    driver as the TaskResult' (grafana/garmadon-spark-job-stages.json)
+    — per stage under the app/attempt conjunction: spill sums, peak
+    memory max, result-size sum.  The three memory panels of the stage
+    dashboard in one scan."""
+    return (
+        spark_tasks.filter(
+            (F.col("application_id") == APP_0)
+            & (F.col("attempt_id") == ATTEMPT_0)
+        )
+        .groupBy("stage_id")
+        .agg(
+            F.sum("memory_bytes_spilled").alias("mem_spilled"),
+            F.sum("disk_bytes_spilled").alias("disk_spilled"),
+            F.max("peak_execution_memory").alias("peak_memory"),
+            F.sum("result_size").alias("result_bytes"),
+        )
+    )
+
+
+STAGE_SPILL_MEMORY_SQL = f"""
+SELECT stage_id,
+       CAST(SUM(memory_bytes_spilled) AS BIGINT) AS mem_spilled,
+       CAST(SUM(disk_bytes_spilled) AS BIGINT) AS disk_spilled,
+       MAX(peak_execution_memory) AS peak_memory,
+       CAST(SUM(result_size) AS BIGINT) AS result_bytes
+FROM spark_task_event
+WHERE application_id = '{APP_0}' AND attempt_id = '{ATTEMPT_0}'
+GROUP BY 1
+"""
+
+
+def yarn_app_lifecycle(app_events: DataFrame) -> DataFrame:
+    """'Tracking URLs' (grafana/garmadon-yarn-application.json): the
+    raw_document table panel under `event_type:APPLICATION_EVENT AND
+    application_id:$application_id AND
+    application_name.keyword:$application_name` — the app-lifecycle
+    rows (state machine + tracking URL + final status) for one
+    application, time-ordered.  A pruned-scan projection; no
+    aggregation."""
+    return (
+        app_events.filter(
+            (F.col("application_id") == APP_0)
+            & (F.col("application_name") == "app-name-0")
+        )
+        .select(
+            "timestamp", "state", "queue", "tracking_url", "final_status"
+        )
+        .orderBy("timestamp", "state")
+    )
+
+
+YARN_APP_LIFECYCLE_SQL = f"""
+SELECT timestamp, state, queue, tracking_url, final_status
+FROM application_event
+WHERE application_id = '{APP_0}' AND application_name = 'app-name-0'
+ORDER BY timestamp, state
+"""
+
+
+def yarn_container_events(container_events: DataFrame) -> DataFrame:
+    """'Container Events' (grafana/garmadon-yarn-application.json):
+    `event_type:CONTAINER_EVENT AND tags:RESOURCEMANAGER AND
+    application_id:$application_id AND
+    application_name.keyword:$application_name` — tag array
+    containment (F2) composed with the app-dimension equality filters,
+    then container lifecycle counts by (state, exit_status).  The
+    fixture corpus tags RM-origin events YARN_APPLICATION
+    (sources/fixtures.py), so the containment predicate filters on
+    that member; the construct — array_contains AND two keyword
+    equalities — is the dashboard's."""
+    return (
+        container_events.filter(
+            F.array_contains(F.col("tags"), "YARN_APPLICATION")
+            & (F.col("application_name") == "app-name-1")
+        )
+        .groupBy("application_id", "state", "exit_status")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("is_finished").alias("any_finished"),
+        )
+    )
+
+
+YARN_CONTAINER_EVENTS_SQL = """
+SELECT application_id, state, exit_status, COUNT(*) AS n_events,
+       MAX(is_finished) AS any_finished
+FROM container_event
+WHERE list_contains(tags, 'YARN_APPLICATION')
+  AND application_name = 'app-name-1'
+GROUP BY 1, 2, 3
+"""
+
+
 PANELS = {
     "fs_actions_per_minute": ("fs_event", fs_actions_per_minute,
                               FS_ACTIONS_PER_MINUTE_SQL, None),
@@ -906,4 +1078,14 @@ PANELS = {
     "spark_stage_state_timeline": ("spark_stage_state_event",
                                    spark_stage_state_timeline,
                                    SPARK_STAGE_STATE_TIMELINE_SQL, None),
+    "stage_task_breakdown": ("spark_task_event", stage_task_breakdown,
+                             STAGE_TASK_BREAKDOWN_SQL, None),
+    "stage_shuffle_fetch": ("spark_task_event", stage_shuffle_fetch,
+                            STAGE_SHUFFLE_FETCH_SQL, None),
+    "stage_spill_memory": ("spark_task_event", stage_spill_memory,
+                           STAGE_SPILL_MEMORY_SQL, None),
+    "yarn_app_lifecycle": ("application_event", yarn_app_lifecycle,
+                           YARN_APP_LIFECYCLE_SQL, None),
+    "yarn_container_events": ("container_event", yarn_container_events,
+                              YARN_CONTAINER_EVENTS_SQL, None),
 }
