@@ -121,6 +121,59 @@ def test_streaming_rollup_matches_batch(spark, tmp_path):
     assert again == exp
 
 
+def test_streaming_rollup_restart_mid_stream(spark, tmp_path):
+    """Hard-stop the continuous aggregate PARTWAY through the source,
+    restart from the same checkpoint, drain: every micro-batch must
+    fold exactly once.  The stop can land between a partition commit
+    and its checkpoint entry, so the restart REPLAYS that batch —
+    the per-batch marker is what keeps the re-fold from double-
+    counting (the W8 exactly-once claim, previously shown only for
+    the archive sink)."""
+    import time
+
+    src = str(tmp_path / "src")
+    path = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    ev = _events(spark)
+    ev.repartition(8).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+
+    q = rollup.rollup_query(stream(), path, ckpt)
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p and p["batchId"] >= 2:
+            break
+        if not q.isActive:
+            break
+        time.sleep(0.1)
+    q.stop()  # mid-stream kill; some batches committed, some not
+    interrupted_at = (q.lastProgress or {}).get("batchId")
+
+    q2 = rollup.rollup_query(stream(), path, ckpt)
+    q2.awaitTermination()
+    got = {
+        _key(r): _vals(r) for r in spark.read.parquet(path).collect()
+    }
+    exp = {_key(r): _vals(r) for r in rollup.build_rollup(ev).collect()}
+    assert got == exp and len(got) > 10
+    # the kill really was mid-stream (8 single-file batches total)
+    assert interrupted_at is None or interrupted_at < 7
+    # marker set is one per folded batch — no duplicate folds recorded
+    # (the Hadoop local FS also writes .crc sidecars; count .done only)
+    markers = [
+        m for m in os.listdir(os.path.join(path, "_rollup_batches"))
+        if m.endswith(".done")
+    ]
+    assert len(markers) == len(set(markers)) <= 9
+
+
 def test_histogram_rollup_incremental_equals_full(spark, tmp_path):
     path = str(tmp_path / "hist")
     ev = _events(spark)
