@@ -1112,17 +1112,36 @@ def _ivf_index_path(sf_dir: str) -> str:
     return _index_cache_path(sf_dir, "embeddings.parquet", "garmadon_ivf_")
 
 
+def _ivf_cells_for(n: int) -> int:
+    """Centroid count targeting ~250-vector cells (the faiss ~n/256
+    rule of thumb), floored at 8 so tiny fixtures keep the r1-r5
+    behavior and capped so the centroid broadcast stays small.
+    CONSTANT cell size is what makes the IVF-blocked near-dup scale:
+    with a fixed centroid count, cells grow with the corpus and the
+    within-cell O(cell²) pair join grows QUADRATICALLY — the 10× sweep
+    measured 69× runtime for emb_neardup_ivf before this scaled."""
+    return max(8, min(4096, n // 250))
+
+
 def _ensure_ivf_index(spark, sf_dir) -> str:
     """Build the materialized IVF index once per corpus (offline-job
-    semantics); return its path."""
+    semantics); return its path.  The _OK stamp records the build
+    params — a corpus whose size moves it to a different centroid
+    count rebuilds instead of serving the stale layout."""
     import os
 
     path = _ivf_index_path(sf_dir)
-    if not os.path.exists(os.path.join(path, "_OK")):
+    n = _embs(spark, sf_dir).count()
+    want = f"k={_ivf_cells_for(n)}"
+    stamp = os.path.join(path, "_OK")
+    stamped = open(stamp).read() if os.path.exists(stamp) else None
+    if stamped != want:
         similarity.write_ivf_index(
-            _embs(spark, sf_dir), path, n_centroids=8, iterations=1
+            _embs(spark, sf_dir), path,
+            n_centroids=_ivf_cells_for(n), iterations=1,
         )
-        open(os.path.join(path, "_OK"), "w").close()
+        with open(stamp, "w") as fh:
+            fh.write(want)
     return path
 
 
@@ -1140,8 +1159,13 @@ def emb_ann_ivf(spark, sf_dir, query_vec_id: int = 0, k: int = 10):
     qrow = embs.filter(F.col("vec_id") == query_vec_id).select("embedding").head()
     q = [float(x) for x in qrow[0]]
     path = _ensure_ivf_index(spark, sf_dir)
+    # probe a constant FRACTION (half) of the scaled cell count so the
+    # recall contract of the _check stays size-independent; at true
+    # production scale nprobe is the recall/latency knob a deployment
+    # tunes down from this
+    nprobe = max(4, _ivf_cells_for(embs.count()) // 2)
     return similarity.ivf_topk_from_index(
-        spark, path, q, k=k, nprobe=4,
+        spark, path, q, k=k, nprobe=nprobe,
         exclude_ids=[query_vec_id],
     )
 

@@ -252,6 +252,12 @@ def run(spark, names=None) -> None:
 
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "SCALING_sf1.json")
+    if names and os.path.exists(path):
+        # subset re-run (e.g. after a plan fix): merge over the full
+        # sweep's rows instead of clobbering them
+        prior = json.load(open(path)).get("queries", {})
+        prior.update(out)
+        out = prior
     ok = {n: r for n, r in out.items() if r["ratio"] is not None}
     summary = {
         "copies": COPIES,
