@@ -286,14 +286,23 @@ def compact_day(
     syscall is unavailable the old rename pair runs as fallback, its
     window documented.  At scale prefer table-format OPTIMIZE, whose
     txn log makes the swap a metadata operation."""
+    global _last_swap_strategy
     part_path = os.path.join(path, f"day={day}")
     tmp_path = part_path + "._compact_tmp"
     df = spark.read.parquet(part_path)
     df.coalesce(target_files).write.mode("overwrite").parquet(tmp_path)
     if _exchange_dirs(tmp_path, part_path):
+        _last_swap_strategy = "exchange"
         shutil.rmtree(tmp_path)  # now holds the pre-compaction files
         return
+    _last_swap_strategy = "rename-pair"
     bak = part_path + "._compact_bak"
     os.rename(part_path, bak)
     os.rename(tmp_path, part_path)
     shutil.rmtree(bak)
+
+
+# observability hook for tests: which swap strategy the last
+# compact_day used ("exchange" = atomic, "rename-pair" = fallback with
+# the documented absent-directory window)
+_last_swap_strategy: str | None = None
