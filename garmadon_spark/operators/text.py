@@ -277,6 +277,65 @@ def weighted_sample(
     )
 
 
+def hashed_linear_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = 1024,
+    bias: float = -0.1,
+    weights: list[float] | None = None,
+    out_col: str = "quality_prob",
+) -> DataFrame:
+    """fastText-style linear text classifier, scored entirely JVM-side:
+    tokens hash into ``n_features`` buckets, the document's feature
+    vector is the MEAN of its buckets' weights, and the score is
+    ``sigmoid(bias + mean)`` — the architecture of the quality/toxicity
+    gates production corpus pipelines run over every document (CCNet's
+    fastText quality filter, RefinedWeb's URL+content classifiers).
+
+    The model lives in ONE literal array indexed by ``element_at`` —
+    model inference as a scalar expression: no UDF, no explode, no
+    shuffle, fused into the scan; at 100 TB this is a map-only pass
+    like the other quality signals.  For models too wide for a literal
+    (fastText defaults to 2^21 buckets) the same plan swaps the array
+    for a 1-row broadcast join, the doc_perplexity pattern.
+
+    The default ``weights`` derive deterministically from the bucket id
+    ((j mod 7 − 3)/10) — a stand-in for trained parameters with the
+    full plumbing real weights would use.  The bucket hash is
+    md5-derived (engine-stable, the hash_sample_bucket contract), so
+    scores reproduce across engines/runs/retries."""
+    if weights is None:
+        weights = [(j % 7 - 3) / 10.0 for j in range(n_features)]
+    if len(weights) != n_features:
+        raise ValueError(
+            f"weights length {len(weights)} != n_features {n_features}"
+        )
+    warr = F.array(*[F.lit(float(w)) for w in weights])
+    toks = F.split(F.lower(F.col(text_col)), " ")
+
+    def bucket(t: Column) -> Column:
+        return (
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+            % n_features
+        )
+
+    tok_sum = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc + F.element_at(
+            warr, (bucket(t) + 1).cast("int")
+        ),
+    )
+    mean_w = tok_sum / F.greatest(F.size(toks), F.lit(1))
+    score = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-(F.lit(bias) + mean_w))
+    )
+    return df.select(
+        id_col, F.round(score, 4).alias(out_col)
+    )
+
+
 def fingerprint_winnow(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -922,6 +922,35 @@ FROM ratios
 """
 
 
+def doc_quality_classifier(spark, sf_dir):
+    """Model-based quality gate (CCNet's fastText filter shape): tokens
+    hash into 1024 buckets, the doc scores sigmoid(bias + mean bucket
+    weight), all as ONE scalar expression — model inference with no
+    UDF, no explode, no shuffle, fused into the scan
+    (text.hashed_linear_score; deterministic stand-in weights, the
+    md5 bucket hash keeps Spark and DuckDB bit-identical)."""
+    return text.hashed_linear_score(
+        _fanout(spark, _docs(spark, sf_dir))
+    )
+
+
+DOC_QUALITY_CLASSIFIER_SQL = """
+SELECT doc_id,
+       ROUND(1.0 / (1.0 + exp(-(-0.1 + mean_w))), 4) AS quality_prob
+FROM (
+    SELECT doc_id,
+           SUM(((CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT)
+                 % 1024) % 7 - 3) / 10.0)
+             / GREATEST(COUNT(*), 1) AS mean_w
+    FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        FROM documents
+    )
+    GROUP BY doc_id
+)
+"""
+
+
 def doc_corpus_filter(spark, sf_dir):
     """The C4/RefinedWeb-style cleaning pipeline composed END-TO-END as
     one declared query: per-doc verdicts for the length gate, the
@@ -1304,10 +1333,16 @@ def _ensure_ivfpq(spark, sf_dir):
     import os
 
     key = (id(spark), os.path.realpath(sf_dir))
+    # same constant-cell-size rule as the plain IVF index (floored at
+    # 8, so every ≤sf0.1 fixture keeps the r1-r5 layout bit-for-bit);
+    # the IVFPQ probe is linear either way, but constant cells keep the
+    # partition-pruning fraction meaningful as the corpus grows
+    k_cells = _ivf_cells_for(_embs(spark, sf_dir).count())
     if key not in _IVFPQ_MEMO:
         _IVFPQ_MEMO.clear()
         cents, books, codes = similarity.build_ivfpq(
-            _embs(spark, sf_dir), n_centroids=8, m=_PQ_M, ksub=_PQ_KSUB
+            _embs(spark, sf_dir), n_centroids=k_cells, m=_PQ_M,
+            ksub=_PQ_KSUB,
         )
         _IVFPQ_MEMO[key] = (cents, books)
         _memo_store(spark, sf_dir, "ivfpq_codes", codes)
@@ -1317,7 +1352,7 @@ def _ensure_ivfpq(spark, sf_dir):
         lambda: _memo_store(
             spark, sf_dir, "ivfpq_codes",
             similarity.build_ivfpq(
-                _embs(spark, sf_dir), n_centroids=8, m=_PQ_M,
+                _embs(spark, sf_dir), n_centroids=k_cells, m=_PQ_M,
                 ksub=_PQ_KSUB,
             )[2],
         ),
@@ -1337,9 +1372,11 @@ def emb_ann_ivfpq(spark, sf_dir, query_vec_id: int = 0, k: int = 10):
         .select("embedding").head()
     q = [float(x) for x in qrow[0]]
     cents, books, codes = _ensure_ivfpq(spark, sf_dir)
+    # constant probed fraction (half the cells) — same recall contract
+    # as the plain-IVF probe, size-independent
     return similarity.ivfpq_topk(
         codes.filter(F.col("vec_id") != query_vec_id), cents, books, q,
-        k=k, nprobe=4, rerank=4 * k, embs=embs,
+        k=k, nprobe=max(4, len(cents) // 2), rerank=4 * k, embs=embs,
     )
 
 
@@ -2005,6 +2042,9 @@ QUERIES = {
     "doc_winnow_check": (doc_winnow_check, DOC_WINNOW_CHECK_SQL),
     "doc_langid": (doc_langid, DOC_LANGID_SQL),
     "doc_quality": (doc_quality, DOC_QUALITY_SQL),
+    "doc_quality_classifier": (
+        doc_quality_classifier, DOC_QUALITY_CLASSIFIER_SQL
+    ),
     "doc_corpus_filter": (doc_corpus_filter, DOC_CORPUS_FILTER_SQL),
     "doc_bpe_tokens": (doc_bpe_tokens, DOC_BPE_TOKENS_SQL),
     "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),

@@ -810,3 +810,43 @@ def test_weighted_sample_ungrouped_takeordered(spark):
     )
     exp = sorted(r.doc_id for r in ref.collect())
     assert got == exp and len(got) == 25
+
+
+def test_hashed_linear_score_semantics_and_plan(spark):
+    """The classifier is a map-only scalar expression (no Exchange in
+    the plan) and its score matches a driver-side replay of the same
+    hash + weights on a crafted doc."""
+    import hashlib
+    import math
+
+    rows = [(1, "the quick brown fox"), (2, ""), (3, "aaa aaa aaa")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.hashed_linear_score(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    got = {r.doc_id: r.quality_prob for r in out.collect()}
+    assert all(0.0 < v < 1.0 for v in got.values())
+
+    def replay(txt):
+        toks = txt.lower().split(" ")
+        ws = []
+        for t in toks:
+            b = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 1024
+            ws.append((b % 7 - 3) / 10.0)
+        mean = sum(ws) / max(len(toks), 1)
+        return round(1.0 / (1.0 + math.exp(-(-0.1 + mean))), 4)
+
+    for doc_id, txt in rows:
+        assert abs(got[doc_id] - replay(txt)) < 1e-9, (doc_id, txt)
+    # determinism across runs
+    again = {r.doc_id: r.quality_prob
+             for r in text.hashed_linear_score(df).collect()}
+    assert again == got
+    # custom weights must change scores; wrong width must raise
+    flat = text.hashed_linear_score(df, weights=[0.0] * 1024)
+    assert all(abs(r.quality_prob - round(1/(1+math.exp(0.1)), 4)) < 1e-9
+               for r in flat.collect())
+    import pytest
+
+    with pytest.raises(ValueError):
+        text.hashed_linear_score(df, weights=[0.0] * 10)
