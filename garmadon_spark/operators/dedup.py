@@ -712,3 +712,96 @@ def components(
     return labels.withColumnRenamed("node", "doc_id").withColumnRenamed(
         "comp", "component"
     )
+
+
+def repeated_ngram_starts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Token positions where a k-token span occurs in ≥ ``min_docs``
+    distinct documents — the discovery half of exact-substring dedup
+    ("Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022: boilerplate/licence blocks/quoted passages recur VERBATIM
+    across documents and survive doc-level near-dup filters).  The
+    published pipeline builds a corpus suffix array; the Spark-native
+    bounded form hashes every k-gram instead: one posexplode (linear in
+    tokens), one two-level aggregate on the gram hash (count DISTINCT
+    docs, map-side combined), one join back for the flagged positions.
+    No quadratic term anywhere; the shuffle key is the 128-bit gram
+    hash, uniformly distributed by construction.
+
+    Returns (id, starts: sorted int array).  A doc shorter than k
+    tokens emits no grams (the ``n >= k`` guard also keeps Spark's
+    ``sequence`` from silently generating a DESCENDING index range)."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    n = F.size(toks)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.md5(
+                F.array_join(F.slice(toks, i + 1, k), " ")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos = df.select(id_col, F.posexplode(grams).alias("pos", "gram"))
+    freq = (
+        pos.groupBy("gram")
+        .agg(F.count_distinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+    )
+    return (
+        pos.join(freq.select("gram"), "gram")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("pos")).alias("starts"))
+    )
+
+
+def scrub_repeated_ngrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Remove every cross-document repeated k-token span from each
+    document (the removal half of exact-substring dedup): tokens
+    covered by ANY flagged span are dropped, the survivors re-join in
+    order.  The coverage walk is three array expressions per doc —
+    flatten the spans to covered positions, array_except against the
+    full index range, re-index the kept tokens — O(tokens + covered)
+    per document, never O(tokens × spans).  Text is lowercased by the
+    gram tokenizer, so the output is the LOWERCASED scrub (document
+    the case-folding or feed pre-normalized text).
+
+    Output: (id, clean_text, n_flagged_spans).  Docs with no flagged
+    span pass through verbatim (left join, empty-array coalesce)."""
+    starts = repeated_ngram_starts(df, id_col, text_col, k, min_docs)
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    st = F.coalesce(F.col("starts"), F.array().cast("array<int>"))
+    covered = F.array_distinct(
+        F.flatten(F.transform(st, lambda s: F.sequence(s, s + k - 1)))
+    )
+    kept = F.array_sort(
+        F.array_except(
+            F.sequence(F.lit(0), F.size(toks) - 1), covered
+        )
+    )
+    clean = F.array_join(
+        F.transform(
+            kept, lambda i: F.element_at(toks, (i + 1).cast("int"))
+        ),
+        " ",
+    )
+    return (
+        df.join(starts, id_col, "left")
+        .select(
+            id_col,
+            clean.alias(out_col),
+            F.size(st).alias("n_flagged_spans"),
+        )
+    )

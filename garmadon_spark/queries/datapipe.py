@@ -951,6 +951,55 @@ FROM (
 """
 
 
+def doc_ngram_scrub(spark, sf_dir):
+    """Exact-substring dedup, bounded k-gram form (Lee et al. 2022:
+    verbatim boilerplate recurs across documents and survives doc-level
+    near-dup filters): every 8-token span occurring in ≥2 distinct docs
+    is removed from ALL of them; survivors re-join in order
+    (dedup.scrub_repeated_ngrams).  Linear in tokens — one posexplode,
+    one gram-hash aggregate, one join back, three array expressions for
+    the coverage walk; the published suffix-array pipeline's Spark-
+    native stand-in."""
+    return dedup.scrub_repeated_ngrams(
+        _fanout(spark, _docs(spark, sf_dir)), k=8, min_docs=2
+    )
+
+
+DOC_NGRAM_SCRUB_SQL = """
+WITH t AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+), g AS (
+    SELECT doc_id, u.i AS pos,
+           md5(array_to_string(toks[u.i + 1 : u.i + 8], ' ')) AS gram
+    FROM t, UNNEST(range(0, GREATEST(len(toks) - 7, 0))) AS u(i)
+), f AS (
+    SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+), s AS (
+    SELECT doc_id, list_sort(list(DISTINCT pos)) AS starts
+    FROM g JOIN f USING (gram) GROUP BY doc_id
+), m AS (
+    SELECT t.doc_id, toks, COALESCE(starts, []) AS starts
+    FROM t LEFT JOIN s USING (doc_id)
+), cov AS (
+    SELECT doc_id, toks, starts,
+           list_distinct(flatten(list_transform(
+               starts, st -> range(st, st + 8)))) AS covered
+    FROM m
+)
+SELECT doc_id,
+       -- COALESCE: DuckDB's array_to_string over an empty list yields
+       -- NULL where Spark's array_join yields '' (fully-scrubbed doc)
+       COALESCE(array_to_string(
+           list_transform(
+               list_sort(list_filter(range(0, len(toks)),
+                                     i -> NOT list_contains(covered, i))),
+               i -> toks[i + 1]),
+           ' '), '') AS clean_text,
+       CAST(len(starts) AS INT) AS n_flagged_spans
+FROM cov
+"""
+
+
 def doc_corpus_filter(spark, sf_dir):
     """The C4/RefinedWeb-style cleaning pipeline composed END-TO-END as
     one declared query: per-doc verdicts for the length gate, the
@@ -2045,6 +2094,7 @@ QUERIES = {
     "doc_quality_classifier": (
         doc_quality_classifier, DOC_QUALITY_CLASSIFIER_SQL
     ),
+    "doc_ngram_scrub": (doc_ngram_scrub, DOC_NGRAM_SCRUB_SQL),
     "doc_corpus_filter": (doc_corpus_filter, DOC_CORPUS_FILTER_SQL),
     "doc_bpe_tokens": (doc_bpe_tokens, DOC_BPE_TOKENS_SQL),
     "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),

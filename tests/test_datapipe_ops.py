@@ -850,3 +850,34 @@ def test_hashed_linear_score_semantics_and_plan(spark):
 
     with pytest.raises(ValueError):
         text.hashed_linear_score(df, weights=[0.0] * 10)
+
+
+def test_scrub_repeated_ngrams(spark):
+    """A k-token span shared verbatim by two docs is removed from BOTH;
+    unique text survives in order; docs shorter than k pass through."""
+    boiler = "this text is part of the standard license header block"  # 10 tokens
+    rows = [
+        (1, f"alpha beta {boiler} gamma delta"),
+        (2, f"{boiler} epsilon zeta"),
+        (3, "completely unrelated words only appear here once today"),
+        (4, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.clean_text, r.n_flagged_spans)
+           for r in dedup.scrub_repeated_ngrams(df, k=10).collect()}
+    assert out[1][0] == "alpha beta gamma delta" and out[1][1] == 1
+    assert out[2][0] == "epsilon zeta" and out[2][1] == 1
+    assert out[3] == ("completely unrelated words only appear here once today", 0)
+    assert out[4] == ("short doc", 0)
+    # overlapping spans merge: three docs sharing an 11-token run flag
+    # two overlapping 10-gram starts but remove exactly the 11 tokens
+    run = boiler + " trailer"
+    df2 = spark.createDataFrame(
+        [(1, f"x {run} y"), (2, f"{run} z"), (3, f"w {run}")],
+        "doc_id long, text string",
+    )
+    out2 = {r.doc_id: (r.clean_text, r.n_flagged_spans)
+            for r in dedup.scrub_repeated_ngrams(df2, k=10).collect()}
+    assert out2[1] == ("x y", 2)
+    assert out2[2] == ("z", 2)
+    assert out2[3] == ("w", 2)
