@@ -228,3 +228,57 @@ def pack_summary(assigned: DataFrame, seq_len: int = 256) -> DataFrame:
         F.sum(in_pack).alias("pack_tokens"),
         F.count(F.when(F.col("straddles"), 1)).alias("n_boundary_docs"),
     )
+
+
+def mixture_plan(
+    docs: DataFrame,
+    targets: dict[str, float],
+    stratum_col: str = "lang",
+    text_col: str = "text",
+    budget_fraction: float = 0.5,
+) -> DataFrame:
+    """Training-mix planner: turn target mixture WEIGHTS into
+    per-stratum sampling RATES against the corpus actually on disk —
+    the step between "we want 50 % en / 20 % code / …" (The Pile,
+    LLaMA's mixture tables) and a runnable sampling job.
+
+    For a token budget ``B = budget_fraction × corpus_tokens``, stratum
+    s with target share t_s wants ``B·t_s`` tokens but only has
+    ``avail_s``; its rate is ``min(1, B·t_s / avail_s)``.  A stratum
+    without enough data saturates at rate 1 (the plan REPORTS the
+    shortfall rather than silently re-normalizing — whether to
+    re-weight survivors is a policy call, not an operator default).
+    Strata absent from ``targets`` get rate 0.
+
+    Plan shape: one map-side-combined aggregate over the docs (token
+    counting is a scalar expression in the scan), then pure arithmetic
+    over the strata-sized table; the total-budget term is a window over
+    that tiny table, never the corpus.  Feed the resulting rates to
+    ``text.stratified_hash_sample`` for the deterministic,
+    engine-stable apply step."""
+    n_tokens = F.size(F.split(F.col(text_col), " "))
+    strata = docs.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens).alias("avail_tokens"),
+    )
+    target = F.lit(0.0)
+    for s, w in sorted(targets.items()):
+        target = F.when(
+            F.col(stratum_col) == s, F.lit(float(w))
+        ).otherwise(target)
+    w_all = Window.partitionBy()
+    budget = F.sum("avail_tokens").over(w_all) * budget_fraction
+    want = budget * target
+    rate = F.least(F.lit(1.0), want / F.col("avail_tokens"))
+    return strata.select(
+        stratum_col,
+        "n_docs",
+        "avail_tokens",
+        F.round(target, 4).alias("target_share"),
+        F.round(want, 2).alias("want_tokens"),
+        F.round(rate, 4).alias("sample_rate"),
+        F.round(
+            F.least(want, F.col("avail_tokens").cast("double")), 2
+        ).alias("expect_tokens"),
+        (want > F.col("avail_tokens")).alias("short"),
+    )

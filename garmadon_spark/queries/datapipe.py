@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from garmadon_spark.operators import dedup, similarity, text
+from garmadon_spark.operators import corpus, dedup, similarity, text
 from garmadon_spark.session import load_table
 
 
@@ -997,6 +997,51 @@ SELECT doc_id,
            ' '), '') AS clean_text,
        CAST(len(starts) AS INT) AS n_flagged_spans
 FROM cov
+"""
+
+
+MIX_TARGETS = {"en": 0.5, "de": 0.2, "zh": 0.2, "fr": 0.1}
+
+
+def doc_mix_plan(spark, sf_dir):
+    """Training-mix planner (The Pile / LLaMA mixture tables → a
+    runnable sampling job): per-language token availability vs target
+    share at a 50 % token budget, yielding the deterministic sampling
+    rate ``min(1, budget·share / avail)`` plus an explicit shortfall
+    flag for strata with too little data (corpus.mixture_plan; the
+    rates feed text.stratified_hash_sample).  One map-side-combined
+    aggregate over docs; the arithmetic runs on the strata-sized
+    table.  'es' is intentionally absent from the targets → rate 0."""
+    return corpus.mixture_plan(
+        _docs(spark, sf_dir), MIX_TARGETS, stratum_col="lang",
+        budget_fraction=0.5,
+    )
+
+
+DOC_MIX_PLAN_SQL = """
+WITH strata AS (
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+               AS avail_tokens
+    FROM documents GROUP BY lang
+), planned AS (
+    -- explicit DOUBLE casts: DuckDB's decimal literals otherwise
+    -- propagate DECIMAL through the arithmetic while Spark is double
+    SELECT lang, n_docs, avail_tokens,
+           CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.2
+                          WHEN 'zh' THEN 0.2 WHEN 'fr' THEN 0.1
+                          ELSE 0.0 END AS DOUBLE) AS tgt,
+           CAST(SUM(avail_tokens) OVER () AS DOUBLE) * 0.5 AS budget
+    FROM strata
+)
+SELECT lang, n_docs, avail_tokens,
+       ROUND(tgt, 4) AS target_share,
+       ROUND(budget * tgt, 2) AS want_tokens,
+       ROUND(LEAST(1.0, budget * tgt / avail_tokens), 4) AS sample_rate,
+       ROUND(LEAST(budget * tgt, CAST(avail_tokens AS DOUBLE)), 2)
+           AS expect_tokens,
+       budget * tgt > avail_tokens AS short
+FROM planned
 """
 
 
@@ -2095,6 +2140,7 @@ QUERIES = {
         doc_quality_classifier, DOC_QUALITY_CLASSIFIER_SQL
     ),
     "doc_ngram_scrub": (doc_ngram_scrub, DOC_NGRAM_SCRUB_SQL),
+    "doc_mix_plan": (doc_mix_plan, DOC_MIX_PLAN_SQL),
     "doc_corpus_filter": (doc_corpus_filter, DOC_CORPUS_FILTER_SQL),
     "doc_bpe_tokens": (doc_bpe_tokens, DOC_BPE_TOKENS_SQL),
     "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),

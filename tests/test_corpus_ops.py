@@ -188,3 +188,43 @@ def test_pack_summary_invariants(spark):
         packs.sort(key=lambda r: r.pack)
         assert all(p.pack_tokens == 32 for p in packs[:-1])
         assert 0 < packs[-1].pack_tokens <= 32
+
+
+def test_mixture_plan_rates_and_composition(spark):
+    """The planner's rates are min(1, budget·share/avail); saturated
+    strata flag `short`; feeding the rates to stratified_hash_sample
+    lands each stratum within sampling noise of its expected mass."""
+    from garmadon_spark.operators import corpus
+    from garmadon_spark.operators import text as text_ops
+
+    rows = []
+    for i in range(3000):
+        lang = ["en", "en", "en", "de", "zh", "fr"][i % 6]
+        rows.append((i, lang, "w " * 20 + "end"))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    targets = {"en": 0.4, "de": 0.4, "zh": 0.2}
+    plan = {r.lang: r for r in corpus.mixture_plan(
+        df, targets, budget_fraction=0.5).collect()}
+    assert set(plan) == {"en", "de", "zh", "fr"}
+    assert plan["fr"].sample_rate == 0.0          # absent from targets
+    assert plan["de"].short and plan["de"].sample_rate == 1.0
+    # en: avail=1500 docs*22 tokens, budget=0.5*total; want=0.4*budget
+    total = sum(p.avail_tokens for p in plan.values())
+    import math
+    want_en = 0.5 * total * 0.4
+    assert math.isclose(plan["en"].sample_rate,
+                        round(want_en / plan["en"].avail_tokens, 4),
+                        abs_tol=1e-4)
+    # compose with the deterministic sampler: per-stratum doc counts
+    # land within binomial noise of rate * n_docs
+    from pyspark.sql import functions as F
+
+    rates = {s: p.sample_rate for s, p in plan.items()}
+    out = text_ops.stratified_hash_sample(
+        df, "doc_id", rates, stratum_col="lang")
+    got = {r.lang: r.c for r in out.groupBy("lang")
+           .agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert "fr" not in got
+    assert got["de"] == 500                        # rate 1.0 keeps all
+    exp_en = rates["en"] * 1500
+    assert abs(got["en"] - exp_en) < 4 * (1500 ** 0.5)
