@@ -1,10 +1,13 @@
 """Pretraining-corpus preparation pipeline, end to end — the corpus-prep
 tier composed the way a dataset build actually runs:
 
-  documents → PII scrub → boilerplate line removal → bigram-LM
+  documents → PII scrub → boilerplate line removal → cross-doc
+  repeated-n-gram scrub (bounded exact-substring dedup) → bigram-LM
   perplexity gate (CCNet-style: drop the most-surprising tail) →
+  model-based quality gate (hashed-linear classifier) →
   quality/length/dedup gates (doc_corpus_filter semantics) → accepted
-  set → sequence packing bookkeeping → per-language quality telemetry
+  set → training-mix plan + deterministic stratified sample →
+  sequence packing bookkeeping → per-language quality telemetry
   (the batch form of streaming/corpus.monitor_quality, for backfills).
 
 Run: ``python examples/corpus_pipeline.py [sf_dir] [out_dir]``
@@ -47,6 +50,19 @@ def main():
     ).select("doc_id", "text")
     base = scrubbed.drop("text").join(cleaned, "doc_id")
 
+    # 2b. cross-doc repeated-n-gram scrub (bounded exact-substring
+    # dedup): verbatim spans shared by ≥3 docs are licence blocks /
+    # templates at this corpus size — remove them everywhere before
+    # any scoring sees them
+    scrub = dedup.scrub_repeated_ngrams(
+        base.select("doc_id", "text"), k=8, min_docs=3
+    )
+    n_span_docs = scrub.filter(F.col("n_flagged_spans") > 0).count()
+    base = base.drop("text").join(
+        scrub.select("doc_id", F.col("clean_text").alias("text")),
+        "doc_id",
+    ).filter(F.length("text") > 0)
+
     # 3. bigram-LM perplexity gate (CCNet-style): score every doc under
     # the corpus-trained model, drop the most-surprising 5 % — a
     # relative cutoff, so it transfers across corpora without tuning
@@ -58,6 +74,15 @@ def main():
         ppl.filter(F.col("cross_entropy") <= cut).select("doc_id"), "doc_id"
     )
     n_ppl = base.count()
+
+    # 3b. model-based quality gate: the hashed-linear classifier scores
+    # every doc as one scalar expression; a low absolute floor drops
+    # only the tail (stand-in weights — swap for trained parameters)
+    clf = text.hashed_linear_score(base.select("doc_id", "text"))
+    base = base.join(
+        clf.filter(F.col("quality_prob") >= 0.30).select("doc_id"),
+        "doc_id",
+    )
 
     # 4. gates: length + quality + exact-dedup survivorship, one pass
     scored = text.quality_score(base)
@@ -75,9 +100,22 @@ def main():
     ).parquet(f"{out_dir}/accepted")
     n_ok = spark.read.parquet(f"{out_dir}/accepted").count()
 
-    # 5. sequence-packing bookkeeping over the accepted set
+    # 4b. training mix: plan per-language rates for a 60 % token budget
+    # against what actually survived the gates, then apply them with
+    # the deterministic hash sampler (reproducible across reruns)
+    acc = spark.read.parquet(f"{out_dir}/accepted")
+    targets = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+    plan = corpus.mixture_plan(acc, targets, budget_fraction=0.6)
+    rates = {r.lang: r.sample_rate for r in plan.collect()}
+    mixed = text.stratified_hash_sample(
+        acc, "doc_id", rates, stratum_col="lang"
+    )
+    mixed.write.mode("overwrite").parquet(f"{out_dir}/mixed")
+    n_mixed = spark.read.parquet(f"{out_dir}/mixed").count()
+
+    # 5. sequence-packing bookkeeping over the mixed set
     assigned = corpus.pack_sequences(
-        spark.read.parquet(f"{out_dir}/accepted"), seq_len=256, n_shards=8
+        spark.read.parquet(f"{out_dir}/mixed"), seq_len=256, n_shards=8
     )
     packs = corpus.pack_summary(assigned, seq_len=256)
     n_packs = packs.count()
@@ -98,8 +136,9 @@ def main():
     top = [(r.lang, r.n_docs, r.avg_quality) for r in tele.head(3)]
 
     print(
-        f"docs={n_in} pii_docs={n_pii} ppl_kept={n_ppl} accepted={n_ok} "
-        f"rejected={n_in - n_ok} packs={n_packs} avg_fill={fill} "
+        f"docs={n_in} pii_docs={n_pii} span_docs={n_span_docs} "
+        f"ppl_kept={n_ppl} accepted={n_ok} rejected={n_in - n_ok} "
+        f"mixed={n_mixed} packs={n_packs} avg_fill={fill} "
         f"top_langs={top} out={out_dir}"
     )
 
