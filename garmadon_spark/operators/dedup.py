@@ -748,9 +748,16 @@ def repeated_ngram_starts(
         ),
     ).otherwise(F.array().cast("array<string>"))
     pos = df.select(id_col, F.posexplode(grams).alias("pos", "gram"))
+    # skew-safe distinct-doc count: the explicit distinct shuffles on
+    # (gram, doc) — uniformly spread even for a gram present in EVERY
+    # document — and the count that follows map-side combines per
+    # gram, so a universal boilerplate span never funnels all its
+    # occurrence rows into one reducer (count_distinct's rewritten
+    # plan would)
     freq = (
-        pos.groupBy("gram")
-        .agg(F.count_distinct(id_col).alias("nd"))
+        pos.select("gram", id_col).distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("nd"))
         .filter(F.col("nd") >= min_docs)
     )
     return (
@@ -804,4 +811,49 @@ def scrub_repeated_ngrams(
             clean.alias(out_col),
             F.size(st).alias("n_flagged_spans"),
         )
+    )
+
+
+def repeated_ngram_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+    top: int = 10,
+) -> DataFrame:
+    """The observability half of exact-substring dedup: WHICH spans
+    recur across documents, in how many, how often — the report a
+    corpus owner reads before turning the scrub on (is it licence
+    boilerplate? a scraping artifact? legitimate quotation?).
+
+    Carries the span TEXT alongside its hash through the same linear
+    explode, dedupes (span, doc) before the doc count (identical
+    skew-safe shape as repeated_ngram_starts), and returns the top-k
+    spans by (distinct docs, total occurrences) — a k-row result via
+    TakeOrderedAndProject, nothing corpus-sized on the driver."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    n = F.size(toks)
+    spans = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = df.select(id_col, F.explode(spans).alias("span"))
+    occ = ex.groupBy("span").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    docs = (
+        ex.distinct()
+        .groupBy("span")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    return (
+        docs.join(occ, "span")
+        .orderBy(
+            F.desc("n_docs"), F.desc("n_occurrences"), F.asc("span")
+        )
+        .limit(top)
+        .select("span", "n_docs", "n_occurrences")
     )

@@ -1003,6 +1003,38 @@ FROM cov
 MIX_TARGETS = {"en": 0.5, "de": 0.2, "zh": 0.2, "fr": 0.1}
 
 
+def doc_top_boilerplate(spark, sf_dir):
+    """Boilerplate report — the observability half of exact-substring
+    dedup: the top cross-document repeated 8-token spans with distinct-
+    doc and occurrence counts (what a corpus owner reads before turning
+    the scrub on).  Skew-safe distinct→count aggregate, k-row
+    TakeOrdered result (dedup.repeated_ngram_report)."""
+    return dedup.repeated_ngram_report(
+        _fanout(spark, _docs(spark, sf_dir)), k=8, min_docs=2, top=10
+    )
+
+
+DOC_TOP_BOILERPLATE_SQL = """
+WITH t AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+), g AS (
+    SELECT doc_id,
+           array_to_string(toks[u.i + 1 : u.i + 8], ' ') AS span
+    FROM t, UNNEST(range(0, GREATEST(len(toks) - 7, 0))) AS u(i)
+), occ AS (
+    SELECT span, COUNT(*) AS n_occurrences FROM g GROUP BY span
+), docs AS (
+    SELECT span, COUNT(*) AS n_docs
+    FROM (SELECT DISTINCT span, doc_id FROM g) GROUP BY span
+    HAVING COUNT(*) >= 2
+)
+SELECT span, docs.n_docs, occ.n_occurrences
+FROM docs JOIN occ USING (span)
+ORDER BY n_docs DESC, n_occurrences DESC, span ASC
+LIMIT 10
+"""
+
+
 def doc_mix_plan(spark, sf_dir):
     """Training-mix planner (The Pile / LLaMA mixture tables → a
     runnable sampling job): per-language token availability vs target
@@ -2141,6 +2173,7 @@ QUERIES = {
     ),
     "doc_ngram_scrub": (doc_ngram_scrub, DOC_NGRAM_SCRUB_SQL),
     "doc_mix_plan": (doc_mix_plan, DOC_MIX_PLAN_SQL),
+    "doc_top_boilerplate": (doc_top_boilerplate, DOC_TOP_BOILERPLATE_SQL),
     "doc_corpus_filter": (doc_corpus_filter, DOC_CORPUS_FILTER_SQL),
     "doc_bpe_tokens": (doc_bpe_tokens, DOC_BPE_TOKENS_SQL),
     "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),

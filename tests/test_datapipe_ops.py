@@ -881,3 +881,20 @@ def test_scrub_repeated_ngrams(spark):
     assert out2[1] == ("x y", 2)
     assert out2[2] == ("z", 2)
     assert out2[3] == ("w", 2)
+
+
+def test_repeated_ngram_report(spark):
+    boiler = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [(1, f"{boiler} a"), (2, f"b {boiler}"), (3, f"{boiler} {boiler}"),
+         (4, "nothing shared in this document at all here")],
+        "doc_id long, text string",
+    )
+    out = dedup.repeated_ngram_report(df, k=8, min_docs=2, top=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    rows = out.collect()
+    assert rows[0].span == boiler
+    assert rows[0].n_docs == 3
+    # doc 3 contains the span twice contiguously -> occurrences > docs
+    assert rows[0].n_occurrences >= 4
