@@ -69,14 +69,26 @@ def brute_force_topk(
 # expressions (K dot-product aggregates per row; codegen blows up past a
 # few hundred dims × centroids) to Arrow-batched NumPy matmul.
 PANDAS_ASSIGN_DIM = 128
+# expression-path assignment generates len(centroids) dot expressions of
+# `dim` terms each; past this many centroids the tree exceeds what
+# whole-stage codegen compiles and the Arrow matmul path wins
+EXPR_ASSIGN_MAX_CELLS = 64
 
 
 def assign_cells(df: DataFrame, centroids: list, vec_col: str = "embedding"
                  ) -> DataFrame:
     """Nearest-centroid assignment (argmax of dot/|c|), dispatching on
-    dimensionality: JVM expressions for small dims (hash-stable for the
-    oracles), one N×D @ D×K matmul per Arrow batch for large dims."""
-    if len(centroids[0]) <= PANDAS_ASSIGN_DIM:
+    EXPRESSION COST, not dimensionality alone: JVM expressions when the
+    generated tree stays codegen-sized (small dim AND few centroids —
+    hash-stable for the oracles, which all run ≤64 cells), one
+    N×D @ D×K matmul per Arrow batch otherwise.  The centroid bound
+    matters as much as the dim bound: with cells ∝ corpus
+    (_ivf_cells_for), a 200 k-vector build reaches 800 centroids, and
+    an 800-wide array of dot expressions blows past the codegen method
+    limit into interpreted execution — the r6 100× sweep measured the
+    old dim-only dispatch timing out exactly there."""
+    if (len(centroids[0]) <= PANDAS_ASSIGN_DIM
+            and len(centroids) <= EXPR_ASSIGN_MAX_CELLS):
         scored = df.select(
             "*",
             F.array(

@@ -304,6 +304,50 @@ FROM hourly
 """
 
 
+def ev_cumulative_sum(spark, sf_dir):
+    """ES `cumulative_sum` pipeline agg (the other half of the pipeline
+    family next to `derivative`): running total of a bucketed metric
+    per series — a rows-unbounded-preceding window over the AGGREGATED
+    hourly series, so the window input is buckets × types no matter
+    the event volume.  Same plan shape as ev_derivative_hourly: one
+    shuffle for the histogram, one tiny-cardinality window."""
+    hourly = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return hourly.select(
+        "bucket",
+        "event_type",
+        "cnt",
+        F.sum("cnt").over(w).alias("running_total"),
+    )
+
+
+EV_CUMULATIVE_SUM_SQL = """
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS bucket,
+           event_type,
+           COUNT(*) AS cnt
+    FROM events
+    GROUP BY 1, 2
+)
+SELECT bucket, event_type, cnt,
+       CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS running_total
+FROM hourly
+"""
+
+
 # --- cardinality ----------------------------------------------------------
 
 def ev_cardinality(spark, sf_dir):
@@ -1007,6 +1051,7 @@ QUERIES = {
         ev_percentiles_approx_check, EV_PERCENTILES_APPROX_CHECK_SQL
     ),
     "ev_derivative_hourly": (ev_derivative_hourly, EV_DERIVATIVE_HOURLY_SQL),
+    "ev_cumulative_sum": (ev_cumulative_sum, EV_CUMULATIVE_SUM_SQL),
     "ev_cardinality": (ev_cardinality, EV_CARDINALITY_SQL),
     "ev_cardinality_approx": (ev_cardinality_approx, None),
     "ev_cardinality_approx_check": (

@@ -56,10 +56,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 BASE_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-SCALED_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/garmadon_sf1")
-COPIES = 10
+COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
+SCALED_DIR = os.environ.get(
+    "SPARK_GRAFT_SF1_DIR",
+    "/tmp/garmadon_sf1" if COPIES == 10 else f"/tmp/garmadon_x{COPIES}",
+)
+OUT_NAME = "SCALING_sf1.json" if COPIES == 10 else f"SCALING_x{COPIES}.json"
 VERSION = 1  # bump when the construction changes
-PER_QUERY_TIMEOUT = 240  # seconds; a quadratic blowup gets cancelled, not waited out
+# a quadratic blowup gets cancelled, not waited out
+PER_QUERY_TIMEOUT = int(os.environ.get("SPARK_GRAFT_SCALE_TIMEOUT", "240"))
 
 
 def _spark():
@@ -251,7 +256,7 @@ def run(spark, names=None) -> None:
               f"{t_big:.2f}s  x{ratio}")
 
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "SCALING_sf1.json")
+        os.path.abspath(__file__))), OUT_NAME)
     if names and os.path.exists(path):
         # subset re-run (e.g. after a plan fix): merge over the full
         # sweep's rows instead of clobbering them
