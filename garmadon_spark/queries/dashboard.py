@@ -348,6 +348,45 @@ FROM hourly
 """
 
 
+def ev_serial_diff(spark, sf_dir):
+    """ES `serial_diff` pipeline agg with lag 24 — the seasonal
+    difference a dashboard uses to compare each hour against the same
+    hour yesterday (daily-cycle removal).  Completes the pipeline-agg
+    family (derivative = lag 1, cumulative_sum, moving_avg,
+    serial_diff = lag n); same aggregated-series window shape, so the
+    window input stays buckets × types regardless of event volume."""
+    hourly = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    return hourly.select(
+        "bucket",
+        "event_type",
+        "cnt",
+        (F.col("cnt") - F.lag("cnt", 24).over(w)).alias("seasonal_diff"),
+    )
+
+
+EV_SERIAL_DIFF_SQL = """
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS bucket,
+           event_type,
+           COUNT(*) AS cnt
+    FROM events
+    GROUP BY 1, 2
+)
+SELECT bucket, event_type, cnt,
+       cnt - LAG(cnt, 24) OVER (PARTITION BY event_type
+                                ORDER BY bucket) AS seasonal_diff
+FROM hourly
+"""
+
+
 # --- cardinality ----------------------------------------------------------
 
 def ev_cardinality(spark, sf_dir):
@@ -1052,6 +1091,7 @@ QUERIES = {
     ),
     "ev_derivative_hourly": (ev_derivative_hourly, EV_DERIVATIVE_HOURLY_SQL),
     "ev_cumulative_sum": (ev_cumulative_sum, EV_CUMULATIVE_SUM_SQL),
+    "ev_serial_diff": (ev_serial_diff, EV_SERIAL_DIFF_SQL),
     "ev_cardinality": (ev_cardinality, EV_CARDINALITY_SQL),
     "ev_cardinality_approx": (ev_cardinality_approx, None),
     "ev_cardinality_approx_check": (
