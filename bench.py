@@ -238,7 +238,9 @@ def main():
     # times its whole sketch pipeline even though a builder ran just
     # before it.  Kept separate from `value` so the headline stays
     # comparable across rounds (passes 1-2 preserve the r5 semantics).
-    from garmadon_spark.queries.datapipe import set_result_memo
+    from garmadon_spark.queries.datapipe import (
+        purge_result_memo, set_result_memo,
+    )
 
     nomemo: dict[str, float] = {}
     set_result_memo(False)
@@ -250,6 +252,10 @@ def main():
                 nomemo[name] = run_one(fn)
             except Exception as e:
                 print(f"bench error {name} (nomemo): {e}", file=sys.stderr)
+            # drop persisted builder results between queries — even with
+            # the fetch toggle off, CacheManager plan-matching would
+            # otherwise serve the previous query's materialized tables
+            purge_result_memo()
     finally:
         set_result_memo(True)
 

@@ -107,8 +107,10 @@ def main():
     targets = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
     plan = corpus.mixture_plan(acc, targets, budget_fraction=0.6)
     rates = {r.lang: r.sample_rate for r in plan.collect()}
+    # buckets=10_000: mixture rates can sit well below 1 %, and the
+    # sampler's resolution is 1/buckets
     mixed = text.stratified_hash_sample(
-        acc, "doc_id", rates, stratum_col="lang"
+        acc, "doc_id", rates, stratum_col="lang", buckets=10_000
     )
     mixed.write.mode("overwrite").parquet(f"{out_dir}/mixed")
     n_mixed = spark.read.parquet(f"{out_dir}/mixed").count()

@@ -714,6 +714,23 @@ def components(
     )
 
 
+def _gram_array(text_col: str, k: int, project) -> Column:
+    """k-token gram array over the lowercased space-split text, shared
+    by the scrub (project=md5 hash) and the report (identity) so the
+    tokenizer / the n>=k descending-sequence guard / case folding can
+    never drift between the two.  ``project`` maps each joined k-token
+    string to the emitted per-gram value."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: project(F.array_join(F.slice(toks, i + 1, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def repeated_ngram_starts(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -736,18 +753,10 @@ def repeated_ngram_starts(
     Returns (id, starts: sorted int array).  A doc shorter than k
     tokens emits no grams (the ``n >= k`` guard also keeps Spark's
     ``sequence`` from silently generating a DESCENDING index range)."""
-    toks = F.split(F.lower(F.col(text_col)), " ")
-    n = F.size(toks)
-    grams = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.md5(
-                F.array_join(F.slice(toks, i + 1, k), " ")
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    pos = df.select(id_col, F.posexplode(grams).alias("pos", "gram"))
+    pos = df.select(
+        id_col,
+        F.posexplode(_gram_array(text_col, k, F.md5)).alias("pos", "gram"),
+    )
     # skew-safe distinct-doc count: the explicit distinct shuffles on
     # (gram, doc) — uniformly spread even for a gram present in EVERY
     # document — and the count that follows map-side combines per
@@ -832,16 +841,10 @@ def repeated_ngram_report(
     skew-safe shape as repeated_ngram_starts), and returns the top-k
     spans by (distinct docs, total occurrences) — a k-row result via
     TakeOrderedAndProject, nothing corpus-sized on the driver."""
-    toks = F.split(F.lower(F.col(text_col)), " ")
-    n = F.size(toks)
-    spans = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    ex = df.select(id_col, F.explode(spans).alias("span"))
+    ex = df.select(
+        id_col,
+        F.explode(_gram_array(text_col, k, lambda g: g)).alias("span"),
+    )
     occ = ex.groupBy("span").agg(F.count(F.lit(1)).alias("n_occurrences"))
     docs = (
         ex.distinct()

@@ -219,11 +219,18 @@ def stratified_hash_sample(
 ) -> DataFrame:
     """Per-stratum deterministic sampling (e.g. downsample dominant
     languages, keep all of rare ones).  Map-only — a filter over the
-    hash bucket, no shuffle, folds into the scan."""
-    threshold = F.lit(int(default_rate * buckets))
+    hash bucket, no shuffle, folds into the scan.
+
+    Resolution is 1/buckets: a rate is effectively rounded UP to the
+    next bucket boundary (the float threshold keeps a 0.004 rate from
+    silently truncating to ZERO and dropping its stratum — the r6
+    review finding).  For mixture-plan rates below 1 %, pass a larger
+    ``buckets`` (e.g. 10_000); supersets stay monotone for a fixed
+    bucket count."""
+    threshold = F.lit(float(default_rate * buckets))
     for stratum, rate in sorted(rates.items()):
         threshold = F.when(
-            F.col(stratum_col) == stratum, F.lit(int(rate * buckets))
+            F.col(stratum_col) == stratum, F.lit(float(rate * buckets))
         ).otherwise(threshold)
     return df.filter(hash_sample_bucket(F.col(key_col), buckets) < threshold)
 

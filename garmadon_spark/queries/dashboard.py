@@ -353,8 +353,14 @@ def ev_serial_diff(spark, sf_dir):
     difference a dashboard uses to compare each hour against the same
     hour yesterday (daily-cycle removal).  Completes the pipeline-agg
     family (derivative = lag 1, cumulative_sum, moving_avg,
-    serial_diff = lag n); same aggregated-series window shape, so the
-    window input stays buckets × types regardless of event volume."""
+    serial_diff = lag n).
+
+    Aligned by TIME, not row position: a row-based lag(24) silently
+    reaches 25 wall-clock hours back past any empty bucket (ES avoids
+    this with min_doc_count=0 densification — the r6 review finding).
+    Expressed as a self-join of the hourly series on bucket − 24 h —
+    the series is buckets × types, so both join sides are
+    dashboard-sized regardless of event volume."""
     hourly = (
         _events(spark, sf_dir)
         .groupBy(
@@ -363,12 +369,19 @@ def ev_serial_diff(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    w = Window.partitionBy("event_type").orderBy("bucket")
-    return hourly.select(
-        "bucket",
-        "event_type",
-        "cnt",
-        (F.col("cnt") - F.lag("cnt", 24).over(w)).alias("seasonal_diff"),
+    prev = hourly.select(
+        (F.col("bucket") + F.expr("interval 24 hours")).alias("bucket"),
+        F.col("event_type"),
+        F.col("cnt").alias("prev_cnt"),
+    )
+    return (
+        hourly.join(prev, ["bucket", "event_type"], "left")
+        .select(
+            "bucket",
+            "event_type",
+            "cnt",
+            (F.col("cnt") - F.col("prev_cnt")).alias("seasonal_diff"),
+        )
     )
 
 
@@ -380,10 +393,12 @@ WITH hourly AS (
     FROM events
     GROUP BY 1, 2
 )
-SELECT bucket, event_type, cnt,
-       cnt - LAG(cnt, 24) OVER (PARTITION BY event_type
-                                ORDER BY bucket) AS seasonal_diff
-FROM hourly
+SELECT h.bucket, h.event_type, h.cnt,
+       h.cnt - p.cnt AS seasonal_diff
+FROM hourly h
+LEFT JOIN hourly p
+  ON p.event_type = h.event_type
+ AND p.bucket = h.bucket - INTERVAL 24 HOURS
 """
 
 

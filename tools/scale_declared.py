@@ -215,14 +215,16 @@ def _run_one(spark, fn, sf_dir) -> float:
 
 
 def run(spark, names=None) -> None:
-    from garmadon_spark.queries.datapipe import set_result_memo
+    from garmadon_spark.queries.datapipe import (
+        purge_result_memo, set_result_memo,
+    )
 
     qs = _scalable_queries()
     if names:
         qs = {n: qs[n] for n in names}
     # memo OFF: every number is the full per-query pipeline cost,
     # independent of declaration order (same contract as bench.py's
-    # cold pass)
+    # memo-free pass)
     set_result_memo(False)
 
     # fixture warmup at both scales so first-touch page cache / footer
@@ -237,9 +239,16 @@ def run(spark, names=None) -> None:
                 pass
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    def timed_leg(fn, d):
+        t = _run_one(spark, fn, d)
+        # unpersist published builder results so neither the second
+        # leg nor the next query reads this leg's cache through
+        # CacheManager plan-matching — min-of-2 strips noise, not work
+        purge_result_memo()
+        return t
+
     def min_of_2(fn, d):
-        legs = [x for x in (_run_one(spark, fn, d), _run_one(spark, fn, d))
-                if x > 0]
+        legs = [x for x in (timed_leg(fn, d), timed_leg(fn, d)) if x > 0]
         return min(legs) if legs else -1.0
 
     out = {}
