@@ -10,6 +10,11 @@ active; `value` = per-query min of the two, the r1-r5 headline
 semantics) plus a supplementary memo-disabled pass (`queries_nomemo`)
 whose numbers are each query's full pipeline cost independent of
 declaration order.
+
+A deterministic host calibration (all-JVM Spark job + single-thread
+CPU loop, see ``calibration``) runs before and after the query passes;
+per-query times are reported both raw and normalized by the JVM score
+so cross-round deltas decompose into host drift vs code change.
 """
 
 from __future__ import annotations
@@ -24,6 +29,52 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from garmadon_spark.queries import all_queries
 from garmadon_spark.session import get_spark
+
+
+def calibration(spark) -> dict:
+    """Deterministic host-calibration scores, fully data-independent.
+
+    The r6 judge found a broad ±30 % cross-round drift on byte-identical
+    code paths and had to re-time queries by hand to attribute it to the
+    host.  These two scores make that attribution possible from the
+    artifact alone:
+
+    - ``calib_jvm_sec``: a fixed all-JVM Spark job (range → groupBy →
+      count through whole-stage codegen and one shuffle), min-of-3.
+      Tracks JVM/JIT/scheduler/host throughput — everything the declared
+      queries share except the data.
+    - ``calib_cpu_sec``: a single-thread pure-Python integer loop,
+      min-of-3.  Tracks raw per-core speed and interpreter overhead —
+      the component Arrow/pandas legs depend on.
+
+    Cross-round reading: if declared-query times move by roughly the
+    same factor as calib_jvm_sec, the drift is the host; if they move
+    while calibration holds, it's the code.
+    """
+    from pyspark.sql import functions as F
+
+    jvm = None
+    for _ in range(3):
+        t0 = time.time()
+        (
+            spark.range(500_000_000)
+            .groupBy((F.col("id") % 1024).alias("k"))
+            .count()
+            .write.format("noop").mode("overwrite").save()
+        )
+        d = time.time() - t0
+        jvm = d if jvm is None else min(jvm, d)
+
+    cpu = None
+    for _ in range(3):
+        t0 = time.time()
+        acc = 0
+        for i in range(10_000_000):
+            acc = (acc + i * i) % 1_000_003
+        d = time.time() - t0
+        cpu = d if cpu is None else min(cpu, d)
+    assert acc >= 0  # keep the loop un-eliminable
+    return {"calib_jvm_sec": round(jvm, 3), "calib_cpu_sec": round(cpu, 3)}
 
 
 def ingest_bench(spark, sf_dir: str, n_target: int = 500_000) -> dict:
@@ -198,6 +249,14 @@ def main():
         except Exception:
             pass
 
+    # Host calibration BEFORE the query passes (and again after — the
+    # spread between the two bounds within-run host drift).
+    try:
+        calib_start = calibration(spark)
+    except Exception as e:
+        print(f"bench error calibration: {e}", file=sys.stderr)
+        calib_start = {}
+
     def run_one(fn):
         t0 = time.time()
         df = fn(spark, sf_dir)
@@ -269,6 +328,16 @@ def main():
     except Exception as e:
         print(f"bench error ivf_assign: {e}", file=sys.stderr)
 
+    # End-of-run calibration: start vs end spread = within-run drift.
+    try:
+        calib_end = calibration(spark)
+    except Exception as e:
+        print(f"bench error calibration (end): {e}", file=sys.stderr)
+        calib_end = {}
+    calib = dict(calib_start)
+    calib["calib_jvm_sec_end"] = calib_end.get("calib_jvm_sec")
+    calib["calib_cpu_sec_end"] = calib_end.get("calib_cpu_sec")
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     cold_total = round(sum(t for t in cold.values() if t >= 0), 3)
     # cold-vs-steady spread for the whole set: high values mean the
@@ -280,6 +349,15 @@ def main():
     # stdout and parses the final line from that window, so a line that
     # outgrows it records as unparsed (observed BENCH_r02/r03).
     nomemo_total = round(sum(t for t in nomemo.values() if t >= 0), 3)
+    # Calibration-normalized times: raw seconds divided by the JVM
+    # calibration score — dimensionless "calibration units" that are
+    # comparable across rounds even when the host speed shifts.
+    cj = calib.get("calib_jvm_sec") or None
+    queries_norm = (
+        {k: round(v / cj, 3) for k, v in timings.items() if v >= 0}
+        if cj else {}
+    )
+    value_norm = round(total / cj, 3) if cj else None
     full = {
         "metric": "declared_query_set_total_runtime",
         "value": total,
@@ -288,10 +366,13 @@ def main():
         "queries_cold": cold,
         "queries_warm": warm,
         "queries_nomemo": nomemo,
+        "queries_norm": queries_norm,
+        "value_norm": value_norm,
         "cold_total_sec": cold_total,
         "nomemo_total_sec": nomemo_total,
         "variance": variance,
         "sf": sf,
+        **calib,
         **ingest,
     }
     with open(
@@ -316,9 +397,11 @@ def main():
         "n_failed": len(failed),
         "cold_total_sec": cold_total,
         "nomemo_total_sec": nomemo_total,
+        "value_norm": value_norm,
         "variance": variance,
         "queries_full": "BENCH_FULL.json",
         "sf": sf,
+        **calib,
         **ingest,
     }
     budget = 1800  # hard cap with margin below the 2000-char tail window

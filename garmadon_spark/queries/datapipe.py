@@ -1282,15 +1282,39 @@ def _ivf_index_path(sf_dir: str) -> str:
 _EMB_COUNT_MEMO: dict = {}
 
 
-def _emb_count(spark, sf_dir) -> int:
-    """Corpus size for index sizing, memoized per (session, corpus) —
-    the r6 review found the ensure paths re-counting the embeddings
-    table on EVERY probe call, which at 100 TB would put a full corpus
-    scan in front of each partition-pruned probe."""
+def _emb_signature(sf_dir: str) -> str:
+    """Cheap file-state fingerprint (names + sizes + mtimes) of the
+    embeddings table — a memo key component so a corpus that CHANGES at
+    the same path within one session invalidates the count (and with
+    it every index sized from the count) instead of serving the stale
+    layout (r6 advisor)."""
+    import hashlib
     import os
 
-    key = (id(spark), os.path.realpath(sf_dir))
+    p = os.path.join(os.path.realpath(sf_dir), "embeddings.parquet")
+    parts = []
+    if os.path.isdir(p):
+        for e in sorted(os.scandir(p), key=lambda e: e.name):
+            st = e.stat()
+            parts.append(f"{e.name}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(p):
+        st = os.stat(p)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.sha1(";".join(parts).encode()).hexdigest()[:16]
+
+
+def _emb_count(spark, sf_dir) -> int:
+    """Corpus size for index sizing, memoized per (session, corpus,
+    file-state) — the r6 review found the ensure paths re-counting the
+    embeddings table on EVERY probe call, which at 100 TB would put a
+    full corpus scan in front of each partition-pruned probe.  The
+    file-state component drops the entry when the table is rewritten."""
+    import os
+
+    key = (id(spark), os.path.realpath(sf_dir), _emb_signature(sf_dir))
     if key not in _EMB_COUNT_MEMO:
+        for k in [k for k in _EMB_COUNT_MEMO if k[:2] == key[:2]]:
+            del _EMB_COUNT_MEMO[k]
         _EMB_COUNT_MEMO[key] = _embs(spark, sf_dir).count()
     return _EMB_COUNT_MEMO[key]
 
@@ -1486,12 +1510,14 @@ def _ensure_ivfpq(spark, sf_dir):
     queries only probe.  The codes table rides the _RESULT_MEMO."""
     import os
 
-    key = (id(spark), os.path.realpath(sf_dir))
     # same constant-cell-size rule as the plain IVF index (floored at
     # 8, so every ≤sf0.1 fixture keeps the r1-r5 layout bit-for-bit);
     # the IVFPQ probe is linear either way, but constant cells keep the
-    # partition-pruning fraction meaningful as the corpus grows
+    # partition-pruning fraction meaningful as the corpus grows.
+    # k_cells is PART OF THE KEY (r6 advisor): a corpus resize that
+    # moves the cell count can't keep serving stale centroids/codebooks
     k_cells = _ivf_cells_for(_emb_count(spark, sf_dir))
+    key = (id(spark), os.path.realpath(sf_dir), k_cells)
     if key not in _IVFPQ_MEMO:
         _IVFPQ_MEMO.clear()
         cents, books, codes = similarity.build_ivfpq(

@@ -7,7 +7,8 @@ oracle: the wire encode → frame decode (S2) → typed parse (S3) →
 flatten (E1) composition is the identity on the payload, so aggregates
 over the decoded stream must equal aggregates over the source table.
 The heuristics run on the deterministic garmadon fixture corpus (seeded
-generator — same rows everywhere), rows-only checked.
+generator — same rows everywhere) and are full-hash-checked against a
+SQL replica of every threshold (``_heuristics_oracle_sql``, since r5).
 """
 
 from __future__ import annotations

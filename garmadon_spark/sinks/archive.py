@@ -251,14 +251,23 @@ def _exchange_dirs(a: str, b: str) -> bool:
     Returns False where the syscall or filesystem doesn't support the
     flag (non-Linux, some network FS) so the caller can fall back."""
     import ctypes
+    import errno as _errno
 
     try:
         libc = ctypes.CDLL(None, use_errno=True)
         renameat2 = libc.renameat2
     except (OSError, AttributeError):
         return False
+    # explicit signature: the default int-everywhere marshalling happens
+    # to work on 64-bit glibc but is UB for the pointer args elsewhere
+    renameat2.argtypes = [
+        ctypes.c_int, ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p,
+        ctypes.c_uint,
+    ]
+    renameat2.restype = ctypes.c_int
     AT_FDCWD = -100
     RENAME_EXCHANGE = 2
+    ctypes.set_errno(0)
     r = renameat2(
         AT_FDCWD, os.fsencode(a), AT_FDCWD, os.fsencode(b),
         RENAME_EXCHANGE,
@@ -266,8 +275,23 @@ def _exchange_dirs(a: str, b: str) -> bool:
     # fall back on ANY failure (EINVAL/ENOSYS on old kernels or odd
     # filesystems, EPERM under seccomp profiles that block renameat2,
     # EBUSY on mount points, ...) — the rename-pair path must keep
-    # working everywhere it worked before this optimization existed
-    return r == 0
+    # working everywhere it worked before this optimization existed.
+    # Log the errno ONCE so a persistently non-atomic swap path is
+    # observable in production, not just via the test hook.
+    if r != 0:
+        global _exchange_fallback_logged
+        if not _exchange_fallback_logged:
+            _exchange_fallback_logged = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "renameat2(RENAME_EXCHANGE) failed (errno=%d %s); "
+                "compaction degrades to the non-atomic rename-pair swap",
+                ctypes.get_errno(),
+                _errno.errorcode.get(ctypes.get_errno(), "?"),
+            )
+        return False
+    return True
 
 
 def compact_day(
@@ -303,3 +327,4 @@ def compact_day(
 # compact_day used ("exchange" = atomic, "rename-pair" = fallback with
 # the documented absent-directory window)
 _last_swap_strategy: str | None = None
+_exchange_fallback_logged = False
