@@ -979,11 +979,14 @@ def doc_ngram_scrub(spark, sf_dir):
 
 DOC_NGRAM_SCRUB_SQL = """
 WITH t AS (
-    SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    -- match on the lowercased tokens, emit the original-case tokens
+    -- (both split on the same single space, so positions align 1:1)
+    SELECT doc_id, string_split(text, ' ') AS toks,
+           string_split(lower(text), ' ') AS ltoks FROM documents
 ), g AS (
     SELECT doc_id, u.i AS pos,
-           md5(array_to_string(toks[u.i + 1 : u.i + 8], ' ')) AS gram
-    FROM t, UNNEST(range(0, GREATEST(len(toks) - 7, 0))) AS u(i)
+           md5(array_to_string(ltoks[u.i + 1 : u.i + 8], ' ')) AS gram
+    FROM t, UNNEST(range(0, GREATEST(len(ltoks) - 7, 0))) AS u(i)
 ), f AS (
     SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
 ), s AS (

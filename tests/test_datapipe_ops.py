@@ -881,6 +881,18 @@ def test_scrub_repeated_ngrams(spark):
     assert out2[1] == ("x y", 2)
     assert out2[2] == ("z", 2)
     assert out2[3] == ("w", 2)
+    # case contract: matching is case-folded (the MIXED-case copy of
+    # the boilerplate is still flagged) but survivors keep their
+    # original case — the scrub never lowercases text it emits
+    df3 = spark.createDataFrame(
+        [(1, f"Alpha BETA {boiler} Gamma"),
+         (2, f"{boiler.upper()} Delta")],
+        "doc_id long, text string",
+    )
+    out3 = {r.doc_id: (r.clean_text, r.n_flagged_spans)
+            for r in dedup.scrub_repeated_ngrams(df3, k=10).collect()}
+    assert out3[1] == ("Alpha BETA Gamma", 1)
+    assert out3[2] == ("Delta", 1)
 
 
 def test_repeated_ngram_report(spark):
