@@ -342,6 +342,107 @@ def test_session_state_survives_micro_batches(spark, event_dir):
         assert k in exp, f"unexpected result {k}"
 
 
+def test_session_restart_mid_stream(spark, event_dir, tmp_path):
+    """Hard-stop the session engine between micro-batches WHILE apps'
+    sessions are open, restart from the same checkpoint, deliver the
+    END markers: every app must emit exactly one result row per
+    heuristic, with the same severity/details as the uninterrupted
+    batch run (reference semantics Heuristics.java:141-158 —
+    finalize-on-END, independent of restarts).  Completes the
+    exactly-once trilogy: archive (W8), rollup sink, sessions."""
+    import glob
+    import time
+
+    from pyspark.sql.window import Window
+
+    src = str(tmp_path / "union_src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    t = {
+        n: spark.read.parquet(f"{event_dir}/{n}.parquet")
+        for n in ("jvmstats_event", "fs_event", "state_event",
+                  "gc_event", "flink_job_event")
+    }
+    union = sessions.prepare_session_input(
+        t["jvmstats_event"], t["fs_event"], t["state_event"],
+        t["gc_event"], t["flink_job_event"],
+    )
+    # time-ordered eighths written sequentially: every END marker lands
+    # in a LATE file, so the mid-stream kill interrupts OPEN sessions
+    # (fixture-sized single-partition window — test-only slicing)
+    n_chunks = 8
+    chunked = union.withColumn(
+        "_chunk",
+        F.ntile(n_chunks).over(Window.orderBy("timestamp", "kafka_offset")),
+    )
+    for i in range(1, n_chunks + 1):
+        (
+            chunked.filter(F.col("_chunk") == i).drop("_chunk")
+            .coalesce(1).write.mode("append").parquet(src)
+        )
+    # pin the file-source processing order: strictly increasing mtimes
+    # in write order (FileStreamSource orders by modification time)
+    parts = sorted(glob.glob(f"{src}/part-*"), key=os.path.getmtime)
+    assert len(parts) == n_chunks
+    base = time.time()
+    for i, p in enumerate(parts):
+        os.utime(p, (base + i * 10, base + i * 10))
+
+    schema = spark.read.parquet(src).schema
+
+    def start(trigger_kwargs):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        res = sessions.session_heuristics(stream, max_created_files=100)
+        w = (
+            res.writeStream.format("parquet")
+            .option("path", sink).option("checkpointLocation", ckpt)
+            .outputMode("append")
+        )
+        if trigger_kwargs:
+            w = w.trigger(**trigger_kwargs)
+        return w.start()
+
+    q = start(None)
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p and p["batchId"] >= 2:
+            break
+        if not q.isActive:
+            break
+        time.sleep(0.1)
+    q.stop()  # mid-stream kill: sessions open, state half-built
+    while q.isActive and time.time() < deadline:
+        time.sleep(0.1)
+    interrupted_at = (q.lastProgress or {}).get("batchId")
+    try:
+        n_before = spark.read.parquet(sink).count()
+    except Exception:
+        n_before = 0
+
+    q2 = start({"availableNow": True})
+    q2.awaitTermination()
+
+    rows = spark.sql(f"SELECT * FROM parquet.`{sink}`").collect()
+    keys = [(r.application_id, r.attempt_id, r.heuristic) for r in rows]
+    assert len(keys) == len(set(keys)), "duplicate finalize after restart"
+    got = {
+        (r.application_id, r.attempt_id, r.heuristic):
+            (r.severity, json.loads(r.details_json))
+        for r in rows
+    }
+    exp = _batch_expected(spark, event_dir, ALL_HEURISTICS)
+    assert got == exp
+    # the kill really was mid-stream (8 single-file batches total) ...
+    assert interrupted_at is not None and interrupted_at < n_chunks - 1
+    # ... and at least one session finalized only AFTER the restart
+    assert len(rows) > n_before
+
+
 def test_state_events_do_not_register_containers():
     """registerAppContainer excludes STATE_EVENT (Heuristics.java:131-140):
     a state-only container must not enter live/seen, so a lost END can't
