@@ -75,8 +75,8 @@ PANDAS_ASSIGN_DIM = 128
 EXPR_ASSIGN_MAX_CELLS = 64
 
 
-def assign_cells(df: DataFrame, centroids: list, vec_col: str = "embedding"
-                 ) -> DataFrame:
+def assign_cells(df: DataFrame, centroids: list, vec_col: str = "embedding",
+                 arrow: bool = False) -> DataFrame:
     """Nearest-centroid assignment (argmax of dot/|c|), dispatching on
     EXPRESSION COST, not dimensionality alone: JVM expressions when the
     generated tree stays codegen-sized (small dim AND few centroids —
@@ -86,8 +86,14 @@ def assign_cells(df: DataFrame, centroids: list, vec_col: str = "embedding"
     (_ivf_cells_for), a 200 k-vector build reaches 800 centroids, and
     an 800-wide array of dot expressions blows past the codegen method
     limit into interpreted execution — the r6 100× sweep measured the
-    old dim-only dispatch timing out exactly there."""
-    if (len(centroids[0]) <= PANDAS_ASSIGN_DIM
+    old dim-only dispatch timing out exactly there.
+
+    ``arrow=True`` forces the matmul path regardless of size: internal
+    multi-pass callers (the hierarchical build re-scans the assignment
+    for census/sample/fine stages) measured the mid-size expression
+    tree ~20× slower per pass than one BLAS matmul."""
+    if (not arrow
+            and len(centroids[0]) <= PANDAS_ASSIGN_DIM
             and len(centroids) <= EXPR_ASSIGN_MAX_CELLS):
         scored = df.select(
             "*",
@@ -175,6 +181,7 @@ def build_ivf(
     iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    arrow: bool = False,
 ):
     """Build the coarse quantizer + assignments.
 
@@ -190,17 +197,196 @@ def build_ivf(
     dim = len(centroids[0])
 
     for _ in range(iterations):
-        assigned = assign_cells(embs, centroids, vec_col)
+        assigned = assign_cells(embs, centroids, vec_col, arrow=arrow)
         rows = _cell_sums(assigned, vec_col, dim).collect()
         for r in rows:
             if r.n > 0 and r.ivf_cell is not None:
                 centroids[r.ivf_cell] = [s / r.n for s in r.vsum]
-    assigned = assign_cells(embs, centroids, vec_col)
+    assigned = assign_cells(embs, centroids, vec_col, arrow=arrow)
     return centroids, assigned
 
 
 def _py_norm(v):
     return sum(x * x for x in v) ** 0.5 or 1.0
+
+
+# --- Hierarchical (two-level) IVF -----------------------------------------
+#
+# Flat IVF assignment scores every vector against ALL k centroids:
+# O(n·k·d).  With cells sized ∝ corpus (k = n/250), that makes the BUILD
+# quadratic in n — the last documented scale cap (r6: k capped at 4096,
+# cells forced to grow past ~1 M vectors).  The two-level quantizer is
+# the standard fix (faiss coarse-quantizer-over-centroids): ~√k coarse
+# branches, each holding ~√k fine centroids.  Assignment = nearest
+# coarse branch (O(n·√k·d)) then nearest fine centroid WITHIN that
+# branch only (O(n·√k·d)) — total O(n·√k·d), so the build leg scales
+# like n^1.5/√250 instead of n²/250.
+#
+# The fine level is trained per branch on a deterministic bounded sample
+# (first rows by id within the branch — same seeding contract as
+# build_ivf), driver-side NumPy Lloyd: √k small k-means problems, never
+# distributed work.  The probe picks branches first, then reads ONLY
+# those branches' fine centroids (a pushed filter on the centroids
+# table), then partition-prunes the vector scan exactly like flat IVF.
+
+HIER_IVF_MIN_CELLS = 256
+
+
+def build_hierarchical_ivf(
+    embs: DataFrame,
+    n_cells: int,
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    branch_factor: int | None = None,
+    sample_per_branch: int | None = None,
+    fine_iterations: int = 1,
+):
+    """Build the two-level quantizer + assignments.
+
+    Returns (coarse_centroids, fine_rows, assigned) where fine_rows is
+    ``[(ivf_cell, ivf_branch, centroid), ...]`` with cell ids contiguous
+    in (branch, local) order, and assigned carries both ``ivf_branch``
+    and ``ivf_cell``.
+
+    ``fine_iterations`` distributed Lloyd passes refine the
+    sample-trained fine centroids against the FULL corpus (cells keep
+    their branch; only the centroid moves): per pass, one map-side-
+    combined k-row aggregate + one branch-local re-assignment.  The
+    sample alone leaves cells ~1.5× oversized at the tail — the flat
+    quantizer's full-corpus refinement is what balanced it, so the
+    hierarchy does the same one level down."""
+    import math
+
+    k_coarse = branch_factor or max(2, int(round(math.sqrt(n_cells))))
+    coarse, assigned = build_ivf(
+        embs, k_coarse, iterations, id_col, vec_col, arrow=True
+    )
+    # the coarse assignment feeds FOUR downstream passes (census,
+    # sample, fine assignment, the caller's write) — persist it once
+    # (MEMORY_AND_DISK) instead of re-running the scan+matmul per pass.
+    # The 100 TB deployment materializes this step to storage; callers
+    # release the local cache via the `_gs_unpersist` handle attached
+    # to the returned frame.
+    branched = assigned.withColumnRenamed(
+        "ivf_cell", "ivf_branch"
+    ).persist()
+
+    # fine-centroid budget per branch ∝ branch POPULATION — a fixed
+    # per-branch count re-creates the imbalance the hierarchy exists to
+    # avoid (the first cut of this operator gave every branch √k cells;
+    # big branches then produced 3×-oversized cells and the within-cell
+    # pair join re-inherited the skew).  The census is one √k-row agg.
+    sizes = {
+        int(r.ivf_branch): int(r.n)
+        for r in branched.groupBy("ivf_branch")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(sizes.values()) or 1
+    kb_for = {
+        b: max(1, round(n_cells * n / n_total)) for b, n in sizes.items()
+    }
+
+    # per-branch training sample: bounded (≥8 rows per fine centroid,
+    # capped) so the driver-side collect is O(√k · cap), corpus-free.
+    # Hash-ordered, not id-ordered: consecutive ids are correlated in
+    # most corpora (ingest order), and a k-means trained on one corner
+    # of the branch splits that corner finely and leaves the rest to a
+    # handful of catch-all cells.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("ivf_branch").orderBy(
+        F.xxhash64(F.col(id_col)), F.col(id_col)
+    )
+    spb_for = {
+        b: (sample_per_branch
+            or min(max(kb_for[b] * 8, 128), 4096))
+        for b in sizes
+    }
+    spb_max = max(spb_for.values())
+    samp = (
+        branched.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= spb_max)
+        .select("ivf_branch", vec_col, "_rn")
+        .collect()
+    )
+    by_branch: dict[int, list] = {}
+    for r in samp:
+        b = int(r[0])
+        if r[2] <= spb_for[b]:
+            by_branch.setdefault(b, []).append([float(x) for x in r[1]])
+
+    fine_by_branch: dict[int, np.ndarray] = {}
+    for b, rows in by_branch.items():
+        X = np.asarray(rows, dtype=np.float64)
+        fine_by_branch[b] = _kmeans_np(X, min(kb_for[b], len(X)),
+                                       iterations=4)
+
+    offsets: dict[int, int] = {}
+    cell_branch: dict[int, int] = {}
+    off = 0
+    for b in sorted(fine_by_branch):
+        offsets[b] = off
+        for j in range(len(fine_by_branch[b])):
+            cell_branch[off + j] = b
+        off += len(fine_by_branch[b])
+
+    assigned_fine = _assign_cells_branch_pandas(
+        branched, fine_by_branch, offsets, vec_col
+    )
+    dim = len(next(iter(fine_by_branch.values()))[0])
+    for _ in range(fine_iterations):
+        rows = _cell_sums(assigned_fine, vec_col, dim).collect()
+        for r in rows:
+            if r.n > 0 and r.ivf_cell is not None:
+                b = cell_branch[int(r.ivf_cell)]
+                local = int(r.ivf_cell) - offsets[b]
+                fine_by_branch[b][local] = np.asarray(
+                    [s / r.n for s in r.vsum]
+                )
+        assigned_fine = _assign_cells_branch_pandas(
+            branched, fine_by_branch, offsets, vec_col
+        )
+    fine_rows = [
+        (offsets[b] + j, b, [float(x) for x in c])
+        for b in sorted(fine_by_branch)
+        for j, c in enumerate(fine_by_branch[b])
+    ]
+    assigned_fine._gs_unpersist = branched.unpersist
+    return coarse, fine_rows, assigned_fine
+
+
+def _assign_cells_branch_pandas(
+    df: DataFrame, fine_by_branch: dict, offsets: dict, vec_col: str
+) -> DataFrame:
+    """Fine assignment scoring ONLY the row's own branch: per Arrow
+    batch, group rows by branch and matmul each group against that
+    branch's (normalized, transposed) centroid matrix.  The closure
+    carries all fine centroids (k·d doubles) — the same budget as the
+    flat path's single matrix, just partitioned by branch."""
+    from pyspark.sql.functions import pandas_udf
+
+    mats = {}
+    for b, C in fine_by_branch.items():
+        C = np.asarray(C, dtype=np.float64)
+        norms = np.linalg.norm(C, axis=1)
+        norms[norms == 0] = 1.0
+        mats[int(b)] = np.ascontiguousarray((C / norms[:, None]).T)
+    offs = {int(b): int(o) for b, o in offsets.items()}
+
+    @pandas_udf("int")
+    def _cell(v: pd.Series, br: pd.Series) -> pd.Series:
+        X = np.asarray(v.to_list(), dtype=np.float64)
+        brv = br.to_numpy()
+        out = np.empty(len(X), dtype="int32")
+        for b in np.unique(brv):
+            m = brv == b
+            out[m] = offs[int(b)] + np.argmax(
+                X[m] @ mats[int(b)], axis=1
+            ).astype("int32")
+        return pd.Series(out)
+
+    return df.withColumn("ivf_cell", _cell(F.col(vec_col), F.col("ivf_branch")))
 
 
 def ivf_topk(
@@ -240,29 +426,60 @@ def write_ivf_index(
     iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hierarchical: bool | None = None,
 ) -> list:
     """Materialize the IVF index: the corpus written partitioned by
     `ivf_cell` plus a `centroids` side table.  This is the 100 TB
     layout — the probe becomes a partition-pruned scan reading
-    ~nprobe/n_centroids of the data (see ivf_topk_from_index)."""
-    centroids, assigned = build_ivf(
-        embs, n_centroids, iterations, id_col, vec_col
-    )
+    ~nprobe/n_centroids of the data (see ivf_topk_from_index).
+
+    Past HIER_IVF_MIN_CELLS cells (``hierarchical=None`` auto-selects)
+    the quantizer is two-level: flat assignment is O(n·k·d) and with
+    k ∝ n that made the BUILD quadratic — the r6 scale cap.  The
+    hierarchical index adds a ``coarse`` side table (branch centroids)
+    and an ``ivf_branch`` column on the centroids table; the vector
+    layout is IDENTICAL (partitioned by ivf_cell), so every probe and
+    the cell-blocked near-dup read the same files either way."""
+    if hierarchical is None:
+        hierarchical = n_centroids > HIER_IVF_MIN_CELLS
+    spark = embs.sparkSession
+    if hierarchical:
+        coarse, fine_rows, assigned = build_hierarchical_ivf(
+            embs, n_centroids, iterations, id_col, vec_col
+        )
+        cent_df = spark.createDataFrame(
+            fine_rows,
+            "ivf_cell int, ivf_branch int, centroid array<double>",
+        )
+        coarse_rows = [
+            (i, [float(x) for x in c]) for i, c in enumerate(coarse)
+        ]
+        spark.createDataFrame(
+            coarse_rows, "ivf_branch int, centroid array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/coarse")
+        centroids = [c for _, _, c in fine_rows]
+        n_cells_out = len(fine_rows)
+    else:
+        centroids, assigned = build_ivf(
+            embs, n_centroids, iterations, id_col, vec_col
+        )
+        cent_df = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "ivf_cell int, centroid array<double>",
+        )
+        n_cells_out = n_centroids
     (
         # cluster rows by cell before the partitioned write: one task
         # per cell → one file per cell instead of (tasks × cells)
         # small files; at 100 TB raise the repartition width to get
         # multiple right-sized files per cell
-        assigned.repartition(n_centroids, "ivf_cell")
+        assigned.repartition(n_cells_out, "ivf_cell")
         .write.mode("overwrite")
         .partitionBy("ivf_cell")
         .parquet(f"{path}/vectors")
     )
-    spark = embs.sparkSession
-    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
-    spark.createDataFrame(
-        cent_rows, "ivf_cell int, centroid array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    getattr(assigned, "_gs_unpersist", lambda: None)()
+    cent_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     return centroids
 
 
@@ -283,16 +500,42 @@ def append_to_ivf_index(
     Dynamic partition overwrite is NOT used — mode('append') adds files
     to existing `ivf_cell=` directories; re-running a failed batch is
     the caller's idempotency concern (wrap with the W8 offset guard or
-    dedup on `vec_id` downstream)."""
+    dedup on `vec_id` downstream).
+
+    A hierarchical index (``coarse/`` present) routes the new batch the
+    same way the build did: coarse branch first, then fine assignment
+    scoring only that branch's centroids."""
+    import os as _os
+
     spark = new_embs.sparkSession
-    centroids = [
-        list(r.centroid)
-        for r in spark.read.parquet(f"{path}/centroids")
-        .orderBy("ivf_cell").collect()
-    ]
-    assigned = assign_cells(new_embs, centroids, vec_col)
+    cents = spark.read.parquet(f"{path}/centroids")
+    if _os.path.isdir(f"{path}/coarse"):
+        coarse = [
+            list(r.centroid)
+            for r in spark.read.parquet(f"{path}/coarse")
+            .orderBy("ivf_branch").collect()
+        ]
+        fine_by_branch: dict[int, list] = {}
+        offsets: dict[int, int] = {}
+        for r in cents.orderBy("ivf_cell").collect():
+            b = int(r.ivf_branch)
+            offsets.setdefault(b, int(r.ivf_cell))
+            fine_by_branch.setdefault(b, []).append(list(r.centroid))
+        branched = assign_cells(
+            new_embs, coarse, vec_col
+        ).withColumnRenamed("ivf_cell", "ivf_branch")
+        assigned = _assign_cells_branch_pandas(
+            branched, fine_by_branch, offsets, vec_col
+        )
+        n_cells = sum(len(v) for v in fine_by_branch.values())
+    else:
+        centroids = [
+            list(r.centroid) for r in cents.orderBy("ivf_cell").collect()
+        ]
+        assigned = assign_cells(new_embs, centroids, vec_col)
+        n_cells = len(centroids)
     (
-        assigned.repartition(len(centroids), "ivf_cell")
+        assigned.repartition(n_cells, "ivf_cell")
         .write.mode("append")
         .partitionBy("ivf_cell")
         .parquet(f"{path}/vectors")
@@ -308,16 +551,43 @@ def ivf_topk_from_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_ids: list | None = None,
+    probe_branches: int | None = None,
 ) -> DataFrame:
     """Probe a materialized IVF index.  The `ivf_cell IN (...)` filter
     on the partition column prunes at PLANNING time: only nprobe of the
     n_centroids directories are ever listed/read (assert via
-    `explain` — the scan's `PartitionFilters`)."""
-    cents = {
-        r.ivf_cell: list(r.centroid)
-        for r in spark.read.parquet(f"{path}/centroids").collect()
-    }
+    `explain` — the scan's `PartitionFilters`).
+
+    On a hierarchical index the probe is two-level: score the √k coarse
+    branches driver-side, then read ONLY the selected branches' fine
+    centroids (`ivf_branch IN (...)` — a pushed filter on the centroids
+    table, so the driver never loads all k fine vectors), then pick the
+    nprobe cells among them.  ``probe_branches`` defaults to enough
+    branches to hold ~2·nprobe fine cells."""
+    import os as _os
+
     qn = _py_norm(query_vec)
+    cent_df = spark.read.parquet(f"{path}/centroids")
+    if _os.path.isdir(f"{path}/coarse"):
+        coarse = {
+            int(r.ivf_branch): list(r.centroid)
+            for r in spark.read.parquet(f"{path}/coarse").collect()
+        }
+        bsims = {
+            b: sum(a * q for a, q in zip(c, query_vec)) / (_py_norm(c) * qn)
+            for b, c in coarse.items()
+        }
+        n_cells = cent_df.count()
+        kb = max(1, n_cells // max(len(coarse), 1))
+        if probe_branches is None:
+            probe_branches = min(
+                len(coarse), max(2, -(-2 * nprobe // kb))
+            )
+        branches = sorted(bsims, key=lambda b: -bsims[b])[:probe_branches]
+        cent_df = cent_df.filter(F.col("ivf_branch").isin(branches))
+    cents = {
+        r.ivf_cell: list(r.centroid) for r in cent_df.collect()
+    }
     sims = {
         cid: sum(a * b for a, b in zip(c, query_vec)) / (_py_norm(c) * qn)
         for cid, c in cents.items()
@@ -647,19 +917,42 @@ def build_ivfpq(
         vec_col,
         F.transform(F.col(vec_col), lambda x: x.cast("double") / norm),
     )
-    centroids, assigned = build_ivf(
-        normed, n_centroids, iterations, id_col, vec_col
-    )
-    cent_map = {i: c for i, c in enumerate(centroids)}
-    cent_items = []
-    for cid, c in cent_map.items():
-        cent_items += [F.lit(cid), _lit_vec(c)]
+    unpersist = lambda: None  # noqa: E731
+    if n_centroids > HIER_IVF_MIN_CELLS:
+        # two-level coarse quantizer past the flat-build budget — same
+        # cell semantics (contiguous ids), O(n·√k·d) assignment
+        _, fine_rows, assigned = build_hierarchical_ivf(
+            normed, n_centroids, iterations, id_col, vec_col
+        )
+        centroids = [c for _, _, c in fine_rows]
+        unpersist = getattr(assigned, "_gs_unpersist", unpersist)
+    else:
+        centroids, assigned = build_ivf(
+            normed, n_centroids, iterations, id_col, vec_col
+        )
+    if len(centroids) <= 64:
+        # literal-map lookup stays codegen-sized at fixture scale (and
+        # keeps the r1-r6 plan byte-identical for the oracles)
+        cent_items = []
+        for cid, c in enumerate(centroids):
+            cent_items += [F.lit(cid), _lit_vec(c)]
+        cent_col = F.element_at(F.create_map(*cent_items), F.col("ivf_cell"))
+        resid_src = assigned
+    else:
+        # wide quantizer: the centroid table is a broadcast join, not a
+        # k×d literal expression tree (which falls out of codegen and
+        # bloats the plan past a few hundred cells)
+        spark = embs.sparkSession
+        cent_df = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "ivf_cell int, _cent array<double>",
+        )
+        resid_src = assigned.join(F.broadcast(cent_df), "ivf_cell")
+        cent_col = F.col("_cent")
     resid = F.zip_with(
-        F.col(vec_col),
-        F.element_at(F.create_map(*cent_items), F.col("ivf_cell")),
-        lambda x, c: x - c,
+        F.col(vec_col), cent_col, lambda x, c: x - c,
     )
-    residuals = assigned.select(id_col, "ivf_cell", resid.alias("_resid"))
+    residuals = resid_src.select(id_col, "ivf_cell", resid.alias("_resid"))
     books = train_pq(
         residuals, m=m, ksub=ksub, iterations=pq_iterations,
         sample=sample, id_col=id_col, vec_col="_resid", normalize=False,
@@ -667,6 +960,7 @@ def build_ivfpq(
     codes = _pq_encode_raw(residuals, books, id_col, "_resid").select(
         id_col, "ivf_cell", "pq_codes"
     )
+    codes._gs_unpersist = unpersist  # release the cached coarse pass
     return centroids, books, codes
 
 

@@ -1325,12 +1325,20 @@ def _emb_count(spark, sf_dir) -> int:
 def _ivf_cells_for(n: int) -> int:
     """Centroid count targeting ~250-vector cells (the faiss ~n/256
     rule of thumb), floored at 8 so tiny fixtures keep the r1-r5
-    behavior and capped so the centroid broadcast stays small.
-    CONSTANT cell size is what makes the IVF-blocked near-dup scale:
-    with a fixed centroid count, cells grow with the corpus and the
-    within-cell O(cell²) pair join grows QUADRATICALLY — the 10× sweep
-    measured 69× runtime for emb_neardup_ivf before this scaled."""
-    return max(8, min(4096, n // 250))
+    behavior.  CONSTANT cell size is what makes the IVF-blocked
+    near-dup scale: with a fixed centroid count, cells grow with the
+    corpus and the within-cell O(cell²) pair join grows QUADRATICALLY —
+    the 10× sweep measured 69× runtime for emb_neardup_ivf before this
+    scaled.
+
+    The r6 4096-cell cap is GONE: past similarity.HIER_IVF_MIN_CELLS
+    the build switches to the two-level quantizer (assignment
+    O(n·√k·d), not O(n·k·d)), so cells keep tracking the corpus.  The
+    remaining cap is the fine-centroid broadcast budget — k·d·8 bytes
+    ride the assignment closure, ~1 GiB at dim 512 — reached around
+    65 M vectors; beyond that, raise the per-cell target or shard the
+    index (documented in SCALING.md)."""
+    return max(8, min(262_144, n // 250))
 
 
 def _ensure_ivf_index(spark, sf_dir) -> str:
@@ -1342,13 +1350,14 @@ def _ensure_ivf_index(spark, sf_dir) -> str:
 
     path = _ivf_index_path(sf_dir)
     n = _emb_count(spark, sf_dir)
-    want = f"k={_ivf_cells_for(n)}"
+    k = _ivf_cells_for(n)
+    mode = "h2" if k > similarity.HIER_IVF_MIN_CELLS else "flat"
+    want = f"k={k};{mode}"
     stamp = os.path.join(path, "_OK")
     stamped = open(stamp).read() if os.path.exists(stamp) else None
     if stamped != want:
         similarity.write_ivf_index(
-            _embs(spark, sf_dir), path,
-            n_centroids=_ivf_cells_for(n), iterations=1,
+            _embs(spark, sf_dir), path, n_centroids=k, iterations=1,
         )
         with open(stamp, "w") as fh:
             fh.write(want)
