@@ -166,6 +166,28 @@ def test_probe_plan_prunes_partitions_and_pushes_branch_filter(
     assert re.search(r"PushedFilters: \[.*[Ii]n\(ivf_branch", cplan), cplan
 
 
+def test_cell_balance_regression_pin(spark, clustered, index):
+    """Cell-size balance pin: the within-cell pair join is O(cell²), so
+    an unbalanced quantizer silently re-creates the quadratic blowup
+    the hierarchy removes.  The first cut of this operator (fixed
+    per-branch cell counts, id-ordered samples, no full-corpus fine
+    refinement) produced max cells 3.3× the mean and a 4.5×-slower
+    pair join at the 100× replica — this pin fails on any of those
+    regressions."""
+    path, cents = index
+    sizes = [
+        r.n
+        for r in spark.read.parquet(f"{path}/vectors")
+        .groupBy("ivf_cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    mean = sum(sizes) / len(sizes)
+    assert max(sizes) <= 3 * mean, (max(sizes), mean)
+    # pair work (Σc²) within 2× of the uniform-lower-bound
+    sum_sq = sum(s * s for s in sizes)
+    uniform = sum(sizes) ** 2 / len(sizes)
+    assert sum_sq <= 2 * uniform, (sum_sq, uniform)
+
+
 def test_flat_small_index_unchanged(spark, clustered, tmp_path):
     """Small corpora keep the r1-r6 flat layout bit-for-bit (no coarse
     table, auto-select stays flat below HIER_IVF_MIN_CELLS)."""
