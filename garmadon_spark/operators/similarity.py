@@ -510,20 +510,29 @@ def append_to_ivf_index(
     spark = new_embs.sparkSession
     cents = spark.read.parquet(f"{path}/centroids")
     if _os.path.isdir(f"{path}/coarse"):
-        coarse = [
-            list(r.centroid)
-            for r in spark.read.parquet(f"{path}/coarse")
-            .orderBy("ivf_branch").collect()
-        ]
+        coarse_by_id = {
+            int(r.ivf_branch): list(r.centroid)
+            for r in spark.read.parquet(f"{path}/coarse").collect()
+        }
         fine_by_branch: dict[int, list] = {}
         offsets: dict[int, int] = {}
         for r in cents.orderBy("ivf_cell").collect():
             b = int(r.ivf_branch)
             offsets.setdefault(b, int(r.ivf_cell))
             fine_by_branch.setdefault(b, []).append(list(r.centroid))
-        branched = assign_cells(
-            new_embs, coarse, vec_col
-        ).withColumnRenamed("ivf_cell", "ivf_branch")
+        # only route to branches that HAVE fine centroids: a coarse
+        # cell that was empty at build time has none, and a new vector
+        # landing there must go to its next-nearest populated branch
+        live = sorted(b for b in coarse_by_id if b in fine_by_branch)
+        pos_map = F.create_map(*[
+            x for i, b in enumerate(live) for x in (F.lit(i), F.lit(b))
+        ])
+        branched = (
+            assign_cells(new_embs, [coarse_by_id[b] for b in live], vec_col)
+            .withColumn("ivf_branch",
+                        F.element_at(pos_map, F.col("ivf_cell")))
+            .drop("ivf_cell")
+        )
         assigned = _assign_cells_branch_pandas(
             branched, fine_by_branch, offsets, vec_col
         )

@@ -144,6 +144,46 @@ def test_append_routes_through_two_levels(spark, clustered, index):
     assert {10_000, 10_001, 10_002} <= got
 
 
+def test_append_skips_branch_without_fine_centroids(
+    spark, clustered, index, tmp_path
+):
+    """A coarse cell that was empty at build time has no fine
+    centroids; a new vector whose nearest branch is that one must
+    route to its next-nearest POPULATED branch instead of failing."""
+    import shutil
+
+    X, _ = clustered
+    src, _ = index
+    path = str(tmp_path / "idx_ghost")
+    shutil.copytree(src, path)
+    # plant a ghost branch: a coarse centroid exactly on the new
+    # vector's direction, with no fine centroids in the table
+    ghost = [float(x) for x in (X[7] * 3.0)]
+    coarse = spark.read.parquet(f"{path}/coarse").collect()
+    ghost_id = max(int(r.ivf_branch) for r in coarse) + 1
+    rows = [(int(r.ivf_branch), list(r.centroid)) for r in coarse]
+    rows.append((ghost_id, ghost))
+    spark.createDataFrame(
+        rows, "ivf_branch int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/coarse")
+    new = spark.createDataFrame(
+        [(77_000, [float(x) for x in X[7]])],
+        "vec_id long, embedding array<double>",
+    )
+    similarity.append_to_ivf_index(new, path)
+    added = (
+        spark.read.parquet(f"{path}/vectors")
+        .filter(F.col("vec_id") == 77_000).head()
+    )
+    fine_branches = {
+        int(r.ivf_branch)
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    }
+    assert added is not None
+    assert int(added.ivf_branch) in fine_branches
+    assert int(added.ivf_branch) != ghost_id
+
+
 def test_probe_plan_prunes_partitions_and_pushes_branch_filter(
     spark, clustered, index
 ):
