@@ -3,8 +3,11 @@
 Beyond the reference's own surface (BASELINE.json north star): dedup,
 similarity search, text analysis — each as a declared query with a DuckDB
 oracle where SQL-expressible.  The scale-path variants (MinHash-LSH,
-SimHash, IVF) live in garmadon_spark.operators.dedup / .similarity and are
-registered as rows-only checks.
+SimHash, IVF) live in garmadon_spark.operators.dedup / .similarity; the
+engine-defined sketch/ANN outputs themselves are rows-only, but each
+carries an adjacent exact ``*_check`` gate (recall floors,
+cross-tier consistency, sketch-vs-exact bounds) that IS hash-verified,
+so "no SQL oracle" never means "unverified".
 
 Scale notes: all text statistics are single-pass, shuffle-free (scalar
 expressions) or one-shuffle (groupBy).  Brute-force kNN against ONE query
