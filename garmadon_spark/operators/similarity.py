@@ -230,6 +230,9 @@ def _py_norm(v):
 # table), then partition-prunes the vector scan exactly like flat IVF.
 
 HIER_IVF_MIN_CELLS = 256
+# total rows the fine-training sample may collect to the driver
+# (≈64 MiB at dim 64, ≈0.5 GiB at dim 512)
+HIER_SAMPLE_CAP = 131_072
 
 
 def build_hierarchical_ivf(
@@ -303,6 +306,16 @@ def build_hierarchical_ivf(
             or min(max(kb_for[b] * 8, 128), 4096))
         for b in sizes
     }
+    # global driver-memory guard: per-branch caps alone still sum to
+    # ~8·k rows (≈2 M at the 262 k-cell formula cap) — scale every
+    # branch's sample down proportionally so the collect never exceeds
+    # HIER_SAMPLE_CAP rows regardless of k (fewer samples per fine
+    # centroid trades training sharpness, and the full-corpus fine
+    # Lloyd pass below recovers most of it)
+    total = sum(min(spb_for[b], sizes[b]) for b in sizes)
+    if total > HIER_SAMPLE_CAP:
+        shrink = HIER_SAMPLE_CAP / total
+        spb_for = {b: max(32, int(s * shrink)) for b, s in spb_for.items()}
     spb_max = max(spb_for.values())
     samp = (
         branched.withColumn("_rn", F.row_number().over(w))
@@ -617,6 +630,143 @@ def ivf_topk_from_index(
     )
 
 
+def _probe_cells_udf(fine_rows, coarse_by_id, nprobe, probe_branches):
+    """Arrow UDF assigning each query vector its top-``nprobe`` fine
+    cells.  Flat index: one Q@Cᵀ matmul per batch.  Hierarchical: coarse
+    matmul first, then each query scores ONLY its selected branches'
+    fine centroids (same pruning as the driver-side single-query probe,
+    vectorized per Arrow batch; the per-row loop touches
+    ~probe_branches·√k centroids, serving-batch-sized work)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cells = np.asarray([c for c, _, _ in fine_rows], dtype=np.int64)
+    C = np.asarray([v for _, _, v in fine_rows], dtype=np.float64)
+    norms = np.linalg.norm(C, axis=1)
+    norms[norms == 0] = 1.0
+    cn_t = np.ascontiguousarray((C / norms[:, None]).T)
+    branches = np.asarray([b for _, b, _ in fine_rows], dtype=np.int64)
+    if coarse_by_id:
+        bids = np.asarray(sorted(coarse_by_id), dtype=np.int64)
+        B = np.asarray([coarse_by_id[b] for b in bids], dtype=np.float64)
+        bnorms = np.linalg.norm(B, axis=1)
+        bnorms[bnorms == 0] = 1.0
+        bn_t = np.ascontiguousarray((B / bnorms[:, None]).T)
+
+    @pandas_udf("array<int>")
+    def _probe(v: pd.Series) -> pd.Series:
+        Q = np.asarray(v.to_list(), dtype=np.float64)
+        out = []
+        if coarse_by_id:
+            bsims = Q @ bn_t
+            top_b = np.argsort(-bsims, axis=1)[:, :probe_branches]
+            for i in range(Q.shape[0]):
+                sel = np.isin(branches, bids[top_b[i]])
+                sims = Q[i] @ cn_t[:, sel]
+                idx = np.argsort(-sims)[:nprobe]
+                out.append(cells[sel][idx].astype("int32").tolist())
+        else:
+            sims = Q @ cn_t
+            top = np.argsort(-sims, axis=1)[:, :nprobe]
+            for i in range(Q.shape[0]):
+                out.append(cells[top[i]].astype("int32").tolist())
+        return pd.Series(out)
+
+    return _probe
+
+
+def ivf_topk_batch(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_branches: int | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Probe a materialized IVF index with a BATCH of query vectors —
+    the ANN **serving** path (each micro-batch of a query stream, or an
+    offline scoring job, carries many queries; the single-vector
+    ``ivf_topk_from_index`` would re-plan and re-scan per query).
+
+    Plan shape, 100 TB-first:
+      1. every query gets its top-``nprobe`` cells via ONE Arrow matmul
+         per batch (two-level pruned on a hierarchical index) — the
+         centroid matrix rides the closure, never the data;
+      2. the vector scan is filtered to the UNION of probed cells with
+         a literal ``isin`` — planning-time partition pruning, bounded
+         by min(n_cells, |batch|·nprobe) directories;
+      3. the exploded (query, cell) table — batch-sized — is
+         ``F.broadcast`` joined against the pruned scan: no shuffle of
+         the corpus, ever;
+      4. per-query top-k by window rank over (cosine desc, id) —
+         one batch-keyed shuffle of candidate rows only.
+
+    Parity: for any single query, rows equal ``ivf_topk_from_index``
+    with the same k/nprobe (pinned by test_ann_batch_matches_single).
+    """
+    import os as _os
+
+    cent = spark.read.parquet(f"{path}/centroids").collect()
+    hier = _os.path.isdir(f"{path}/coarse")
+    coarse_by_id = {}
+    if hier:
+        coarse_by_id = {
+            int(r.ivf_branch): list(r.centroid)
+            for r in spark.read.parquet(f"{path}/coarse").collect()
+        }
+        kb = max(1, len(cent) // max(len(coarse_by_id), 1))
+        if probe_branches is None:
+            probe_branches = min(
+                len(coarse_by_id), max(2, -(-2 * nprobe // kb))
+            )
+        fine_rows = [
+            (int(r.ivf_cell), int(r.ivf_branch), list(r.centroid))
+            for r in cent
+        ]
+    else:
+        fine_rows = [(int(r.ivf_cell), 0, list(r.centroid)) for r in cent]
+    probe = _probe_cells_udf(fine_rows, coarse_by_id, nprobe,
+                             probe_branches or 0)
+    planned = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("_qvec"),
+        probe(F.col(query_vec_col)).alias("_cells"),
+    )
+    exploded = planned.select(
+        "query_id", "_qvec", F.explode("_cells").alias("ivf_cell")
+    )
+    # bounded by min(n_cells, batch·nprobe) — O(cells), never O(data)
+    probed = [int(r.ivf_cell)
+              for r in exploded.select("ivf_cell").distinct().collect()]
+    vectors = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("ivf_cell").isin(probed)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    joined = vectors.join(F.broadcast(exploded), "ivf_cell")
+    if exclude_self:
+        # queries drawn from the corpus: drop the query's own row
+        joined = joined.filter(F.col(id_col) != F.col("query_id"))
+    return (
+        joined
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("_qvec")), 6)
+            .alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def neardup_pairs_blocked(
     embs: DataFrame,
     block_col: str = "label",
@@ -921,11 +1071,22 @@ def build_ivfpq(
     expression after the broadcast-argmin cell assignment; at 100 TB
     `codes` is written partitioned by ivf_cell (the write_ivf_index
     layout) and is the ONLY thing the probe scans."""
-    norm = _norm(F.col(vec_col))
-    normed = embs.withColumn(
-        vec_col,
-        F.transform(F.col(vec_col), lambda x: x.cast("double") / norm),
-    )
+    # L2-normalize in ONE Arrow batch pass.  The Column form
+    # (transform(vec, x / aggregate(...))) re-evaluates the full O(dim)
+    # norm aggregate for EVERY element — CollapseProject inlines the
+    # norm column into the lambda, so even a two-step projection ends
+    # up O(dim²) interpreted per row; the 100× build sat on a single
+    # straggler task for >10 minutes before this moved to NumPy.
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def _l2_normalize(v: pd.Series) -> pd.Series:
+        X = np.asarray(v.to_list(), dtype=np.float64)
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return pd.Series(list(X / norms))
+
+    normed = embs.withColumn(vec_col, _l2_normalize(F.col(vec_col)))
     unpersist = lambda: None  # noqa: E731
     if n_centroids > HIER_IVF_MIN_CELLS:
         # two-level coarse quantizer past the flat-build budget — same
