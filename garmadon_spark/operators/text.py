@@ -198,6 +198,113 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Gopher rule-set constants (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", Appendix A1.1 —
+# public paper).  The stopword gate wants at least two DISTINCT members.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, App. A1.1)
+    as ONE map-only pass of scalar expressions — no UDF, no shuffle; at
+    100 TB this fuses into the scan exactly like ``quality_score``.
+
+    Per-document stats plus one boolean per rule plus the conjunction:
+
+    - word count within [min_words, max_words],
+    - mean word length within [3, 10],
+    - symbol-to-word ratio ('#' and ellipsis) < 0.1,
+    - fraction of bullet-led lines < 0.9,
+    - fraction of ellipsis-ended lines < 0.3,
+    - fraction of words with an alphabetic character > 0.8,
+    - at least 2 distinct stopwords present.
+
+    Words are RAW whitespace tokens (not the lowercased/normalized
+    dedup tokenizer): the paper's length and symbol statistics are
+    case- and punctuation-faithful.  The word and line arrays are
+    staged through a projection so each is computed once per row even
+    though several rules consume them (CollapseProject would otherwise
+    inline the split into every consumer)."""
+    text = F.col(text_col)
+    staged = df.select(
+        "*",
+        F.filter(F.split(text, r"\s+"), lambda t: t != "").alias("_words"),
+        F.split(text, "\n").alias("_lines"),
+    )
+    words, lines = F.col("_words"), F.col("_lines")
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    sum_wlen = F.aggregate(
+        words, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#")))
+    n_ellipsis = (
+        (F.length(text) - F.length(F.replace(text, F.lit("...")))) / F.lit(3)
+        + F.length(text) - F.length(F.replace(text, F.lit("…")))
+    )
+    n_bullet_lines = F.size(
+        F.filter(lines, lambda l: F.ltrim(l).rlike(r"^[•*-]"))
+    )
+    n_ellipsis_lines = F.size(
+        F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"))
+    )
+    n_alpha_words = F.size(F.filter(words, lambda t: t.rlike("[A-Za-z]")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(words, F.lower),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    # ratios staged once: every rule boolean AND the emitted stat read
+    # them, and keeping them as materialized columns keeps the codegen
+    # tree linear in the rule count
+    ratios = staged.select(
+        *[c for c in df.columns],
+        n_words.alias("n_words"),
+        F.when(n_words > 0, sum_wlen / n_words).otherwise(F.lit(0.0))
+        .alias("_mwl"),
+        F.when(n_words > 0, (n_hash + n_ellipsis) / n_words)
+        .otherwise(F.lit(0.0)).alias("_sym"),
+        (n_bullet_lines / n_lines).alias("_bullet"),
+        (n_ellipsis_lines / n_lines).alias("_ell"),
+        F.when(n_words > 0, n_alpha_words / n_words).otherwise(F.lit(0.0))
+        .alias("_alpha"),
+        stop_hits.alias("stopword_hits"),
+    )
+    mwl, sym = F.col("_mwl"), F.col("_sym")
+    bullet, ell, alpha = F.col("_bullet"), F.col("_ell"), F.col("_alpha")
+    rules = {
+        "pass_word_count": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "pass_mean_word_len": (mwl >= 3.0) & (mwl <= 10.0),
+        "pass_symbol_ratio": sym < 0.1,
+        "pass_bullet_lines": bullet < 0.9,
+        "pass_ellipsis_lines": ell < 0.3,
+        "pass_alpha_words": alpha > 0.8,
+        "pass_stopwords": F.col("stopword_hits") >= 2,
+    }
+    accepted = None
+    for expr in rules.values():
+        accepted = expr if accepted is None else (accepted & expr)
+    return ratios.select(
+        *[c for c in df.columns],
+        "n_words",
+        F.round(mwl, 4).alias("mean_word_len"),
+        F.round(sym, 4).alias("symbol_ratio"),
+        F.round(bullet, 4).alias("bullet_line_frac"),
+        F.round(ell, 4).alias("ellipsis_line_frac"),
+        F.round(alpha, 4).alias("alpha_word_frac"),
+        "stopword_hits",
+        *[expr.alias(name) for name, expr in rules.items()],
+        accepted.alias("accepted"),
+    )
+
+
 def hash_sample_bucket(key: Column, buckets: int = 100) -> Column:
     """Deterministic sampling bucket in [0, buckets): md5-derived, so
     the assignment is stable across engines, runs, partitionings and

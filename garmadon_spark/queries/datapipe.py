@@ -1146,6 +1146,82 @@ JOIN keep USING (doc_id)
 """
 
 
+def doc_gopher_rules(spark, sf_dir):
+    """Gopher-style rule filter (Rae et al. 2021, App. A1.1): per-doc
+    stats, one boolean per published rule, and the conjunction — all as
+    ONE map-only pass of scalar expressions (text.gopher_rules).  The
+    complement of the learned classifier (doc_quality_classifier) and
+    the composite score (doc_quality): hard interpretable gates.  At
+    100 TB the whole thing fuses into the scan — no shuffle, no UDF."""
+    out = text.gopher_rules(_fanout(spark, _docs(spark, sf_dir)))
+    return out.select(
+        "doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+        "stopword_hits", "pass_word_count", "pass_mean_word_len",
+        "pass_symbol_ratio", "pass_bullet_lines", "pass_ellipsis_lines",
+        "pass_alpha_words", "pass_stopwords", "accepted",
+    )
+
+
+DOC_GOPHER_RULES_SQL = r"""
+WITH staged AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\s+'),
+                       t -> t <> '') AS words,
+           string_split(text, chr(10)) AS lines,
+           len(text) - len(replace(text, '#', '')) AS n_hash,
+           (len(text) - len(replace(text, '...', ''))) / 3
+               + len(text) - len(replace(text, chr(8230), ''))
+               AS n_ellipsis
+    FROM documents
+), ratios AS (
+    SELECT doc_id,
+           len(words) AS n_words,
+           CASE WHEN len(words) > 0 THEN
+               CAST(list_sum(list_transform(words, t -> len(t)))
+                    AS DOUBLE) / len(words)
+           ELSE 0.0 END AS mwl,
+           CASE WHEN len(words) > 0 THEN
+               (n_hash + n_ellipsis) / len(words)
+           ELSE 0.0 END AS sym,
+           CAST(len(list_filter(lines,
+                l -> regexp_matches(ltrim(l), '^[•*-]'))) AS DOUBLE)
+               / len(lines) AS bullet,
+           CAST(len(list_filter(lines,
+                l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS DOUBLE)
+               / len(lines) AS ell,
+           CASE WHEN len(words) > 0 THEN
+               CAST(len(list_filter(words,
+                    t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+                   / len(words)
+           ELSE 0.0 END AS alpha,
+           len(list_intersect(list_transform(words, t -> lower(t)),
+               ['the','be','to','of','and','that','have','with']))
+               AS stopword_hits
+    FROM staged
+)
+SELECT doc_id, n_words,
+       ROUND(mwl, 4) AS mean_word_len,
+       ROUND(sym, 4) AS symbol_ratio,
+       ROUND(bullet, 4) AS bullet_line_frac,
+       ROUND(ell, 4) AS ellipsis_line_frac,
+       ROUND(alpha, 4) AS alpha_word_frac,
+       stopword_hits,
+       n_words >= 50 AND n_words <= 100000 AS pass_word_count,
+       mwl >= 3.0 AND mwl <= 10.0 AS pass_mean_word_len,
+       sym < 0.1 AS pass_symbol_ratio,
+       bullet < 0.9 AS pass_bullet_lines,
+       ell < 0.3 AS pass_ellipsis_lines,
+       alpha > 0.8 AS pass_alpha_words,
+       stopword_hits >= 2 AS pass_stopwords,
+       (n_words >= 50 AND n_words <= 100000
+        AND mwl >= 3.0 AND mwl <= 10.0
+        AND sym < 0.1 AND bullet < 0.9 AND ell < 0.3
+        AND alpha > 0.8 AND stopword_hits >= 2) AS accepted
+FROM ratios
+"""
+
+
 def doc_bpe_tokens(spark, sf_dir):
     """Token counting: whitespace tokens + BPE-ish regex segmentation
     (letter runs / digit runs / single punctuation)."""
@@ -2244,6 +2320,7 @@ QUERIES = {
     "doc_mix_plan": (doc_mix_plan, DOC_MIX_PLAN_SQL),
     "doc_top_boilerplate": (doc_top_boilerplate, DOC_TOP_BOILERPLATE_SQL),
     "doc_corpus_filter": (doc_corpus_filter, DOC_CORPUS_FILTER_SQL),
+    "doc_gopher_rules": (doc_gopher_rules, DOC_GOPHER_RULES_SQL),
     "doc_bpe_tokens": (doc_bpe_tokens, DOC_BPE_TOKENS_SQL),
     "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),
     "doc_perplexity": (doc_perplexity, DOC_PERPLEXITY_SQL),

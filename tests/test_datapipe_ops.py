@@ -487,6 +487,34 @@ def test_quality_score_ranges(docs):
     assert by_id[0].stopword_ratio > by_id[5].stopword_ratio
 
 
+def test_gopher_rules_verdicts(spark):
+    """Each Gopher rule trips on its crafted violator and the clean doc
+    passes everything except word count (kept short on purpose)."""
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "we have a walk with it that day to be sure of it") * 3
+    rows = [
+        (0, good),
+        (1, "# " * 40 + good),                      # symbol ratio
+        (2, "\n".join(f"- item {i}" for i in range(10))),  # bullets
+        (3, "\n".join(f"line {i}..." for i in range(10))),  # ellipses
+        (4, "0 1 2 3 4 5 6 7 8 9 " * 10),            # alpha words
+        (5, "lorem ipsum dolor sit amet " * 20),     # stopwords
+        (6, "supercalifragilisticexpialidocious " * 60),  # mean word len
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.gopher_rules(df, min_words=20).collect()}
+    assert out[0].accepted
+    assert not out[1].pass_symbol_ratio and out[0].pass_symbol_ratio
+    assert not out[2].pass_bullet_lines
+    assert not out[3].pass_ellipsis_lines
+    assert not out[4].pass_alpha_words
+    assert not out[5].pass_stopwords
+    assert not out[6].pass_mean_word_len
+    # conjunction wiring: every violator is rejected
+    for i in range(1, 7):
+        assert not out[i].accepted
+
+
 def test_components_label_propagation(spark):
     # chain 1-2-3-4, separate pair 10-11, triangle 20-21-22
     pairs = spark.createDataFrame(
@@ -761,6 +789,35 @@ def test_ivf_index_incremental_append(spark, embs, tmp_path):
     assert "PartitionFilters" in plan and "ivf_cell" in plan
     rows = res.collect()
     assert rows[0].vec_id == 1 and abs(rows[0].cosine - 1.0) < 1e-4
+
+
+def test_ann_batch_matches_single(spark, embs, tmp_path):
+    """Batched ANN serving parity: ivf_topk_batch == per-query
+    ivf_topk_from_index at the same k/nprobe, and the plan is the
+    serving shape — partition-pruned vector scan + broadcast of the
+    batch-sized query table (the corpus never shuffles)."""
+    path = str(tmp_path / "ivf_serve")
+    similarity.write_ivf_index(embs, path, n_centroids=8, iterations=1)
+    qids = [0, 3, 7]
+    queries = embs.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch = similarity.ivf_topk_batch(spark, path, queries, k=5, nprobe=4)
+    got: dict = {}
+    for r in batch.collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.cosine))
+    for qid in qids:
+        q = [float(x) for x in
+             embs.filter(F.col("vec_id") == qid).head()["embedding"]]
+        single = similarity.ivf_topk_from_index(
+            spark, path, q, k=5, nprobe=4, exclude_ids=[qid]
+        ).collect()
+        want = [(i + 1, r.vec_id, r.cosine) for i, r in enumerate(single)]
+        assert sorted(got[qid]) == want
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cell" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
 
 
 # --- deterministic sampling -----------------------------------------------
