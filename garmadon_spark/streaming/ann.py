@@ -1,0 +1,73 @@
+"""Streaming ANN serving: probe a materialized IVF index with a stream
+of query vectors.
+
+The index side is the offline artifact (`similarity.write_ivf_index` —
+cell-partitioned vectors + centroid side tables, absorbed daily via
+`append_to_ivf_index`); the query side is a stream (an embedding
+service's output topic, a re-ranking queue).  Each micro-batch probes
+via `similarity.ivf_topk_batch`:
+
+- the centroid matrix rides the executor closure — centroid-sized, not
+  corpus-sized;
+- the vector scan partition-prunes to the union of the batch's probed
+  cells at planning time;
+- the batch-sized query table broadcasts; the corpus never shuffles.
+
+State: NONE (each batch is independent) — the operator needs no
+watermark and restarts cleanly from the source offsets alone.
+Exactly-once to the parquet result sink uses the same per-batch marker
+protocol as the rollup sink (idempotent replay after a crash between
+write and commit: a replayed batch that already has its marker is
+skipped).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from garmadon_spark.operators import similarity
+from garmadon_spark.sinks.rollup import _marker_exists, _write_marker
+
+
+def serve_ann_stream(
+    queries: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    exclude_self: bool = False,
+):
+    """Wire a query-vector stream to the IVF index; returns the
+    (unstarted) ``DataStreamWriter``.  Results land in ``out_path`` as
+    parquet rows (query_id, vec_id, cosine, rank, batch_id).
+
+    ``exclude_self`` defaults False here (external queries own a
+    separate id space); pass True when replaying corpus vectors as
+    queries.  Availability-triggered by default — call
+    ``.trigger(...)`` on the returned writer to change cadence."""
+
+    def _probe(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        marker = f"{out_path}/_ann_batches/{batch_id}.done"
+        if _marker_exists(sess, marker) or batch_df.isEmpty():
+            return
+        res = similarity.ivf_topk_batch(
+            sess, index_path, batch_df, k=k, nprobe=nprobe,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+            exclude_self=exclude_self,
+        )
+        (
+            res.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append").parquet(out_path)
+        )
+        _write_marker(sess, marker)
+
+    return (
+        queries.writeStream.foreachBatch(_probe)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )

@@ -239,3 +239,27 @@ def test_flat_small_index_unchanged(spark, clustered, tmp_path):
     assert not os.path.isdir(f"{path}/coarse")
     cols = spark.read.parquet(f"{path}/centroids").columns
     assert cols == ["ivf_cell", "centroid"]
+
+
+def test_batch_probe_matches_single_on_hier_index(spark, clustered, index):
+    """ivf_topk_batch's two-level Arrow probe selects the same branches,
+    cells, and final top-k as the driver-side single-query probe on a
+    hierarchical index (same default probe_branches derivation)."""
+    _, embs = clustered
+    path, _ = index
+    qids = [0, 11, 222]
+    queries = embs.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch = similarity.ivf_topk_batch(spark, path, queries, k=5, nprobe=3)
+    got: dict = {}
+    for r in batch.collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.cosine))
+    for qid in qids:
+        q = [float(x) for x in
+             embs.filter(F.col("vec_id") == qid).head()["embedding"]]
+        single = similarity.ivf_topk_from_index(
+            spark, path, q, k=5, nprobe=3, exclude_ids=[qid]
+        ).collect()
+        want = [(i + 1, r.vec_id, r.cosine) for i, r in enumerate(single)]
+        assert sorted(got[qid]) == want

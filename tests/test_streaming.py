@@ -574,3 +574,59 @@ def test_metrics_collector_captures_observed_counters(spark, tmp_path):
         assert spark.sql("SELECT COUNT(*) c FROM metrics_probe").head().c == 5
     finally:
         spark.streams.removeListener(collector)
+
+
+def test_ann_serve_stream_matches_batch_probe(spark, tmp_path):
+    """Streaming ANN serving: a file-source stream of query vectors
+    probed per micro-batch against the materialized IVF index produces
+    exactly the batch ivf_topk_batch result, and a replayed batch id is
+    skipped (marker idempotence)."""
+    from garmadon_spark.operators import similarity
+    from garmadon_spark.session import load_table
+    from garmadon_spark.streaming import ann
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    index = str(tmp_path / "idx")
+    similarity.write_ivf_index(embs, index, n_centroids=8, iterations=1)
+
+    src = str(tmp_path / "queries")
+    queries = embs.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    queries.write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    out = str(tmp_path / "results")
+    ckpt = str(tmp_path / "ckpt")
+    q = ann.serve_ann_stream(
+        stream, index, out, ckpt, k=5, nprobe=4, exclude_self=True
+    ).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    got = {
+        (r.query_id, r.rank): (r.vec_id, r.cosine)
+        for r in spark.read.parquet(out).collect()
+    }
+    exp = {
+        (r.query_id, r.rank): (r.vec_id, r.cosine)
+        for r in similarity.ivf_topk_batch(
+            spark, index, queries, k=5, nprobe=4
+        ).collect()
+    }
+    assert got == exp and len({q for q, _ in got}) == 6
+
+    # marker idempotence: re-running a batch whose marker exists is a
+    # no-op (simulates foreachBatch replay after a crash-after-commit)
+    n_before = spark.read.parquet(out).count()
+    import glob as _glob
+    markers = _glob.glob(f"{out}/_ann_batches/*.done")
+    assert markers
+    bid = int(markers[0].split("/")[-1].split(".")[0])
+    batch_df = spark.read.parquet(src)
+    ann.serve_ann_stream(
+        spark.readStream.schema(batch_df.schema).parquet(src),
+        index, out, str(tmp_path / "ckpt2"), k=5, nprobe=4,
+    )  # writer construction alone must not write anything
+    assert spark.read.parquet(out).count() == n_before
