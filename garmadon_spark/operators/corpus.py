@@ -282,3 +282,118 @@ def mixture_plan(
         ).alias("expect_tokens"),
         (want > F.col("avail_tokens")).alias("short"),
     )
+
+
+# --- DSIR: data selection via importance resampling -----------------------
+
+def _dsir_bucket(gram: Column, buckets: int) -> Column:
+    """md5-derived gram bucket — engine-stable (same contract as
+    text.hash_sample_bucket; Spark and the DuckDB oracle agree
+    bit-for-bit, which Spark's murmur `hash()` would not)."""
+    return F.conv(F.substring(F.md5(gram), 1, 8), 16, 10) \
+        .cast("long") % buckets
+
+
+def dsir_gram_buckets(text_col: str = "text",
+                      buckets: int = 4096) -> Column:
+    """Hashed n-gram feature buckets per document — unigrams + bigrams
+    of the normalized tokenizer, WITH multiplicity (DSIR weights sum
+    over gram instances, unlike the dedup tier's distinct shingles)."""
+    from garmadon_spark.operators.dedup import _sliding_zip, tokens
+
+    toks = tokens(text_col)
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            _sliding_zip(toks, 2, m),
+            lambda s: F.concat_ws(" ", s["0"], s["1"]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.transform(
+        F.concat(toks, bigrams), lambda g: _dsir_bucket(g, buckets)
+    )
+
+
+def dsir_log_ratios(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    buckets: int = 4096,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """The DSIR importance model (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — public paper): hashed
+    n-gram bag-of-words distributions for the TARGET corpus (what you
+    want more of) and the RAW corpus, returned as a ``buckets``-row
+    (bkt, log_ratio) table with add-``smoothing`` estimation:
+
+        log_ratio[b] = ln p̂_target[b] − ln p̂_raw[b]
+
+    Plan: two explode→count aggregates (map-side combined; the shuffle
+    key space is ``buckets``, never tokens), two O(1) total collects,
+    one bucket-keyed join.  The result is model-sized — broadcast it."""
+    def bucket_counts(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.explode(dsir_gram_buckets(text_col, buckets))
+                .alias("bkt")
+            )
+            .groupBy("bkt")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    tc = bucket_counts(target)
+    rc = bucket_counts(raw)
+    t_total = tc.agg(F.sum("c")).first()[0] or 0
+    q_total = rc.agg(F.sum("c")).first()[0] or 0
+    s = float(smoothing)
+    return (
+        rc.join(tc.withColumnRenamed("c", "ct"), "bkt", "left")
+        .select(
+            "bkt",
+            (
+                F.log((F.coalesce(F.col("ct"), F.lit(0)) + s)
+                      / (t_total + s * buckets))
+                - F.log((F.col("c") + s) / (q_total + s * buckets))
+            ).alias("log_ratio"),
+        )
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Per-document DSIR importance log-weight over ``raw``: the sum of
+    ``log_ratio`` over the document's gram instances.  High weight ⇒
+    the document looks like the target distribution — the principled
+    replacement for hand-tuned quality thresholds when curating toward
+    a reference corpus (feed the weights to ``text.weighted_sample``
+    for the distributed Gumbel-top-k selection step).
+
+    Plan shape at 100 TB: the ratio table is model-sized (``buckets``
+    rows) and broadcast; the explode→join runs map-side; the per-doc
+    sum's map-side combine reduces each partition to ~one row per doc
+    BEFORE the doc-keyed shuffle (explode preserves row locality), so
+    the shuffle is corpus-rows-sized, not token-sized.  Docs with no
+    grams keep weight 0.0."""
+    ratios = dsir_log_ratios(raw, target, text_col, buckets, smoothing)
+    per_doc = (
+        raw.select(
+            F.col(id_col),
+            F.explode(dsir_gram_buckets(text_col, buckets)).alias("bkt"),
+        )
+        .join(F.broadcast(ratios), "bkt")
+        .groupBy(id_col)
+        .agg(F.round(F.sum("log_ratio"), 4).alias("log_weight"))
+    )
+    return (
+        raw.select(id_col)
+        .join(per_doc, id_col, "left")
+        .fillna({"log_weight": 0.0})
+    )

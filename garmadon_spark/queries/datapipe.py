@@ -1095,6 +1095,54 @@ FROM planned
 """
 
 
+def doc_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    bag-of-words distributions for target (English docs) vs raw (whole
+    corpus), per-doc log importance weight = Σ gram-instance log-ratios
+    (corpus.dsir_weights).  The model is a 1024-row broadcast table;
+    the per-doc sum's map-side combine keeps the shuffle corpus-rows-
+    sized.  The principled 'make the corpus look like the target'
+    selector — weights feed text.weighted_sample for the Gumbel-top-k
+    apply step."""
+    docs = _fanout(spark, _docs(spark, sf_dir))
+    return corpus.dsir_weights(
+        docs, docs.filter(F.col("lang") == "en"), buckets=1024,
+    )
+
+
+DOC_DSIR_WEIGHTS_SQL = r"""
+WITH tk AS (
+    SELECT doc_id, lang,
+           list_filter(string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+                       t -> t <> '') AS toks
+    FROM documents
+), g AS (
+    SELECT doc_id, lang,
+           CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) % 1024 AS bkt
+    FROM (
+        SELECT doc_id, lang, unnest(toks) AS g FROM tk
+        UNION ALL
+        SELECT doc_id, lang, toks[u.i + 1] || ' ' || toks[u.i + 2] AS g
+        FROM tk, UNNEST(range(0, GREATEST(len(toks) - 1, 0))) AS u(i)
+    )
+), rc AS (SELECT bkt, COUNT(*) AS c FROM g GROUP BY bkt),
+tc AS (SELECT bkt, COUNT(*) AS c FROM g WHERE lang = 'en' GROUP BY bkt),
+tot AS (SELECT (SELECT COUNT(*) FROM g WHERE lang = 'en') AS t_total,
+               (SELECT COUNT(*) FROM g) AS q_total),
+ratio AS (
+    SELECT rc.bkt,
+           ln((COALESCE(tc.c, 0) + 1.0) / (t_total + 1024.0))
+           - ln((rc.c + 1.0) / (q_total + 1024.0)) AS lr
+    FROM rc LEFT JOIN tc USING (bkt), tot
+)
+SELECT d.doc_id, ROUND(COALESCE(s.w, 0.0), 4) AS log_weight
+FROM documents d LEFT JOIN (
+    SELECT doc_id, SUM(lr) AS w FROM g JOIN ratio USING (bkt)
+    GROUP BY doc_id
+) s USING (doc_id)
+"""
+
+
 def doc_corpus_filter(spark, sf_dir):
     """The C4/RefinedWeb-style cleaning pipeline composed END-TO-END as
     one declared query: per-doc verdicts for the length gate, the
@@ -2318,6 +2366,7 @@ QUERIES = {
     ),
     "doc_ngram_scrub": (doc_ngram_scrub, DOC_NGRAM_SCRUB_SQL),
     "doc_mix_plan": (doc_mix_plan, DOC_MIX_PLAN_SQL),
+    "doc_dsir_weights": (doc_dsir_weights, DOC_DSIR_WEIGHTS_SQL),
     "doc_top_boilerplate": (doc_top_boilerplate, DOC_TOP_BOILERPLATE_SQL),
     "doc_corpus_filter": (doc_corpus_filter, DOC_CORPUS_FILTER_SQL),
     "doc_gopher_rules": (doc_gopher_rules, DOC_GOPHER_RULES_SQL),

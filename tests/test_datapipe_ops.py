@@ -515,6 +515,23 @@ def test_gopher_rules_verdicts(spark):
         assert not out[i].accepted
 
 
+def test_dsir_weights_prefer_target_distribution(spark, docs):
+    """DSIR: with target = the English docs, English text must carry a
+    higher importance log-weight than the Spanish doc, and a doc with
+    no tokens keeps the 0.0 default."""
+    from garmadon_spark.operators import corpus
+
+    empty = spark.createDataFrame([(99, "")], "doc_id long, text string")
+    raw = docs.select("doc_id", "text").unionByName(empty)
+    target = docs.filter(F.col("lang") == "en").select("doc_id", "text")
+    w = {r.doc_id: r.log_weight
+         for r in corpus.dsir_weights(raw, target, buckets=256).collect()}
+    assert len(w) == raw.count()
+    # every English doc beats the Spanish doc under an English target
+    assert min(w[i] for i in (0, 1, 2, 3, 4)) > w[5]
+    assert w[99] == 0.0
+
+
 def test_components_label_propagation(spark):
     # chain 1-2-3-4, separate pair 10-11, triangle 20-21-22
     pairs = spark.createDataFrame(
