@@ -1541,6 +1541,60 @@ SELECT CAST(10 AS INT) AS k, TRUE AS recall_ok
 """
 
 
+def emb_ann_batch(spark, sf_dir, n_queries: int = 5, k: int = 10):
+    """Batched ANN serving against the materialized IVF index
+    (similarity.ivf_topk_batch): the first ``n_queries`` corpus vectors
+    probe in ONE plan — an Arrow matmul assigns each query its cells,
+    the vector scan partition-prunes to the union of probed cells, the
+    batch-sized query table broadcasts.  Rows-only (approximation is
+    engine-defined); emb_ann_batch_check pins parity with the
+    single-query probe."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = _ensure_ivf_index(spark, sf_dir)
+    nprobe = max(4, _ivf_cells_for(_emb_count(spark, sf_dir)) // 2)
+    return similarity.ivf_topk_batch(
+        spark, path, queries, k=k, nprobe=nprobe,
+    )
+
+
+def emb_ann_batch_check(spark, sf_dir, n_queries: int = 5, k: int = 10):
+    """Exact gate: the batched probe must return EXACTLY the
+    single-query probe's (vec_id, cosine, rank) rows for every query in
+    the batch — same index, same k/nprobe.  Deterministic ⇒
+    constant-true oracle."""
+    batch = emb_ann_batch(spark, sf_dir, n_queries=n_queries, k=k)
+    got: dict = {}
+    for r in batch.collect():
+        got.setdefault(r.query_id, []).append(
+            (r.rank, r.vec_id, round(float(r.cosine), 6))
+        )
+    embs = _embs(spark, sf_dir)
+    path = _ensure_ivf_index(spark, sf_dir)
+    nprobe = max(4, _ivf_cells_for(_emb_count(spark, sf_dir)) // 2)
+    ok = True
+    for qid in range(n_queries):
+        qrow = embs.filter(F.col("vec_id") == qid).select("embedding").head()
+        single = similarity.ivf_topk_from_index(
+            spark, path, [float(x) for x in qrow[0]], k=k, nprobe=nprobe,
+            exclude_ids=[qid],
+        ).collect()
+        want = [(i + 1, r.vec_id, round(float(r.cosine), 6))
+                for i, r in enumerate(single)]
+        if sorted(got.get(qid, [])) != want:
+            ok = False
+    return spark.createDataFrame(
+        [(n_queries, bool(ok))], "n_queries int, batch_parity boolean"
+    )
+
+
+EMB_ANN_BATCH_CHECK_SQL = """
+SELECT CAST(5 AS INT) AS n_queries, TRUE AS batch_parity
+"""
+
+
 # Driver-side PQ codebooks per (session, corpus) — the codes DataFrame
 # itself rides the _RESULT_MEMO like every other published table.
 _PQ_BOOKS: dict = {}
@@ -2381,6 +2435,8 @@ QUERIES = {
     "emb_semdedup": (emb_semdedup, EMB_SEMDEDUP_SQL),
     "emb_ann_ivf": (emb_ann_ivf, None),
     "emb_ann_ivf_check": (emb_ann_ivf_check, EMB_ANN_IVF_CHECK_SQL),
+    "emb_ann_batch": (emb_ann_batch, None),
+    "emb_ann_batch_check": (emb_ann_batch_check, EMB_ANN_BATCH_CHECK_SQL),
     "emb_pq_topk": (emb_pq_topk, None),
     "emb_pq_check": (emb_pq_check, EMB_PQ_CHECK_SQL),
     "emb_ann_ivfpq": (emb_ann_ivfpq, None),
