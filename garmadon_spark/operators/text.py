@@ -399,6 +399,7 @@ def hashed_linear_score(
     bias: float = -0.1,
     weights: list[float] | None = None,
     out_col: str = "quality_prob",
+    keep_cols: bool = False,
 ) -> DataFrame:
     """fastText-style linear text classifier, scored entirely JVM-side:
     tokens hash into ``n_features`` buckets, the document's feature
@@ -445,6 +446,10 @@ def hashed_linear_score(
     score = F.lit(1.0) / (
         F.lit(1.0) + F.exp(-(F.lit(bias) + mean_w))
     )
+    if keep_cols:
+        # chainable form: other scalar quality tiers compose in the
+        # same single scan (see doc_quality_agreement)
+        return df.select("*", F.round(score, 4).alias(out_col))
     return df.select(
         id_col, F.round(score, 4).alias(out_col)
     )

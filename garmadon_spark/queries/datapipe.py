@@ -1270,6 +1270,46 @@ FROM ratios
 """
 
 
+def doc_quality_agreement(spark, sf_dir):
+    """Agreement matrix across the three quality tiers — composite
+    surface score (doc_quality), learned classifier
+    (doc_quality_classifier), and Gopher hard rules (doc_gopher_rules):
+    how many docs each verdict combination covers.  What an owner reads
+    before picking a gate: tiers that always agree are redundant, a
+    large score-only bucket means the rules are too strict, etc.
+
+    All three tiers are scalar expressions, so the whole query is ONE
+    scan (quality_score → gopher_rules → classifier chained through
+    column-preserving forms) + one 8-group aggregate — no joins, no
+    doc-keyed shuffle, even at 100 TB."""
+    docs = _fanout(spark, _docs(spark, sf_dir))
+    all3 = text.hashed_linear_score(
+        text.gopher_rules(text.quality_score(docs)), keep_cols=True
+    )
+    return (
+        all3.select(
+            (F.col("quality_score") >= 0.15).alias("pass_score"),
+            (F.col("quality_prob") >= 0.47).alias("pass_classifier"),
+            F.col("accepted").alias("pass_gopher"),
+        )
+        .groupBy("pass_score", "pass_classifier", "pass_gopher")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+DOC_QUALITY_AGREEMENT_SQL = f"""
+WITH q AS ({DOC_QUALITY_SQL}),
+c AS ({DOC_QUALITY_CLASSIFIER_SQL}),
+g AS ({DOC_GOPHER_RULES_SQL})
+SELECT q.quality_score >= 0.15 AS pass_score,
+       c.quality_prob >= 0.47 AS pass_classifier,
+       g.accepted AS pass_gopher,
+       COUNT(*) AS n_docs
+FROM q JOIN c USING (doc_id) JOIN g USING (doc_id)
+GROUP BY 1, 2, 3
+"""
+
+
 def doc_bpe_tokens(spark, sf_dir):
     """Token counting: whitespace tokens + BPE-ish regex segmentation
     (letter runs / digit runs / single punctuation)."""
@@ -2424,6 +2464,9 @@ QUERIES = {
     "doc_top_boilerplate": (doc_top_boilerplate, DOC_TOP_BOILERPLATE_SQL),
     "doc_corpus_filter": (doc_corpus_filter, DOC_CORPUS_FILTER_SQL),
     "doc_gopher_rules": (doc_gopher_rules, DOC_GOPHER_RULES_SQL),
+    "doc_quality_agreement": (
+        doc_quality_agreement, DOC_QUALITY_AGREEMENT_SQL
+    ),
     "doc_bpe_tokens": (doc_bpe_tokens, DOC_BPE_TOKENS_SQL),
     "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),
     "doc_perplexity": (doc_perplexity, DOC_PERPLEXITY_SQL),
