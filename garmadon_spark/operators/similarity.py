@@ -564,6 +564,64 @@ def append_to_ivf_index(
     )
 
 
+def compact_ivf_index(
+    spark,
+    path: str,
+    target_files: int = 1,
+    min_files: int = 2,
+) -> list:
+    """Compact fragmented IVF cells: every ``append_to_ivf_index`` adds
+    files to the ``ivf_cell=`` directories, so a daily-append deployment
+    accumulates a small-files problem exactly like the event archive's
+    W10 — and gets the same fix.  Cells holding ≥ ``min_files`` data
+    files are rewritten to ~``target_files`` each in ONE partition-pruned
+    Spark job, then each cell directory is ATOMICALLY swapped via the
+    archive's renameat2(RENAME_EXCHANGE) helper — a concurrent probe
+    never observes a missing cell (rename-pair fallback where the
+    syscall is unavailable, same contract as ``compact_day``).
+
+    Returns the compacted cell ids.  O(fragmented cells) driver-side
+    listing; the rewrite reads only fragmented cells' data."""
+    import os as _os
+    import shutil as _shutil
+
+    from garmadon_spark.sinks.archive import _exchange_dirs
+
+    vec = f"{path}/vectors"
+    frag = []
+    for entry in sorted(_os.listdir(vec)):
+        if not entry.startswith("ivf_cell="):
+            continue
+        n = sum(
+            1 for f in _os.listdir(_os.path.join(vec, entry))
+            if f.endswith(".parquet")
+        )
+        if n >= min_files:
+            frag.append(int(entry.split("=", 1)[1]))
+    if not frag:
+        return []
+    tmp = vec + "._compact_tmp"
+    (
+        spark.read.parquet(vec)
+        .filter(F.col("ivf_cell").isin(frag))
+        .repartition(max(len(frag) // max(target_files, 1), 1) * target_files,
+                     "ivf_cell")
+        .write.partitionBy("ivf_cell").mode("overwrite").parquet(tmp)
+    )
+    for c in frag:
+        src = f"{tmp}/ivf_cell={c}"
+        dst = f"{vec}/ivf_cell={c}"
+        if _exchange_dirs(src, dst):
+            _shutil.rmtree(src)  # now holds the pre-compaction files
+        else:
+            bak = dst + "._compact_bak"
+            _os.rename(dst, bak)
+            _os.rename(src, dst)
+            _shutil.rmtree(bak)
+    _shutil.rmtree(tmp)
+    return frag
+
+
 def ivf_topk_from_index(
     spark,
     path: str,

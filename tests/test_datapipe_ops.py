@@ -837,6 +837,60 @@ def test_ann_batch_matches_single(spark, embs, tmp_path):
     assert "SortMergeJoin" not in plan
 
 
+def test_compact_ivf_index_merges_append_fragments(spark, embs, tmp_path):
+    """Daily appends fragment the cell directories; compaction rewrites
+    fragmented cells to one file each, preserves every row, keeps probe
+    results identical, and swaps atomically (W10 contract on the index)."""
+    import glob
+    import os
+
+    path = str(tmp_path / "ivf_cmp")
+    old = embs.filter(F.col("vec_id") % 2 == 0)
+    similarity.write_ivf_index(old, path, n_centroids=4, iterations=1)
+    for m in (1, 3):
+        similarity.append_to_ivf_index(
+            embs.filter(F.col("vec_id") % 4 == m), path
+        )
+    vec = f"{path}/vectors"
+    frag_before = {
+        d: len(glob.glob(os.path.join(vec, d, "*.parquet")))
+        for d in os.listdir(vec) if d.startswith("ivf_cell=")
+    }
+    assert max(frag_before.values()) >= 2
+    before = sorted(
+        (r.vec_id, r.ivf_cell)
+        for r in spark.read.parquet(vec).select("vec_id", "ivf_cell")
+        .collect()
+    )
+    q = [float(x) for x in
+         embs.filter(F.col("vec_id") == 0).head()["embedding"]]
+    probe_before = [
+        (r.vec_id, r.cosine)
+        for r in similarity.ivf_topk_from_index(
+            spark, path, q, k=5, nprobe=4).collect()
+    ]
+    compacted = similarity.compact_ivf_index(spark, path)
+    assert compacted == sorted(
+        int(d.split("=")[1]) for d, n in frag_before.items() if n >= 2
+    )
+    for c in compacted:
+        assert len(glob.glob(f"{vec}/ivf_cell={c}/*.parquet")) == 1
+    after = sorted(
+        (r.vec_id, r.ivf_cell)
+        for r in spark.read.parquet(vec).select("vec_id", "ivf_cell")
+        .collect()
+    )
+    assert after == before
+    probe_after = [
+        (r.vec_id, r.cosine)
+        for r in similarity.ivf_topk_from_index(
+            spark, path, q, k=5, nprobe=4).collect()
+    ]
+    assert probe_after == probe_before
+    # idempotent: nothing left to compact
+    assert similarity.compact_ivf_index(spark, path) == []
+
+
 # --- deterministic sampling -----------------------------------------------
 
 def test_hash_sample_deterministic_and_monotone(spark):
