@@ -397,3 +397,72 @@ def dsir_weights(
         .join(per_doc, id_col, "left")
         .fillna({"log_weight": 0.0})
     )
+
+
+# --- deterministic training shuffle ---------------------------------------
+
+def shuffle_key(id_col: str = "doc_id", seed: int = 0) -> Column:
+    """Deterministic per-row shuffle key: md5 of (seed, id).  Stable
+    across engines/runs/retries/partitionings — the property a training
+    run needs to be RESUMABLE (epoch order must not depend on task
+    scheduling, which rand()-based shuffles do)."""
+    return F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col)
+                             .cast("string")))
+
+
+def shard_of(key: Column, n_shards: int) -> Column:
+    return (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_shards
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 64,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize one epoch's global pseudo-random order: every row
+    gets a deterministic shuffle key, shards by its top bits, and each
+    shard is written SORTED by the key — a data loader reading shards
+    round-robin sees a reproducible global shuffle without any global
+    sort (one hash-partition exchange + per-shard local sorts; at
+    100 TB this is the epoch-shuffle job, re-run per seed)."""
+    key = shuffle_key(id_col, seed)
+    (
+        df.withColumn("_skey", key)
+        .withColumn("shard", shard_of(F.col("_skey"), n_shards))
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "_skey")
+        .write.partitionBy("shard").mode("overwrite").parquet(path)
+    )
+
+
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int = 64,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-shard manifest of the deterministic shuffle: doc count,
+    whitespace-token budget, and the key range (the loader's resume
+    cursor space).  One map-side-combined aggregate."""
+    key = shuffle_key(id_col, seed)
+    n_tokens = F.size(F.filter(F.split(F.col(text_col), r"\s+"),
+                               lambda t: t != ""))
+    return (
+        df.select(
+            shard_of(key, n_shards).alias("shard"),
+            key.alias("_skey"),
+            n_tokens.alias("_ntok"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_ntok").alias("n_tokens"),
+            F.min("_skey").alias("first_key"),
+            F.max("_skey").alias("last_key"),
+        )
+    )

@@ -1310,6 +1310,36 @@ GROUP BY 1, 2, 3
 """
 
 
+def doc_shuffle_manifest(spark, sf_dir, n_shards: int = 8, seed: int = 7):
+    """Deterministic epoch-shuffle manifest (corpus.shard_manifest):
+    every doc's md5(seed, id) key shards the corpus and orders it
+    within shards — a reproducible global shuffle with NO global sort.
+    The manifest (per-shard doc/token budget + key range) is what the
+    training loader consumes for round-robin reads and resume cursors.
+    One map-side-combined aggregate; the write path
+    (corpus.write_training_shards) is one hash exchange + local sorts."""
+    return corpus.shard_manifest(
+        _fanout(spark, _docs(spark, sf_dir)), n_shards=n_shards, seed=seed,
+    )
+
+
+DOC_SHUFFLE_MANIFEST_SQL = r"""
+WITH keyed AS (
+    SELECT md5('7:' || CAST(doc_id AS VARCHAR)) AS skey,
+           len(list_filter(regexp_split_to_array(text, '\s+'),
+                           t -> t <> '')) AS ntok
+    FROM documents
+)
+SELECT CAST(('0x' || substring(skey, 1, 8)) AS BIGINT) % 8 AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+       MIN(skey) AS first_key,
+       MAX(skey) AS last_key
+FROM keyed
+GROUP BY 1
+"""
+
+
 def doc_bpe_tokens(spark, sf_dir):
     """Token counting: whitespace tokens + BPE-ish regex segmentation
     (letter runs / digit runs / single punctuation)."""
@@ -2496,4 +2526,5 @@ QUERIES = {
     "doc_pii_scrub": (doc_pii_scrub, DOC_PII_SCRUB_SQL),
     "doc_line_dedup": (doc_line_dedup, DOC_LINE_DEDUP_SQL),
     "doc_pack_sequences": (doc_pack_sequences, DOC_PACK_SEQUENCES_SQL),
+    "doc_shuffle_manifest": (doc_shuffle_manifest, DOC_SHUFFLE_MANIFEST_SQL),
 }

@@ -891,6 +891,43 @@ def test_compact_ivf_index_merges_append_fragments(spark, embs, tmp_path):
     assert similarity.compact_ivf_index(spark, path) == []
 
 
+def test_training_shards_deterministic_shuffle(spark, docs, tmp_path):
+    """Epoch shuffle: same seed ⇒ byte-identical shard assignment and
+    within-shard order across writes; a different seed reorders; every
+    shard file is sorted by the shuffle key; the manifest matches the
+    written shards."""
+    from garmadon_spark.operators import corpus
+
+    df = docs.select("doc_id", "text")
+    p1, p2, p3 = (str(tmp_path / n) for n in ("e1", "e2", "e3"))
+    corpus.write_training_shards(df, p1, n_shards=3, seed=5)
+    corpus.write_training_shards(df, p2, n_shards=3, seed=5)
+    corpus.write_training_shards(df, p3, n_shards=3, seed=6)
+
+    def order(path):
+        out = {}
+        for r in spark.read.parquet(path).select(
+                "shard", "_skey", "doc_id").collect():
+            out.setdefault(r.shard, []).append((r._skey, r.doc_id))
+        return {s: sorted(v) for s, v in out.items()}
+
+    o1, o2, o3 = order(p1), order(p2), order(p3)
+    assert o1 == o2                      # reproducible across runs
+    assert o1 != o3                      # seed changes the epoch order
+    # within-shard physical order == key order (resumable loader reads)
+    for s, rows in o1.items():
+        got = [
+            (r._skey, r.doc_id)
+            for r in spark.read.parquet(f"{p1}/shard={s}").select(
+                "_skey", "doc_id").collect()
+        ]
+        assert got == rows
+    man = {r.shard: (r.n_docs, r.first_key, r.last_key)
+           for r in corpus.shard_manifest(df, n_shards=3, seed=5).collect()}
+    for s, rows in o1.items():
+        assert man[s] == (len(rows), rows[0][0], rows[-1][0])
+
+
 # --- deterministic sampling -----------------------------------------------
 
 def test_hash_sample_deterministic_and_monotone(spark):

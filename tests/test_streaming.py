@@ -630,3 +630,38 @@ def test_ann_serve_stream_matches_batch_probe(spark, tmp_path):
         index, out, str(tmp_path / "ckpt2"), k=5, nprobe=4,
     )  # writer construction alone must not write anything
     assert spark.read.parquet(out).count() == n_before
+
+
+def test_gopher_rules_run_unchanged_on_stream(spark, tmp_path):
+    """The scalar quality tiers are stateless Column expressions, so
+    they run UNCHANGED on a stream — pin that for the r7 Gopher rules:
+    per-doc verdicts from the streamed pass equal the batch pass."""
+    from garmadon_spark.operators import text
+    from garmadon_spark.session import load_table
+
+    src = str(tmp_path / "docs")
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text")
+    docs.write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .parquet(src)
+    )
+    q = (
+        text.gopher_rules(stream)
+        .select("doc_id", "accepted", "pass_stopwords", "n_words")
+        .writeStream.format("memory").queryName("gopher_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        r.doc_id: (r.accepted, r.pass_stopwords, r.n_words)
+        for r in spark.sql("SELECT * FROM gopher_stream").collect()
+    }
+    exp = {
+        r.doc_id: (r.accepted, r.pass_stopwords, r.n_words)
+        for r in text.gopher_rules(spark.read.parquet(src))
+        .select("doc_id", "accepted", "pass_stopwords", "n_words")
+        .collect()
+    }
+    assert got == exp and len(got) == docs.count()
