@@ -593,3 +593,65 @@ def perplexity_scores(df: DataFrame, text_col: str = "text",
             F.round(F.exp(F.col("_ce")), 2).alias("ppl"),
         )
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 keyword relevance against a fixed query — the exact
+    lexical-retrieval complement to the ANN tier (decontamination
+    lookups, curation-by-keyword, eval-set mining all need term search,
+    not embeddings).  Uses the Lucene-style non-negative idf
+    ``ln(1 + (N − df + 0.5)/(df + 0.5))``.
+
+    Plan shape at 100 TB: corpus statistics (N, avg doc length, per-term
+    document frequencies) are ONE map-side-combined aggregate collapsing
+    to a single driver row — |query|+2 scalars that ride the scoring
+    expression as literals.  Scoring itself is a map-only scalar pass
+    over the scan (per-term tf via array filters on the staged token
+    array); only matching docs (score > 0) are emitted.  No shuffle
+    anywhere, no inverted index to maintain — Parquet + codegen IS the
+    index for batch-scale retrieval."""
+    toks_col = tokens(text_col)
+    staged = df.select(id_col, toks_col.alias("_toks"))
+    toks = F.col("_toks")
+
+    def term_freq(term: str) -> Column:
+        # one-arg lambda via closure: a two-parameter lambda (even with
+        # a default) is called by Spark as (element, index)
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    stats_row = staged.select(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size(toks)).alias("avgdl"),
+        *[
+            F.sum((term_freq(t) > 0).cast("long")).alias(f"df_{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    ).first()
+    n_docs = stats_row["n"] or 0
+    avgdl = float(stats_row["avgdl"] or 1.0)
+    import math
+
+    idf = [
+        math.log(1.0 + (n_docs - stats_row[f"df_{i}"] + 0.5)
+                 / (stats_row[f"df_{i}"] + 0.5))
+        for i in range(len(query_terms))
+    ]
+    dl = F.size(toks)
+    score = F.lit(0.0)
+    for i, t in enumerate(query_terms):
+        tf = term_freq(t)
+        score = score + F.lit(idf[i]) * (
+            tf.cast("double") * (k1 + 1.0)
+            / (tf + k1 * (1.0 - b + b * dl / F.lit(avgdl)))
+        )
+    return (
+        staged.select(id_col, F.round(score, 4).alias("bm25"))
+        .filter(F.col("bm25") > 0)
+    )

@@ -1310,6 +1310,54 @@ GROUP BY 1, 2, 3
 """
 
 
+BM25_QUERY_TERMS = ["spark", "query", "window"]
+
+
+def doc_bm25_search(spark, sf_dir):
+    """Okapi BM25 keyword relevance for a fixed query (text.bm25_scores)
+    — the lexical-retrieval complement to the ANN tier.  Corpus stats
+    (N, avgdl, per-term df) collapse to ONE driver row riding the
+    scoring expression as literals; scoring is a map-only scalar pass,
+    no shuffle, no inverted index — Parquet + codegen is the batch
+    retrieval index."""
+    return text.bm25_scores(
+        _fanout(spark, _docs(spark, sf_dir)), BM25_QUERY_TERMS
+    )
+
+
+DOC_BM25_SEARCH_SQL = r"""
+WITH tk AS (
+    SELECT doc_id,
+           list_filter(string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+                       t -> t <> '') AS toks
+    FROM documents
+), st AS (
+    SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl,
+           SUM(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS df0,
+           SUM(CASE WHEN list_contains(toks, 'query') THEN 1 ELSE 0 END) AS df1,
+           SUM(CASE WHEN list_contains(toks, 'window') THEN 1 ELSE 0 END) AS df2
+    FROM tk
+), tf AS (
+    SELECT doc_id, len(toks) AS dl,
+           len(list_filter(toks, t -> t = 'spark')) AS tf0,
+           len(list_filter(toks, t -> t = 'query')) AS tf1,
+           len(list_filter(toks, t -> t = 'window')) AS tf2
+    FROM tk
+), scored AS (
+    SELECT doc_id,
+           ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+             * (tf0 * 2.2 / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+           + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+             * (tf1 * 2.2 / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+           + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+             * (tf2 * 2.2 / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+           AS s
+    FROM tf, st
+)
+SELECT doc_id, ROUND(s, 4) AS bm25 FROM scored WHERE ROUND(s, 4) > 0
+"""
+
+
 def doc_shuffle_manifest(spark, sf_dir, n_shards: int = 8, seed: int = 7):
     """Deterministic epoch-shuffle manifest (corpus.shard_manifest):
     every doc's md5(seed, id) key shards the corpus and orders it
@@ -2527,4 +2575,5 @@ QUERIES = {
     "doc_line_dedup": (doc_line_dedup, DOC_LINE_DEDUP_SQL),
     "doc_pack_sequences": (doc_pack_sequences, DOC_PACK_SEQUENCES_SQL),
     "doc_shuffle_manifest": (doc_shuffle_manifest, DOC_SHUFFLE_MANIFEST_SQL),
+    "doc_bm25_search": (doc_bm25_search, DOC_BM25_SEARCH_SQL),
 }

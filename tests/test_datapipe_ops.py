@@ -928,6 +928,25 @@ def test_training_shards_deterministic_shuffle(spark, docs, tmp_path):
         assert man[s] == (len(rows), rows[0][0], rows[-1][0])
 
 
+def test_bm25_ranking_semantics(spark):
+    """BM25: more query-term mass ranks higher, rarer terms weigh more
+    than common ones, non-matching docs are excluded."""
+    rows = [
+        (0, "spark spark spark engine"),       # heavy on 'spark'
+        (1, "spark engine data"),              # one hit
+        (2, "data engine rows"),               # no hit
+        (3, "needle data engine"),             # rare-term hit
+        (4, "spark data plan"),                # common-term hit, same dl
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    scores = {r.doc_id: r.bm25
+              for r in text.bm25_scores(df, ["spark", "needle"]).collect()}
+    assert 2 not in scores                 # no query term → excluded
+    assert scores[0] > scores[1]           # higher tf → higher score
+    # 'needle' (df=1) outweighs 'spark' (df=3) at equal tf and length
+    assert scores[3] > scores[4]
+
+
 # --- deterministic sampling -----------------------------------------------
 
 def test_hash_sample_deterministic_and_monotone(spark):
