@@ -205,3 +205,47 @@ def test_compute_panel_filter_reaches_scan(spark):
     scan = next(l for l in plan.splitlines() if "FileScan" in l)
     m = re.search(r"PushedFilters: \[([^\]]*)\]", scan)
     assert m and "type" in m.group(1), scan
+
+
+def test_scalar_quality_tiers_are_shuffle_free(spark):
+    """The r7 scalar tiers (Gopher rules, BM25 scoring, the chained
+    agreement input) must stay map-only: no Exchange anywhere in the
+    per-doc plan — at 100 TB these fuse into the scan or they don't
+    ship."""
+    from pyspark.sql import functions as F
+
+    from garmadon_spark.operators import text
+    from garmadon_spark.session import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    plan = _plan(text.gopher_rules(docs))
+    assert "Exchange" not in plan
+    plan = _plan(text.bm25_scores(docs, ["spark", "query"]))
+    assert "Exchange" not in plan
+    plan = _plan(
+        text.hashed_linear_score(
+            text.gopher_rules(text.quality_score(docs)), keep_cols=True
+        )
+    )
+    assert "Exchange" not in plan
+
+
+def test_dsir_ratio_model_is_broadcast(spark):
+    """DSIR per-doc weighting: the bucket-ratio model joins as a
+    BroadcastHashJoin (model-sized side), the per-doc sum keeps a
+    partial_sum before its exchange (map-side combine — the shuffle is
+    corpus-rows-sized, not token-sized)."""
+    from pyspark.sql import functions as F
+
+    from garmadon_spark.operators import corpus
+    from garmadon_spark.session import load_table
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    out = corpus.dsir_weights(
+        docs, docs.filter(F.col("lang") == "en"), buckets=256
+    )
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
