@@ -85,6 +85,38 @@ def main():
     print(f"semantic dedup @0.3 over IVF cells: keep {kept}/{n} "
           f"({n - kept} semantically-redundant vectors dropped)")
 
+    # the index LIFECYCLE a deployment runs: materialize → absorb the
+    # daily batch (append, no rebuild) → serve query BATCHES through
+    # one plan → compact the append fragments (atomic per-cell swap)
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="garmadon_ann_idx_") + "/idx"
+    similarity.write_ivf_index(
+        embs.filter(F.col("vec_id") % 2 == 0), path,
+        n_centroids=N_CENTROIDS, iterations=1,
+    )
+    similarity.append_to_ivf_index(
+        embs.filter(F.col("vec_id") % 2 == 1), path
+    )
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    served = similarity.ivf_topk_batch(
+        spark, path, queries, k=K, nprobe=NPROBE
+    )
+    # materialize BEFORE compacting: a lazy plan captures the file list
+    # at planning time, and the swap replaces those files (new probes
+    # re-plan and see the compacted layout; stale plans must re-plan)
+    n_before = served.count()
+    per_q = served.groupBy("query_id").count().count()
+    compacted = similarity.compact_ivf_index(spark, path)
+    again = similarity.ivf_topk_batch(
+        spark, path, queries, k=K, nprobe=NPROBE
+    ).count()
+    print(f"serving: {per_q} queries answered in one batched plan; "
+          f"compacted {len(compacted)} fragmented cells "
+          f"(probe rows before/after: {n_before}/{again})")
+
 
 if __name__ == "__main__":
     main()

@@ -5,10 +5,13 @@ tier composed the way a dataset build actually runs:
   repeated-n-gram scrub (bounded exact-substring dedup) → bigram-LM
   perplexity gate (CCNet-style: drop the most-surprising tail) →
   model-based quality gate (hashed-linear classifier) →
+  Gopher structural-rule gate (+ full rule-set telemetry) →
   quality/length/dedup gates (doc_corpus_filter semantics) → accepted
-  set → training-mix plan + deterministic stratified sample →
-  sequence packing bookkeeping → per-language quality telemetry
-  (the batch form of streaming/corpus.monitor_quality, for backfills).
+  set → DSIR importance weights toward the target language → training-
+  mix plan + deterministic stratified sample → sequence packing
+  bookkeeping → deterministic epoch-shuffle shards + manifest →
+  per-language quality telemetry (the batch form of
+  streaming/corpus.monitor_quality, for backfills).
 
 Run: ``python examples/corpus_pipeline.py [sf_dir] [out_dir]``
 """
@@ -84,6 +87,19 @@ def main():
         "doc_id",
     )
 
+    # 3c. Gopher hard rules: gate on the STRUCTURAL subset (symbol /
+    # bullet / ellipsis / alpha-word rules — format junk), report the
+    # full rule set.  The lexical rules (stopword floor, word-count
+    # band) are calibrated for natural prose; on this synthetic corpus
+    # they would reject everything, which is telemetry, not a gate.
+    gop = text.gopher_rules(base.select("doc_id", "text"))
+    n_gopher_full = gop.filter(F.col("accepted")).count()
+    structural_ok = gop.filter(
+        F.col("pass_symbol_ratio") & F.col("pass_bullet_lines")
+        & F.col("pass_ellipsis_lines") & F.col("pass_alpha_words")
+    )
+    base = base.join(structural_ok.select("doc_id"), "doc_id")
+
     # 4. gates: length + quality + exact-dedup survivorship, one pass
     scored = text.quality_score(base)
     w = Window.partitionBy(dedup.content_hash("text"))
@@ -115,6 +131,20 @@ def main():
     mixed.write.mode("overwrite").parquet(f"{out_dir}/mixed")
     n_mixed = spark.read.parquet(f"{out_dir}/mixed").count()
 
+    # 4c. DSIR importance weights: how target-like (English here) each
+    # accepted doc looks — the principled alternative to the stratified
+    # mix when curating toward a reference distribution; the weights
+    # feed text.weighted_sample for a Gumbel-top-k selection
+    dsir = corpus.dsir_weights(
+        acc.select("doc_id", "text"),
+        acc.filter(F.col("lang") == "en").select("doc_id", "text"),
+        buckets=1024,
+    )
+    dsir_stats = dsir.agg(
+        F.round(F.avg("log_weight"), 3).alias("avg"),
+        F.round(F.max("log_weight"), 3).alias("max"),
+    ).head()
+
     # 5. sequence-packing bookkeeping over the mixed set
     assigned = corpus.pack_sequences(
         spark.read.parquet(f"{out_dir}/mixed"), seq_len=256, n_shards=8
@@ -124,6 +154,17 @@ def main():
     fill = packs.agg(
         F.round(F.avg(F.col("pack_tokens") / 256.0), 4)
     ).head()[0]
+
+    # 5b. materialize the epoch: deterministic shuffle shards (same
+    # seed ⇒ same order — resumable loaders) + the loader's manifest
+    corpus.write_training_shards(
+        spark.read.parquet(f"{out_dir}/mixed"),
+        f"{out_dir}/shards", n_shards=4, seed=0,
+    )
+    man = corpus.shard_manifest(
+        spark.read.parquet(f"{out_dir}/mixed"), n_shards=4, seed=0
+    )
+    n_shards_written = man.count()
 
     # 6. per-language quality telemetry (archive-backfill form of the
     # streaming monitor)
@@ -139,9 +180,11 @@ def main():
 
     print(
         f"docs={n_in} pii_docs={n_pii} span_docs={n_span_docs} "
-        f"ppl_kept={n_ppl} accepted={n_ok} rejected={n_in - n_ok} "
+        f"ppl_kept={n_ppl} gopher_full={n_gopher_full} "
+        f"accepted={n_ok} rejected={n_in - n_ok} "
         f"mixed={n_mixed} packs={n_packs} avg_fill={fill} "
-        f"top_langs={top} out={out_dir}"
+        f"dsir_avg={dsir_stats['avg']} dsir_max={dsir_stats['max']} "
+        f"shards={n_shards_written} top_langs={top} out={out_dir}"
     )
 
 

@@ -581,7 +581,12 @@ def compact_ivf_index(
     syscall is unavailable, same contract as ``compact_day``).
 
     Returns the compacted cell ids.  O(fragmented cells) driver-side
-    listing; the rewrite reads only fragmented cells' data."""
+    listing; the rewrite reads only fragmented cells' data.
+
+    Refresh semantics: the atomic swap protects LISTING-time readers —
+    a DataFrame planned before compaction holds the pre-swap file list
+    and must re-plan (spark.read again / REFRESH TABLE) afterwards,
+    the standard Spark contract for any overwritten path."""
     import os as _os
     import shutil as _shutil
 
