@@ -840,6 +840,66 @@ FROM big
 """
 
 
+def doc_contamination_pairs(
+    spark, sf_dir, ngram: int = 4, eval_source: str = "src0",
+    min_shared: int = 3,
+):
+    """The decontamination ACTION list: per (training doc, eval doc)
+    n-gram overlap at or above ``min_shared`` — doc_contamination says
+    a doc is contaminated, this says BY WHICH benchmark document, which
+    is what an owner needs to decide drop-vs-keep per eval suite.
+
+    Same plan as doc_contamination (eval grams broadcast, training
+    corpus never shuffled on content) plus one pair-keyed aggregate;
+    output is bounded by contaminated-doc × matching-eval-doc pairs,
+    not the corpus."""
+    docs = _fanout(spark, _docs(spark, sf_dir)).select(
+        "doc_id", "source", dedup.shingles("text", ngram).alias("_grams")
+    )
+    grams = dedup.explode_computed(
+        docs, F.col("_grams"), "gram", ["doc_id", "source"]
+    )
+    eval_grams = (
+        grams.filter(F.col("source") == eval_source)
+        .select(F.col("doc_id").alias("eval_doc_id"), "gram")
+    )
+    return (
+        grams.filter(F.col("source") != eval_source)
+        .join(eval_grams, "gram")
+        .groupBy("doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+DOC_CONTAMINATION_PAIRS_SQL = """
+WITH toks AS (
+  SELECT doc_id, source, unnest(l) AS tok,
+         generate_subscripts(l, 1) AS pos, len(l) AS n
+  FROM (SELECT doc_id, source,
+               list_filter(string_split(trim(lower(
+                   regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+                   t -> t <> '') AS l
+        FROM documents)
+), grams AS (
+  SELECT doc_id, source,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+             || ' ' || lead(tok, 3) OVER w AS gram,
+         pos, n
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), valid AS (
+  SELECT DISTINCT doc_id, source, gram FROM grams WHERE pos + 3 <= n
+), eval_g AS (
+  SELECT doc_id AS eval_doc_id, gram FROM valid WHERE source = 'src0'
+)
+SELECT t.doc_id, eval_g.eval_doc_id, COUNT(*) AS n_shared
+FROM (SELECT doc_id, gram FROM valid WHERE source <> 'src0') t
+JOIN eval_g USING (gram)
+GROUP BY t.doc_id, eval_g.eval_doc_id
+HAVING COUNT(*) >= 3
+"""
+
+
 def doc_contamination(spark, sf_dir, ngram: int = 4, eval_source: str = "src0"):
     """Benchmark-contamination scan: which training documents share any
     word n-gram with the held-out evaluation corpus (here the `src0`
@@ -2549,6 +2609,9 @@ QUERIES = {
     "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),
     "doc_perplexity": (doc_perplexity, DOC_PERPLEXITY_SQL),
     "doc_contamination": (doc_contamination, DOC_CONTAMINATION_SQL),
+    "doc_contamination_pairs": (
+        doc_contamination_pairs, DOC_CONTAMINATION_PAIRS_SQL
+    ),
     "doc_dup_groups": (doc_dup_groups, DOC_DUP_GROUPS_SQL),
     "doc_stratified_sample": (doc_stratified_sample, DOC_STRATIFIED_SAMPLE_SQL),
     "doc_weighted_sample": (doc_weighted_sample, DOC_WEIGHTED_SAMPLE_SQL),
