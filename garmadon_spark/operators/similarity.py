@@ -316,18 +316,26 @@ def build_hierarchical_ivf(
     if total > HIER_SAMPLE_CAP:
         shrink = HIER_SAMPLE_CAP / total
         spb_for = {b: max(32, int(s * shrink)) for b, s in spb_for.items()}
-    spb_max = max(spb_for.values())
+    # the per-branch cap must be enforced IN THE PLAN, not after the
+    # collect: filtering on the global max cap would pull min(size_b,
+    # max_cap) rows from EVERY branch — on a skewed corpus (one 4096-cap
+    # branch among hundreds of small-cap ones) that collects ~10× the
+    # budget to the driver before Python discards it
+    limit_map = F.create_map(
+        *[F.lit(x) for b, s in spb_for.items() for x in (b, s)]
+    )
     samp = (
         branched.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= spb_max)
-        .select("ivf_branch", vec_col, "_rn")
+        .filter(F.col("_rn") <= F.element_at(limit_map,
+                                             F.col("ivf_branch")))
+        .select("ivf_branch", vec_col)
         .collect()
     )
     by_branch: dict[int, list] = {}
     for r in samp:
-        b = int(r[0])
-        if r[2] <= spb_for[b]:
-            by_branch.setdefault(b, []).append([float(x) for x in r[1]])
+        by_branch.setdefault(int(r[0]), []).append(
+            [float(x) for x in r[1]]
+        )
 
     fine_by_branch: dict[int, np.ndarray] = {}
     for b, rows in by_branch.items():
@@ -583,48 +591,128 @@ def compact_ivf_index(
     Returns the compacted cell ids.  O(fragmented cells) driver-side
     listing; the rewrite reads only fragmented cells' data.
 
+    Concurrency contract: an ``append_to_ivf_index`` may land files in
+    a cell BETWEEN this function's snapshot and its swap.  The rewrite
+    reads an explicit per-cell FILE SNAPSHOT (not the live directory),
+    and after the swap any file that appeared post-snapshot is MOVED
+    into the compacted directory before the old one is deleted — a
+    concurrent append is preserved, never silently dropped.  (Without
+    a table format's transaction log this is the strongest guarantee a
+    directory layout offers; serialize maintenance jobs regardless.)
+
+    Crash recovery: a previous run's leftover ``._compact_bak`` /
+    ``._compact_tmp`` directories are healed first (bak restored if
+    the live dir is missing, deleted otherwise), and cell discovery
+    accepts only exact ``ivf_cell=<int>`` names so leftovers can never
+    corrupt a later run or partition discovery.
+
     Refresh semantics: the atomic swap protects LISTING-time readers —
     a DataFrame planned before compaction holds the pre-swap file list
     and must re-plan (spark.read again / REFRESH TABLE) afterwards,
     the standard Spark contract for any overwritten path."""
     import os as _os
+    import re as _re
     import shutil as _shutil
 
     from garmadon_spark.sinks.archive import _exchange_dirs
 
     vec = f"{path}/vectors"
-    frag = []
+    # heal a crashed prior run before anything else
+    stale_tmp = vec + "._compact_tmp"
+    if _os.path.isdir(stale_tmp):
+        _shutil.rmtree(stale_tmp)
+    for entry in list(_os.listdir(vec)):
+        if entry.endswith("._compact_bak"):
+            live = _os.path.join(vec, entry[: -len("._compact_bak")])
+            bak = _os.path.join(vec, entry)
+            if not _os.path.isdir(live):
+                _os.rename(bak, live)   # crash before the re-rename
+            else:
+                _shutil.rmtree(bak)     # crash before bak cleanup
+
+    snapshot: dict[int, list[str]] = {}
     for entry in sorted(_os.listdir(vec)):
-        if not entry.startswith("ivf_cell="):
+        m = _re.fullmatch(r"ivf_cell=(\d+)", entry)
+        if not m:
             continue
-        n = sum(
-            1 for f in _os.listdir(_os.path.join(vec, entry))
+        files = [
+            _os.path.join(vec, entry, f)
+            for f in _os.listdir(_os.path.join(vec, entry))
             if f.endswith(".parquet")
-        )
-        if n >= min_files:
-            frag.append(int(entry.split("=", 1)[1]))
-    if not frag:
+        ]
+        if len(files) >= min_files:
+            snapshot[int(m.group(1))] = files
+    if not snapshot:
         return []
-    tmp = vec + "._compact_tmp"
+    frag = sorted(snapshot)
+    tmp = stale_tmp
+    all_files = [f for files in snapshot.values() for f in files]
+    df = spark.read.parquet(*all_files)
+    # ivf_cell is a directory-partition column; reading explicit files
+    # loses it, so recover it from the path
+    df = df.withColumn(
+        "ivf_cell",
+        F.regexp_extract(F.input_file_name(), r"ivf_cell=(\d+)", 1)
+        .cast("int"),
+    )
+    part_keys = ["ivf_cell"]
+    if target_files > 1:
+        # salt so each cell splits into ~target_files write tasks —
+        # repartitioning on the cell alone puts the whole cell in one
+        # task and always yields one file
+        df = df.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("ivf_cell") * 31 + F.lit(7)
+                                       + F.monotonically_increasing_id()),
+                            F.lit(target_files))
+        )
+        part_keys = ["ivf_cell", "_salt"]
     (
-        spark.read.parquet(vec)
-        .filter(F.col("ivf_cell").isin(frag))
-        .repartition(max(len(frag) // max(target_files, 1), 1) * target_files,
-                     "ivf_cell")
+        df.repartition(len(frag) * max(target_files, 1), *part_keys)
+        .drop("_salt")
         .write.partitionBy("ivf_cell").mode("overwrite").parquet(tmp)
     )
     for c in frag:
         src = f"{tmp}/ivf_cell={c}"
         dst = f"{vec}/ivf_cell={c}"
         if _exchange_dirs(src, dst):
-            _shutil.rmtree(src)  # now holds the pre-compaction files
+            old = src   # now holds the pre-compaction files
         else:
-            bak = dst + "._compact_bak"
-            _os.rename(dst, bak)
+            old = dst + "._compact_bak"
+            _os.rename(dst, old)
             _os.rename(src, dst)
-            _shutil.rmtree(bak)
+        # preserve files a concurrent append landed after the snapshot
+        seen = {_os.path.basename(f) for f in snapshot[c]}
+        for f in _os.listdir(old):
+            if f.endswith(".parquet") and f not in seen:
+                _os.rename(_os.path.join(old, f), _os.path.join(dst, f))
+        _shutil.rmtree(old)
     _shutil.rmtree(tmp)
     return frag
+
+
+def _normalized_t(vecs: list) -> np.ndarray:
+    """Row-normalized centroid matrix, transposed for GEMV scoring.
+    Row-wise normalization is row-independent, so a submatrix built
+    from filtered rows is bit-identical to the same columns of the
+    full matrix — the property the single-query / batched probe parity
+    contract relies on."""
+    C = np.asarray(vecs, dtype=np.float64)
+    norms = np.linalg.norm(C, axis=1)
+    norms[norms == 0] = 1.0
+    return np.ascontiguousarray((C / norms[:, None]).T)
+
+
+def _top_ids_np(q: np.ndarray, ids: np.ndarray, m_t: np.ndarray,
+                top: int) -> np.ndarray:
+    """Top-``top`` ids by cosine against the normalized matrix, with a
+    DETERMINISTIC tie-break on id (np.argsort alone is an unstable
+    quicksort — exact similarity ties, e.g. duplicated centroids,
+    would make two probes disagree).  One GEMV per call; both the
+    driver-side single-query probe and the Arrow batch probe route
+    through here so their arithmetic is identical."""
+    sims = q @ m_t
+    order = np.lexsort((ids, -sims))
+    return ids[order[:top]]
 
 
 def ivf_topk_from_index(
@@ -651,16 +739,12 @@ def ivf_topk_from_index(
     branches to hold ~2·nprobe fine cells."""
     import os as _os
 
-    qn = _py_norm(query_vec)
+    q_np = np.asarray([float(x) for x in query_vec], dtype=np.float64)
     cent_df = spark.read.parquet(f"{path}/centroids")
     if _os.path.isdir(f"{path}/coarse"):
         coarse = {
             int(r.ivf_branch): list(r.centroid)
             for r in spark.read.parquet(f"{path}/coarse").collect()
-        }
-        bsims = {
-            b: sum(a * q for a, q in zip(c, query_vec)) / (_py_norm(c) * qn)
-            for b, c in coarse.items()
         }
         n_cells = cent_df.count()
         kb = max(1, n_cells // max(len(coarse), 1))
@@ -668,16 +752,16 @@ def ivf_topk_from_index(
             probe_branches = min(
                 len(coarse), max(2, -(-2 * nprobe // kb))
             )
-        branches = sorted(bsims, key=lambda b: -bsims[b])[:probe_branches]
+        bids = np.asarray(sorted(coarse), dtype=np.int64)
+        bn_t = _normalized_t([coarse[int(b)] for b in bids])
+        branches = [
+            int(b) for b in _top_ids_np(q_np, bids, bn_t, probe_branches)
+        ]
         cent_df = cent_df.filter(F.col("ivf_branch").isin(branches))
-    cents = {
-        r.ivf_cell: list(r.centroid) for r in cent_df.collect()
-    }
-    sims = {
-        cid: sum(a * b for a, b in zip(c, query_vec)) / (_py_norm(c) * qn)
-        for cid, c in cents.items()
-    }
-    probe = sorted(sims, key=lambda cid: -sims[cid])[:nprobe]
+    rows = cent_df.collect()
+    cells = np.asarray([int(r.ivf_cell) for r in rows], dtype=np.int64)
+    cn_t = _normalized_t([list(r.centroid) for r in rows])
+    probe = [int(c) for c in _top_ids_np(q_np, cells, cn_t, nprobe)]
     q = _lit_vec(query_vec)
     vectors = spark.read.parquet(f"{path}/vectors")
     if exclude_ids:
@@ -693,45 +777,64 @@ def ivf_topk_from_index(
     )
 
 
+def load_ivf_centroids(spark, path: str):
+    """Driver-side load of a materialized index's quantizer: fine rows
+    ``(cell, branch, centroid)`` + the coarse table (empty dict on a
+    flat index).  Centroid-sized (k·d·8 B — the documented broadcast
+    budget), never data-sized.  A serving loop (streaming ANN) loads
+    this ONCE and passes it to every ``ivf_topk_batch`` call instead of
+    re-collecting the centroid table per micro-batch."""
+    import os as _os
+
+    cent = spark.read.parquet(f"{path}/centroids").collect()
+    if _os.path.isdir(f"{path}/coarse"):
+        coarse_by_id = {
+            int(r.ivf_branch): list(r.centroid)
+            for r in spark.read.parquet(f"{path}/coarse").collect()
+        }
+        fine_rows = [
+            (int(r.ivf_cell), int(r.ivf_branch), list(r.centroid))
+            for r in cent
+        ]
+    else:
+        coarse_by_id = {}
+        fine_rows = [(int(r.ivf_cell), 0, list(r.centroid)) for r in cent]
+    return fine_rows, coarse_by_id
+
+
 def _probe_cells_udf(fine_rows, coarse_by_id, nprobe, probe_branches):
     """Arrow UDF assigning each query vector its top-``nprobe`` fine
-    cells.  Flat index: one Q@Cᵀ matmul per batch.  Hierarchical: coarse
-    matmul first, then each query scores ONLY its selected branches'
-    fine centroids (same pruning as the driver-side single-query probe,
-    vectorized per Arrow batch; the per-row loop touches
-    ~probe_branches·√k centroids, serving-batch-sized work)."""
+    cells through the SAME `_top_ids_np` selection the driver-side
+    single-query probe uses (one GEMV per query, deterministic id
+    tie-break) — identical arithmetic is what makes the exact-parity
+    gate (`emb_ann_batch_check`) stable.  Hierarchical: coarse
+    selection per query first, then fine scoring over only the
+    selected branches' columns (row-wise normalization makes the
+    submatrix bit-identical to the full matrix's columns)."""
     from pyspark.sql.functions import pandas_udf
 
     cells = np.asarray([c for c, _, _ in fine_rows], dtype=np.int64)
-    C = np.asarray([v for _, _, v in fine_rows], dtype=np.float64)
-    norms = np.linalg.norm(C, axis=1)
-    norms[norms == 0] = 1.0
-    cn_t = np.ascontiguousarray((C / norms[:, None]).T)
+    cn_t = _normalized_t([v for _, _, v in fine_rows])
     branches = np.asarray([b for _, b, _ in fine_rows], dtype=np.int64)
     if coarse_by_id:
         bids = np.asarray(sorted(coarse_by_id), dtype=np.int64)
-        B = np.asarray([coarse_by_id[b] for b in bids], dtype=np.float64)
-        bnorms = np.linalg.norm(B, axis=1)
-        bnorms[bnorms == 0] = 1.0
-        bn_t = np.ascontiguousarray((B / bnorms[:, None]).T)
+        bn_t = _normalized_t([coarse_by_id[int(b)] for b in bids])
 
     @pandas_udf("array<int>")
     def _probe(v: pd.Series) -> pd.Series:
         Q = np.asarray(v.to_list(), dtype=np.float64)
         out = []
-        if coarse_by_id:
-            bsims = Q @ bn_t
-            top_b = np.argsort(-bsims, axis=1)[:, :probe_branches]
-            for i in range(Q.shape[0]):
-                sel = np.isin(branches, bids[top_b[i]])
-                sims = Q[i] @ cn_t[:, sel]
-                idx = np.argsort(-sims)[:nprobe]
-                out.append(cells[sel][idx].astype("int32").tolist())
-        else:
-            sims = Q @ cn_t
-            top = np.argsort(-sims, axis=1)[:, :nprobe]
-            for i in range(Q.shape[0]):
-                out.append(cells[top[i]].astype("int32").tolist())
+        for i in range(Q.shape[0]):
+            if coarse_by_id:
+                top_b = _top_ids_np(Q[i], bids, bn_t, probe_branches)
+                sel = np.isin(branches, top_b)
+                picked = _top_ids_np(
+                    Q[i], cells[sel],
+                    np.ascontiguousarray(cn_t[:, sel]), nprobe
+                )
+            else:
+                picked = _top_ids_np(Q[i], cells, cn_t, nprobe)
+            out.append(picked.astype("int32").tolist())
         return pd.Series(out)
 
     return _probe
@@ -749,6 +852,7 @@ def ivf_topk_batch(
     vec_col: str = "embedding",
     probe_branches: int | None = None,
     exclude_self: bool = True,
+    centroids: tuple | None = None,
 ) -> DataFrame:
     """Probe a materialized IVF index with a BATCH of query vectors —
     the ANN **serving** path (each micro-batch of a query stream, or an
@@ -769,40 +873,40 @@ def ivf_topk_batch(
          one batch-keyed shuffle of candidate rows only.
 
     Parity: for any single query, rows equal ``ivf_topk_from_index``
-    with the same k/nprobe (pinned by test_ann_batch_matches_single).
-    """
-    import os as _os
+    with the same k/nprobe (pinned by test_ann_batch_matches_single) —
+    both paths select cells through the shared `_top_ids_np`, so the
+    arithmetic and tie-breaks are identical.
 
-    cent = spark.read.parquet(f"{path}/centroids").collect()
-    hier = _os.path.isdir(f"{path}/coarse")
-    coarse_by_id = {}
-    if hier:
-        coarse_by_id = {
-            int(r.ivf_branch): list(r.centroid)
-            for r in spark.read.parquet(f"{path}/coarse").collect()
-        }
-        kb = max(1, len(cent) // max(len(coarse_by_id), 1))
-        if probe_branches is None:
-            probe_branches = min(
-                len(coarse_by_id), max(2, -(-2 * nprobe // kb))
-            )
-        fine_rows = [
-            (int(r.ivf_cell), int(r.ivf_branch), list(r.centroid))
-            for r in cent
-        ]
-    else:
-        fine_rows = [(int(r.ivf_cell), 0, list(r.centroid)) for r in cent]
+    ``centroids``: the (fine_rows, coarse_by_id) pair from
+    ``load_ivf_centroids`` — pass it to amortize the centroid-table
+    read across calls (the streaming server does); None loads it here.
+
+    The query batch (with its probed cells) is persisted so the probe
+    UDF runs ONCE — the cell-union collect and the broadcast join both
+    read the cached batch.  The returned DataFrame carries a
+    ``_gs_unpersist`` hook; long-lived callers should invoke it after
+    consuming the result."""
+    if centroids is None:
+        centroids = load_ivf_centroids(spark, path)
+    fine_rows, coarse_by_id = centroids
+    if coarse_by_id and probe_branches is None:
+        kb = max(1, len(fine_rows) // max(len(coarse_by_id), 1))
+        probe_branches = min(
+            len(coarse_by_id), max(2, -(-2 * nprobe // kb))
+        )
     probe = _probe_cells_udf(fine_rows, coarse_by_id, nprobe,
                              probe_branches or 0)
     planned = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("_qvec"),
         probe(F.col(query_vec_col)).alias("_cells"),
-    )
+    ).persist()
     exploded = planned.select(
         "query_id", "_qvec", F.explode("_cells").alias("ivf_cell")
     )
-    # bounded by min(n_cells, batch·nprobe) — O(cells), never O(data)
+    # bounded by min(n_cells, batch·nprobe) — O(cells), never O(data);
+    # materializes `planned` into the cache, so this is the only
+    # execution of the probe UDF
     probed = [int(r.ivf_cell)
               for r in exploded.select("ivf_cell").distinct().collect()]
     vectors = spark.read.parquet(f"{path}/vectors").filter(
@@ -817,7 +921,7 @@ def ivf_topk_batch(
     if exclude_self:
         # queries drawn from the corpus: drop the query's own row
         joined = joined.filter(F.col(id_col) != F.col("query_id"))
-    return (
+    out = (
         joined
         .select(
             "query_id",
@@ -828,6 +932,8 @@ def ivf_topk_batch(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+    out._gs_unpersist = planned.unpersist
+    return out
 
 
 def neardup_pairs_blocked(

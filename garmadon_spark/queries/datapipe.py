@@ -1657,7 +1657,10 @@ def _ensure_ivf_index(spark, sf_dir) -> str:
     n = _emb_count(spark, sf_dir)
     k = _ivf_cells_for(n)
     mode = "h2" if k > similarity.HIER_IVF_MIN_CELLS else "flat"
-    want = f"k={k};{mode}"
+    # the file-state signature is part of the stamp: a corpus REWRITTEN
+    # at the same path with the same row count (so the same k) must
+    # rebuild, not serve the old corpus's vectors/centroids
+    want = f"k={k};{mode};sig={_emb_signature(sf_dir)}"
     stamp = os.path.join(path, "_OK")
     stamped = open(stamp).read() if os.path.exists(stamp) else None
     if stamped != want:
@@ -1885,10 +1888,13 @@ def _ensure_ivfpq(spark, sf_dir):
     # 8, so every ≤sf0.1 fixture keeps the r1-r5 layout bit-for-bit);
     # the IVFPQ probe is linear either way, but constant cells keep the
     # partition-pruning fraction meaningful as the corpus grows.
-    # k_cells is PART OF THE KEY (r6 advisor): a corpus resize that
-    # moves the cell count can't keep serving stale centroids/codebooks
+    # k_cells AND the file-state signature are PART OF THE KEY (r6
+    # advisor + r7 review): a corpus resize that moves the cell count,
+    # or a same-count rewrite at the same path, can't keep serving
+    # stale centroids/codebooks
     k_cells = _ivf_cells_for(_emb_count(spark, sf_dir))
-    key = (id(spark), os.path.realpath(sf_dir), k_cells)
+    key = (id(spark), os.path.realpath(sf_dir), k_cells,
+           _emb_signature(sf_dir))
     if key not in _IVFPQ_MEMO:
         _IVFPQ_MEMO.clear()
         cents, books, codes = similarity.build_ivfpq(
@@ -1896,7 +1902,12 @@ def _ensure_ivfpq(spark, sf_dir):
             ksub=_PQ_KSUB,
         )
         _IVFPQ_MEMO[key] = (cents, books)
-        _memo_store(spark, sf_dir, "ivfpq_codes", codes)
+        # materialize the published codes into the memo cache, THEN
+        # release the build's internal persisted pass — otherwise the
+        # hierarchical build's cached full-corpus assignment leaks for
+        # the session lifetime (r7 review)
+        _memo_store(spark, sf_dir, "ivfpq_codes", codes).count()
+        getattr(codes, "_gs_unpersist", lambda: None)()
     cents, books = _IVFPQ_MEMO[key]
     codes = _memo_fetch(
         spark, sf_dir, "ivfpq_codes",

@@ -47,8 +47,18 @@ def serve_ann_stream(
 
     ``exclude_self`` defaults False here (external queries own a
     separate id space); pass True when replaying corpus vectors as
-    queries.  Availability-triggered by default — call
-    ``.trigger(...)`` on the returned writer to change cadence."""
+    queries.  The returned writer is availableNow-triggered; call
+    ``.trigger(...)`` to change cadence.
+
+    Exactly-once mechanics: each batch's results land in their own
+    ``batch_id=N`` partition with mode('overwrite') — a replayed batch
+    that crashed between write and marker REWRITES the same partition
+    instead of appending duplicates; the marker only short-circuits
+    work.  The quantizer (centroid tables) is loaded ONCE here and
+    reused by every micro-batch — k·d·8 B of driver memory, not a
+    per-trigger centroid-table scan."""
+    spark = queries.sparkSession
+    cents = similarity.load_ivf_centroids(spark, index_path)
 
     def _probe(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
@@ -58,16 +68,19 @@ def serve_ann_stream(
         res = similarity.ivf_topk_batch(
             sess, index_path, batch_df, k=k, nprobe=nprobe,
             query_id_col=query_id_col, query_vec_col=query_vec_col,
-            exclude_self=exclude_self,
+            exclude_self=exclude_self, centroids=cents,
         )
-        (
-            res.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append").parquet(out_path)
-        )
+        try:
+            res.write.mode("overwrite").parquet(
+                f"{out_path}/batch_id={batch_id}"
+            )
+        finally:
+            res._gs_unpersist()
         _write_marker(sess, marker)
 
     return (
         queries.writeStream.foreachBatch(_probe)
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
+        .trigger(availableNow=True)
     )

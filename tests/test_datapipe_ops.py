@@ -891,6 +891,79 @@ def test_compact_ivf_index_merges_append_fragments(spark, embs, tmp_path):
     assert similarity.compact_ivf_index(spark, path) == []
 
 
+def test_compact_ivf_index_preserves_concurrent_append(
+        spark, embs, tmp_path, monkeypatch):
+    """A file landed by append_to_ivf_index BETWEEN compaction's
+    snapshot and its swap must survive — the rewrite reads the
+    snapshot, and post-snapshot files are moved into the compacted
+    directory instead of being deleted with the old one."""
+    import glob
+    import os
+
+    from garmadon_spark.sinks import archive as _arch
+
+    path = str(tmp_path / "ivf_race")
+    similarity.write_ivf_index(
+        embs.filter(F.col("vec_id") % 2 == 0), path,
+        n_centroids=4, iterations=1,
+    )
+    similarity.append_to_ivf_index(
+        embs.filter(F.col("vec_id") % 4 == 1), path
+    )
+    late = embs.filter(F.col("vec_id") % 4 == 3)
+    n_total = embs.count()
+
+    # inject the race: the "concurrent" append lands right before the
+    # first directory swap (after the snapshot + rewrite)
+    real_exchange = _arch._exchange_dirs
+    fired = {"done": False}
+
+    def racing_exchange(a, b):
+        if not fired["done"]:
+            fired["done"] = True
+            similarity.append_to_ivf_index(late, path)
+        return real_exchange(a, b)
+
+    monkeypatch.setattr(
+        "garmadon_spark.sinks.archive._exchange_dirs", racing_exchange
+    )
+    compacted = similarity.compact_ivf_index(spark, path)
+    assert compacted
+    after = spark.read.parquet(f"{path}/vectors")
+    assert after.count() == n_total
+    assert after.select("vec_id").distinct().count() == n_total
+
+
+def test_compact_ivf_index_heals_crashed_run(spark, embs, tmp_path):
+    """Leftover ._compact_bak / ._compact_tmp directories from a
+    crashed run are healed on the next invocation, and cell discovery
+    never chokes on (or partition-discovers) the leftovers."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "ivf_crash")
+    similarity.write_ivf_index(
+        embs.filter(F.col("vec_id") % 2 == 0), path,
+        n_centroids=4, iterations=1,
+    )
+    similarity.append_to_ivf_index(
+        embs.filter(F.col("vec_id") % 2 == 1), path
+    )
+    vec = f"{path}/vectors"
+    n_rows = spark.read.parquet(vec).count()
+    # simulate a crash mid-rename-pair: cell dir moved to bak, live
+    # dir missing, and a stale tmp from the rewrite
+    cell = next(d for d in os.listdir(vec) if d.startswith("ivf_cell="))
+    os.rename(os.path.join(vec, cell),
+              os.path.join(vec, cell + "._compact_bak"))
+    os.makedirs(vec + "._compact_tmp/ivf_cell=0", exist_ok=True)
+    compacted = similarity.compact_ivf_index(spark, path)
+    assert compacted  # healed bak restored the cell, then compacted
+    assert not os.path.isdir(vec + "._compact_tmp")
+    assert not any(d.endswith("._compact_bak") for d in os.listdir(vec))
+    assert spark.read.parquet(vec).count() == n_rows
+
+
 def test_training_shards_deterministic_shuffle(spark, docs, tmp_path):
     """Epoch shuffle: same seed ⇒ byte-identical shard assignment and
     within-shard order across writes; a different seed reorders; every

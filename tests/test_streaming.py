@@ -621,14 +621,33 @@ def test_ann_serve_stream_matches_batch_probe(spark, tmp_path):
     # no-op (simulates foreachBatch replay after a crash-after-commit)
     n_before = spark.read.parquet(out).count()
     import glob as _glob
+    import os as _os
     markers = _glob.glob(f"{out}/_ann_batches/*.done")
     assert markers
-    bid = int(markers[0].split("/")[-1].split(".")[0])
     batch_df = spark.read.parquet(src)
     ann.serve_ann_stream(
         spark.readStream.schema(batch_df.schema).parquet(src),
         index, out, str(tmp_path / "ckpt2"), k=5, nprobe=4,
     )  # writer construction alone must not write anything
+    assert spark.read.parquet(out).count() == n_before
+
+    # crash WINDOW replay: delete one marker (crash between the result
+    # write and the marker commit), replay the whole stream from a
+    # fresh checkpoint — the per-batch partition overwrite must leave
+    # the result set byte-identical, never duplicated
+    _os.remove(markers[0])
+    q3 = ann.serve_ann_stream(
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+        index, out, str(tmp_path / "ckpt3"), k=5, nprobe=4,
+        exclude_self=True,
+    ).start()
+    q3.awaitTermination()
+    replayed = {
+        (r.query_id, r.rank): (r.vec_id, r.cosine)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert replayed == exp
     assert spark.read.parquet(out).count() == n_before
 
 
