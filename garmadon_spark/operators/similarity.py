@@ -387,12 +387,10 @@ def _assign_cells_branch_pandas(
     flat path's single matrix, just partitioned by branch."""
     from pyspark.sql.functions import pandas_udf
 
-    mats = {}
-    for b, C in fine_by_branch.items():
-        C = np.asarray(C, dtype=np.float64)
-        norms = np.linalg.norm(C, axis=1)
-        norms[norms == 0] = 1.0
-        mats[int(b)] = np.ascontiguousarray((C / norms[:, None]).T)
+    # one shared normalize-and-transpose (_normalized_t) everywhere —
+    # the probe parity contract depends on identical normalization in
+    # every scoring site
+    mats = {int(b): _normalized_t(C) for b, C in fine_by_branch.items()}
     offs = {int(b): int(o) for b, o in offsets.items()}
 
     @pandas_udf("int")
@@ -489,6 +487,12 @@ def write_ivf_index(
             "ivf_cell int, centroid array<double>",
         )
         n_cells_out = n_centroids
+        # a REBUILD from hierarchical to flat (corpus shrank past the
+        # threshold) must remove the old coarse side table — its
+        # presence is how every probe detects a hierarchical index
+        import shutil as _shutil
+
+        _shutil.rmtree(f"{path}/coarse", ignore_errors=True)
     (
         # cluster rows by cell before the partitioned write: one task
         # per cell → one file per cell instead of (tasks × cells)
@@ -600,16 +604,21 @@ def compact_ivf_index(
     a table format's transaction log this is the strongest guarantee a
     directory layout offers; serialize maintenance jobs regardless.)
 
-    Crash recovery: a previous run's leftover ``._compact_bak`` /
-    ``._compact_tmp`` directories are healed first (bak restored if
-    the live dir is missing, deleted otherwise), and cell discovery
-    accepts only exact ``ivf_cell=<int>`` names so leftovers can never
-    corrupt a later run or partition discovery.
+    Crash recovery: a ``_MANIFEST.json`` written beside the rewrite
+    records each cell's snapshot files and compacted-output files, so
+    the next invocation can heal a crash at ANY point without losing a
+    concurrent append: leftover files that are neither snapshot
+    originals (already represented in the compacted data) nor rewrite
+    outputs are post-snapshot appends and get moved into the live
+    directory before cleanup.  Cell discovery accepts only exact
+    ``ivf_cell=<int>`` names so leftovers can never corrupt a later
+    run or partition discovery.
 
     Refresh semantics: the atomic swap protects LISTING-time readers —
     a DataFrame planned before compaction holds the pre-swap file list
     and must re-plan (spark.read again / REFRESH TABLE) afterwards,
     the standard Spark contract for any overwritten path."""
+    import json as _json
     import os as _os
     import re as _re
     import shutil as _shutil
@@ -617,18 +626,8 @@ def compact_ivf_index(
     from garmadon_spark.sinks.archive import _exchange_dirs
 
     vec = f"{path}/vectors"
-    # heal a crashed prior run before anything else
     stale_tmp = vec + "._compact_tmp"
-    if _os.path.isdir(stale_tmp):
-        _shutil.rmtree(stale_tmp)
-    for entry in list(_os.listdir(vec)):
-        if entry.endswith("._compact_bak"):
-            live = _os.path.join(vec, entry[: -len("._compact_bak")])
-            bak = _os.path.join(vec, entry)
-            if not _os.path.isdir(live):
-                _os.rename(bak, live)   # crash before the re-rename
-            else:
-                _shutil.rmtree(bak)     # crash before bak cleanup
+    _heal_compact_crash(vec, stale_tmp)
 
     snapshot: dict[int, list[str]] = {}
     for entry in sorted(_os.listdir(vec)):
@@ -659,11 +658,14 @@ def compact_ivf_index(
     if target_files > 1:
         # salt so each cell splits into ~target_files write tasks —
         # repartitioning on the cell alone puts the whole cell in one
-        # task and always yields one file
+        # task and always yields one file.  The salt is a DETERMINISTIC
+        # function of the row's data: a nondeterministic key (rand,
+        # monotonic id) under a retried shuffle-map task re-routes rows
+        # to partitions already consumed — the SPARK-23207 hazard
         df = df.withColumn(
-            "_salt", F.pmod(F.xxhash64(F.col("ivf_cell") * 31 + F.lit(7)
-                                       + F.monotonically_increasing_id()),
-                            F.lit(target_files))
+            "_salt",
+            F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
+                   F.lit(target_files)),
         )
         part_keys = ["ivf_cell", "_salt"]
     (
@@ -671,6 +673,21 @@ def compact_ivf_index(
         .drop("_salt")
         .write.partitionBy("ivf_cell").mode("overwrite").parquet(tmp)
     )
+    # manifest BEFORE any swap: snapshot originals + rewrite outputs
+    # per cell, so a crash anywhere in the swap loop is healable
+    # without guessing which leftover files are concurrent appends
+    outputs = {
+        c: [f for f in _os.listdir(f"{tmp}/ivf_cell={c}")
+            if f.endswith(".parquet")]
+        for c in frag
+    }
+    with open(f"{tmp}/_MANIFEST.json", "w") as fh:
+        _json.dump({
+            "snapshot": {str(c): [_os.path.basename(f)
+                                  for f in snapshot[c]]
+                         for c in frag},
+            "outputs": {str(c): outputs[c] for c in frag},
+        }, fh)
     for c in frag:
         src = f"{tmp}/ivf_cell={c}"
         dst = f"{vec}/ivf_cell={c}"
@@ -688,6 +705,67 @@ def compact_ivf_index(
         _shutil.rmtree(old)
     _shutil.rmtree(tmp)
     return frag
+
+
+def _heal_compact_crash(vec: str, stale_tmp: str) -> None:
+    """Recover from a compact_ivf_index crash at any point.  Uses the
+    run's _MANIFEST.json (written after the rewrite, before any swap)
+    to classify leftover parquet files: snapshot originals are already
+    represented in the compacted data (delete), rewrite outputs are
+    the compacted copies (delete if unswapped), anything else is a
+    CONCURRENT APPEND that landed after the snapshot — moved into the
+    live cell directory, never dropped.  Without a manifest (crash
+    before it was written) no swap has happened, so the live tree is
+    complete and the tmp rewrite is safely discarded."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    manifest = None
+    if _os.path.isdir(stale_tmp):
+        mpath = _os.path.join(stale_tmp, "_MANIFEST.json")
+        if _os.path.exists(mpath):
+            manifest = _json.load(open(mpath))
+
+    def rescue(cell_dir: str, cell: str, live: str) -> None:
+        snap = set(manifest["snapshot"].get(cell, [])) if manifest else set()
+        outs = set(manifest["outputs"].get(cell, [])) if manifest else set()
+        for f in _os.listdir(cell_dir):
+            if (f.endswith(".parquet") and f not in snap
+                    and f not in outs and _os.path.isdir(live)):
+                _os.rename(_os.path.join(cell_dir, f),
+                           _os.path.join(live, f))
+
+    # bak dirs: rename-pair path.  Live missing → crash between the
+    # two renames: restore wholesale.  Live present → swap completed:
+    # rescue appends, drop the rest.
+    for entry in list(_os.listdir(vec)):
+        if entry.endswith("._compact_bak"):
+            live = _os.path.join(vec, entry[: -len("._compact_bak")])
+            bak = _os.path.join(vec, entry)
+            if not _os.path.isdir(live):
+                _os.rename(bak, live)
+            else:
+                rescue(bak, entry[len("ivf_cell="):-len("._compact_bak")],
+                       live)
+                _shutil.rmtree(bak)
+    if _os.path.isdir(stale_tmp):
+        if manifest is not None:
+            for entry in list(_os.listdir(stale_tmp)):
+                if not entry.startswith("ivf_cell="):
+                    continue
+                cell = entry[len("ivf_cell="):]
+                cell_dir = _os.path.join(stale_tmp, entry)
+                files = {f for f in _os.listdir(cell_dir)
+                         if f.endswith(".parquet")}
+                outs = set(manifest["outputs"].get(cell, []))
+                if files & outs:
+                    # outputs still here ⇒ this cell was never swapped
+                    # ⇒ the live dir is intact; discard the rewrite
+                    continue
+                # swapped ⇒ tmp holds originals (+ any appends)
+                rescue(cell_dir, cell, _os.path.join(vec, f"ivf_cell={cell}"))
+        _shutil.rmtree(stale_tmp)
 
 
 def _normalized_t(vecs: list) -> np.ndarray:

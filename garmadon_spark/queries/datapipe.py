@@ -1736,9 +1736,18 @@ def emb_ann_batch(spark, sf_dir, n_queries: int = 5, k: int = 10):
     )
     path = _ensure_ivf_index(spark, sf_dir)
     nprobe = max(4, _ivf_cells_for(_emb_count(spark, sf_dir)) // 2)
-    return similarity.ivf_topk_batch(
+    out = similarity.ivf_topk_batch(
         spark, path, queries, k=k, nprobe=nprobe,
     )
+    # bound the probe-batch cache to ONE live handle across repeated
+    # calls (bench/scale sweeps re-run this in a single session)
+    while _ANN_BATCH_CACHE:
+        _ANN_BATCH_CACHE.pop()()
+    _ANN_BATCH_CACHE.append(out._gs_unpersist)
+    return out
+
+
+_ANN_BATCH_CACHE: list = []
 
 
 def emb_ann_batch_check(spark, sf_dir, n_queries: int = 5, k: int = 10):

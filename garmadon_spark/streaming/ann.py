@@ -47,24 +47,36 @@ def serve_ann_stream(
 
     ``exclude_self`` defaults False here (external queries own a
     separate id space); pass True when replaying corpus vectors as
-    queries.  The returned writer is availableNow-triggered; call
-    ``.trigger(...)`` to change cadence.
+    queries.  The returned writer is availableNow-triggered (drain
+    what's available, then stop — the batch-job default shared with
+    the rollup sink); a LONG-RUNNING server must opt into continuous
+    micro-batching explicitly:
+    ``serve_ann_stream(...).trigger(processingTime="10 seconds")``.
 
     Exactly-once mechanics: each batch's results land in their own
     ``batch_id=N`` partition with mode('overwrite') — a replayed batch
     that crashed between write and marker REWRITES the same partition
     instead of appending duplicates; the marker only short-circuits
-    work.  The quantizer (centroid tables) is loaded ONCE here and
-    reused by every micro-batch — k·d·8 B of driver memory, not a
-    per-trigger centroid-table scan."""
-    spark = queries.sparkSession
-    cents = similarity.load_ivf_centroids(spark, index_path)
+    work.  The quantizer (centroid tables) is loaded ON THE FIRST
+    BATCH and reused for the query's lifetime — k·d·8 B of driver
+    memory, not a per-trigger centroid-table scan (lazy so the writer
+    can be constructed before the offline index build finishes).
+    Consequence of the caching: a mid-stream index RE-TRAIN is not
+    picked up — restart the serving query after re-training (appends
+    via ``append_to_ivf_index`` keep centroids fixed and are served
+    correctly without a restart)."""
+    cache: dict = {}
 
     def _probe(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
         marker = f"{out_path}/_ann_batches/{batch_id}.done"
         if _marker_exists(sess, marker) or batch_df.isEmpty():
             return
+        if "cents" not in cache:
+            cache["cents"] = similarity.load_ivf_centroids(
+                sess, index_path
+            )
+        cents = cache["cents"]
         res = similarity.ivf_topk_batch(
             sess, index_path, batch_df, k=k, nprobe=nprobe,
             query_id_col=query_id_col, query_vec_col=query_vec_col,

@@ -934,6 +934,52 @@ def test_compact_ivf_index_preserves_concurrent_append(
     assert after.select("vec_id").distinct().count() == n_total
 
 
+def test_compact_crash_after_swap_preserves_append(
+        spark, embs, tmp_path, monkeypatch):
+    """Worst-case crash: a concurrent append lands, the swap happens,
+    then compaction dies BEFORE the preserve-move.  The appended file
+    now sits in the swapped-out directory; the next invocation's
+    manifest-driven heal must move it back into the live cell instead
+    of deleting it with the leftovers."""
+    from garmadon_spark.sinks import archive as _arch
+
+    path = str(tmp_path / "ivf_crash2")
+    similarity.write_ivf_index(
+        embs.filter(F.col("vec_id") % 2 == 0), path,
+        n_centroids=4, iterations=1,
+    )
+    similarity.append_to_ivf_index(
+        embs.filter(F.col("vec_id") % 4 == 1), path
+    )
+    late = embs.filter(F.col("vec_id") % 4 == 3)
+    n_total = embs.count()
+
+    real_exchange = _arch._exchange_dirs
+    state = {"calls": 0}
+
+    def crashing_exchange(a, b):
+        state["calls"] += 1
+        if state["calls"] == 1:
+            similarity.append_to_ivf_index(late, path)  # the race
+            ok = real_exchange(a, b)
+            assert ok
+            raise RuntimeError("simulated crash before preserve-move")
+        return real_exchange(a, b)
+
+    monkeypatch.setattr(
+        "garmadon_spark.sinks.archive._exchange_dirs", crashing_exchange
+    )
+    with pytest.raises(RuntimeError):
+        similarity.compact_ivf_index(spark, path)
+    monkeypatch.setattr(
+        "garmadon_spark.sinks.archive._exchange_dirs", real_exchange
+    )
+    similarity.compact_ivf_index(spark, path)
+    after = spark.read.parquet(f"{path}/vectors")
+    assert after.select("vec_id").distinct().count() == n_total
+    assert after.count() == n_total
+
+
 def test_compact_ivf_index_heals_crashed_run(spark, embs, tmp_path):
     """Leftover ._compact_bak / ._compact_tmp directories from a
     crashed run are healed on the next invocation, and cell discovery
