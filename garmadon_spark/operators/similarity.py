@@ -728,8 +728,11 @@ def _heal_compact_crash(vec: str, stale_tmp: str) -> None:
             manifest = _json.load(open(mpath))
 
     def rescue(cell_dir: str, cell: str, live: str) -> None:
-        snap = set(manifest["snapshot"].get(cell, [])) if manifest else set()
-        outs = set(manifest["outputs"].get(cell, [])) if manifest else set()
+        # only callable with a manifest: without it there is no way to
+        # tell an appended file from an original, and moving originals
+        # would duplicate their rows (the compacted data covers them)
+        snap = set(manifest["snapshot"].get(cell, []))
+        outs = set(manifest["outputs"].get(cell, []))
         for f in _os.listdir(cell_dir):
             if (f.endswith(".parquet") and f not in snap
                     and f not in outs and _os.path.isdir(live)):
@@ -738,7 +741,7 @@ def _heal_compact_crash(vec: str, stale_tmp: str) -> None:
 
     # bak dirs: rename-pair path.  Live missing → crash between the
     # two renames: restore wholesale.  Live present → swap completed:
-    # rescue appends, drop the rest.
+    # rescue appends (manifest permitting), drop the rest.
     for entry in list(_os.listdir(vec)):
         if entry.endswith("._compact_bak"):
             live = _os.path.join(vec, entry[: -len("._compact_bak")])
@@ -746,8 +749,10 @@ def _heal_compact_crash(vec: str, stale_tmp: str) -> None:
             if not _os.path.isdir(live):
                 _os.rename(bak, live)
             else:
-                rescue(bak, entry[len("ivf_cell="):-len("._compact_bak")],
-                       live)
+                if manifest is not None:
+                    rescue(bak,
+                           entry[len("ivf_cell="):-len("._compact_bak")],
+                           live)
                 _shutil.rmtree(bak)
     if _os.path.isdir(stale_tmp):
         if manifest is not None:
