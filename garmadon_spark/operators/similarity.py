@@ -513,6 +513,7 @@ def append_to_ivf_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    stage_dir: str | None = None,
 ) -> None:
     """Incremental index update: assign NEW vectors to the EXISTING
     centroids and append them into the cell-partitioned layout — no
@@ -525,7 +526,11 @@ def append_to_ivf_index(
     Dynamic partition overwrite is NOT used — mode('append') adds files
     to existing `ivf_cell=` directories; re-running a failed batch is
     the caller's idempotency concern (wrap with the W8 offset guard or
-    dedup on `vec_id` downstream).
+    dedup on `vec_id` downstream).  ``stage_dir`` redirects the write
+    there (mode overwrite, same ivf_cell partitioning) WITHOUT touching
+    the live index — the exactly-once streaming maintainer
+    (streaming/ann.maintain_ann_index_stream) stages each batch and
+    publishes it with deterministic file names.
 
     A hierarchical index (``coarse/`` present) routes the new batch the
     same way the build did: coarse branch first, then fine assignment
@@ -568,6 +573,14 @@ def append_to_ivf_index(
         ]
         assigned = assign_cells(new_embs, centroids, vec_col)
         n_cells = len(centroids)
+    if stage_dir is not None:
+        (
+            assigned.repartition(n_cells, "ivf_cell")
+            .write.mode("overwrite")
+            .partitionBy("ivf_cell")
+            .parquet(stage_dir)
+        )
+        return
     (
         assigned.repartition(n_cells, "ivf_cell")
         .write.mode("append")

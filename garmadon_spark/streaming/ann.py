@@ -96,3 +96,74 @@ def serve_ann_stream(
         .outputMode("update")
         .trigger(availableNow=True)
     )
+
+
+def maintain_ann_index_stream(
+    embs: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """The WRITE side of streaming ANN: absorb a stream of new
+    embedding vectors into the materialized IVF index, exactly once.
+    Serving (`serve_ann_stream`) and maintenance together make the
+    index a live system — embeddings in, neighbors out, centroids
+    fixed between offline re-trains.
+
+    Exactly-once append without a table format's transaction log:
+
+    1. STAGE — the batch is assigned (same two-level routing as the
+       build) and written to ``incoming/batch=N`` with overwrite, so a
+       replay regenerates it identically and never touches the live
+       index;
+    2. PUBLISH — any ``b{N}-*.parquet`` leftovers from a crashed
+       attempt are removed from the live cells, then each staged file
+       moves into its cell under the DETERMINISTIC name
+       ``b{N}-{i}.parquet`` (os.replace — atomic overwrite), so a
+       replayed publish converges instead of duplicating;
+    3. MARKER — ``_append_batches/N.done`` short-circuits fully
+       committed batches.
+
+    A crash at ANY point replays to the same final file set.  Probes
+    running concurrently see each cell's files appear atomically;
+    `compact_ivf_index` later folds the accumulated per-batch files.
+    Returns the (availableNow-triggered) writer."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    def _absorb(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        marker = f"{index_path}/_append_batches/{batch_id}.done"
+        if _marker_exists(sess, marker) or batch_df.isEmpty():
+            return
+        stage = f"{index_path}/incoming/batch={batch_id}"
+        similarity.append_to_ivf_index(
+            batch_df, index_path, id_col=id_col, vec_col=vec_col,
+            stage_dir=stage,
+        )
+        vec = f"{index_path}/vectors"
+        for stale in _glob.glob(f"{vec}/ivf_cell=*/b{batch_id}-*.parquet"):
+            _os.remove(stale)
+        for cell_dir in sorted(_glob.glob(f"{stage}/ivf_cell=*")):
+            cell = _os.path.basename(cell_dir)
+            dst_dir = _os.path.join(vec, cell)
+            _os.makedirs(dst_dir, exist_ok=True)
+            files = sorted(
+                f for f in _os.listdir(cell_dir) if f.endswith(".parquet")
+            )
+            for i, f in enumerate(files):
+                _os.replace(
+                    _os.path.join(cell_dir, f),
+                    _os.path.join(dst_dir, f"b{batch_id}-{i}.parquet"),
+                )
+        _shutil.rmtree(stage, ignore_errors=True)
+        _write_marker(sess, marker)
+
+    return (
+        embs.writeStream.foreachBatch(_absorb)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+    )

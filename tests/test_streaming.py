@@ -684,3 +684,76 @@ def test_gopher_rules_run_unchanged_on_stream(spark, tmp_path):
         .collect()
     }
     assert got == exp and len(got) == docs.count()
+
+
+def test_ann_index_maintain_stream_exactly_once(spark, tmp_path):
+    """Streaming index maintenance: new-vector batches are absorbed
+    into the materialized IVF index exactly once — replays with
+    markers present are no-ops, and a replay of a batch whose marker
+    was lost (crash between publish and marker) converges to the same
+    file set via deterministic per-batch file names."""
+    from garmadon_spark.operators import similarity
+    from garmadon_spark.session import load_table
+    from garmadon_spark.streaming import ann
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    index = str(tmp_path / "idx")
+    base = embs.filter(F.col("vec_id") % 2 == 0)
+    similarity.write_ivf_index(base, index, n_centroids=8, iterations=1)
+
+    src = str(tmp_path / "new_vectors")
+    new = embs.filter(F.col("vec_id") % 2 == 1).select(
+        "vec_id", "embedding"
+    )
+    new.filter(F.col("vec_id") % 4 == 1).write.mode("append").parquet(src)
+    new.filter(F.col("vec_id") % 4 == 3).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = ann.maintain_ann_index_stream(
+        stream, index, str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination()
+
+    vec = f"{index}/vectors"
+    assert spark.read.parquet(vec).count() == embs.count()
+    # appended rows landed in their nearest-centroid cells
+    cents = [
+        list(r.centroid) for r in
+        spark.read.parquet(f"{index}/centroids").orderBy("ivf_cell")
+        .collect()
+    ]
+    expect = {r.vec_id: r.ivf_cell
+              for r in similarity.assign_cells(new, cents).collect()}
+    got = {r.vec_id: r.ivf_cell
+           for r in spark.read.parquet(vec)
+           .filter(F.col("vec_id") % 2 == 1).collect()}
+    assert got == expect
+
+    # full replay, markers present → no-op
+    q2 = ann.maintain_ann_index_stream(
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+        index, str(tmp_path / "ckpt2"),
+    ).start()
+    q2.awaitTermination()
+    assert spark.read.parquet(vec).count() == embs.count()
+
+    # crash-window replay: lose one marker → that batch re-publishes
+    # under the same deterministic names and converges
+    import glob
+    import os
+    markers = sorted(glob.glob(f"{index}/_append_batches/*.done"))
+    assert len(markers) == 2
+    os.remove(markers[0])
+    q3 = ann.maintain_ann_index_stream(
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+        index, str(tmp_path / "ckpt3"),
+    ).start()
+    q3.awaitTermination()
+    after = spark.read.parquet(vec)
+    assert after.count() == embs.count()
+    assert after.select("vec_id").distinct().count() == embs.count()
