@@ -348,3 +348,29 @@ def test_register_custom_event_type_roundtrip(spark):
     # full_schema includes the registered body + kafka coords
     cols = [f.name for f in schemas.full_schema("CUSTOM_TEST_EVENT").fields]
     assert {"metric", "reading", "timestamp", "kafka_offset"} <= set(cols)
+
+
+def test_clone_and_override_header_semantics(spark):
+    """E8 Header.cloneAndOverride parity: an override VALUE wins over
+    the base, a null override keeps the base (coalesce semantics), and
+    a Column override applies per row."""
+    df = spark.createDataFrame(
+        [Row(application_id="app_1", framework="SPARK", executor_id=None),
+         Row(application_id="app_2", framework=None, executor_id="e7")],
+    )
+    out = {r.application_id: r for r in flatten.clone_and_override(
+        df,
+        framework="FLINK",
+        executor_id=F.when(F.col("application_id") == "app_1",
+                           F.lit("driver")),
+    ).collect()}
+    assert out["app_1"].framework == "FLINK"     # literal override wins
+    assert out["app_2"].framework == "FLINK"     # even over null base
+    assert out["app_1"].executor_id == "driver"  # per-row Column override
+    assert out["app_2"].executor_id == "e7"      # null override keeps base
+
+
+def test_with_event_time_derives_timestamp(spark):
+    df = spark.createDataFrame([Row(timestamp=1_700_000_000_123)])
+    r = flatten.with_event_time(df).head()
+    assert r.event_time.year == 2023 and r.event_time.microsecond == 123000
