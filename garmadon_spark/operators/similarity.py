@@ -233,6 +233,9 @@ HIER_IVF_MIN_CELLS = 256
 # total rows the fine-training sample may collect to the driver
 # (≈64 MiB at dim 64, ≈0.5 GiB at dim 512)
 HIER_SAMPLE_CAP = 131_072
+# driver-memory budget for loading a quantizer (k·d doubles ≈ 2 GiB);
+# load_ivf_centroids warns past it — see its docstring for remediation
+CENTROID_LOAD_BUDGET_FLOATS = 268_435_456
 
 
 def build_hierarchical_ivf(
@@ -642,6 +645,29 @@ def compact_ivf_index(
     stale_tmp = vec + "._compact_tmp"
     _heal_compact_crash(vec, stale_tmp)
 
+    # Replay-safety gate: a streaming append batch that crashed BETWEEN
+    # publish and marker will be REPLAYED by maintain_ann_index_stream,
+    # which deletes the batch's ``b{N}-*.parquet`` leftovers before
+    # re-publishing.  If compaction folds those leftovers into compacted
+    # part-files first, the replay finds nothing to delete and the
+    # batch's rows land twice.  So: any cell holding a batch-named file
+    # whose ``_append_batches/N.done`` marker is absent is SKIPPED this
+    # run — the next compaction (after the replay marks the batch) picks
+    # it up.  O(markers + files-per-fragmented-cell) driver-side.
+    done = set()
+    mdir = f"{path}/_append_batches"
+    if _os.path.isdir(mdir):
+        for f in _os.listdir(mdir):
+            if f.endswith(".done"):
+                done.add(f[: -len(".done")])
+
+    def _unmarked(files: list[str]) -> bool:
+        for f in files:
+            m = _re.match(r"b(\d+)-", _os.path.basename(f))
+            if m and m.group(1) not in done:
+                return True
+        return False
+
     snapshot: dict[int, list[str]] = {}
     for entry in sorted(_os.listdir(vec)):
         m = _re.fullmatch(r"ivf_cell=(\d+)", entry)
@@ -652,7 +678,7 @@ def compact_ivf_index(
             for f in _os.listdir(_os.path.join(vec, entry))
             if f.endswith(".parquet")
         ]
-        if len(files) >= min_files:
+        if len(files) >= min_files and not _unmarked(files):
             snapshot[int(m.group(1))] = files
     if not snapshot:
         return []
@@ -688,7 +714,13 @@ def compact_ivf_index(
     )
     # manifest BEFORE any swap: snapshot originals + rewrite outputs
     # per cell, so a crash anywhere in the swap loop is healable
-    # without guessing which leftover files are concurrent appends
+    # without guessing which leftover files are concurrent appends.
+    # A cell whose snapshot files hold zero rows produces NO tmp dir
+    # (partitioned writes skip empty partitions) — materialize an empty
+    # one so the swap uniformly replaces the degenerate cell instead of
+    # aborting on the missing directory
+    for c in frag:
+        _os.makedirs(f"{tmp}/ivf_cell={c}", exist_ok=True)
     outputs = {
         c: [f for f in _os.listdir(f"{tmp}/ivf_cell={c}")
             if f.endswith(".parquet")]
@@ -786,6 +818,113 @@ def _heal_compact_crash(vec: str, stale_tmp: str) -> None:
         _shutil.rmtree(stale_tmp)
 
 
+def retrain_ivf_index(
+    spark,
+    path: str,
+    n_centroids: int | None = None,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Blue/green re-train: fit a FRESH quantizer + cell layout from the
+    index's own current vectors beside the live tree, then atomically
+    publish by swapping the index ROOT directories — the lifecycle step
+    ``append_to_ivf_index`` explicitly defers to ("centroids stay fixed
+    between periodic re-trains").  Run it when recall-after-drift
+    telemetry (emb_ann_recall) crosses the deployment's floor.
+
+    Same temp→final commit contract as the reference's offset writer
+    (ProtoParquetWriterWithOffset.java:82-135: write beside, rename
+    into place) and the archive's W10 compaction:
+
+    - the rebuild happens entirely in ``<path>._retrain`` — a probe or
+      serving loop reading the live index never observes a partial
+      re-train;
+    - the publish is one directory swap (renameat2 RENAME_EXCHANGE via
+      the archive's ``_exchange_dirs``; rename-pair fallback), healed on
+      the next invocation if a crash lands between the fallback's two
+      renames;
+    - ``_append_batches`` markers of COMMITTED streaming batches are
+      carried into the new tree first: their rows are in the retrained
+      corpus, so a post-swap replay must keep short-circuiting;
+    - files of a PUBLISHED-BUT-UNMARKED batch (a maintain batch that
+      crashed between publish and marker) are EXCLUDED from the corpus
+      read and their markers not carried — that batch replays into the
+      new index after the swap, so including its rows would duplicate
+      them (the same window compact_ivf_index skips cells for).
+
+    A serving loop caches the quantizer for the query's lifetime
+    (streaming/ann.serve_ann_stream) — restart it after a re-train;
+    batch probes re-plan per call and pick the new tree up immediately.
+
+    Concurrency contract: serialize re-training with maintenance jobs
+    (appends/compaction), the same rule compact_ivf_index states — a
+    batch PUBLISHED mid-rebuild lands in the pre-retrain tree and is
+    discarded with it, and its marker would wrongly short-circuit the
+    replay.  (Crashed-before-the-retrain batches are handled, per
+    above; in-flight-during-the-retrain ones are not detectable from a
+    directory layout.)
+
+    ``n_centroids=None`` keeps the current fine-cell count; pass the
+    corpus-scaled count to re-size (cells ∝ corpus is the constant
+    cell-size contract).  Returns the new centroid list."""
+    import os as _os
+    import re as _re
+    import shutil as _shutil
+
+    from garmadon_spark.sinks.archive import _exchange_dirs
+
+    staging = path + "._retrain"
+    old = path + "._retrain_old"
+    # heal a crashed fallback swap: live missing + old present means we
+    # died between the two renames — restore the pre-retrain tree
+    if not _os.path.isdir(path) and _os.path.isdir(old):
+        _os.rename(old, path)
+    _shutil.rmtree(old, ignore_errors=True)
+    _shutil.rmtree(staging, ignore_errors=True)
+
+    vec = f"{path}/vectors"
+    mdir = f"{path}/_append_batches"
+    done = {
+        f[: -len(".done")]
+        for f in (_os.listdir(mdir) if _os.path.isdir(mdir) else [])
+        if f.endswith(".done")
+    }
+    unmarked = set()
+    for entry in _os.listdir(vec):
+        if not entry.startswith("ivf_cell="):
+            continue
+        for f in _os.listdir(_os.path.join(vec, entry)):
+            m = _re.match(r"b(\d+)-", f)
+            if m and f.endswith(".parquet") and m.group(1) not in done:
+                unmarked.add(m.group(1))
+
+    corpus = spark.read.parquet(vec)
+    if unmarked:
+        pat = "/b(" + "|".join(sorted(unmarked)) + r")-[^/]*\.parquet$"
+        corpus = corpus.filter(~F.input_file_name().rlike(pat))
+    corpus = corpus.drop("ivf_cell")
+    if n_centroids is None:
+        n_centroids = spark.read.parquet(f"{path}/centroids").count()
+
+    centroids = write_ivf_index(
+        corpus, staging, n_centroids=n_centroids, iterations=iterations,
+        id_col=id_col, vec_col=vec_col,
+    )
+    if done:
+        _os.makedirs(f"{staging}/_append_batches", exist_ok=True)
+        for b in sorted(done):
+            open(f"{staging}/_append_batches/{b}.done", "w").close()
+
+    if _exchange_dirs(staging, path):
+        _shutil.rmtree(staging)     # now holds the pre-retrain tree
+    else:
+        _os.rename(path, old)
+        _os.rename(staging, path)
+        _shutil.rmtree(old)
+    return centroids
+
+
 def _normalized_t(vecs: list) -> np.ndarray:
     """Row-normalized centroid matrix, transposed for GEMV scoring.
     Row-wise normalization is row-independent, so a submatrix built
@@ -879,10 +1018,29 @@ def load_ivf_centroids(spark, path: str):
     flat index).  Centroid-sized (k·d·8 B — the documented broadcast
     budget), never data-sized.  A serving loop (streaming ANN) loads
     this ONCE and passes it to every ``ivf_topk_batch`` call instead of
-    re-collecting the centroid table per micro-batch."""
+    re-collecting the centroid table per micro-batch.
+
+    Budget, explicitly: at the 262,144-cell formula cap
+    (_ivf_cells_for) the fine table is ~128 MiB at dim 64 and ~1 GiB at
+    dim 512 — fine for a serving driver, but past
+    ``CENTROID_LOAD_BUDGET_FLOATS`` (k·d doubles) this logs a warning:
+    the remediation is a larger per-cell target (fewer cells), a
+    sharded index, or probing cell selection from the parquet side
+    tables instead of a driver matrix."""
+    import logging as _logging
     import os as _os
 
     cent = spark.read.parquet(f"{path}/centroids").collect()
+    if cent:
+        floats = len(cent) * len(cent[0].centroid)
+        if floats > CENTROID_LOAD_BUDGET_FLOATS:
+            _logging.getLogger(__name__).warning(
+                "IVF quantizer load: %d cells x dim %d = %.2f GiB of "
+                "driver memory (budget %.2f GiB) — raise the per-cell "
+                "target or shard the index",
+                len(cent), len(cent[0].centroid), floats * 8 / 2**30,
+                CENTROID_LOAD_BUDGET_FLOATS * 8 / 2**30,
+            )
     if _os.path.isdir(f"{path}/coarse"):
         coarse_by_id = {
             int(r.ivf_branch): list(r.centroid)

@@ -229,10 +229,22 @@ def gopher_rules(
     case- and punctuation-faithful.  The word and line arrays are
     staged through a projection so each is computed once per row even
     though several rules consume them (CollapseProject would otherwise
-    inline the split into every consumer)."""
+    inline the split into every consumer).
+
+    Input columns that collide with an emitted stat (e.g. a
+    ``mean_word_len`` from an upstream ``quality_score``) are REPLACED,
+    not duplicated — a chained frame stays referenceable by name."""
+    emitted = {
+        "n_words", "mean_word_len", "symbol_ratio", "bullet_line_frac",
+        "ellipsis_line_frac", "alpha_word_frac", "stopword_hits",
+        "pass_word_count", "pass_mean_word_len", "pass_symbol_ratio",
+        "pass_bullet_lines", "pass_ellipsis_lines", "pass_alpha_words",
+        "pass_stopwords", "accepted",
+    }
+    passthrough = [c for c in df.columns if c not in emitted]
     text = F.col(text_col)
     staged = df.select(
-        "*",
+        *passthrough,
         F.filter(F.split(text, r"\s+"), lambda t: t != "").alias("_words"),
         F.split(text, "\n").alias("_lines"),
     )
@@ -264,7 +276,7 @@ def gopher_rules(
     # them, and keeping them as materialized columns keeps the codegen
     # tree linear in the rule count
     ratios = staged.select(
-        *[c for c in df.columns],
+        *passthrough,
         n_words.alias("n_words"),
         F.when(n_words > 0, sum_wlen / n_words).otherwise(F.lit(0.0))
         .alias("_mwl"),
@@ -292,7 +304,7 @@ def gopher_rules(
     for expr in rules.values():
         accepted = expr if accepted is None else (accepted & expr)
     return ratios.select(
-        *[c for c in df.columns],
+        *passthrough,
         "n_words",
         F.round(mwl, 4).alias("mean_word_len"),
         F.round(sym, 4).alias("symbol_ratio"),

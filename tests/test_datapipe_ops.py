@@ -1213,3 +1213,55 @@ def test_repeated_ngram_report(spark):
     assert rows[0].n_docs == 3
     # doc 3 contains the span twice contiguously -> occurrences > docs
     assert rows[0].n_occurrences >= 4
+
+
+def test_gopher_rules_replaces_colliding_columns(docs):
+    """Chaining gopher_rules after quality_score (both emit
+    mean_word_len) must yield ONE column of that name — gopher's raw
+    whitespace-token stat replaces the upstream value, and by-name
+    references on the chained frame stay unambiguous (r7 advisor)."""
+    chained = text.gopher_rules(text.quality_score(docs))
+    assert chained.columns.count("mean_word_len") == 1
+    got = {r.doc_id: r.mean_word_len
+           for r in chained.select("doc_id", "mean_word_len").collect()}
+    solo = {r.doc_id: r.mean_word_len
+            for r in text.gopher_rules(docs)
+            .select("doc_id", "mean_word_len").collect()}
+    assert got == solo
+    # upstream non-colliding columns still pass through
+    assert "quality_score" in chained.columns
+
+
+def test_compact_ivf_index_handles_zero_row_cells(spark, embs, tmp_path):
+    """A fragmented cell whose files all hold zero rows produces no tmp
+    output directory (partitioned writes skip empty partitions); the
+    run must compact it to an empty cell instead of aborting on the
+    missing dir (r7 advisor FileNotFoundError)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "ivf_zero")
+    similarity.write_ivf_index(
+        embs.filter(F.col("vec_id") % 2 == 0), path,
+        n_centroids=4, iterations=1,
+    )
+    similarity.append_to_ivf_index(
+        embs.filter(F.col("vec_id") % 2 == 1), path
+    )
+    vec = f"{path}/vectors"
+    n_rows = spark.read.parquet(vec).count()
+    # plant the degenerate cell: two zero-row fragments with the real
+    # file schema (slice of an existing data file)
+    donor = glob.glob(f"{vec}/ivf_cell=*/*.parquet")[0]
+    empty = pq.read_table(donor).slice(0, 0)
+    cell = os.path.join(vec, "ivf_cell=97")
+    os.makedirs(cell)
+    pq.write_table(empty, os.path.join(cell, "z-0.parquet"))
+    pq.write_table(empty, os.path.join(cell, "z-1.parquet"))
+
+    compacted = similarity.compact_ivf_index(spark, path)
+    assert 97 in compacted
+    assert glob.glob(os.path.join(vec, "ivf_cell=97", "*.parquet")) == []
+    assert spark.read.parquet(vec).count() == n_rows

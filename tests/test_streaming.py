@@ -757,3 +757,75 @@ def test_ann_index_maintain_stream_exactly_once(spark, tmp_path):
     after = spark.read.parquet(vec)
     assert after.count() == embs.count()
     assert after.select("vec_id").distinct().count() == embs.count()
+
+
+def test_compact_skips_unmarked_append_then_replay_no_dupes(
+        spark, tmp_path):
+    """The r7-advisor duplicate window: a maintain batch crashes BETWEEN
+    publish and marker, and compact_ivf_index runs before the replay.
+    Compaction must skip cells holding the unmarked batch's files —
+    otherwise they get folded into compacted part-files, the replay's
+    stale-file delete finds nothing, and the re-publish duplicates every
+    row of the batch."""
+    import glob
+    import os as _os
+
+    from garmadon_spark.operators import similarity
+    from garmadon_spark.session import load_table
+    from garmadon_spark.streaming import ann
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    index = str(tmp_path / "idx")
+    similarity.write_ivf_index(
+        embs.filter(F.col("vec_id") % 2 == 0), index,
+        n_centroids=4, iterations=1,
+    )
+    src = str(tmp_path / "new_vectors")
+    new = embs.filter(F.col("vec_id") % 2 == 1).select(
+        "vec_id", "embedding"
+    )
+    new.filter(F.col("vec_id") % 4 == 1).write.mode("append").parquet(src)
+    new.filter(F.col("vec_id") % 4 == 3).write.mode("append").parquet(src)
+    q = ann.maintain_ann_index_stream(
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+        index, str(tmp_path / "ckpt"),
+    ).start()
+    q.awaitTermination()
+    vec = f"{index}/vectors"
+    n_total = embs.count()
+    assert spark.read.parquet(vec).count() == n_total
+
+    # crash window: batch 0 published but its marker lost
+    markers = sorted(glob.glob(f"{index}/_append_batches/*.done"))
+    assert len(markers) == 2
+    _os.remove(markers[0])
+    bid = _os.path.basename(markers[0])[: -len(".done")]
+    dirty = {
+        d for d in _os.listdir(vec)
+        if glob.glob(_os.path.join(vec, d, f"b{bid}-*.parquet"))
+    }
+    assert dirty
+
+    compacted = similarity.compact_ivf_index(spark, index)
+    # unmarked-batch cells skipped; their b{N} files still in place
+    assert all(f"ivf_cell={c}" not in dirty for c in compacted)
+    for d in dirty:
+        assert glob.glob(_os.path.join(vec, d, f"b{bid}-*.parquet"))
+
+    # the replay re-publishes batch 0 — zero duplicate vec_ids
+    q2 = ann.maintain_ann_index_stream(
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+        index, str(tmp_path / "ckpt2"),
+    ).start()
+    q2.awaitTermination()
+    after = spark.read.parquet(vec)
+    assert after.count() == n_total
+    assert after.select("vec_id").distinct().count() == n_total
+    # with every marker back, a second compaction folds the rest and
+    # preserves the row set exactly
+    similarity.compact_ivf_index(spark, index)
+    again = spark.read.parquet(vec)
+    assert again.count() == n_total
+    assert again.select("vec_id").distinct().count() == n_total
