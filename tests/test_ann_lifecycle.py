@@ -1,0 +1,192 @@
+"""ANN index lifecycle: blue/green re-train (atomic root swap, marker
+carry-forward, unmarked-batch exclusion) and recall-after-drift
+telemetry.  Reference contract mirrored by the swap:
+ProtoParquetWriterWithOffset.java:82-135 (temp→final commit)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from garmadon_spark.operators import similarity
+from garmadon_spark.session import load_table
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+
+def _drifted(embs, n):
+    return embs.select(
+        (F.col("vec_id") + n).alias("vec_id"),
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+        "label",
+    )
+
+
+def test_retrain_blue_green_swap(spark, embs, tmp_path):
+    """Re-train rebuilds the quantizer from the index's own rows and
+    atomically swaps: row set preserved exactly, every vector sits in
+    its nearest-NEW-centroid cell, probes read the new layout, and no
+    staging debris survives."""
+    n = embs.count()
+    path = str(tmp_path / "idx")
+    similarity.write_ivf_index(embs, path, n_centroids=8, iterations=1)
+    similarity.append_to_ivf_index(_drifted(embs, n), path)
+    before = sorted(
+        r.vec_id
+        for r in spark.read.parquet(f"{path}/vectors")
+        .select("vec_id").collect()
+    )
+
+    cents = similarity.retrain_ivf_index(spark, path, n_centroids=12)
+    assert len(cents) == 12
+    assert spark.read.parquet(f"{path}/centroids").count() == 12
+    after_df = spark.read.parquet(f"{path}/vectors")
+    assert sorted(r.vec_id for r in after_df.select("vec_id")
+                  .collect()) == before
+    # layout is consistent with the NEW quantizer
+    expect = {
+        r.vec_id: r.ivf_cell
+        for r in similarity.assign_cells(
+            after_df.drop("ivf_cell"), cents).collect()
+    }
+    got = {r.vec_id: r.ivf_cell for r in after_df.collect()}
+    assert got == expect
+    # no staging debris
+    assert not os.path.isdir(path + "._retrain")
+    assert not os.path.isdir(path + "._retrain_old")
+    # probe works against the re-trained tree
+    q = [float(x) for x in
+         embs.filter(F.col("vec_id") == 0).head()["embedding"]]
+    top = similarity.ivf_topk_from_index(
+        spark, path, q, k=5, nprobe=12, exclude_ids=[0]).collect()
+    assert len(top) == 5 and top[0].cosine >= top[-1].cosine
+
+
+def test_retrain_carries_markers_and_excludes_unmarked(
+        spark, embs, tmp_path):
+    """Streaming-maintained index: committed batches' markers ride into
+    the re-trained tree (their rows are in the retrained corpus — a
+    replay must short-circuit), while a published-but-unmarked batch is
+    EXCLUDED from the rebuild so its replay into the new tree lands its
+    rows exactly once."""
+    from garmadon_spark.streaming import ann
+
+    n_total = embs.count()
+    index = str(tmp_path / "idx")
+    similarity.write_ivf_index(
+        embs.filter(F.col("vec_id") % 2 == 0), index,
+        n_centroids=4, iterations=1,
+    )
+    src = str(tmp_path / "new_vectors")
+    new = embs.filter(F.col("vec_id") % 2 == 1).select(
+        "vec_id", "embedding"
+    )
+    new.filter(F.col("vec_id") % 4 == 1).write.mode("append").parquet(src)
+    new.filter(F.col("vec_id") % 4 == 3).write.mode("append").parquet(src)
+    q = ann.maintain_ann_index_stream(
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+        index, str(tmp_path / "ckpt"),
+    ).start()
+    q.awaitTermination()
+    markers = sorted(glob.glob(f"{index}/_append_batches/*.done"))
+    assert len(markers) == 2
+    # crash window: batch 0 published, marker lost
+    os.remove(markers[0])
+    lost = os.path.basename(markers[0])
+    n_lost = new.filter(F.col("vec_id") % 4 == 1).count()
+
+    similarity.retrain_ivf_index(spark, index, n_centroids=8)
+
+    # committed batch's marker carried; unmarked one not
+    left = sorted(os.path.basename(m) for m in
+                  glob.glob(f"{index}/_append_batches/*.done"))
+    assert left == [os.path.basename(markers[1])]
+    # unmarked batch's rows were excluded from the rebuild
+    vec = f"{index}/vectors"
+    assert spark.read.parquet(vec).count() == n_total - n_lost
+
+    # the replay: committed batch short-circuits, lost batch re-publishes
+    q2 = ann.maintain_ann_index_stream(
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+        index, str(tmp_path / "ckpt2"),
+    ).start()
+    q2.awaitTermination()
+    after = spark.read.parquet(vec)
+    assert after.count() == n_total
+    assert after.select("vec_id").distinct().count() == n_total
+    assert lost in {os.path.basename(m) for m in
+                    glob.glob(f"{index}/_append_batches/*.done")}
+
+
+def test_retrain_heals_crashed_fallback_swap(
+        spark, embs, tmp_path, monkeypatch):
+    """Crash between the fallback swap's two renames leaves the live
+    path missing and the old tree at ._retrain_old; the next invocation
+    restores it before rebuilding (no data loss, correct final state)."""
+    from garmadon_spark.sinks import archive as _arch
+
+    path = str(tmp_path / "idx")
+    similarity.write_ivf_index(embs, path, n_centroids=8, iterations=1)
+    n_rows = spark.read.parquet(f"{path}/vectors").count()
+
+    calls = {"n": 0}
+    real_rename = os.rename
+
+    def crashing_rename(a, b):
+        real_rename(a, b)
+        calls["n"] += 1
+        if b.endswith("._retrain_old"):
+            raise RuntimeError("simulated crash mid-swap")
+
+    monkeypatch.setattr(
+        "garmadon_spark.sinks.archive._exchange_dirs", lambda a, b: False
+    )
+    monkeypatch.setattr("os.rename", crashing_rename)
+    with pytest.raises(RuntimeError):
+        similarity.retrain_ivf_index(spark, path, n_centroids=8)
+    monkeypatch.setattr("os.rename", real_rename)
+    assert not os.path.isdir(path)          # the crash window
+    assert os.path.isdir(path + "._retrain_old")
+
+    cents = similarity.retrain_ivf_index(spark, path, n_centroids=8)
+    assert len(cents) == 8
+    assert spark.read.parquet(f"{path}/vectors").count() == n_rows
+    assert not os.path.isdir(path + "._retrain_old")
+    assert not os.path.isdir(path + "._retrain")
+
+
+def test_retrain_keeps_cell_count_when_unspecified(spark, embs, tmp_path):
+    """n_centroids=None re-fits the quantizer at the CURRENT cell count."""
+    path = str(tmp_path / "idx")
+    similarity.write_ivf_index(embs, path, n_centroids=8, iterations=1)
+    cents = similarity.retrain_ivf_index(spark, path)
+    assert len(cents) == 8
+    assert spark.read.parquet(f"{path}/centroids").count() == 8
+
+
+def test_lifecycle_queries_contract(spark):
+    """Declared-surface smoke at sf0.001: telemetry rows have both
+    cohorts per stage, recalls in [0,1], and the lifecycle check is
+    all-true (the floors the oracle pins at sf0.01)."""
+    from garmadon_spark.queries import datapipe as dp
+
+    sf = "/root/testdata/sf0.001"
+    rec = {(r.stage, r.cohort): r for r in
+           dp.emb_ann_recall(spark, sf).collect()}
+    ret = {(r.stage, r.cohort): r for r in
+           dp.emb_ann_retrain(spark, sf).collect()}
+    assert set(rec) == {("appended", "base"), ("appended", "drifted")}
+    assert set(ret) == {("retrained", "base"), ("retrained", "drifted")}
+    for r in list(rec.values()) + list(ret.values()):
+        assert 0.0 <= r.recall <= 1.0
+        assert r.nprobe < r.cells or r.cells <= 4
+    row = dp.emb_ann_lifecycle_check(spark, sf).head()
+    assert all(list(row.asDict().values())), row.asDict()
