@@ -667,3 +667,93 @@ def bm25_scores(
         staged.select(id_col, F.round(score, 4).alias("bm25"))
         .filter(F.col("bm25") > 0)
     )
+
+
+def bm25_scores_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 against a TABLE of queries — the shape batch
+    decontamination actually needs (thousands of eval-set queries
+    scored in one job); the single-query ``bm25_scores`` would re-scan
+    the corpus per query.  ``queries``: (query_id, terms array<string>)
+    rows; terms are matched against the same normalized tokenizer as
+    the corpus.  Output: (query_id, doc_id, bm25) for every doc sharing
+    ≥1 term with the query.  Same Lucene non-negative idf as the
+    single-query form.
+
+    Plan shape at 100 TB — no cartesian anywhere; the corpus meets the
+    query set only through term-keyed equi-joins:
+
+    1. corpus scalars (N, avgdl): ONE map-side-combined aggregate
+       collapsing to a single driver row (two literals);
+    2. the DISTINCT query-term vocabulary (model-sized) broadcast
+       semi-joins the exploded corpus postings, so non-query terms die
+       in the map stage — the corpus never shuffles rows that can't
+       score;
+    3. per-(doc, term) tf: the plan's ONE corpus-candidate-rows
+       shuffle (groupBy doc+term, map-side combined);
+    4. per-term document frequency from the tf table (query-vocabulary
+       sized) becomes the idf side, broadcast;
+    5. (term → query) broadcast join + groupBy (query, doc) sum —
+       candidate-rows sized.
+    """
+    q_terms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(terms_col).alias("term"),
+    ).distinct()
+    vocab = q_terms.select("term").distinct()
+
+    staged = df.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks")
+    )
+    stats = staged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size("_toks")).alias("avgdl"),
+    ).first()
+    n_docs = stats["n"] or 0
+    avgdl = float(stats["avgdl"] or 1.0)
+    import math
+
+    assert math.isfinite(avgdl), "corpus avgdl must be finite"
+
+    postings = staged.select(
+        "doc_id",
+        F.size("_toks").alias("dl"),
+        F.explode("_toks").alias("term"),
+    ).join(F.broadcast(vocab), "term", "left_semi")
+    tf = postings.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).select(
+        "term",
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+            / (F.col("df") + 0.5)
+        ).alias("idf"),
+    )
+    per_term = (
+        tf.join(F.broadcast(idf), "term")
+        .join(F.broadcast(q_terms), "term")
+        .select(
+            "query_id", "doc_id",
+            (
+                F.col("idf")
+                * F.col("tf").cast("double") * (k1 + 1.0)
+                / (F.col("tf")
+                   + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+            ).alias("_s"),
+        )
+    )
+    return (
+        per_term.groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("_s"), 4).alias("bm25"))
+        .filter(F.col("bm25") > 0)
+    )

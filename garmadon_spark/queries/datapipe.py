@@ -1385,6 +1385,66 @@ def doc_bm25_search(spark, sf_dir):
     )
 
 
+# the batch fixture: overlapping vocabularies (shared-term reuse), one
+# never-occurring term (dies in the posting semi-join, contributes 0)
+BM25_BATCH_QUERIES = [
+    (0, ["spark", "query"]),
+    (1, ["query", "window"]),
+    (2, ["window", "spark", "zzznovocab"]),
+]
+
+
+def doc_bm25_batch(spark, sf_dir):
+    """BM25 against a query TABLE (text.bm25_scores_batch) — the batch
+    decontamination shape: thousands of eval queries scored in ONE job
+    instead of a corpus scan per query.  Exploded postings semi-join
+    the broadcast query vocabulary (non-query terms never shuffle), one
+    (doc, term) tf shuffle, broadcast idf + query joins, (query, doc)
+    sum.  ``tests/test_datapipe_ops.py`` pins the no-cartesian plan."""
+    queries = spark.createDataFrame(
+        BM25_BATCH_QUERIES, "query_id int, terms array<string>"
+    )
+    return text.bm25_scores_batch(
+        _fanout(spark, _docs(spark, sf_dir)), queries
+    )
+
+
+DOC_BM25_BATCH_SQL = r"""
+WITH q(query_id, term) AS (
+    VALUES (0, 'spark'), (0, 'query'),
+           (1, 'query'), (1, 'window'),
+           (2, 'window'), (2, 'spark'), (2, 'zzznovocab')
+), tk AS (
+    SELECT doc_id,
+           list_filter(string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+                       t -> t <> '') AS toks
+    FROM documents
+), st AS (
+    SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl FROM tk
+), post AS (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tk
+), tf AS (
+    SELECT doc_id, dl, term, COUNT(*) AS tf
+    FROM post WHERE term IN (SELECT DISTINCT term FROM q)
+    GROUP BY 1, 2, 3
+), dfq AS (
+    SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), sc AS (
+    SELECT q.query_id, tf.doc_id,
+           SUM(ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+               * (tf.tf * 2.2
+                  / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / st.avgdl))))
+               AS s
+    FROM tf
+    JOIN dfq USING (term)
+    JOIN q ON q.term = tf.term
+    CROSS JOIN st
+    GROUP BY 1, 2
+)
+SELECT query_id, doc_id, ROUND(s, 4) AS bm25 FROM sc WHERE ROUND(s, 4) > 0
+"""
+
+
 DOC_BM25_SEARCH_SQL = r"""
 WITH tk AS (
     SELECT doc_id,
@@ -2862,4 +2922,5 @@ QUERIES = {
     "emb_ann_lifecycle_check": (
         emb_ann_lifecycle_check, EMB_ANN_LIFECYCLE_CHECK_SQL
     ),
+    "doc_bm25_batch": (doc_bm25_batch, DOC_BM25_BATCH_SQL),
 }

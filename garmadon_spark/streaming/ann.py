@@ -30,6 +30,42 @@ from garmadon_spark.operators import similarity
 from garmadon_spark.sinks.rollup import _marker_exists, _write_marker
 
 
+def apply_results_retention(out_path: str, retain_batches: int) -> list:
+    """K2-style lifecycle for the serving results table: keep the
+    newest ``retain_batches`` ``batch_id=`` partitions, delete older
+    ones AND their ``_ann_batches`` markers together (a marker without
+    its partition would claim results that no longer exist; a partition
+    without its marker would re-materialize on a replay).  Old batches
+    can never replay — the checkpoint committed past them when they
+    completed, and retention keeps at least the current batch — so
+    dropping their markers is safe.  Returns the pruned batch ids.
+
+    Local-FS implementation like sinks.archive.apply_retention; on a
+    cluster this is an ALTER TABLE DROP PARTITION / table-format
+    VACUUM."""
+    import os as _os
+    import re as _re
+    import shutil as _shutil
+
+    if retain_batches < 1:
+        raise ValueError("retain_batches must be >= 1")
+    if not _os.path.isdir(out_path):
+        return []
+    ids = sorted(
+        int(m.group(1))
+        for d in _os.listdir(out_path)
+        if (m := _re.fullmatch(r"batch_id=(\d+)", d))
+    )
+    dropped = ids[: max(0, len(ids) - retain_batches)]
+    for b in dropped:
+        _shutil.rmtree(f"{out_path}/batch_id={b}", ignore_errors=True)
+        try:
+            _os.remove(f"{out_path}/_ann_batches/{b}.done")
+        except FileNotFoundError:
+            pass
+    return dropped
+
+
 def serve_ann_stream(
     queries: DataFrame,
     index_path: str,
@@ -40,6 +76,7 @@ def serve_ann_stream(
     query_id_col: str = "query_id",
     query_vec_col: str = "embedding",
     exclude_self: bool = False,
+    retain_batches: int | None = None,
 ):
     """Wire a query-vector stream to the IVF index; returns the
     (unstarted) ``DataStreamWriter``.  Results land in ``out_path`` as
@@ -61,10 +98,17 @@ def serve_ann_stream(
     BATCH and reused for the query's lifetime — k·d·8 B of driver
     memory, not a per-trigger centroid-table scan (lazy so the writer
     can be constructed before the offline index build finishes).
-    Consequence of the caching: a mid-stream index RE-TRAIN is not
-    picked up — restart the serving query after re-training (appends
-    via ``append_to_ivf_index`` keep centroids fixed and are served
-    correctly without a restart)."""
+    Consequence of the caching: a mid-stream index RE-TRAIN
+    (similarity.retrain_ivf_index) is not picked up — restart the
+    serving query after re-training (appends via
+    ``append_to_ivf_index`` keep centroids fixed and are served
+    correctly without a restart).
+
+    ``retain_batches``: a long-running server writes one ``batch_id=N``
+    partition per micro-batch forever; pass a count to prune results
+    older than the newest N batches (markers pruned together —
+    ``apply_results_retention``) after each commit.  None (default)
+    keeps everything — the batch-job semantics."""
     cache: dict = {}
 
     def _probe(batch_df: DataFrame, batch_id: int) -> None:
@@ -89,6 +133,8 @@ def serve_ann_stream(
         finally:
             res._gs_unpersist()
         _write_marker(sess, marker)
+        if retain_batches is not None:
+            apply_results_retention(out_path, retain_batches)
 
     return (
         queries.writeStream.foreachBatch(_probe)

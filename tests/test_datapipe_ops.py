@@ -1265,3 +1265,37 @@ def test_compact_ivf_index_handles_zero_row_cells(spark, embs, tmp_path):
     assert 97 in compacted
     assert glob.glob(os.path.join(vec, "ivf_cell=97", "*.parquet")) == []
     assert spark.read.parquet(vec).count() == n_rows
+
+
+def test_bm25_batch_matches_single_query_scores(spark, docs):
+    """Per query_id, the batch scorer's (doc, score) rows equal the
+    single-query bm25_scores run with the same terms — identical idf
+    convention, tokenizer, and rounding."""
+    qsets = {0: ["the", "fox"], 1: ["river", "spark"],
+             2: ["fox", "zzznope"]}
+    queries = spark.createDataFrame(
+        [(k, v) for k, v in qsets.items()],
+        "query_id int, terms array<string>",
+    )
+    batch = text.bm25_scores_batch(docs, queries)
+    got: dict = {}
+    for r in batch.collect():
+        got.setdefault(r.query_id, {})[r.doc_id] = r.bm25
+    for qid, terms in qsets.items():
+        want = {r.doc_id: r.bm25
+                for r in text.bm25_scores(docs, terms).collect()}
+        assert got.get(qid, {}) == want, qid
+
+
+def test_bm25_batch_plan_has_no_cartesian(spark, docs):
+    """The corpus meets the query table only through term-keyed
+    equi-joins — no CartesianProduct / BroadcastNestedLoopJoin
+    anywhere in the physical plan."""
+    queries = spark.createDataFrame(
+        [(0, ["the", "fox"]), (1, ["river"])],
+        "query_id int, terms array<string>",
+    )
+    plan = text.bm25_scores_batch(docs, queries)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

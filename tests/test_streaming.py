@@ -829,3 +829,49 @@ def test_compact_skips_unmarked_append_then_replay_no_dupes(
     again = spark.read.parquet(vec)
     assert again.count() == n_total
     assert again.select("vec_id").distinct().count() == n_total
+
+
+def test_ann_serving_results_retention(spark, tmp_path):
+    """A long-running server prunes old batch_id= partitions and their
+    markers together: retain_batches=2 over 4 micro-batches leaves
+    exactly the newest two, still readable, markers consistent."""
+    import glob
+    import os as _os
+
+    from garmadon_spark.operators import similarity
+    from garmadon_spark.session import load_table
+    from garmadon_spark.streaming import ann
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    index = str(tmp_path / "idx")
+    similarity.write_ivf_index(embs, index, n_centroids=8, iterations=1)
+    src = str(tmp_path / "queries")
+    for i in range(4):
+        embs.filter(F.col("vec_id") == i).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ).write.mode("append").parquet(src)
+    out = str(tmp_path / "results")
+    q = ann.serve_ann_stream(
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+        index, out, str(tmp_path / "ckpt"), k=5, nprobe=4,
+        exclude_self=True, retain_batches=2,
+    ).start()
+    q.awaitTermination()
+
+    parts = sorted(d for d in _os.listdir(out) if d.startswith("batch_id="))
+    marks = sorted(_os.path.basename(m) for m in
+                   glob.glob(f"{out}/_ann_batches/*.done"))
+    assert len(parts) == 2
+    assert marks == sorted(
+        d.split("=")[1] + ".done" for d in parts
+    )
+    res = spark.read.parquet(out)
+    assert res.count() == 2 * 5  # k rows per surviving batch
+    assert res.select("query_id").distinct().count() == 2
+
+    # standalone helper: pruning below the floor is rejected
+    with pytest.raises(ValueError):
+        ann.apply_results_retention(out, 0)
+    # idempotent when nothing to prune
+    assert ann.apply_results_retention(out, 2) == []
