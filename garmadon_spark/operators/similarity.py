@@ -461,9 +461,17 @@ def write_ivf_index(
     hierarchical index adds a ``coarse`` side table (branch centroids)
     and an ``ivf_branch`` column on the centroids table; the vector
     layout is IDENTICAL (partitioned by ivf_cell), so every probe and
-    the cell-blocked near-dup read the same files either way."""
+    the cell-blocked near-dup read the same files either way.
+
+    ``ivf_cell`` / ``ivf_branch`` are THIS operator's output columns —
+    an input already carrying them (an index's vectors read back for a
+    re-train; a hierarchical build persists ivf_branch in the data
+    files) is stale routing metadata and is dropped before assignment,
+    not duplicated (the 100× sweep caught the ambiguous-reference
+    failure on exactly that path)."""
     if hierarchical is None:
         hierarchical = n_centroids > HIER_IVF_MIN_CELLS
+    embs = embs.drop("ivf_cell", "ivf_branch")
     spark = embs.sparkSession
     if hierarchical:
         coarse, fine_rows, assigned = build_hierarchical_ivf(
@@ -903,7 +911,9 @@ def retrain_ivf_index(
     if unmarked:
         pat = "/b(" + "|".join(sorted(unmarked)) + r")-[^/]*\.parquet$"
         corpus = corpus.filter(~F.input_file_name().rlike(pat))
-    corpus = corpus.drop("ivf_cell")
+    # both routing columns are stale under the new quantizer; a
+    # hierarchical build also persisted ivf_branch INSIDE the data files
+    corpus = corpus.drop("ivf_cell", "ivf_branch")
     if n_centroids is None:
         n_centroids = spark.read.parquet(f"{path}/centroids").count()
 

@@ -190,3 +190,37 @@ def test_lifecycle_queries_contract(spark):
         assert r.nprobe < r.cells or r.cells <= 4
     row = dp.emb_ann_lifecycle_check(spark, sf).head()
     assert all(list(row.asDict().values())), row.asDict()
+
+
+def test_retrain_hierarchical_index_drops_stale_routing(
+        spark, embs, tmp_path, monkeypatch):
+    """A hierarchical build persists ivf_branch INSIDE the vector data
+    files; re-training such an index into another hierarchical layout
+    must drop the stale routing columns instead of colliding with the
+    new build's own (AMBIGUOUS_REFERENCE — caught by the 100× sweep,
+    where 2n crosses HIER_IVF_MIN_CELLS)."""
+    path = str(tmp_path / "idx")
+    similarity.write_ivf_index(
+        embs, path, n_centroids=9, iterations=1, hierarchical=True,
+    )
+    vec_cols = spark.read.parquet(f"{path}/vectors").columns
+    assert vec_cols.count("ivf_branch") == 1  # the hierarchical layout
+    n_rows = spark.read.parquet(f"{path}/vectors").count()
+
+    # force the REBUILD down the hierarchical path at fixture scale
+    monkeypatch.setattr(similarity, "HIER_IVF_MIN_CELLS", 4)
+    cents = similarity.retrain_ivf_index(spark, path, n_centroids=9)
+    assert len(cents) == 9
+    after = spark.read.parquet(f"{path}/vectors")
+    assert after.count() == n_rows
+    assert after.columns.count("ivf_branch") == 1
+    assert os.path.isdir(f"{path}/coarse")
+    # flat retrain over the hierarchical tree also works (branch col
+    # dropped, coarse side table removed by the flat build)
+    monkeypatch.setattr(similarity, "HIER_IVF_MIN_CELLS", 256)
+    cents2 = similarity.retrain_ivf_index(spark, path, n_centroids=8)
+    assert len(cents2) == 8
+    after2 = spark.read.parquet(f"{path}/vectors")
+    assert after2.count() == n_rows
+    assert "ivf_branch" not in after2.columns
+    assert not os.path.isdir(f"{path}/coarse")
