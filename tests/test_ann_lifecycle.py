@@ -173,18 +173,27 @@ def test_retrain_keeps_cell_count_when_unspecified(spark, embs, tmp_path):
 
 
 def test_lifecycle_queries_contract(spark):
-    """Declared-surface smoke at sf0.001: telemetry rows have both
-    cohorts per stage, recalls in [0,1], and the lifecycle check is
-    all-true (the floors the oracle pins at sf0.01)."""
+    """Declared-surface smoke at sf0.001: the recall-vs-nprobe curve
+    covers both cohorts per stage at every measured width, recalls in
+    [0,1], and the lifecycle check is all-true (the floors the oracle
+    pins at sf0.01)."""
     from garmadon_spark.queries import datapipe as dp
 
     sf = "/root/testdata/sf0.001"
-    rec = {(r.stage, r.cohort): r for r in
+    rec = {(r.stage, r.cohort, r.nprobe): r for r in
            dp.emb_ann_recall(spark, sf).collect()}
-    ret = {(r.stage, r.cohort): r for r in
+    ret = {(r.stage, r.cohort, r.nprobe): r for r in
            dp.emb_ann_retrain(spark, sf).collect()}
-    assert set(rec) == {("appended", "base"), ("appended", "drifted")}
-    assert set(ret) == {("retrained", "base"), ("retrained", "drifted")}
+    assert {(s, c) for s, c, _ in rec} == {
+        ("appended", "base"), ("appended", "drifted")}
+    assert {(s, c) for s, c, _ in ret} == {
+        ("retrained", "base"), ("retrained", "drifted")}
+    # same width set for every cohort within a stage
+    for d in (rec, ret):
+        widths = {}
+        for s, c, np_ in d:
+            widths.setdefault(c, set()).add(np_)
+        assert len(set(map(frozenset, widths.values()))) == 1
     for r in list(rec.values()) + list(ret.values()):
         assert 0.0 <= r.recall <= 1.0
         assert r.nprobe < r.cells or r.cells <= 4
