@@ -600,6 +600,34 @@ def append_to_ivf_index(
     )
 
 
+def _done_batch_ids(path: str) -> set:
+    """Batch ids holding a committed ``_append_batches/N.done`` marker
+    — the single source of truth for the replay-safety gates in BOTH
+    compact_ivf_index and retrain_ivf_index (the two must agree on
+    which published files belong to a crashed-but-unmarked batch, or a
+    replay window reopens in whichever one drifts)."""
+    import os as _os
+
+    mdir = f"{path}/_append_batches"
+    if not _os.path.isdir(mdir):
+        return set()
+    return {
+        f[: -len(".done")]
+        for f in _os.listdir(mdir)
+        if f.endswith(".done")
+    }
+
+
+def _batch_id_of(filename: str):
+    """The maintain-stream batch id encoded in a published vector file
+    name (``b{N}-{i}.parquet`` — maintain_ann_index_stream's
+    deterministic publish names), or None for ordinary part files."""
+    import re as _re
+
+    m = _re.match(r"b(\d+)-", filename)
+    return m.group(1) if m and filename.endswith(".parquet") else None
+
+
 def compact_ivf_index(
     spark,
     path: str,
@@ -662,17 +690,12 @@ def compact_ivf_index(
     # whose ``_append_batches/N.done`` marker is absent is SKIPPED this
     # run — the next compaction (after the replay marks the batch) picks
     # it up.  O(markers + files-per-fragmented-cell) driver-side.
-    done = set()
-    mdir = f"{path}/_append_batches"
-    if _os.path.isdir(mdir):
-        for f in _os.listdir(mdir):
-            if f.endswith(".done"):
-                done.add(f[: -len(".done")])
+    done = _done_batch_ids(path)
 
     def _unmarked(files: list[str]) -> bool:
         for f in files:
-            m = _re.match(r"b(\d+)-", _os.path.basename(f))
-            if m and m.group(1) not in done:
+            bid = _batch_id_of(_os.path.basename(f))
+            if bid is not None and bid not in done:
                 return True
         return False
 
@@ -877,7 +900,6 @@ def retrain_ivf_index(
     corpus-scaled count to re-size (cells ∝ corpus is the constant
     cell-size contract).  Returns the new centroid list."""
     import os as _os
-    import re as _re
     import shutil as _shutil
 
     from garmadon_spark.sinks.archive import _exchange_dirs
@@ -892,28 +914,22 @@ def retrain_ivf_index(
     _shutil.rmtree(staging, ignore_errors=True)
 
     vec = f"{path}/vectors"
-    mdir = f"{path}/_append_batches"
-    done = {
-        f[: -len(".done")]
-        for f in (_os.listdir(mdir) if _os.path.isdir(mdir) else [])
-        if f.endswith(".done")
-    }
+    done = _done_batch_ids(path)
     unmarked = set()
     for entry in _os.listdir(vec):
         if not entry.startswith("ivf_cell="):
             continue
         for f in _os.listdir(_os.path.join(vec, entry)):
-            m = _re.match(r"b(\d+)-", f)
-            if m and f.endswith(".parquet") and m.group(1) not in done:
-                unmarked.add(m.group(1))
+            bid = _batch_id_of(f)
+            if bid is not None and bid not in done:
+                unmarked.add(bid)
 
     corpus = spark.read.parquet(vec)
     if unmarked:
         pat = "/b(" + "|".join(sorted(unmarked)) + r")-[^/]*\.parquet$"
         corpus = corpus.filter(~F.input_file_name().rlike(pat))
-    # both routing columns are stale under the new quantizer; a
-    # hierarchical build also persisted ivf_branch INSIDE the data files
-    corpus = corpus.drop("ivf_cell", "ivf_branch")
+    # stale routing columns (ivf_cell, and ivf_branch on hierarchical
+    # layouts) are dropped by write_ivf_index itself
     if n_centroids is None:
         n_centroids = spark.read.parquet(f"{path}/centroids").count()
 

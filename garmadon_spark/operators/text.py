@@ -704,10 +704,18 @@ def bm25_scores_batch(
     5. (term → query) broadcast join + groupBy (query, doc) sum —
        candidate-rows sized.
     """
-    q_terms = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.explode(terms_col).alias("term"),
-    ).distinct()
+    # a term repeated in one query contributes once PER OCCURRENCE in
+    # the single-query form (the scoring loop runs per list element),
+    # so the batch form carries the multiplicity as a weight — plain
+    # distinct() would halve the score of (q, ["fox", "fox"])
+    q_terms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(terms_col).alias("term"),
+        )
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("_w"))
+    )
     vocab = q_terms.select("term").distinct()
 
     staged = df.select(
@@ -745,7 +753,7 @@ def bm25_scores_batch(
         .select(
             "query_id", "doc_id",
             (
-                F.col("idf")
+                F.col("_w") * F.col("idf")
                 * F.col("tf").cast("double") * (k1 + 1.0)
                 / (F.col("tf")
                    + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))

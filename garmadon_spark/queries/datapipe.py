@@ -2868,8 +2868,9 @@ def emb_ann_lifecycle_check(spark, sf_dir):
         _memo_fetch(spark, sf_dir, "ann_recall_retrained",
                     lambda: emb_ann_retrain(spark, sf_dir)))
     _rp, n, k2 = _ensure_retrained_index(spark, sf_dir)
-    cells = len(similarity.load_ivf_centroids(
-        spark, _retrain_index_path(sf_dir))[0])
+    # count only — loading the full centroid vectors driver-side is the
+    # exact collect load_ivf_centroids budgets a warning for
+    cells = spark.read.parquet(f"{_rp}/centroids").count()
     return spark.createDataFrame(
         [(
             bool(app["base"] >= _RECALL_FLOOR_BASE),

@@ -40,6 +40,13 @@ def apply_results_retention(out_path: str, retain_batches: int) -> list:
     completed, and retention keeps at least the current batch — so
     dropping their markers is safe.  Returns the pruned batch ids.
 
+    "Newest" is by WRITE TIME (partition mtime, id tie-break), not by
+    batch id: a query restarted with a FRESH checkpoint over the same
+    out_path re-numbers batches from 0, and id-ordered retention would
+    delete the just-written batch 0 while retaining the previous
+    incarnation's stale high-id partitions.  (A replayed batch rewrites
+    its partition, refreshing the mtime — replays stay "newest".)
+
     Local-FS implementation like sinks.archive.apply_retention; on a
     cluster this is an ALTER TABLE DROP PARTITION / table-format
     VACUUM."""
@@ -51,19 +58,26 @@ def apply_results_retention(out_path: str, retain_batches: int) -> list:
         raise ValueError("retain_batches must be >= 1")
     if not _os.path.isdir(out_path):
         return []
-    ids = sorted(
-        int(m.group(1))
-        for d in _os.listdir(out_path)
-        if (m := _re.fullmatch(r"batch_id=(\d+)", d))
-    )
-    dropped = ids[: max(0, len(ids) - retain_batches)]
+    stamped = []
+    for d in _os.listdir(out_path):
+        m = _re.fullmatch(r"batch_id=(\d+)", d)
+        if not m:
+            continue
+        try:
+            mt = _os.stat(_os.path.join(out_path, d)).st_mtime_ns
+        except OSError:
+            mt = 0
+        stamped.append((mt, int(m.group(1))))
+    stamped.sort()
+    dropped = [b for _, b in stamped[: max(0, len(stamped)
+                                           - retain_batches)]]
     for b in dropped:
         _shutil.rmtree(f"{out_path}/batch_id={b}", ignore_errors=True)
         try:
             _os.remove(f"{out_path}/_ann_batches/{b}.done")
         except FileNotFoundError:
             pass
-    return dropped
+    return sorted(dropped)
 
 
 def serve_ann_stream(
@@ -109,6 +123,9 @@ def serve_ann_stream(
     older than the newest N batches (markers pruned together —
     ``apply_results_retention``) after each commit.  None (default)
     keeps everything — the batch-job semantics."""
+    if retain_batches is not None and retain_batches < 1:
+        # fail at wiring time, not inside the first foreachBatch
+        raise ValueError("retain_batches must be >= 1")
     cache: dict = {}
 
     def _probe(batch_df: DataFrame, batch_id: int) -> None:

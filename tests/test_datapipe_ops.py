@@ -1270,9 +1270,10 @@ def test_compact_ivf_index_handles_zero_row_cells(spark, embs, tmp_path):
 def test_bm25_batch_matches_single_query_scores(spark, docs):
     """Per query_id, the batch scorer's (doc, score) rows equal the
     single-query bm25_scores run with the same terms — identical idf
-    convention, tokenizer, and rounding."""
+    convention, tokenizer, rounding, AND term-multiplicity semantics
+    (a repeated term scores once per occurrence in both forms)."""
     qsets = {0: ["the", "fox"], 1: ["river", "spark"],
-             2: ["fox", "zzznope"]}
+             2: ["fox", "zzznope"], 3: ["fox", "fox"]}
     queries = spark.createDataFrame(
         [(k, v) for k, v in qsets.items()],
         "query_id int, terms array<string>",

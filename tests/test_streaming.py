@@ -870,8 +870,36 @@ def test_ann_serving_results_retention(spark, tmp_path):
     assert res.count() == 2 * 5  # k rows per surviving batch
     assert res.select("query_id").distinct().count() == 2
 
-    # standalone helper: pruning below the floor is rejected
+    # standalone helper: pruning below the floor is rejected, at the
+    # helper AND at writer construction
     with pytest.raises(ValueError):
         ann.apply_results_retention(out, 0)
+    with pytest.raises(ValueError):
+        ann.serve_ann_stream(
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .parquet(src), index, out, str(tmp_path / "ckptX"),
+            retain_batches=0,
+        )
     # idempotent when nothing to prune
     assert ann.apply_results_retention(out, 2) == []
+
+    # CHECKPOINT RESET: a fresh checkpoint over the same out_path
+    # re-numbers batches from 0 — retention must treat the just-written
+    # batch as newest (write time), not delete it for having a low id
+    import time as _time
+    _time.sleep(0.05)  # ensure mtime ordering across filesystems
+    q2 = ann.serve_ann_stream(
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .parquet(src),  # all 4 files in ONE batch this time
+        index, out, str(tmp_path / "ckpt2"), k=5, nprobe=4,
+        exclude_self=True, retain_batches=1,
+    ).start()
+    q2.awaitTermination()
+    parts2 = sorted(d for d in _os.listdir(out)
+                    if d.startswith("batch_id="))
+    assert parts2 == ["batch_id=0"]       # the fresh batch survived
+    assert spark.read.parquet(out).select("query_id") \
+        .distinct().count() == 4
+    marks2 = sorted(_os.path.basename(m) for m in
+                    glob.glob(f"{out}/_ann_batches/*.done"))
+    assert marks2 == ["0.done"]
