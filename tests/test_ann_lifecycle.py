@@ -233,3 +233,26 @@ def test_retrain_hierarchical_index_drops_stale_routing(
     assert after2.count() == n_rows
     assert "ivf_branch" not in after2.columns
     assert not os.path.isdir(f"{path}/coarse")
+
+
+def test_recall_curve_three_widths_monotone(spark, embs, tmp_path):
+    """On an index with enough cells the telemetry emits the full
+    three-width recall-vs-nprobe curve, and recall is NON-DECREASING in
+    nprobe: cell selection ranks cells once and takes prefixes (nested
+    candidate sets), and top-k under the shared total order (rounded
+    cosine desc, id asc) makes |topk(S) ∩ topk(U)| monotone in S."""
+    from garmadon_spark.queries.datapipe import _recall_df
+
+    n = embs.count()
+    path = str(tmp_path / "idx")
+    similarity.write_ivf_index(embs, path, n_centroids=64, iterations=1)
+    similarity.append_to_ivf_index(_drifted(embs, n), path)
+    rows = _recall_df(spark, path, n, stage="appended").collect()
+    widths = sorted({r.nprobe for r in rows})
+    assert widths == [8, 16, 32]          # cells/8, cells/4, cells/2
+    for cohort in ("base", "drifted"):
+        curve = [r.recall for r in
+                 sorted((x for x in rows if x.cohort == cohort),
+                        key=lambda r: r.nprobe)]
+        assert len(curve) == 3
+        assert curve == sorted(curve), (cohort, curve)
