@@ -884,9 +884,10 @@ def retrain_ivf_index(
       new index after the swap, so including its rows would duplicate
       them (the same window compact_ivf_index skips cells for).
 
-    A serving loop caches the quantizer for the query's lifetime
-    (streaming/ann.serve_ann_stream) — restart it after a re-train;
-    batch probes re-plan per call and pick the new tree up immediately.
+    The streaming server's quantizer cache is generation-checked
+    (streaming/ann.serve_ann_stream stats the side tables per trigger),
+    so it picks the new tree up on the NEXT micro-batch without a
+    restart; batch probes re-plan per call and see it immediately.
 
     Concurrency contract: serialize re-training with maintenance jobs
     (appends/compaction), the same rule compact_ivf_index states — a

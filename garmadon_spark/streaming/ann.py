@@ -80,6 +80,23 @@ def apply_results_retention(out_path: str, retain_batches: int) -> list:
     return sorted(dropped)
 
 
+def _quantizer_generation(index_path: str) -> tuple:
+    """Cheap identity of the index's quantizer: the mtimes of the
+    ``centroids`` and ``coarse`` side-table directories.  A blue/green
+    re-train swaps the index ROOT, so both resolve to newly written
+    directories (new mtimes); appends and cell compaction touch only
+    ``vectors/`` and leave the generation unchanged."""
+    import os as _os
+
+    gen = []
+    for side in ("centroids", "coarse"):
+        try:
+            gen.append(_os.stat(f"{index_path}/{side}").st_mtime_ns)
+        except OSError:
+            gen.append(None)
+    return tuple(gen)
+
+
 def serve_ann_stream(
     queries: DataFrame,
     index_path: str,
@@ -109,14 +126,18 @@ def serve_ann_stream(
     that crashed between write and marker REWRITES the same partition
     instead of appending duplicates; the marker only short-circuits
     work.  The quantizer (centroid tables) is loaded ON THE FIRST
-    BATCH and reused for the query's lifetime — k·d·8 B of driver
-    memory, not a per-trigger centroid-table scan (lazy so the writer
-    can be constructed before the offline index build finishes).
-    Consequence of the caching: a mid-stream index RE-TRAIN
-    (similarity.retrain_ivf_index) is not picked up — restart the
-    serving query after re-training (appends via
-    ``append_to_ivf_index`` keep centroids fixed and are served
-    correctly without a restart).
+    BATCH and reused across triggers — k·d·8 B of driver memory, not a
+    per-trigger centroid-table scan (lazy so the writer can be
+    constructed before the offline index build finishes).  The cache is
+    GENERATION-CHECKED: each batch stats the quantizer side tables (two
+    stat calls), so a blue/green re-train
+    (similarity.retrain_ivf_index — atomic root swap) is picked up on
+    the NEXT micro-batch without a restart; appends keep centroids
+    fixed and never trigger a reload.  Remaining race, documented: a
+    swap landing between a batch's generation check and its vector
+    scan serves that one batch from the old quantizer against the new
+    layout (degraded pruning for one trigger) — serialize re-trains
+    with serving triggers where that matters.
 
     ``retain_batches``: a long-running server writes one ``batch_id=N``
     partition per micro-batch forever; pass a count to prune results
@@ -133,10 +154,12 @@ def serve_ann_stream(
         marker = f"{out_path}/_ann_batches/{batch_id}.done"
         if _marker_exists(sess, marker) or batch_df.isEmpty():
             return
-        if "cents" not in cache:
+        gen = _quantizer_generation(index_path)
+        if cache.get("gen") != gen:
             cache["cents"] = similarity.load_ivf_centroids(
                 sess, index_path
             )
+            cache["gen"] = gen
         cents = cache["cents"]
         res = similarity.ivf_topk_batch(
             sess, index_path, batch_df, k=k, nprobe=nprobe,

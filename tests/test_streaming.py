@@ -903,3 +903,61 @@ def test_ann_serving_results_retention(spark, tmp_path):
     marks2 = sorted(_os.path.basename(m) for m in
                     glob.glob(f"{out}/_ann_batches/*.done"))
     assert marks2 == ["0.done"]
+
+
+def test_ann_serve_stream_picks_up_retrain(spark, tmp_path):
+    """The serving loop's quantizer cache is generation-checked: after
+    a blue/green re-train (atomic root swap), the NEXT micro-batch of
+    the same writer (same foreachBatch closure, same checkpoint) serves
+    from the new quantizer — no restart of the process required.  An
+    append, by contrast, must NOT reload (generation unchanged)."""
+    from garmadon_spark.operators import similarity
+    from garmadon_spark.session import load_table
+    from garmadon_spark.streaming import ann
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    index = str(tmp_path / "idx")
+    similarity.write_ivf_index(embs, index, n_centroids=8, iterations=1)
+    g0 = ann._quantizer_generation(index)
+    # appends leave the quantizer generation untouched
+    similarity.append_to_ivf_index(
+        embs.select((F.col("vec_id") + 10_000).alias("vec_id"),
+                    "embedding", "label"),
+        index,
+    )
+    assert ann._quantizer_generation(index) == g0
+
+    src = str(tmp_path / "queries")
+    q1 = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    q1.write.mode("append").parquet(src)
+    out = str(tmp_path / "results")
+    ckpt = str(tmp_path / "ckpt")
+    writer = ann.serve_ann_stream(
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .parquet(src),
+        index, out, ckpt, k=5, nprobe=4, exclude_self=True,
+    )
+    h = writer.start()
+    h.awaitTermination()           # batch 0 — cache primed on 8 cells
+
+    similarity.retrain_ivf_index(spark, index, n_centroids=12)
+    assert ann._quantizer_generation(index) != g0
+
+    q2 = embs.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 6)) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    q2.write.mode("append").parquet(src)
+    h2 = writer.start()            # SAME closure + checkpoint
+    h2.awaitTermination()          # batch 1 — generation changed
+
+    got = {
+        (r.query_id, r.rank): (r.vec_id, r.cosine)
+        for r in spark.read.parquet(out)
+        .filter(F.col("query_id") >= 3).collect()
+    }
+    exp = {
+        (r.query_id, r.rank): (r.vec_id, r.cosine)
+        for r in similarity.ivf_topk_batch(
+            spark, index, q2, k=5, nprobe=4).collect()
+    }
+    assert got == exp and len({q for q, _ in got}) == 3
