@@ -466,3 +466,93 @@ def shard_manifest(
             F.max("_skey").alias("last_key"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_chars: int = 512,
+    overlap: int = 128,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking — the retrieval/embedding prep
+    step between cleaning and the encoder: one row per (doc, window),
+    windows ``chunk_chars`` wide starting every ``chunk_chars -
+    overlap`` characters, the last window short.  Emits ``chunk_idx``
+    (0-based window ordinal), ``chunk_start`` (0-based char offset),
+    ``chunk_text``, ``chunk_len``, plus every non-text input column
+    (chunk-level metadata rides along for the embedding job).
+
+    Plan shape: ``F.sequence`` start offsets + one ``posexplode`` —
+    a map-only scalar pass, NO shuffle, no Python; output rows ∝
+    corpus chars / step, so the operator scales exactly like a linear
+    scan at 100 TB.  NULL/empty documents yield no chunks (nothing to
+    embed), matching the explode-side semantics of split_lines."""
+    if chunk_chars < 1:
+        raise ValueError("chunk_chars must be >= 1")
+    if not 0 <= overlap < chunk_chars:
+        raise ValueError("overlap must be in [0, chunk_chars)")
+    step = chunk_chars - overlap
+    n = F.length(F.col(text_col))
+    others = [c for c in df.columns if c != text_col]
+    return (
+        df.filter(F.col(text_col).isNotNull() & (n > 0))
+        .select(
+            *others,
+            F.col(text_col),
+            F.posexplode(
+                F.sequence(F.lit(0), n - F.lit(1), F.lit(step))
+            ).alias("chunk_idx", "chunk_start"),
+        )
+        .withColumn(
+            "chunk_text",
+            F.col(text_col).substr(
+                F.col("chunk_start") + F.lit(1), F.lit(chunk_chars)
+            ),
+        )
+        .withColumn("chunk_len", F.length("chunk_text"))
+        .drop(text_col)
+    )
+
+
+def corpus_report(
+    df: DataFrame,
+    group_cols: tuple = ("lang", "source"),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One-scan corpus datasheet per cohort — the summary a dataset
+    owner publishes with a training mix: volume (docs, chars,
+    whitespace tokens), exact-duplication rate (distinct text hashes vs
+    rows), and length shape (mean tokens, median chars).  Everything is
+    a scalar expression feeding ONE map-side-combined aggregate: a
+    single linear scan + one cohort-keyed shuffle (cohort cardinality,
+    not corpus), so the report costs the same as any groupBy at
+    100 TB.  The md5 distinct-count shuffles 16-byte hashes, never
+    text."""
+    toks = F.size(F.filter(F.split(F.col(text_col), r"\s+"),
+                           lambda t: t != ""))
+    chars = F.length(F.col(text_col))
+    return (
+        df.select(
+            *group_cols,
+            chars.alias("_chars"),
+            toks.alias("_toks"),
+            F.md5(F.col(text_col)).alias("_h"),
+        )
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("_h").alias("n_distinct_texts"),
+            F.round(
+                F.lit(1.0)
+                - F.count_distinct("_h") / F.count(F.lit(1)), 4
+            ).alias("dup_ratio"),
+            F.sum("_chars").alias("total_chars"),
+            F.sum("_toks").alias("total_tokens"),
+            F.round(F.avg("_toks"), 2).alias("mean_tokens"),
+            F.round(F.expr("percentile(_chars, 0.5)"), 1).alias(
+                "median_chars"
+            ),
+        )
+    )

@@ -2897,6 +2897,71 @@ SELECT TRUE AS appended_base_ok, TRUE AS appended_drifted_ok,
 """
 
 
+CHUNK_CHARS = 500
+CHUNK_OVERLAP = 100
+
+
+def doc_chunking(spark, sf_dir):
+    """Sliding-window chunking (corpus.chunk_documents) — the
+    retrieval/embedding prep step: 500-char windows every 400 chars
+    (100 overlap), one row per (doc, window).  The chunk text itself is
+    pinned via md5 so the hash gate verifies CONTENT, not just offsets,
+    without shipping chunk bodies through the compare.  Plan: sequence
+    + posexplode, map-only, zero shuffle — scales as a linear scan."""
+    ch = corpus.chunk_documents(
+        _fanout(spark, _docs(spark, sf_dir)),
+        chunk_chars=CHUNK_CHARS, overlap=CHUNK_OVERLAP,
+    )
+    return ch.select(
+        "doc_id", "chunk_idx", "chunk_start", "chunk_len",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+DOC_CHUNKING_SQL = f"""
+WITH starts AS (
+    SELECT doc_id, text,
+           unnest(range(0, length(text), {CHUNK_CHARS - CHUNK_OVERLAP}))
+               AS g
+    FROM documents WHERE text IS NOT NULL AND length(text) > 0
+)
+SELECT doc_id,
+       CAST(g / {CHUNK_CHARS - CHUNK_OVERLAP} AS INT) AS chunk_idx,
+       CAST(g AS INT) AS chunk_start,
+       CAST(length(substr(text, CAST(g AS INT) + 1, {CHUNK_CHARS}))
+            AS INT) AS chunk_len,
+       md5(substr(text, CAST(g AS INT) + 1, {CHUNK_CHARS})) AS chunk_md5
+FROM starts
+"""
+
+
+def doc_corpus_report(spark, sf_dir):
+    """Per-(lang, source) corpus datasheet (corpus.corpus_report):
+    volume, exact-dup ratio, and length shape in ONE scan + one
+    cohort-keyed aggregate — the summary published beside a training
+    mix.  The distinct-count shuffles md5 hashes, never text."""
+    return corpus.corpus_report(_fanout(spark, _docs(spark, sf_dir)))
+
+
+DOC_CORPUS_REPORT_SQL = r"""
+WITH t AS (
+    SELECT lang, source, length(text) AS chars,
+           len(list_filter(string_split_regex(text, '\s+'),
+                           x -> x <> '')) AS toks,
+           md5(text) AS h
+    FROM documents
+)
+SELECT lang, source, COUNT(*) AS n_docs,
+       COUNT(DISTINCT h) AS n_distinct_texts,
+       ROUND(1.0 - COUNT(DISTINCT h) * 1.0 / COUNT(*), 4) AS dup_ratio,
+       CAST(SUM(chars) AS BIGINT) AS total_chars,
+       CAST(SUM(toks) AS BIGINT) AS total_tokens,
+       ROUND(AVG(toks), 2) AS mean_tokens,
+       ROUND(quantile_cont(chars, 0.5), 1) AS median_chars
+FROM t GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
     "doc_exact_dedup": (doc_exact_dedup, DOC_EXACT_DEDUP_SQL),
@@ -2983,4 +3048,6 @@ QUERIES = {
     ),
     "doc_bm25_batch": (doc_bm25_batch, DOC_BM25_BATCH_SQL),
     "doc_bm25_topk": (doc_bm25_topk, DOC_BM25_TOPK_SQL),
+    "doc_chunking": (doc_chunking, DOC_CHUNKING_SQL),
+    "doc_corpus_report": (doc_corpus_report, DOC_CORPUS_REPORT_SQL),
 }

@@ -228,3 +228,64 @@ def test_mixture_plan_rates_and_composition(spark):
     assert got["de"] == 500                        # rate 1.0 keeps all
     exp_en = rates["en"] * 1500
     assert abs(got["en"] - exp_en) < 4 * (1500 ** 0.5)
+
+
+def test_chunk_documents_windows_and_metadata(spark):
+    df = spark.createDataFrame(
+        [(1, "en", "abcdefghij"),      # 10 chars
+         (2, "de", "xyz"),             # shorter than one window
+         (3, "fr", ""),                # empty -> no chunks
+         (4, "zh", None)],             # null -> no chunks
+        "doc_id long, lang string, text string",
+    )
+    out = corpus.chunk_documents(df, chunk_chars=4, overlap=1).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {1, 2}
+    # doc 1: starts 0,3,6,9 (step 3), windows of 4 chars, last short
+    got = sorted((r.chunk_idx, r.chunk_start, r.chunk_text, r.chunk_len)
+                 for r in by_doc[1])
+    assert got == [(0, 0, "abcd", 4), (1, 3, "defg", 4),
+                   (2, 6, "ghij", 4), (3, 9, "j", 1)]
+    # overlap: consecutive windows share `overlap` chars
+    assert got[0][2][-1] == got[1][2][0]
+    # metadata columns ride along
+    assert by_doc[2][0].lang == "de"
+    assert by_doc[2][0].chunk_text == "xyz"
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    df = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        corpus.chunk_documents(df, chunk_chars=0)
+    with _pytest.raises(ValueError):
+        corpus.chunk_documents(df, chunk_chars=4, overlap=4)
+
+
+def test_chunk_documents_plan_is_shuffle_free(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdef" * 10)], "doc_id long, text string")
+    plan = corpus.chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_corpus_report_one_scan_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "en", "s1", "a b c"),
+         (2, "en", "s1", "a b c"),       # exact dup of doc 1
+         (3, "en", "s1", "d e"),
+         (4, "de", "s2", "x")],
+        "doc_id long, lang string, source string, text string",
+    )
+    rows = {(r.lang, r.source): r
+            for r in corpus.corpus_report(df).collect()}
+    en = rows[("en", "s1")]
+    assert en.n_docs == 3 and en.n_distinct_texts == 2
+    assert abs(en.dup_ratio - round(1 - 2 / 3, 4)) < 1e-9
+    assert en.total_chars == 13 and en.total_tokens == 8
+    assert en.median_chars == 5.0
+    de = rows[("de", "s2")]
+    assert de.n_docs == 1 and de.dup_ratio == 0.0
