@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from garmadon_spark import filters as gf
+from garmadon_spark.operators import sketch
 from garmadon_spark.session import load_table
 
 
@@ -1093,6 +1094,81 @@ WHERE z IS NOT NULL AND ABS(z) >= 3.0
 """
 
 
+# --- frequent items (Misra–Gries heavy hitters) ---------------------------
+#
+# The sketch twin of the exact terms/top-k bucket, for keys too wide to
+# shuffle: bounded-memory per-partition summaries + a summary-sized
+# merge (operators/sketch.py).  The fixture item is the 50-wide value
+# bucket — events.value is exponential-ish, so buckets 0 and 1 are
+# genuine heavy hitters (> n/(k+1)) at every sf while 7+ distinct
+# buckets force real Misra–Gries evictions at k=4.
+
+_FREQ_K = 4
+_FREQ_BUCKET_WIDTH = 50
+
+
+def _value_buckets(spark, sf_dir):
+    return _events(spark, sf_dir).select(
+        F.floor(F.col("value") / _FREQ_BUCKET_WIDTH)
+        .cast("int")
+        .alias("bucket")
+    )
+
+
+def ev_heavy_value_buckets(spark, sf_dir):
+    """Heavy value buckets via the Misra–Gries sketch — count_lb is the
+    merged lower bound, top-k by (count_lb desc, bucket).  Rows-only
+    (counter values are partitioning-dependent); the exact guarantee is
+    hash-gated by ev_heavy_value_buckets_check."""
+    return (
+        sketch.freq_items(_value_buckets(spark, sf_dir), "bucket",
+                          k=_FREQ_K)
+        .withColumnRenamed("item", "bucket")
+        .orderBy(F.desc("count_lb"), F.asc("bucket"))
+        .limit(_FREQ_K)
+    )
+
+
+def ev_heavy_value_buckets_check(spark, sf_dir):
+    """The Misra–Gries contract, verified against the exact aggregate:
+    every bucket with true frequency > n/(k+1) must be present in the
+    merged sketch with ``true − n/(k+1) ≤ count_lb ≤ true``.  The exact
+    side is SQL-expressible, so the gate is a data-bearing hash match
+    (bucket + exact count), not a constant-true oracle."""
+    ev = _value_buckets(spark, sf_dir)
+    n = ev.count()
+    thr = n / (_FREQ_K + 1)
+    exact = ev.groupBy("bucket").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    heavy = exact.filter(F.col("exact_cnt") > thr)
+    sk = sketch.freq_items(ev, "bucket", k=_FREQ_K).withColumnRenamed(
+        "item", "bucket"
+    )
+    return (
+        heavy.join(F.broadcast(sk), "bucket", "left")
+        .select(
+            "bucket",
+            "exact_cnt",
+            F.col("count_lb").isNotNull().alias("in_sketch"),
+            (
+                F.col("count_lb").isNotNull()
+                & (F.col("count_lb") <= F.col("exact_cnt"))
+                & (F.col("count_lb") >= F.col("exact_cnt") - F.lit(thr))
+            ).alias("bound_ok"),
+        )
+    )
+
+
+EV_HEAVY_VALUE_BUCKETS_CHECK_SQL = f"""
+WITH g AS (
+    SELECT CAST(floor(value / {_FREQ_BUCKET_WIDTH}) AS INT) AS bucket,
+           COUNT(*) AS exact_cnt
+    FROM events GROUP BY 1
+), n AS (SELECT COUNT(*) AS n FROM events)
+SELECT bucket, exact_cnt, TRUE AS in_sketch, TRUE AS bound_ok
+FROM g, n WHERE exact_cnt > n.n / {_FREQ_K + 1}
+"""
+
+
 QUERIES = {
     "ev_count_by_type": (ev_count_by_type, EV_COUNT_BY_TYPE_SQL),
     "ev_date_histogram_hour": (ev_date_histogram_hour, EV_DATE_HISTOGRAM_HOUR_SQL),
@@ -1130,4 +1206,8 @@ QUERIES = {
         ev_distinct_merge_check, EV_DISTINCT_MERGE_CHECK_SQL
     ),
     "ev_anomaly_zscore": (ev_anomaly_zscore, EV_ANOMALY_ZSCORE_SQL),
+    "ev_heavy_value_buckets": (ev_heavy_value_buckets, None),
+    "ev_heavy_value_buckets_check": (
+        ev_heavy_value_buckets_check, EV_HEAVY_VALUE_BUCKETS_CHECK_SQL
+    ),
 }

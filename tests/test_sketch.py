@@ -1,0 +1,67 @@
+"""Misra–Gries frequent-items: fold unit tests + the merged-sketch
+guarantee (presence above n/(k+1), lower-bound sandwich) on skewed
+data across several partitionings."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from garmadon_spark.operators import sketch
+
+
+def test_mg_fold_exact_below_k():
+    c = sketch._mg_fold({}, ["a", "b", "a"], [2, 1, 3], k=4)
+    assert c == {"a": 5, "b": 1}
+
+
+def test_mg_fold_prunes_to_k_with_bounded_error():
+    # 5 items, k=2: (k+1)-th largest = 3rd largest value is subtracted
+    items = ["a", "b", "c", "d", "e"]
+    counts = [10, 8, 5, 2, 1]
+    c = sketch._mg_fold({}, items, counts, k=2)
+    assert set(c) <= {"a", "b"} and len(c) <= 2
+    assert c["a"] == 10 - 5 and c["b"] == 8 - 5
+
+
+def test_freq_items_guarantee_on_skewed_data(spark):
+    rng = random.Random(7)
+    # zipf-ish: item i has weight ~ 1/(i+1)
+    rows = [(rng.choices(range(20), weights=[1 / (i + 1) for i in range(20)])[0],)
+            for i in range(20_000)]
+    df = spark.createDataFrame(rows, "item int")
+    exact = {r.item: r.c for r in df.groupBy("item")
+             .agg(F.count(F.lit(1)).alias("c")).collect()}
+    n = sum(exact.values())
+    for k, parts in ((4, 1), (4, 8), (8, 3)):
+        got = {r.item: r.count_lb for r in
+               sketch.freq_items(df.repartition(parts), "item", k=k)
+               .collect()}
+        err = n / (k + 1)
+        heavy = {i for i, c in exact.items() if c > err}
+        assert heavy <= set(got), (k, parts)
+        for i, lb in got.items():
+            assert lb <= exact[i], (i, lb, exact[i])
+            assert lb >= exact[i] - err, (i, lb, exact[i], err)
+
+
+def test_freq_items_partial_row_budget(spark):
+    df = spark.createDataFrame(
+        [(i % 50,) for i in range(5_000)], "item int"
+    ).repartition(4)
+    partial = sketch.freq_items_partial(df, "item", k=6)
+    # <= k rows per partition => <= k * partitions overall
+    assert partial.count() <= 6 * 4
+
+
+def test_freq_items_ignores_nulls_and_rejects_bad_k(spark):
+    df = spark.createDataFrame(
+        [(1,), (None,), (1,), (2,)], "item int"
+    )
+    got = {r.item: r.count_lb for r in
+           sketch.freq_items(df, "item", k=8).collect()}
+    assert got == {1: 2, 2: 1}
+    with pytest.raises(ValueError):
+        sketch.freq_items_partial(df, "item", k=0)
