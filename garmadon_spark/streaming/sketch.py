@@ -1,0 +1,132 @@
+"""Streaming heavy hitters: maintain a Misra–Gries summary over an
+event stream with BOUNDED state and exactly-once semantics.
+
+The batch sketch (operators/sketch.py) answers "which items dominate
+this table"; a monitoring deployment needs the same answer over the
+live stream without keeping per-key state (the 100 TB key-space
+problem that rules out a streaming groupBy on the raw key).  This
+maintainer folds each micro-batch's partial summaries into ONE k-entry
+summary:
+
+- per batch: the distributed partial pass (``freq_items`` — ≤ k rows
+  per partition, summary-sized merge) produces the batch's summary;
+- the running summary (k rows — KILOBYTES, read driver-side) absorbs
+  it via the mergeable-summaries fold (itemwise sum + (k+1)-th-largest
+  prune), which preserves the error bound: after any prefix of batches
+  totalling n rows, every counter satisfies
+  ``true − n/(k+1) ≤ count_lb ≤ true``; items above n/(k+1) are
+  guaranteed present (errors of merged summaries ADD, and
+  Σ n_b/(k+1) = n/(k+1) — Agarwal et al., PODS 2012);
+- exactly-once by the repo's marker protocol: each batch publishes the
+  post-fold summary to the DETERMINISTIC directory
+  ``summary/batch={N}`` (computed from the marked predecessor, so a
+  crashed-and-replayed batch converges to byte-identical state),
+  then commits ``_freq_batches/{N}.done``.  The newest MARKED batch is
+  the live summary; unmarked directories are in-flight or crashed
+  attempts and never read.  Superseded summaries are pruned past the
+  newest two (the predecessor must survive until its successor is
+  marked, for replay determinism).
+
+State on disk: k rows + one meta row per retained batch.  Driver
+memory: O(k).  Nothing anywhere is keyed on the raw item space.
+"""
+
+from __future__ import annotations
+
+import json as _json
+import os as _os
+import re as _re
+import shutil as _shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from garmadon_spark.operators.sketch import _mg_fold, freq_items
+from garmadon_spark.sinks.rollup import _marker_exists, _write_marker
+
+_RETAIN_SUMMARIES = 2
+
+
+def _marked_batches(out_path: str) -> list:
+    mdir = f"{out_path}/_freq_batches"
+    if not _os.path.isdir(mdir):
+        return []
+    return sorted(
+        int(f[: -len(".done")])
+        for f in _os.listdir(mdir)
+        if f.endswith(".done") and f[: -len(".done")].isdigit()
+    )
+
+
+def load_freq_summary(spark, out_path: str):
+    """The live summary: (counters dict, n_total) of the newest MARKED
+    batch, or ({}, 0) before the first commit.  k-sized driver read."""
+    marked = _marked_batches(out_path)
+    if not marked:
+        return {}, 0
+    d = f"{out_path}/summary/batch={marked[-1]}"
+    meta = _json.load(open(f"{d}/_meta.json"))
+    rows = spark.read.parquet(d).collect()
+    return {r.item: r.count_lb for r in rows}, int(meta["n_total"])
+
+
+def maintain_freq_items_stream(
+    items: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    item_col: str = "item",
+    k: int = 64,
+):
+    """Wire an item stream to the summary maintainer; returns the
+    (unstarted, availableNow-triggered) ``DataStreamWriter``.  NULL
+    items are ignored (matching the batch sketch)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def _absorb(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        marker = f"{out_path}/_freq_batches/{batch_id}.done"
+        if _marker_exists(sess, marker):
+            return
+        nn = batch_df.filter(F.col(item_col).isNotNull())
+        batch_rows = [
+            (r.item, r.count_lb)
+            for r in freq_items(nn, item_col, k).collect()
+        ]
+        n_batch = nn.count()
+        if n_batch == 0:
+            _write_marker(sess, marker)
+            return
+        # fold into the marked predecessor (replay-deterministic: a
+        # crashed attempt's unmarked directory is never read)
+        prev, n_prev = load_freq_summary(sess, out_path)
+        merged = _mg_fold(
+            dict(prev),
+            [i for i, _ in batch_rows],
+            [c for _, c in batch_rows],
+            k,
+        )
+        d = f"{out_path}/summary/batch={batch_id}"
+        _shutil.rmtree(d, ignore_errors=True)
+        item_type = nn.schema[item_col].dataType.simpleString()
+        sess.createDataFrame(
+            list(merged.items()), f"item {item_type}, count_lb long"
+        ).coalesce(1).write.mode("overwrite").parquet(d)
+        with open(f"{d}/_meta.json", "w") as fh:
+            _json.dump({"n_total": n_prev + n_batch, "k": k}, fh)
+        _write_marker(sess, marker)
+        # prune superseded summaries (keep the newest _RETAIN_SUMMARIES
+        # marked ones; never touch unmarked = in-flight)
+        marked = _marked_batches(out_path)
+        sdir = f"{out_path}/summary"
+        for entry in _os.listdir(sdir) if _os.path.isdir(sdir) else []:
+            m = _re.fullmatch(r"batch=(\d+)", entry)
+            if m and int(m.group(1)) in marked[:-_RETAIN_SUMMARIES]:
+                _shutil.rmtree(f"{sdir}/{entry}", ignore_errors=True)
+
+    return (
+        items.writeStream.foreachBatch(_absorb)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+    )

@@ -65,3 +65,65 @@ def test_freq_items_ignores_nulls_and_rejects_bad_k(spark):
     assert got == {1: 2, 2: 1}
     with pytest.raises(ValueError):
         sketch.freq_items_partial(df, "item", k=0)
+
+
+def test_freq_items_stream_guarantee_and_exactly_once(spark, tmp_path):
+    """Streaming Misra-Gries maintainer: after draining a multi-batch
+    stream the on-disk summary satisfies the n/(k+1) guarantee against
+    exact counts over ALL the data; marker replays are no-ops; and a
+    crash between summary publish and marker (last marker removed)
+    replays to byte-identical state."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F  # noqa: F811
+    from garmadon_spark.streaming import sketch as ssk
+
+    rng = random.Random(3)
+    src = str(tmp_path / "items")
+    # 3 files -> 3 micro-batches with maxFilesPerTrigger=1
+    for part in range(3):
+        rows = [(rng.choices(range(12),
+                             weights=[1 / (i + 1) for i in range(12)])[0],)
+                for _ in range(4000)]
+        spark.createDataFrame(rows, "item int").coalesce(1).write.mode(
+            "append").parquet(src)
+    out = str(tmp_path / "freq")
+    k = 4
+
+    def drain(ckpt):
+        q = ssk.maintain_freq_items_stream(
+            spark.readStream.schema("item int")
+            .option("maxFilesPerTrigger", "1").parquet(src),
+            out, str(tmp_path / ckpt), item_col="item", k=k,
+        ).start()
+        q.awaitTermination()
+
+    drain("ck1")
+    got, n = ssk.load_freq_summary(spark, out)
+    df = spark.read.parquet(src)
+    exact = {r.item: r.c for r in df.groupBy("item")
+             .agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert n == sum(exact.values()) == 12000
+    err = n / (k + 1)
+    heavy = {i for i, c in exact.items() if c > err}
+    assert heavy and heavy <= set(got)
+    for i, lb in got.items():
+        assert exact[i] - err <= lb <= exact[i]
+    # bounded state on disk: newest 2 summaries, k rows each
+    assert len(got) <= k
+    sdirs = sorted(os.listdir(f"{out}/summary"))
+    assert len(sdirs) <= 2
+
+    # replay with all markers present: summary unchanged
+    drain("ck2")
+    again, n2 = ssk.load_freq_summary(spark, out)
+    assert again == got and n2 == n
+
+    # crash window: lose the LAST marker (publish happened, commit
+    # didn't), replay -> deterministic refold from the predecessor
+    last = sorted(glob.glob(f"{out}/_freq_batches/*.done"))[-1]
+    os.remove(last)
+    drain("ck3")
+    healed, n3 = ssk.load_freq_summary(spark, out)
+    assert healed == got and n3 == n
