@@ -1684,3 +1684,78 @@ def ivfpq_topk(
         .orderBy(F.desc("adc"), F.asc(id_col))
         .limit(k)
     )
+
+
+# --- PCA rotation: embedding preprocessing for PQ / storage ----------------
+
+PCA_SAMPLE_CAP = 65_536
+
+
+def fit_pca(
+    embs: DataFrame,
+    dim_out: int | None = None,
+    sample: int = PCA_SAMPLE_CAP,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Fit a PCA rotation from a bounded deterministic sample (first
+    ``sample`` rows by id — the PQ codebook's training idiom): returns
+    ``(mean, components, eigenvalues)`` with components as rows sorted
+    by descending variance, signs fixed so each component's
+    largest-|coordinate| is positive (eigensolvers are sign-ambiguous;
+    without the fix two fits of the same data could disagree).
+
+    Driver budget: sample·d floats for the sample + d² for the
+    covariance — at the cap and dim 512 that is ~256 MiB transient,
+    model-sized like the IVF quantizer loads.  The fit never scans the
+    corpus; the corpus-wide pass is ``pca_project`` (map-only).
+
+    Why it is here: PQ subquantizers split the vector into contiguous
+    sub-blocks, so correlated coordinates inside one block waste
+    codebook entropy; rotating to decorrelated axes first is the
+    standard preprocessing (the PCA leg of OPQ — Ge et al., CVPR
+    2013), and truncating to ``dim_out`` top axes is the
+    storage/latency lever."""
+    rows = embs.orderBy(id_col).limit(sample).select(vec_col).collect()
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    if X.ndim != 2 or X.shape[0] < 2:
+        raise ValueError("need at least 2 sample vectors to fit PCA")
+    mean = X.mean(axis=0)
+    Xc = X - mean
+    cov = Xc.T @ Xc / (X.shape[0] - 1)
+    evals, evecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(evals)[::-1]
+    evals, evecs = evals[order], evecs[:, order]
+    for j in range(evecs.shape[1]):
+        i = int(np.argmax(np.abs(evecs[:, j])))
+        if evecs[i, j] < 0:
+            evecs[:, j] = -evecs[:, j]
+    d_out = dim_out if dim_out is not None else X.shape[1]
+    if not 1 <= d_out <= X.shape[1]:
+        raise ValueError("dim_out must be in [1, input dim]")
+    return mean, evecs[:, :d_out].T.copy(), evals[:d_out].copy()
+
+
+def pca_project(
+    embs: DataFrame,
+    mean,
+    components,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project every vector onto the fitted components: ONE Arrow
+    batch matmul per executor batch (pandas_udf), model riding the
+    closure (d·d_out floats) — map-only, zero shuffle, the same scale
+    shape as every other scoring pass in this module."""
+    comp_t = np.asarray(components, dtype=np.float64).T
+    mu = np.asarray(mean, dtype=np.float64)
+    if comp_t.shape[0] != mu.shape[0]:
+        raise ValueError("mean and components disagree on input dim")
+
+    @F.pandas_udf("array<double>")
+    def _proj(v: pd.Series) -> pd.Series:
+        M = np.vstack(v.to_numpy())
+        P = (M - mu) @ comp_t
+        return pd.Series(list(P))
+
+    return embs.withColumn(out_col, _proj(F.col(vec_col)))

@@ -18,6 +18,7 @@ in (operators/dedup.py).
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import functions as F
 
 from garmadon_spark.operators import corpus, dedup, similarity, text
@@ -2962,6 +2963,62 @@ FROM t GROUP BY 1, 2
 """
 
 
+def emb_pca_project(spark, sf_dir):
+    """PCA rotation of the embedding corpus (similarity.fit_pca +
+    pca_project — the PQ/OPQ preprocessing leg): fit on the bounded
+    deterministic sample, project the corpus in one Arrow map pass.
+    Rows-only (axes are eigensolver outputs); the rotation contract —
+    orthonormal components, descending variance, TOTAL variance
+    preserved exactly — is hash-gated by emb_pca_check."""
+    embs = _embs(spark, sf_dir)
+    mean, comps, _ = similarity.fit_pca(embs)
+    proj = similarity.pca_project(embs, mean, comps)
+    return proj.select(
+        "vec_id",
+        F.transform("pca", lambda x: F.round(x, 4)).alias("pca"),
+    )
+
+
+def emb_pca_check(spark, sf_dir):
+    """The PCA contract, data-bearing where SQL can reach: an
+    orthonormal rotation preserves TOTAL per-dimension variance, and
+    the input-side total IS SQL-expressible — so the oracle computes
+    Σ var_pop over raw embedding dimensions while Spark computes the
+    same number over the PROJECTED dimensions; a broken rotation
+    (non-orthonormal, dropped axis, double-centering) hash-mismatches.
+    Orthonormality and eigenvalue ordering are model-sized numpy
+    checks riding as constant-true-expected booleans."""
+    embs = _embs(spark, sf_dir)
+    mean, comps, evals = similarity.fit_pca(embs)
+    C = np.asarray(comps)
+    orthonormal = bool(np.allclose(C @ C.T, np.eye(C.shape[0]),
+                                   atol=1e-8))
+    var_ordered = bool(np.all(np.diff(evals) <= 1e-12))
+    proj = similarity.pca_project(embs, mean, comps)
+    return (
+        proj.select(F.posexplode("pca").alias("dim", "val"))
+        .groupBy("dim")
+        .agg(F.var_pop("val").alias("v"))
+        .agg(
+            F.round(F.sum("v"), 4).alias("total_var"),
+            F.lit(orthonormal).alias("orthonormal"),
+            F.lit(var_ordered).alias("var_ordered"),
+        )
+    )
+
+
+EMB_PCA_CHECK_SQL = """
+WITH el AS (
+    SELECT unnest(embedding) AS val,
+           unnest(range(1, len(embedding) + 1)) AS dim
+    FROM embeddings
+), pv AS (SELECT dim, var_pop(val) AS v FROM el GROUP BY 1)
+SELECT ROUND(SUM(v), 4) AS total_var,
+       TRUE AS orthonormal, TRUE AS var_ordered
+FROM pv
+"""
+
+
 QUERIES = {
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
     "doc_exact_dedup": (doc_exact_dedup, DOC_EXACT_DEDUP_SQL),
@@ -3050,4 +3107,6 @@ QUERIES = {
     "doc_bm25_topk": (doc_bm25_topk, DOC_BM25_TOPK_SQL),
     "doc_chunking": (doc_chunking, DOC_CHUNKING_SQL),
     "doc_corpus_report": (doc_corpus_report, DOC_CORPUS_REPORT_SQL),
+    "emb_pca_project": (emb_pca_project, None),
+    "emb_pca_check": (emb_pca_check, EMB_PCA_CHECK_SQL),
 }
