@@ -472,7 +472,6 @@ def chunk_documents(
     df: DataFrame,
     chunk_chars: int = 512,
     overlap: int = 128,
-    id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """Sliding-window document chunking — the retrieval/embedding prep
@@ -518,7 +517,6 @@ def chunk_documents(
 def corpus_report(
     df: DataFrame,
     group_cols: tuple = ("lang", "source"),
-    id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """One-scan corpus datasheet per cohort — the summary a dataset

@@ -874,7 +874,12 @@ def retrain_ivf_index(
     - the publish is one directory swap (renameat2 RENAME_EXCHANGE via
       the archive's ``_exchange_dirs``; rename-pair fallback), healed on
       the next invocation if a crash lands between the fallback's two
-      renames;
+      renames.  The never-observes-a-partial-tree claim above is the
+      RENAME_EXCHANGE path's; the fallback has a sub-millisecond window
+      where the root is absent between its two renames — serving
+      retries a (None, None) quantizer generation for that reason
+      (streaming/ann._probe), and batch probes on a non-renameat2
+      filesystem should serialize with re-trains;
     - ``_append_batches`` markers of COMMITTED streaming batches are
       carried into the new tree first: their rows are in the retrained
       corpus, so a post-swap replay must keep short-circuiting;

@@ -49,12 +49,20 @@ def _mg_fold(counters: dict, items, counts, k: int) -> dict:
 
 
 def freq_items_partial(
-    df: DataFrame, item_col: str, k: int = 64
+    df: DataFrame, item_col: str, k: int = 64,
+    count_rows: bool = False,
 ) -> DataFrame:
     """Per-partition Misra–Gries summaries: ≤ k rows (item, cnt) per
     partition, cnt a LOWER bound on the partition-local frequency with
     per-partition error ≤ n_p/(k+1).  NULL items are ignored (no
-    frequency semantics)."""
+    frequency semantics).
+
+    ``count_rows=True`` additionally emits ONE ``(NULL, n_p)`` row per
+    non-empty partition so a caller gets the exact total row count in
+    the SAME pass (the streaming maintainer needs n for the error
+    bound; a second count() scan would double every trigger's read).
+    NULL is unambiguous as the sentinel because null items never enter
+    a summary."""
     if k < 1:
         raise ValueError("k must be >= 1")
     import pandas as pd
@@ -70,7 +78,9 @@ def freq_items_partial(
 
     def mg(batches):
         counters: dict = {}
+        n_rows = 0
         for pdf in batches:
+            n_rows += len(pdf)
             vc = pdf["item"].value_counts(dropna=True)
             counters = _mg_fold(
                 counters, vc.index.tolist(), vc.values.tolist(), k
@@ -80,6 +90,8 @@ def freq_items_partial(
                 {"item": list(counters.keys()),
                  "cnt": [counters[i] for i in counters]}
             )
+        if count_rows and n_rows:
+            yield pd.DataFrame({"item": [None], "cnt": [n_rows]})
 
     return sel.mapInPandas(mg, out_schema)
 

@@ -54,13 +54,77 @@ def _marker_exists(spark: SparkSession, marker: str) -> bool:
     return fs.exists(jpath)
 
 
-def _write_marker(spark: SparkSession, marker: str) -> None:
+def _write_marker(spark: SparkSession, marker: str,
+                  run_id: str | None = None) -> None:
+    """Commit marker.  With ``run_id`` the marker records WHICH
+    streaming incarnation committed it (the checkpoint's query id), so
+    a sink restarted over the same output path with a FRESH checkpoint
+    — which re-numbers batches from 0 — can tell its own markers from
+    a dead incarnation's and recompute instead of silently skipping
+    colliding batch ids."""
     fs, jpath = _hadoop_fs(spark, marker)
     out = fs.create(jpath, True)  # mkdirs parents implicitly
     try:
-        out.write(bytearray(b"done"))
+        body = b"done" if run_id is None else f"done:{run_id}".encode()
+        out.write(bytearray(body))
     finally:
         out.close()
+
+
+def _read_marker(spark: SparkSession, marker: str) -> str | None:
+    """Marker content, or None if absent."""
+    fs, jpath = _hadoop_fs(spark, marker)
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        buf = bytearray()
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            buf.append(b)
+        return buf.decode()
+    finally:
+        stream.close()
+
+
+def _marker_run_id(content: str | None) -> str | None:
+    """The run id a marker recorded, or None for absent / legacy
+    (pre-run-id ``done``) markers."""
+    if content is not None and content.startswith("done:"):
+        return content[len("done:"):]
+    return None
+
+
+def _marker_current(spark: SparkSession, marker: str,
+                    run_id: str | None) -> bool:
+    """True iff the marker exists AND belongs to this incarnation.
+    Legacy ``done`` markers (written before run scoping) are treated
+    as current — the upgrade path for live deployments resuming their
+    original checkpoint."""
+    content = _read_marker(spark, marker)
+    if content is None:
+        return False
+    recorded = _marker_run_id(content)
+    return recorded is None or run_id is None or recorded == run_id
+
+
+def _checkpoint_run_id(spark: SparkSession, checkpoint: str) -> str | None:
+    """The streaming query id Spark pins inside the checkpoint's
+    ``metadata`` file — STABLE across restarts of the same checkpoint,
+    fresh for a new one.  None until the query's first start (the
+    file is written by StreamExecution before batch 0) or if the
+    checkpoint layout is unreadable."""
+    import json as _json
+
+    try:
+        content = _read_marker(spark, f"{checkpoint}/metadata")
+        if content is None:
+            return None
+        return _json.loads(content).get("id")
+    except Exception:
+        return None
 
 
 def build_rollup(

@@ -27,10 +27,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from garmadon_spark.operators import similarity
-from garmadon_spark.sinks.rollup import _marker_exists, _write_marker
+from garmadon_spark.sinks.rollup import (
+    _checkpoint_run_id,
+    _marker_current,
+    _marker_exists,
+    _marker_run_id,
+    _write_marker,
+)
 
 
-def apply_results_retention(out_path: str, retain_batches: int) -> list:
+def apply_results_retention(
+    out_path: str, retain_batches: int, run_id: str | None = None
+) -> list:
     """K2-style lifecycle for the serving results table: keep the
     newest ``retain_batches`` ``batch_id=`` partitions, delete older
     ones AND their ``_ann_batches`` markers together (a marker without
@@ -40,12 +48,19 @@ def apply_results_retention(out_path: str, retain_batches: int) -> list:
     completed, and retention keeps at least the current batch — so
     dropping their markers is safe.  Returns the pruned batch ids.
 
-    "Newest" is by WRITE TIME (partition mtime, id tie-break), not by
-    batch id: a query restarted with a FRESH checkpoint over the same
-    out_path re-numbers batches from 0, and id-ordered retention would
-    delete the just-written batch 0 while retaining the previous
-    incarnation's stale high-id partitions.  (A replayed batch rewrites
-    its partition, refreshing the mtime — replays stay "newest".)
+    Ordering: partitions belonging to a DEAD incarnation are dropped
+    first — with ``run_id`` set (the live checkpoint's query id, which
+    serve_ann_stream passes), any partition whose marker records a
+    DIFFERENT run id, or has no marker at all (a crashed write the
+    current run would rewrite anyway), is older-than-everything by
+    definition, immune to mtime granularity.  Among the current run's
+    partitions (and always, when ``run_id`` is None), "newest" is by
+    WRITE TIME (partition mtime, id tie-break), not by batch id: a
+    query restarted with a FRESH checkpoint over the same out_path
+    re-numbers batches from 0, and id-ordered retention would delete
+    the just-written batch 0 while retaining the previous incarnation's
+    stale high-id partitions.  (A replayed batch rewrites its
+    partition, refreshing the mtime — replays stay "newest".)
 
     Local-FS implementation like sinks.archive.apply_retention; on a
     cluster this is an ALTER TABLE DROP PARTITION / table-format
@@ -63,14 +78,29 @@ def apply_results_retention(out_path: str, retain_batches: int) -> list:
         m = _re.fullmatch(r"batch_id=(\d+)", d)
         if not m:
             continue
+        b = int(m.group(1))
         try:
             mt = _os.stat(_os.path.join(out_path, d)).st_mtime_ns
         except OSError:
             mt = 0
-        stamped.append((mt, int(m.group(1))))
+        current = 1
+        if run_id is not None:
+            try:
+                content = open(
+                    f"{out_path}/_ann_batches/{b}.done"
+                ).read()
+            except OSError:
+                content = None
+            if content is None:
+                current = 0          # no marker: crashed/foreign write
+            else:
+                rec = _marker_run_id(content)
+                if rec is not None and rec != run_id:
+                    current = 0      # a dead incarnation's batch
+        stamped.append((current, mt, b))
     stamped.sort()
-    dropped = [b for _, b in stamped[: max(0, len(stamped)
-                                           - retain_batches)]]
+    dropped = [b for _, _, b in stamped[: max(0, len(stamped)
+                                              - retain_batches)]]
     for b in dropped:
         _shutil.rmtree(f"{out_path}/batch_id={b}", ignore_errors=True)
         try:
@@ -125,7 +155,11 @@ def serve_ann_stream(
     ``batch_id=N`` partition with mode('overwrite') — a replayed batch
     that crashed between write and marker REWRITES the same partition
     instead of appending duplicates; the marker only short-circuits
-    work.  The quantizer (centroid tables) is loaded ON THE FIRST
+    work.  Markers are RUN-SCOPED (they record the checkpoint's query
+    id): a restart with a fresh checkpoint re-numbers batches from 0,
+    and a dead incarnation's marker for a colliding id must not
+    swallow the new batch — a foreign-run marker is treated as absent
+    and the partition is recomputed (idempotent overwrite).  The quantizer (centroid tables) is loaded ON THE FIRST
     BATCH and reused across triggers — k·d·8 B of driver memory, not a
     per-trigger centroid-table scan (lazy so the writer can be
     constructed before the offline index build finishes).  The cache is
@@ -150,11 +184,31 @@ def serve_ann_stream(
     cache: dict = {}
 
     def _probe(batch_df: DataFrame, batch_id: int) -> None:
+        import time as _time
+
         sess = batch_df.sparkSession
+        if "run" not in cache:
+            # the checkpoint's query id: stable across restarts of the
+            # SAME checkpoint, fresh for a new one — scopes the markers
+            # so a fresh-checkpoint restart over the same out_path
+            # RECOMPUTES colliding batch ids (idempotent per-partition
+            # overwrite) instead of silently skipping them
+            cache["run"] = _checkpoint_run_id(sess, checkpoint)
+        run = cache["run"]
         marker = f"{out_path}/_ann_batches/{batch_id}.done"
-        if _marker_exists(sess, marker) or batch_df.isEmpty():
+        if _marker_current(sess, marker, run) or batch_df.isEmpty():
             return
         gen = _quantizer_generation(index_path)
+        # (None, None): the index root is ABSENT — the rename-pair
+        # fallback of a concurrent re-train swap (no renameat2 on this
+        # filesystem) has a sub-millisecond window between its two
+        # renames.  Bounded retry instead of killing the query.
+        if gen == (None, None):
+            for _ in range(50):
+                _time.sleep(0.1)
+                gen = _quantizer_generation(index_path)
+                if gen != (None, None):
+                    break
         if cache.get("gen") != gen:
             cache["cents"] = similarity.load_ivf_centroids(
                 sess, index_path
@@ -172,9 +226,10 @@ def serve_ann_stream(
             )
         finally:
             res._gs_unpersist()
-        _write_marker(sess, marker)
+        _write_marker(sess, marker, run)
         if retain_batches is not None:
-            apply_results_retention(out_path, retain_batches)
+            apply_results_retention(out_path, retain_batches,
+                                    run_id=run)
 
     return (
         queries.writeStream.foreachBatch(_probe)
@@ -214,15 +269,47 @@ def maintain_ann_index_stream(
     A crash at ANY point replays to the same final file set.  Probes
     running concurrently see each cell's files appear atomically;
     `compact_ivf_index` later folds the accumulated per-batch files.
-    Returns the (availableNow-triggered) writer."""
+    Returns the (availableNow-triggered) writer.
+
+    Unlike the serving sink, a FRESH checkpoint over an index that
+    already holds another incarnation's append batches is REFUSED (a
+    RuntimeError on the first batch): re-numbered batch ids neither
+    line up with the published ``b{N}-*`` files (skipping loses data)
+    nor cover the old run's higher-numbered batches (re-publishing
+    duplicates them).  Resume the original checkpoint, or start from a
+    fresh/re-trained index.  Markers written before run scoping
+    (bare ``done``) are accepted as own — the live-deployment upgrade
+    path."""
     import glob as _glob
     import os as _os
     import shutil as _shutil
 
+    cache: dict = {}
+
     def _absorb(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
+        if "run" not in cache:
+            cache["run"] = _checkpoint_run_id(sess, checkpoint)
+            mdir = f"{index_path}/_append_batches"
+            if cache["run"] is not None and _os.path.isdir(mdir):
+                from garmadon_spark.sinks.rollup import _read_marker
+
+                for f in sorted(_os.listdir(mdir)):
+                    if not f.endswith(".done"):
+                        continue
+                    rec = _marker_run_id(
+                        _read_marker(sess, f"{mdir}/{f}")
+                    )
+                    if rec is not None and rec != cache["run"]:
+                        raise RuntimeError(
+                            f"{index_path} holds append batches from a "
+                            f"different streaming incarnation ({f}: run "
+                            f"{rec}); resume its original checkpoint, "
+                            "or start from a fresh/re-trained index"
+                        )
+        run = cache["run"]
         marker = f"{index_path}/_append_batches/{batch_id}.done"
-        if _marker_exists(sess, marker) or batch_df.isEmpty():
+        if _marker_current(sess, marker, run) or batch_df.isEmpty():
             return
         stage = f"{index_path}/incoming/batch={batch_id}"
         similarity.append_to_ivf_index(
@@ -245,7 +332,7 @@ def maintain_ann_index_stream(
                     _os.path.join(dst_dir, f"b{batch_id}-{i}.parquet"),
                 )
         _shutil.rmtree(stage, ignore_errors=True)
-        _write_marker(sess, marker)
+        _write_marker(sess, marker, run)
 
     return (
         embs.writeStream.foreachBatch(_absorb)

@@ -41,8 +41,14 @@ import shutil as _shutil
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from garmadon_spark.operators.sketch import _mg_fold, freq_items
-from garmadon_spark.sinks.rollup import _marker_exists, _write_marker
+from garmadon_spark.operators.sketch import _mg_fold, freq_items_partial
+from garmadon_spark.sinks.rollup import (
+    _checkpoint_run_id,
+    _marker_current,
+    _marker_run_id,
+    _read_marker,
+    _write_marker,
+)
 
 _RETAIN_SUMMARIES = 2
 
@@ -82,20 +88,49 @@ def maintain_freq_items_stream(
     items are ignored (matching the batch sketch)."""
     if k < 1:
         raise ValueError("k must be >= 1")
+    cache: dict = {}
 
     def _absorb(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
+        if "run" not in cache:
+            cache["run"] = _checkpoint_run_id(sess, checkpoint)
+            mdir = f"{out_path}/_freq_batches"
+            # a FRESH checkpoint over an existing summary chain is
+            # REFUSED: re-numbered batches would refold data the live
+            # summary already counted (the state CHAINS, unlike the
+            # serving sink's independent per-batch partitions).  Resume
+            # the original checkpoint or clear out_path.
+            if cache["run"] is not None and _os.path.isdir(mdir):
+                for f in sorted(_os.listdir(mdir)):
+                    if not f.endswith(".done"):
+                        continue
+                    rec = _marker_run_id(
+                        _read_marker(sess, f"{mdir}/{f}")
+                    )
+                    if rec is not None and rec != cache["run"]:
+                        raise RuntimeError(
+                            f"{out_path} holds a summary chain from a "
+                            f"different streaming incarnation ({f}: "
+                            f"run {rec}); resume its original "
+                            "checkpoint or clear the output path"
+                        )
+        run = cache["run"]
         marker = f"{out_path}/_freq_batches/{batch_id}.done"
-        if _marker_exists(sess, marker):
+        if _marker_current(sess, marker, run):
             return
         nn = batch_df.filter(F.col(item_col).isNotNull())
-        batch_rows = [
-            (r.item, r.count_lb)
-            for r in freq_items(nn, item_col, k).collect()
-        ]
-        n_batch = nn.count()
+        # ONE scan: per-partition summaries + (NULL, n_p) count rows
+        rows = freq_items_partial(
+            nn, item_col, k, count_rows=True
+        ).collect()
+        n_batch = sum(r.cnt for r in rows if r.item is None)
+        batch_rows = [(r.item, r.cnt) for r in rows if r.item is not None]
         if n_batch == 0:
-            _write_marker(sess, marker)
+            # nothing to publish — and NO marker: a marker without its
+            # summary directory would make the newest marked batch a
+            # dangling pointer (load_freq_summary reads marked[-1]'s
+            # _meta.json) and let the prune delete the only real
+            # summaries.  An empty batch replays to another no-op.
             return
         # fold into the marked predecessor (replay-deterministic: a
         # crashed attempt's unmarked directory is never read)
@@ -114,7 +149,7 @@ def maintain_freq_items_stream(
         ).coalesce(1).write.mode("overwrite").parquet(d)
         with open(f"{d}/_meta.json", "w") as fh:
             _json.dump({"n_total": n_prev + n_batch, "k": k}, fh)
-        _write_marker(sess, marker)
+        _write_marker(sess, marker, run)
         # prune superseded summaries (keep the newest _RETAIN_SUMMARIES
         # marked ones; never touch unmarked = in-flight)
         marked = _marked_batches(out_path)

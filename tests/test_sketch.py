@@ -115,15 +115,71 @@ def test_freq_items_stream_guarantee_and_exactly_once(spark, tmp_path):
     sdirs = sorted(os.listdir(f"{out}/summary"))
     assert len(sdirs) <= 2
 
-    # replay with all markers present: summary unchanged
-    drain("ck2")
+    # a FRESH checkpoint over the existing chain is refused (the
+    # state chains — re-numbered batches would double-count)
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    with pytest.raises(StreamingQueryException,
+                       match="different streaming incarnation"):
+        drain("ck2")
+    assert ssk.load_freq_summary(spark, out) == (got, n)  # untouched
+
+    # crash AFTER commit: drop the checkpoint's last commit file so
+    # the SAME checkpoint replays its final batch -> the run-scoped
+    # marker short-circuits, summary unchanged
+    def uncommit():
+        last_commit = sorted(
+            f for f in os.listdir(f"{tmp_path}/ck1/commits")
+            if f.isdigit())[-1]
+        os.remove(f"{tmp_path}/ck1/commits/{last_commit}")
+        # the checksum sidecar too, or ChecksumFs refuses the rewrite
+        try:
+            os.remove(f"{tmp_path}/ck1/commits/.{last_commit}.crc")
+        except FileNotFoundError:
+            pass
+
+    uncommit()
+    drain("ck1")
     again, n2 = ssk.load_freq_summary(spark, out)
     assert again == got and n2 == n
 
-    # crash window: lose the LAST marker (publish happened, commit
-    # didn't), replay -> deterministic refold from the predecessor
+    # crash BETWEEN publish and marker: lose the last marker too ->
+    # the replayed batch refolds deterministically from its marked
+    # predecessor, converging to identical state
+    uncommit()
     last = sorted(glob.glob(f"{out}/_freq_batches/*.done"))[-1]
     os.remove(last)
-    drain("ck3")
+    drain("ck1")
     healed, n3 = ssk.load_freq_summary(spark, out)
     assert healed == got and n3 == n
+
+
+def test_freq_items_stream_empty_batch_never_dangles(spark, tmp_path):
+    """An all-NULL micro-batch must not commit a marker without a
+    summary: the newest marked batch always has its directory, so
+    load_freq_summary never chases a dangling pointer and the prune
+    never deletes the only real summaries."""
+    import os
+
+    from garmadon_spark.streaming import sketch as ssk
+
+    src = str(tmp_path / "items")
+    spark.createDataFrame([(1,)] * 50 + [(2,)] * 10, "item int") \
+        .coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame([(None,)] * 20, "item int") \
+        .coalesce(1).write.mode("append").parquet(src)
+    q = ssk.maintain_freq_items_stream(
+        spark.readStream.schema("item int")
+        .option("maxFilesPerTrigger", "1").parquet(src),
+        str(tmp_path / "freq"), str(tmp_path / "ck"),
+        item_col="item", k=4,
+    ).start()
+    q.awaitTermination()
+    out = str(tmp_path / "freq")
+    got, n = ssk.load_freq_summary(spark, out)
+    assert got == {1: 50, 2: 10} and n == 60
+    # every marker has its summary directory
+    marked = {f[:-len(".done")]
+              for f in os.listdir(f"{out}/_freq_batches")
+              if f.endswith(".done") and not f.startswith(".")}
+    have = {d[len("batch="):] for d in os.listdir(f"{out}/summary")}
+    assert marked <= have

@@ -732,31 +732,63 @@ def test_ann_index_maintain_stream_exactly_once(spark, tmp_path):
            .filter(F.col("vec_id") % 2 == 1).collect()}
     assert got == expect
 
-    # full replay, markers present → no-op
+    import glob
+    import os
+
+    def uncommit(ckpt):
+        """Simulate a crash after the batch ran but before the
+        checkpoint committed: the SAME checkpoint then replays it."""
+        last = sorted(f for f in os.listdir(f"{ckpt}/commits")
+                      if f.isdigit())[-1]
+        os.remove(f"{ckpt}/commits/{last}")
+        try:
+            os.remove(f"{ckpt}/commits/.{last}.crc")
+        except FileNotFoundError:
+            pass
+
+    # crash-after-commit replay (same checkpoint): marker present →
+    # no-op
+    ckpt = str(tmp_path / "ckpt")
+    uncommit(ckpt)
     q2 = ann.maintain_ann_index_stream(
         spark.readStream.schema(spark.read.parquet(src).schema)
         .option("maxFilesPerTrigger", "1").parquet(src),
-        index, str(tmp_path / "ckpt2"),
+        index, ckpt,
     ).start()
     q2.awaitTermination()
     assert spark.read.parquet(vec).count() == embs.count()
 
-    # crash-window replay: lose one marker → that batch re-publishes
-    # under the same deterministic names and converges
-    import glob
-    import os
+    # crash-window replay: lose the replayed batch's marker too →
+    # it re-publishes under the same deterministic names and converges
     markers = sorted(glob.glob(f"{index}/_append_batches/*.done"))
     assert len(markers) == 2
-    os.remove(markers[0])
+    uncommit(ckpt)
+    os.remove(markers[-1])
     q3 = ann.maintain_ann_index_stream(
         spark.readStream.schema(spark.read.parquet(src).schema)
         .option("maxFilesPerTrigger", "1").parquet(src),
-        index, str(tmp_path / "ckpt3"),
+        index, ckpt,
     ).start()
     q3.awaitTermination()
     after = spark.read.parquet(vec)
     assert after.count() == embs.count()
     assert after.select("vec_id").distinct().count() == embs.count()
+
+    # a FRESH checkpoint over this index is refused: its re-numbered
+    # batches neither line up with the published b{N}-* files nor
+    # cover the old run's ids — the silent-corruption path the
+    # run-scoped markers exist to block
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    import pytest as _pytest
+    with _pytest.raises(StreamingQueryException,
+                        match="different streaming incarnation"):
+        q4 = ann.maintain_ann_index_stream(
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1").parquet(src),
+            index, str(tmp_path / "ckpt_fresh"),
+        ).start()
+        q4.awaitTermination()
+    assert spark.read.parquet(vec).count() == embs.count()
 
 
 def test_compact_skips_unmarked_append_then_replay_no_dupes(
@@ -784,22 +816,25 @@ def test_compact_skips_unmarked_append_then_replay_no_dupes(
     new = embs.filter(F.col("vec_id") % 2 == 1).select(
         "vec_id", "embedding"
     )
+    # batch 0 runs alone (the crash means batch 1 never happened yet)
     new.filter(F.col("vec_id") % 4 == 1).write.mode("append").parquet(src)
-    new.filter(F.col("vec_id") % 4 == 3).write.mode("append").parquet(src)
+    ckpt = str(tmp_path / "ckpt")
     q = ann.maintain_ann_index_stream(
         spark.readStream.schema(spark.read.parquet(src).schema)
         .option("maxFilesPerTrigger", "1").parquet(src),
-        index, str(tmp_path / "ckpt"),
+        index, ckpt,
     ).start()
     q.awaitTermination()
     vec = f"{index}/vectors"
     n_total = embs.count()
-    assert spark.read.parquet(vec).count() == n_total
 
-    # crash window: batch 0 published but its marker lost
+    # crash window: batch 0 published but its marker lost, and the
+    # checkpoint never committed the batch (same-checkpoint replay)
     markers = sorted(glob.glob(f"{index}/_append_batches/*.done"))
-    assert len(markers) == 2
+    assert len(markers) == 1
     _os.remove(markers[0])
+    for f in _os.listdir(f"{ckpt}/commits"):
+        _os.remove(f"{ckpt}/commits/{f}")
     bid = _os.path.basename(markers[0])[: -len(".done")]
     dirty = {
         d for d in _os.listdir(vec)
@@ -813,11 +848,13 @@ def test_compact_skips_unmarked_append_then_replay_no_dupes(
     for d in dirty:
         assert glob.glob(_os.path.join(vec, d, f"b{bid}-*.parquet"))
 
-    # the replay re-publishes batch 0 — zero duplicate vec_ids
+    # the resumed checkpoint replays batch 0 (re-publish converges)
+    # and absorbs the new second file — zero duplicate vec_ids
+    new.filter(F.col("vec_id") % 4 == 3).write.mode("append").parquet(src)
     q2 = ann.maintain_ann_index_stream(
         spark.readStream.schema(spark.read.parquet(src).schema)
         .option("maxFilesPerTrigger", "1").parquet(src),
-        index, str(tmp_path / "ckpt2"),
+        index, ckpt,
     ).start()
     q2.awaitTermination()
     after = spark.read.parquet(vec)
@@ -903,6 +940,76 @@ def test_ann_serving_results_retention(spark, tmp_path):
     marks2 = sorted(_os.path.basename(m) for m in
                     glob.glob(f"{out}/_ann_batches/*.done"))
     assert marks2 == ["0.done"]
+
+
+def test_ann_serve_fresh_checkpoint_recomputes_colliding_batch(
+        spark, tmp_path):
+    """Run-scoped markers: after a checkpoint reset, the new run's
+    batch 0 COLLIDES with the dead incarnation's 0.done marker — the
+    marker must not swallow the batch; it is recomputed (idempotent
+    partition overwrite) and the fresh queries' results land."""
+    from garmadon_spark.operators import similarity
+    from garmadon_spark.session import load_table
+    from garmadon_spark.streaming import ann
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    index = str(tmp_path / "idx")
+    similarity.write_ivf_index(embs, index, n_centroids=8, iterations=1)
+    out = str(tmp_path / "results")
+
+    src1 = str(tmp_path / "q1")
+    embs.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    ).write.parquet(src1)
+    q = ann.serve_ann_stream(
+        spark.readStream.schema(spark.read.parquet(src1).schema)
+        .parquet(src1), index, out, str(tmp_path / "ck1"),
+        k=5, nprobe=4, exclude_self=True,
+    ).start()
+    q.awaitTermination()
+    assert {r.query_id for r in spark.read.parquet(out).collect()} \
+        == {0, 1}
+
+    # fresh checkpoint, DIFFERENT queries, colliding batch id 0
+    src2 = str(tmp_path / "q2")
+    embs.filter(F.col("vec_id").isin(7, 8)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    ).write.parquet(src2)
+    q2 = ann.serve_ann_stream(
+        spark.readStream.schema(spark.read.parquet(src2).schema)
+        .parquet(src2), index, out, str(tmp_path / "ck2"),
+        k=5, nprobe=4, exclude_self=True,
+    ).start()
+    q2.awaitTermination()
+    got = {r.query_id for r in spark.read.parquet(out).collect()}
+    assert got == {7, 8}          # recomputed, not skipped
+
+
+def test_results_retention_drops_foreign_runs_first(tmp_path):
+    """With run_id awareness, a dead incarnation's partitions are
+    older-than-everything even when mtimes collide exactly — the
+    just-written low-id batch of the current run survives."""
+    import os as _os
+
+    from garmadon_spark.streaming import ann
+
+    out = str(tmp_path / "res")
+    _os.makedirs(f"{out}/_ann_batches")
+    # old run's batches 5,6 + current run's just-written batch 0
+    for b, run in ((5, "dead"), (6, "dead"), (0, "live")):
+        _os.makedirs(f"{out}/batch_id={b}")
+        with open(f"{out}/_ann_batches/{b}.done", "w") as fh:
+            fh.write(f"done:{run}")
+    same = 1_700_000_000
+    for b in (5, 6, 0):
+        _os.utime(f"{out}/batch_id={b}", (same, same))
+    dropped = ann.apply_results_retention(out, 1, run_id="live")
+    assert dropped == [5, 6]
+    assert _os.listdir(f"{out}/_ann_batches") == ["0.done"]
+    # and a partition with NO marker is foreign-class too
+    _os.makedirs(f"{out}/batch_id=9")
+    _os.utime(f"{out}/batch_id=9", (same + 10, same + 10))
+    assert ann.apply_results_retention(out, 1, run_id="live") == [9]
 
 
 def test_ann_serve_stream_picks_up_retrain(spark, tmp_path):
