@@ -399,20 +399,46 @@ def rollup_query(
     Closing that window needs a transactional table format
     (Delta/Iceberg MERGE) — the documented production swap, same trade
     recorded for W8 in sinks/archive.py.  Returns the started
-    StreamingQuery."""
+    StreamingQuery.
+
+    Markers are run-scoped (the checkpoint's query id): a FRESH
+    checkpoint over a rollup another incarnation folded is REFUSED on
+    its first batch — the fold CHAINS state, so re-numbered batch ids
+    would either be skipped (losing their rows) or re-folded
+    (double-counting).  Resume the original checkpoint or rebuild the
+    rollup; bare legacy ``done`` markers are accepted as own (the
+    upgrade path)."""
+    cache: dict = {}
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         sess = batch_df.sparkSession
+        if "run" not in cache:
+            import os as _os
+
+            cache["run"] = _checkpoint_run_id(sess, checkpoint)
+            mdir = f"{path}/_rollup_batches"
+            if cache["run"] is not None and _os.path.isdir(mdir):
+                for f in sorted(_os.listdir(mdir)):
+                    if not f.endswith(".done"):
+                        continue
+                    rec = _marker_run_id(_read_marker(sess, f"{mdir}/{f}"))
+                    if rec is not None and rec != cache["run"]:
+                        raise RuntimeError(
+                            f"{path} holds rollup batches folded by a "
+                            f"different streaming incarnation ({f}: run "
+                            f"{rec}); resume its original checkpoint or "
+                            "rebuild the rollup"
+                        )
         marker = f"{path}/_rollup_batches/{batch_id}.done"
-        if _marker_exists(sess, marker):
+        if _marker_current(sess, marker, cache["run"]):
             return
         maintain_rollup(
             sess, batch_df, path,
             ts_col, group_cols, value_col, bucket,
         )
-        _write_marker(sess, marker)
+        _write_marker(sess, marker, cache["run"])
 
     writer = (
         stream.writeStream.foreachBatch(_fold)

@@ -120,6 +120,24 @@ def test_streaming_rollup_matches_batch(spark, tmp_path):
     }
     assert again == exp
 
+    # a FRESH checkpoint over the folded rollup is refused: the fold
+    # chains state, so re-numbered batch ids would double-count or be
+    # silently skipped (run-scoped markers)
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with _pytest.raises(StreamingQueryException,
+                        match="different streaming incarnation"):
+        rollup.rollup_query(
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .parquet(src),
+            path, str(tmp_path / "ckpt_fresh"),
+        ).awaitTermination()
+    still = {
+        _key(r): _vals(r) for r in spark.read.parquet(path).collect()
+    }
+    assert still == exp
+
 
 def test_streaming_rollup_restart_mid_stream(spark, tmp_path):
     """Hard-stop the continuous aggregate PARTWAY through the source,
