@@ -166,6 +166,13 @@ def main():
     )
     n_shards_written = man.count()
 
+    # 5c. retrieval prep: sliding-window chunking of the accepted set
+    # (what an embedding job consumes) — map-only, zero shuffle
+    chunks = corpus.chunk_documents(
+        acc.select("doc_id", "text"), chunk_chars=500, overlap=100
+    )
+    n_chunks = chunks.count()
+
     # 6. per-language quality telemetry (archive-backfill form of the
     # streaming monitor)
     tele = (
@@ -178,13 +185,18 @@ def main():
     )
     top = [(r.lang, r.n_docs, r.avg_quality) for r in tele.head(3)]
 
+    # 6b. the publishable datasheet: one scan over the shipped corpus
+    report = corpus.corpus_report(spark.read.parquet(f"{out_dir}/mixed"))
+    n_cohorts = report.count()
+
     print(
         f"docs={n_in} pii_docs={n_pii} span_docs={n_span_docs} "
         f"ppl_kept={n_ppl} gopher_full={n_gopher_full} "
         f"accepted={n_ok} rejected={n_in - n_ok} "
         f"mixed={n_mixed} packs={n_packs} avg_fill={fill} "
         f"dsir_avg={dsir_stats['avg']} dsir_max={dsir_stats['max']} "
-        f"shards={n_shards_written} top_langs={top} out={out_dir}"
+        f"shards={n_shards_written} chunks={n_chunks} "
+        f"report_cohorts={n_cohorts} top_langs={top} out={out_dir}"
     )
 
 
