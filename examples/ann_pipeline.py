@@ -66,6 +66,24 @@ def main():
           f"({FLOAT_BYTES // M}x smaller) + {RERANK} raw vectors, "
           f"recall {recall(pq, exact)}")
 
+    # PCA-rotated PQ (the OPQ PCA leg): a PURE rotation (center=False)
+    # preserves dot products exactly, so rotated-space neighbors ARE
+    # raw-space neighbors — decorrelated axes just stop contiguous
+    # subquantizer blocks wasting codebook entropy
+    import numpy as np
+    mean0, comps, _ = similarity.fit_pca(embs, center=False)
+    rot = similarity.pca_project(embs, mean0, comps, out_col="rot") \
+        .select("vec_id", F.col("rot").alias("embedding"))
+    rest_rot = rot.filter(F.col("vec_id") != 0)
+    q_rot = [float(x) for x in np.asarray(q) @ np.asarray(comps).T]
+    books_r = similarity.train_pq(rot, m=M, ksub=KSUB)
+    codes_r = similarity.pq_encode(rest_rot, books_r)
+    pq_r = [r.vec_id for r in similarity.pq_topk(
+        codes_r, books_r, q_rot, k=K, rerank=RERANK,
+        embs=rest_rot).collect()]
+    print(f"PQ M={M} on PCA-rotated axes: same bytes, "
+          f"recall {recall(pq_r, exact)} (vs {recall(pq, exact)} raw)")
+
     c2, b2, codes2 = similarity.build_ivfpq(
         embs, n_centroids=N_CENTROIDS, m=M, ksub=KSUB)
     ivfpq = [r.vec_id for r in similarity.ivfpq_topk(

@@ -87,6 +87,24 @@ def main():
     print(f"busiest hour: user {top.user_id} bucket {top.bucket} "
           f"(+{top.increase} events)")
 
+    # 5. heavy hitters over the SAME stream with O(k) state: the
+    # Misra-Gries summary maintained per micro-batch — which value
+    # ranges dominate, without a per-key streaming groupBy
+    from garmadon_spark.streaming import sketch as ssk
+
+    buckets = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 8).parquet(src)
+        .select(F.floor(F.col("value") / 50).cast("int").alias("item"))
+    )
+    ssk.maintain_freq_items_stream(
+        buckets, f"{work}/freq", f"{work}/ckpt_freq", k=4
+    ).start().awaitTermination()
+    summary, n_seen = ssk.load_freq_summary(spark, f"{work}/freq")
+    hh = sorted(summary.items(), key=lambda kv: -kv[1])
+    print(f"heavy value buckets over {n_seen} events "
+          f"(>= count {n_seen // 5} guaranteed present): {hh}")
+
 
 if __name__ == "__main__":
     main()

@@ -1702,6 +1702,7 @@ def fit_pca(
     sample: int = PCA_SAMPLE_CAP,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    center: bool = True,
 ):
     """Fit a PCA rotation from a bounded deterministic sample (first
     ``sample`` rows by id — the PQ codebook's training idiom): returns
@@ -1720,12 +1721,19 @@ def fit_pca(
     codebook entropy; rotating to decorrelated axes first is the
     standard preprocessing (the PCA leg of OPQ — Ge et al., CVPR
     2013), and truncating to ``dim_out`` top axes is the
-    storage/latency lever."""
+    storage/latency lever.
+
+    ``center=False`` fits a PURE rotation (mean pinned at zero): the
+    right mode in front of a cosine / inner-product search like the PQ
+    tier here, because an orthonormal rotation preserves dot products
+    exactly while centering does not — rotated-space neighbors are
+    bit-for-bit the raw-space neighbors.  Keep the default centering
+    for variance analysis / dim truncation of raw feature vectors."""
     rows = embs.orderBy(id_col).limit(sample).select(vec_col).collect()
     X = np.asarray([r[0] for r in rows], dtype=np.float64)
     if X.ndim != 2 or X.shape[0] < 2:
         raise ValueError("need at least 2 sample vectors to fit PCA")
-    mean = X.mean(axis=0)
+    mean = X.mean(axis=0) if center else np.zeros(X.shape[1])
     Xc = X - mean
     cov = Xc.T @ Xc / (X.shape[0] - 1)
     evals, evecs = np.linalg.eigh(cov)          # ascending

@@ -82,3 +82,16 @@ def test_pca_rejects_degenerate_inputs(spark):
     mean, comps, _ = similarity.fit_pca(df)
     with pytest.raises(ValueError):
         similarity.pca_project(df, mean[:3], comps)
+
+
+def test_pca_pure_rotation_preserves_dot_products(spark):
+    """center=False fits a pure rotation: mean pinned at zero and ALL
+    pairwise dot products (hence cosines, hence neighbor order)
+    preserved exactly — the mode the PQ/IP search tier needs."""
+    df, X = _toy(spark, n=80)
+    mean0, comps, _ = similarity.fit_pca(df, center=False)
+    assert np.allclose(np.asarray(mean0), 0.0)
+    got = {r.vec_id: np.asarray(r.pca) for r in
+           similarity.pca_project(df, mean0, comps).collect()}
+    P = np.vstack([got[i] for i in range(len(X))])
+    assert np.allclose(P @ P.T, X @ X.T, atol=1e-8)
