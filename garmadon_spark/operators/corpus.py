@@ -518,19 +518,32 @@ def corpus_report(
     df: DataFrame,
     group_cols: tuple = ("lang", "source"),
     text_col: str = "text",
+    exact: bool = True,
 ) -> DataFrame:
     """One-scan corpus datasheet per cohort — the summary a dataset
     owner publishes with a training mix: volume (docs, chars,
     whitespace tokens), exact-duplication rate (distinct text hashes vs
     rows), and length shape (mean tokens, median chars).  Everything is
     a scalar expression feeding ONE map-side-combined aggregate: a
-    single linear scan + one cohort-keyed shuffle (cohort cardinality,
-    not corpus), so the report costs the same as any groupBy at
-    100 TB.  The md5 distinct-count shuffles 16-byte hashes, never
-    text."""
+    single linear scan + one cohort-keyed shuffle.
+
+    ``exact`` picks the distinct-count/median engine.  True (the
+    verification gate): exact count_distinct over md5 — the partial
+    aggregate still carries one row per distinct hash (16 B each,
+    never text) through the shuffle.  False (the 100 TB path): HLL++
+    and an approximate median, making the shuffle rows COHORT-sized —
+    a fixed-size sketch per cohort — at ~1-2 % distinct-count error;
+    a datasheet tolerates that, an exact-dedup job does not (it uses
+    operators/dedup.py)."""
     toks = F.size(F.filter(F.split(F.col(text_col), r"\s+"),
                            lambda t: t != ""))
     chars = F.length(F.col(text_col))
+    if exact:
+        distinct = F.count_distinct("_h")
+        median = F.expr("percentile(_chars, 0.5)")
+    else:
+        distinct = F.approx_count_distinct("_h", rsd=0.01)
+        median = F.expr("percentile_approx(_chars, 0.5)")
     return (
         df.select(
             *group_cols,
@@ -541,16 +554,13 @@ def corpus_report(
         .groupBy(*group_cols)
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.count_distinct("_h").alias("n_distinct_texts"),
+            distinct.alias("n_distinct_texts"),
             F.round(
-                F.lit(1.0)
-                - F.count_distinct("_h") / F.count(F.lit(1)), 4
+                F.lit(1.0) - distinct / F.count(F.lit(1)), 4
             ).alias("dup_ratio"),
             F.sum("_chars").alias("total_chars"),
             F.sum("_toks").alias("total_tokens"),
             F.round(F.avg("_toks"), 2).alias("mean_tokens"),
-            F.round(F.expr("percentile(_chars, 0.5)"), 1).alias(
-                "median_chars"
-            ),
+            F.round(median, 1).alias("median_chars"),
         )
     )

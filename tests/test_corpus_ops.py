@@ -289,3 +289,16 @@ def test_corpus_report_one_scan_stats(spark):
     assert en.median_chars == 5.0
     de = rows[("de", "s2")]
     assert de.n_docs == 1 and de.dup_ratio == 0.0
+
+
+def test_corpus_report_approx_mode_tracks_exact(spark):
+    rows = [(i, "en", "s", f"text {i % 37} body") for i in range(3000)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string")
+    ex = corpus.corpus_report(df).head()
+    ap = corpus.corpus_report(df, exact=False).head()
+    assert ex.n_distinct_texts == 37
+    # HLL at rsd=0.01: 5-sigma bound like the dashboard's cardinality gate
+    assert abs(ap.n_distinct_texts - 37) <= max(1, 5 * 0.01 * 37)
+    assert ap.n_docs == ex.n_docs == 3000
+    assert ap.total_tokens == ex.total_tokens
