@@ -183,3 +183,43 @@ def test_freq_items_stream_empty_batch_never_dangles(spark, tmp_path):
               if f.endswith(".done") and not f.startswith(".")}
     have = {d[len("batch="):] for d in os.listdir(f"{out}/summary")}
     assert marked <= have
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        data=st.lists(
+            st.tuples(st.integers(0, 30), st.integers(1, 50)),
+            min_size=1, max_size=60,
+        ),
+        k=st.integers(1, 8),
+        cut=st.integers(0, 59),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_mg_fold_property(data, k, cut):
+        """Fold any (item, count) stream in two chunks through
+        _mg_fold: every surviving counter is sandwiched between
+        true - n/(k+1) and true, at most k survive, and every item
+        with true count > n/(k+1) survives."""
+        exact: dict = {}
+        for it, c in data:
+            exact[it] = exact.get(it, 0) + c
+        n = sum(exact.values())
+        chunks = [data[:cut], data[cut:]]
+        counters: dict = {}
+        for chunk in chunks:
+            counters = sketch._mg_fold(
+                counters, [i for i, _ in chunk], [c for _, c in chunk], k
+            )
+        err = n / (k + 1)
+        assert len(counters) <= k
+        for it, lb in counters.items():
+            assert lb <= exact[it]
+            assert lb >= exact[it] - err
+        for it, c in exact.items():
+            if c > err:
+                assert it in counters
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
