@@ -25,7 +25,11 @@ summary:
   the live summary; unmarked directories are in-flight or crashed
   attempts and never read.  Superseded summaries are pruned past the
   newest two (the predecessor must survive until its successor is
-  marked, for replay determinism).
+  marked, for replay determinism).  A genuine crash always loses the
+  NEWEST marker (markers commit before the next batch starts), so the
+  replay's predecessor read is well-defined.  Markers are run-scoped:
+  a fresh checkpoint over an existing chain is refused on its first
+  batch — re-numbered batch ids would refold counted data.
 
 State on disk: k rows + one meta row per retained batch.  Driver
 memory: O(k).  Nothing anywhere is keyed on the raw item space.
