@@ -765,3 +765,97 @@ def bm25_scores_batch(
         .agg(F.round(F.sum("_s"), 4).alias("bm25"))
         .filter(F.col("bm25") > 0)
     )
+
+
+def train_bigram_lm(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int | None = None,
+) -> None:
+    """Materialize the add-1-smoothed bigram LM the CCNet recipe
+    actually uses (Wenzek et al., LREC 2020): train ONCE on a
+    reference corpus (their Wikipedia), then score every candidate
+    crawl against it with ``perplexity_from_model`` — unlike
+    ``perplexity_scores``, which self-trains per call and exists for
+    the bit-exact oracle.
+
+    Writes ``{path}/c12`` (bigram counts), ``{path}/c1`` (unigram
+    left-context counts) and ``{path}/meta`` (1 row: the vocabulary
+    size V counted BEFORE any pruning, so smoothing stays the trained
+    distribution's).  ``top_k`` prunes each table to its K
+    highest-count rows (count desc, token tie-break — deterministic):
+    under Zipf, coverage saturates fast, and a pruned model is
+    BROADCAST-sized, turning the score pass into a map-side join
+    instead of two shuffles.  Dropped rows fall back to the same
+    smoothing floor as unseen n-grams — the model degrades gracefully,
+    never wrongly."""
+    bg = bigram_instances(df, text_col, id_col).persist()
+    try:
+        c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+        c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+        v = (
+            bg.select(F.col("w1").alias("tok"))
+            .union(bg.select(F.col("w2").alias("tok")))
+            .distinct()
+            .count()
+        )
+        if top_k is not None:
+            c12 = c12.orderBy(
+                F.desc("c12"), F.asc("w1"), F.asc("w2")
+            ).limit(top_k)
+            c1 = c1.orderBy(F.desc("c1"), F.asc("w1")).limit(top_k)
+        c12.write.mode("overwrite").parquet(f"{path}/c12")
+        c1.write.mode("overwrite").parquet(f"{path}/c1")
+        spark = df.sparkSession
+        spark.createDataFrame([(int(v),)], "v long").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/meta")
+    finally:
+        bg.unpersist()
+
+
+def perplexity_from_model(
+    df: DataFrame,
+    spark,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_model: bool = False,
+) -> DataFrame:
+    """Score documents against a PERSISTED bigram LM (train_bigram_lm)
+    — the cross-corpus CCNet shape.  Out-of-model n-grams (unseen at
+    training, or pruned) smooth to c=0: P = (0+1)/(0+V), so a
+    candidate corpus with novel vocabulary scores HIGH perplexity
+    instead of erroring — exactly the signal the filter wants.
+
+    Same output columns as perplexity_scores.  ``broadcast_model``
+    hints both model joins broadcast (correct whenever the model was
+    top_k-pruned to broadcast size) — the score pass then never
+    shuffles the candidate corpus' bigrams."""
+    c12 = spark.read.parquet(f"{path}/c12")
+    c1 = spark.read.parquet(f"{path}/c1")
+    if broadcast_model:
+        c12, c1 = F.broadcast(c12), F.broadcast(c1)
+    v = spark.read.parquet(f"{path}/meta").head().v
+    bg = bigram_instances(df, text_col, id_col)
+    logp = F.log(
+        (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1.0))
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(float(v)))
+    )
+    return (
+        bg.join(c12, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (-F.avg(logp)).alias("_ce"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            F.round(F.col("_ce"), 4).alias("cross_entropy"),
+            F.round(F.exp(F.col("_ce")), 2).alias("ppl"),
+        )
+    )

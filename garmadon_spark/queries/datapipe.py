@@ -3019,6 +3019,72 @@ FROM pv
 """
 
 
+def _bigram_model_path(sf_dir: str) -> str:
+    return _index_cache_path(sf_dir, "documents.parquet",
+                             "garmadon_bigramlm_")
+
+
+def doc_perplexity_model(spark, sf_dir):
+    """The cross-corpus CCNet shape doc_perplexity only simulates:
+    train the bigram LM ONCE on the English reference slice
+    (text.train_bigram_lm — persisted, offline-job semantics like the
+    signature/IVF indexes), then score EVERY document against it
+    (text.perplexity_from_model).  Out-of-model n-grams smooth to the
+    c=0 floor, so non-English/novel-vocabulary docs score high
+    perplexity — the filter signal — instead of erroring.  The model
+    is exact (unpruned) here so the DuckDB oracle replicates it
+    bit-for-bit; the 100 TB deployment prunes to top-K and broadcasts
+    (train_bigram_lm(top_k=...), broadcast_model=True)."""
+    import os
+
+    docs = _fanout(spark, _docs(spark, sf_dir))
+    path = _bigram_model_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_OK")):
+        text.train_bigram_lm(docs.filter(F.col("lang") == "en"), path)
+        open(os.path.join(path, "_OK"), "w").close()
+    return text.perplexity_from_model(docs, spark, path)
+
+
+DOC_PERPLEXITY_MODEL_SQL = """
+WITH toks AS (
+    SELECT doc_id, lang,
+           string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))),
+                        ' ') AS t
+    FROM documents
+), ex AS (
+    SELECT doc_id, lang,
+           unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS big
+    FROM toks
+), bg AS (
+    SELECT doc_id, lang, split_part(big, ' ', 1) AS w1,
+           split_part(big, ' ', 2) AS w2
+    FROM ex
+), tr AS (
+    SELECT * FROM bg WHERE lang = 'en'
+), c12 AS (
+    SELECT w1, w2, COUNT(*) AS c12 FROM tr GROUP BY 1, 2
+), c1 AS (
+    SELECT w1, COUNT(*) AS c1 FROM tr GROUP BY 1
+), voc AS (
+    SELECT COUNT(*) AS v
+    FROM (SELECT w1 AS tok FROM tr UNION SELECT w2 FROM tr)
+), scored AS (
+    SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+           -AVG(LN((COALESCE(c12.c12, 0) + 1.0)
+                   / (COALESCE(c1.c1, 0) + voc.v))) AS ce
+    FROM bg
+    LEFT JOIN c12 USING (w1, w2)
+    LEFT JOIN c1 USING (w1)
+    CROSS JOIN voc
+    GROUP BY bg.doc_id
+)
+SELECT doc_id, n_bigrams,
+       ROUND(ce, 4) AS cross_entropy,
+       ROUND(EXP(ce), 2) AS ppl
+FROM scored
+"""
+
+
 QUERIES = {
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
     "doc_exact_dedup": (doc_exact_dedup, DOC_EXACT_DEDUP_SQL),
@@ -3109,4 +3175,6 @@ QUERIES = {
     "doc_corpus_report": (doc_corpus_report, DOC_CORPUS_REPORT_SQL),
     "emb_pca_project": (emb_pca_project, None),
     "emb_pca_check": (emb_pca_check, EMB_PCA_CHECK_SQL),
+    "doc_perplexity_model": (doc_perplexity_model,
+                             DOC_PERPLEXITY_MODEL_SQL),
 }

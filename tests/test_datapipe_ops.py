@@ -1300,3 +1300,70 @@ def test_bm25_batch_plan_has_no_cartesian(spark, docs):
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_perplexity_model_self_train_matches_inline(spark, tmp_path):
+    """train_bigram_lm + perplexity_from_model on the SAME corpus must
+    reproduce perplexity_scores exactly — the persisted model is the
+    same distribution, only materialized."""
+    from garmadon_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),
+         (2, "the cat ran"),
+         (3, "a dog sat on a log"),
+         (4, "short")],                    # <2 tokens: unscored
+        "doc_id long, text string",
+    )
+    inline = {r.doc_id: (r.n_bigrams, r.cross_entropy, r.ppl)
+              for r in text_ops.perplexity_scores(df).collect()}
+    path = str(tmp_path / "lm")
+    text_ops.train_bigram_lm(df, path)
+    model = {r.doc_id: (r.n_bigrams, r.cross_entropy, r.ppl)
+             for r in text_ops.perplexity_from_model(
+                 df, spark, path).collect()}
+    assert model == inline and 4 not in model
+
+
+def test_perplexity_model_oov_smoothing_and_ranking(spark, tmp_path):
+    """Cross-corpus scoring: documents full of vocabulary the model
+    never saw smooth to the c=0 floor and score HIGHER perplexity than
+    in-distribution text — the CCNet filter signal."""
+    from garmadon_spark.operators import text as text_ops
+
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat again and again") for i in range(5)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "lm")
+    text_ops.train_bigram_lm(train, path)
+    cand = spark.createDataFrame(
+        [(100, "the cat sat on the mat"),
+         (101, "zxq vbnm qwerty asdf ghjkl")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.ppl for r in text_ops.perplexity_from_model(
+        cand, spark, path).collect()}
+    assert got[101] > got[100]
+
+
+def test_perplexity_model_pruned_broadcast_plan(spark, tmp_path):
+    """A top_k-pruned model is broadcast-sized: with
+    broadcast_model=True both model joins must be broadcast joins (the
+    candidate corpus' bigrams never shuffle), and scoring still covers
+    every doc (dropped rows degrade to the smoothing floor)."""
+    from garmadon_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(i, f"w{i % 7} common text common w{i % 5} end")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "lm")
+    text_ops.train_bigram_lm(df, path, top_k=10)
+    scored = text_ops.perplexity_from_model(
+        df, spark, path, broadcast_model=True)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert scored.count() == 40
