@@ -1068,3 +1068,35 @@ def test_ann_serve_stream_picks_up_retrain(spark, tmp_path):
             spark, index, q2, k=5, nprobe=4).collect()
     }
     assert got == exp and len({q for q, _ in got}) == 3
+
+
+def test_perplexity_model_scores_stream_equals_batch(spark, tmp_path):
+    """The persisted bigram LM is a STATIC table, so scoring a document
+    stream against it is a stream-static join — per-doc results must
+    equal the batch pass (the ingest-time CCNet gate)."""
+    from garmadon_spark.operators import text as text_ops
+    from garmadon_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text", "lang")
+    path = str(tmp_path / "lm")
+    text_ops.train_bigram_lm(docs.filter(F.col("lang") == "en"), path)
+
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .parquet(src)
+    )
+    q = (
+        text_ops.perplexity_from_model(stream, spark, path)
+        .writeStream.format("memory").queryName("ppl_stream")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {r.doc_id: (r.n_bigrams, r.cross_entropy, r.ppl)
+           for r in spark.sql("SELECT * FROM ppl_stream").collect()}
+    exp = {r.doc_id: (r.n_bigrams, r.cross_entropy, r.ppl)
+           for r in text_ops.perplexity_from_model(
+               spark.read.parquet(src), spark, path).collect()}
+    assert got == exp and len(got) > 0
