@@ -556,7 +556,10 @@ def corpus_report(
             F.count(F.lit(1)).alias("n_docs"),
             distinct.alias("n_distinct_texts"),
             F.round(
-                F.lit(1.0) - distinct / F.count(F.lit(1)), 4
+                F.greatest(
+                    F.lit(0.0),
+                    F.lit(1.0) - distinct / F.count(F.lit(1)),
+                ), 4
             ).alias("dup_ratio"),
             F.sum("_chars").alias("total_chars"),
             F.sum("_toks").alias("total_tokens"),

@@ -802,10 +802,18 @@ def train_bigram_lm(
             .count()
         )
         if top_k is not None:
-            c12 = c12.orderBy(
-                F.desc("c12"), F.asc("w1"), F.asc("w2")
-            ).limit(top_k)
             c1 = c1.orderBy(F.desc("c1"), F.asc("w1")).limit(top_k)
+            # anti-prune: a bigram whose LEFT CONTEXT was pruned must
+            # go too, or scoring computes P=(c12+1)/(0+V) — an inflated
+            # (possibly >1) probability that UNDERSTATES perplexity and
+            # lets junk under the filter.  With c12 ⊆ surviving c1,
+            # every retained bigram scores against its real context
+            # count and everything else degrades to the smoothing floor
+            c12 = (
+                c12.join(F.broadcast(c1.select("w1")), "w1", "left_semi")
+                .orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2"))
+                .limit(top_k)
+            )
         c12.write.mode("overwrite").parquet(f"{path}/c12")
         c1.write.mode("overwrite").parquet(f"{path}/c1")
         spark = df.sparkSession
@@ -818,7 +826,6 @@ def train_bigram_lm(
 
 def perplexity_from_model(
     df: DataFrame,
-    spark,
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -834,6 +841,7 @@ def perplexity_from_model(
     hints both model joins broadcast (correct whenever the model was
     top_k-pruned to broadcast size) — the score pass then never
     shuffles the candidate corpus' bigrams."""
+    spark = df.sparkSession
     c12 = spark.read.parquet(f"{path}/c12")
     c1 = spark.read.parquet(f"{path}/c1")
     if broadcast_model:

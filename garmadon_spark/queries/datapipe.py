@@ -3042,7 +3042,7 @@ def doc_perplexity_model(spark, sf_dir):
     if not os.path.exists(os.path.join(path, "_OK")):
         text.train_bigram_lm(docs.filter(F.col("lang") == "en"), path)
         open(os.path.join(path, "_OK"), "w").close()
-    return text.perplexity_from_model(docs, spark, path)
+    return text.perplexity_from_model(docs, path)
 
 
 DOC_PERPLEXITY_MODEL_SQL = """

@@ -78,15 +78,74 @@ def _read_marker(spark: SparkSession, marker: str) -> str | None:
         return None
     stream = fs.open(jpath)
     try:
-        buf = bytearray()
-        while True:
-            b = stream.read()
-            if b < 0:
-                break
-            buf.append(b)
-        return buf.decode()
+        try:
+            # one JVM call for the whole (tiny) file — commons-io ships
+            # on Spark's classpath via hadoop-common
+            data = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(
+                stream
+            )
+            return bytes(data).decode()
+        except Exception:
+            buf = bytearray()           # slow per-byte fallback
+            while True:
+                b = stream.read()
+                if b < 0:
+                    break
+                buf.append(b)
+            return buf.decode()
     finally:
         stream.close()
+
+
+def _list_markers(spark: SparkSession, marker_dir: str) -> list:
+    """``.done`` marker paths under ``marker_dir`` through the Hadoop
+    FS API — NOT os.listdir, which silently sees nothing on
+    hdfs://s3a:// paths and would turn every guard built on this
+    listing into a no-op off the local filesystem."""
+    fs, jpath = _hadoop_fs(spark, marker_dir)
+    if not fs.exists(jpath):
+        return []
+    return sorted(
+        str(st.getPath())
+        for st in fs.listStatus(jpath)
+        if st.getPath().getName().endswith(".done")
+    )
+
+
+def _refuse_foreign_chain(
+    spark: SparkSession, marker_dir: str, run_id: str | None, hint: str
+) -> None:
+    """Fail LOUD, not open, when a state-CHAINING sink cannot prove the
+    existing batch chain is its own:
+
+    - markers recorded by a DIFFERENT incarnation ⇒ a fresh checkpoint
+      is re-numbering batches over someone else's chain (skip loses
+      rows, re-fold double-counts) — refuse with the remediation;
+    - markers exist but THIS incarnation's run id is unreadable
+      (checkpoint metadata missing/unparseable) ⇒ the same corruption
+      is possible and undetectable — refuse rather than silently
+      reverting to unscoped presence-skip semantics.
+
+    Bare legacy ``done`` markers (no recorded run) are accepted as own
+    — the upgrade path for deployments resuming their original
+    checkpoint."""
+    markers = _list_markers(spark, marker_dir)
+    if not markers:
+        return
+    if run_id is None:
+        raise RuntimeError(
+            f"{marker_dir} holds committed batches but this query's "
+            "run id could not be read from its checkpoint metadata; "
+            "refusing to fold over a chain of unknown ownership. " + hint
+        )
+    for m in markers:
+        rec = _marker_run_id(_read_marker(spark, m))
+        if rec is not None and rec != run_id:
+            raise RuntimeError(
+                f"{marker_dir} holds batches committed by a different "
+                f"streaming incarnation ({m.rsplit('/', 1)[-1]}: run "
+                f"{rec}); " + hint
+            )
 
 
 def _marker_run_id(content: str | None) -> str | None:
@@ -415,22 +474,11 @@ def rollup_query(
             return
         sess = batch_df.sparkSession
         if "run" not in cache:
-            import os as _os
-
             cache["run"] = _checkpoint_run_id(sess, checkpoint)
-            mdir = f"{path}/_rollup_batches"
-            if cache["run"] is not None and _os.path.isdir(mdir):
-                for f in sorted(_os.listdir(mdir)):
-                    if not f.endswith(".done"):
-                        continue
-                    rec = _marker_run_id(_read_marker(sess, f"{mdir}/{f}"))
-                    if rec is not None and rec != cache["run"]:
-                        raise RuntimeError(
-                            f"{path} holds rollup batches folded by a "
-                            f"different streaming incarnation ({f}: run "
-                            f"{rec}); resume its original checkpoint or "
-                            "rebuild the rollup"
-                        )
+            _refuse_foreign_chain(
+                sess, f"{path}/_rollup_batches", cache["run"],
+                "resume its original checkpoint or rebuild the rollup",
+            )
         marker = f"{path}/_rollup_batches/{batch_id}.done"
         if _marker_current(sess, marker, cache["run"]):
             return

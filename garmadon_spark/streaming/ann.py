@@ -29,9 +29,10 @@ from pyspark.sql import functions as F
 from garmadon_spark.operators import similarity
 from garmadon_spark.sinks.rollup import (
     _checkpoint_run_id,
+    _list_markers,
     _marker_current,
-    _marker_exists,
     _marker_run_id,
+    _refuse_foreign_chain,
     _write_marker,
 )
 
@@ -194,6 +195,18 @@ def serve_ann_stream(
             # RECOMPUTES colliding batch ids (idempotent per-partition
             # overwrite) instead of silently skipping them
             cache["run"] = _checkpoint_run_id(sess, checkpoint)
+            if cache["run"] is None and _list_markers(
+                sess, f"{out_path}/_ann_batches"
+            ):
+                # fail loud, not open: without a run id we cannot tell
+                # our own markers from a dead incarnation's, and
+                # treating them as ours silently swallows batches
+                raise RuntimeError(
+                    f"{out_path} holds committed serving batches but "
+                    "this query's run id could not be read from its "
+                    "checkpoint metadata; clear the results path or "
+                    "fix the checkpoint before serving"
+                )
         run = cache["run"]
         marker = f"{out_path}/_ann_batches/{batch_id}.done"
         if _marker_current(sess, marker, run) or batch_df.isEmpty():
@@ -290,23 +303,11 @@ def maintain_ann_index_stream(
         sess = batch_df.sparkSession
         if "run" not in cache:
             cache["run"] = _checkpoint_run_id(sess, checkpoint)
-            mdir = f"{index_path}/_append_batches"
-            if cache["run"] is not None and _os.path.isdir(mdir):
-                from garmadon_spark.sinks.rollup import _read_marker
-
-                for f in sorted(_os.listdir(mdir)):
-                    if not f.endswith(".done"):
-                        continue
-                    rec = _marker_run_id(
-                        _read_marker(sess, f"{mdir}/{f}")
-                    )
-                    if rec is not None and rec != cache["run"]:
-                        raise RuntimeError(
-                            f"{index_path} holds append batches from a "
-                            f"different streaming incarnation ({f}: run "
-                            f"{rec}); resume its original checkpoint, "
-                            "or start from a fresh/re-trained index"
-                        )
+            _refuse_foreign_chain(
+                sess, f"{index_path}/_append_batches", cache["run"],
+                "resume its original checkpoint, or start from a "
+                "fresh/re-trained index",
+            )
         run = cache["run"]
         marker = f"{index_path}/_append_batches/{batch_id}.done"
         if _marker_current(sess, marker, run) or batch_df.isEmpty():

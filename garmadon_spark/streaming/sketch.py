@@ -49,8 +49,7 @@ from garmadon_spark.operators.sketch import _mg_fold, freq_items_partial
 from garmadon_spark.sinks.rollup import (
     _checkpoint_run_id,
     _marker_current,
-    _marker_run_id,
-    _read_marker,
+    _refuse_foreign_chain,
     _write_marker,
 )
 
@@ -98,26 +97,15 @@ def maintain_freq_items_stream(
         sess = batch_df.sparkSession
         if "run" not in cache:
             cache["run"] = _checkpoint_run_id(sess, checkpoint)
-            mdir = f"{out_path}/_freq_batches"
             # a FRESH checkpoint over an existing summary chain is
             # REFUSED: re-numbered batches would refold data the live
             # summary already counted (the state CHAINS, unlike the
-            # serving sink's independent per-batch partitions).  Resume
-            # the original checkpoint or clear out_path.
-            if cache["run"] is not None and _os.path.isdir(mdir):
-                for f in sorted(_os.listdir(mdir)):
-                    if not f.endswith(".done"):
-                        continue
-                    rec = _marker_run_id(
-                        _read_marker(sess, f"{mdir}/{f}")
-                    )
-                    if rec is not None and rec != cache["run"]:
-                        raise RuntimeError(
-                            f"{out_path} holds a summary chain from a "
-                            f"different streaming incarnation ({f}: "
-                            f"run {rec}); resume its original "
-                            "checkpoint or clear the output path"
-                        )
+            # serving sink's independent per-batch partitions)
+            _refuse_foreign_chain(
+                sess, f"{out_path}/_freq_batches", cache["run"],
+                "resume its original checkpoint or clear the output "
+                "path",
+            )
         run = cache["run"]
         marker = f"{out_path}/_freq_batches/{batch_id}.done"
         if _marker_current(sess, marker, run):

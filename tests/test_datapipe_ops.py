@@ -1320,8 +1320,7 @@ def test_perplexity_model_self_train_matches_inline(spark, tmp_path):
     path = str(tmp_path / "lm")
     text_ops.train_bigram_lm(df, path)
     model = {r.doc_id: (r.n_bigrams, r.cross_entropy, r.ppl)
-             for r in text_ops.perplexity_from_model(
-                 df, spark, path).collect()}
+             for r in text_ops.perplexity_from_model(df, path).collect()}
     assert model == inline and 4 not in model
 
 
@@ -1343,7 +1342,7 @@ def test_perplexity_model_oov_smoothing_and_ranking(spark, tmp_path):
         "doc_id long, text string",
     )
     got = {r.doc_id: r.ppl for r in text_ops.perplexity_from_model(
-        cand, spark, path).collect()}
+        cand, path).collect()}
     assert got[101] > got[100]
 
 
@@ -1362,8 +1361,39 @@ def test_perplexity_model_pruned_broadcast_plan(spark, tmp_path):
     path = str(tmp_path / "lm")
     text_ops.train_bigram_lm(df, path, top_k=10)
     scored = text_ops.perplexity_from_model(
-        df, spark, path, broadcast_model=True)
+        df, path, broadcast_model=True)
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
     assert scored.count() == 40
+
+
+def test_perplexity_model_prune_keeps_contexts_consistent(
+        spark, tmp_path):
+    """Pruning invariant: every bigram retained in the pruned c12 must
+    have its left context retained in the pruned c1 — otherwise
+    scoring computes (c12+1)/(0+V), an inflated probability that
+    understates perplexity."""
+    from garmadon_spark.operators import text as text_ops
+
+    # context 'e' earns a big c1 through many DISTINCT rare bigrams,
+    # so c1's top-k keeps it while bigrams like (c,d) outrank every
+    # (e,*) pair in c12 — the c12-survives/c1-pruned trap
+    rows = [(1, " ".join(["a b"] * 100)),
+            (2, " ".join(["c d"] * 90))]
+    rows += [(10 + i, "e x" + str(i)) for i in range(99)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "lm")
+    text_ops.train_bigram_lm(df, path, top_k=2)
+    c12 = spark.read.parquet(f"{path}/c12").collect()
+    c1 = {r.w1 for r in spark.read.parquet(f"{path}/c1").collect()}
+    assert c12 and all(r.w1 in c1 for r in c12)
+    # and scoring the trapped bigram's doc never sees an inflated
+    # probability: its cross-entropy is at least the smoothing floor's
+    import math
+    v = spark.read.parquet(f"{path}/meta").head().v
+    scored = {r.doc_id: r.cross_entropy for r in
+              text_ops.perplexity_from_model(df, path).collect()}
+    # doc 2's bigram (c,d) was anti-pruned away with its context 'c';
+    # every one of its bigrams scores exactly the OOV floor 1/V
+    assert abs(scored[2] - round(math.log(v), 4)) < 1e-3

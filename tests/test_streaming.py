@@ -1089,7 +1089,7 @@ def test_perplexity_model_scores_stream_equals_batch(spark, tmp_path):
         .parquet(src)
     )
     q = (
-        text_ops.perplexity_from_model(stream, spark, path)
+        text_ops.perplexity_from_model(stream, path)
         .writeStream.format("memory").queryName("ppl_stream")
         .outputMode("complete").trigger(availableNow=True).start()
     )
@@ -1098,5 +1098,5 @@ def test_perplexity_model_scores_stream_equals_batch(spark, tmp_path):
            for r in spark.sql("SELECT * FROM ppl_stream").collect()}
     exp = {r.doc_id: (r.n_bigrams, r.cross_entropy, r.ppl)
            for r in text_ops.perplexity_from_model(
-               spark.read.parquet(src), spark, path).collect()}
+               spark.read.parquet(src), path).collect()}
     assert got == exp and len(got) > 0
