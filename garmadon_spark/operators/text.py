@@ -354,6 +354,42 @@ def stratified_hash_sample(
     return df.filter(hash_sample_bucket(F.col(key_col), buckets) < threshold)
 
 
+def stratified_topn(
+    df: DataFrame,
+    key_col: str,
+    stratum_col,
+    n: int,
+    seed: int = 0,
+) -> DataFrame:
+    """EXACT-count per-stratum sampling: the n rows per stratum whose
+    md5(seed, key) ranks lowest — the eval-set construction spec
+    ("exactly 500 docs per language") that rate-based
+    ``stratified_hash_sample`` can only hit in expectation.
+    Deterministic for a fixed (corpus, seed): re-runs, supersets of
+    strata, and the DuckDB oracle all agree row-for-row.
+
+    ``stratum_col`` may be a column name or a tuple of names.
+    Plan: one hash-partitioned window per stratum (rank over the md5
+    key) — a single shuffle keyed on the stratum, no global sort;
+    at 100 TB the stratum key's cardinality bounds the reduce side
+    exactly like any groupBy.  Skewed mega-strata pay one task unless
+    pre-filtered with ``stratified_hash_sample`` at a few × n/|stratum|
+    first — the standard two-step for exact-k from a giant group."""
+    from pyspark.sql import Window
+
+    strata = ([stratum_col] if isinstance(stratum_col, str)
+              else list(stratum_col))
+    rk = F.md5(F.concat_ws("\x1f", F.lit(str(seed)),
+                           F.col(key_col).cast("string")))
+    w = Window.partitionBy(*strata).orderBy(rk.asc(),
+                                            F.col(key_col).asc())
+    return (
+        df.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= n)
+        .drop("_rank")
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     key_col: str,

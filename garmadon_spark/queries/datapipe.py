@@ -3085,6 +3085,33 @@ FROM scored
 """
 
 
+def doc_stratified_topn(spark, sf_dir, n: int = 20, seed: int = 11):
+    """Exact-count per-stratum sampling (text.stratified_topn): exactly
+    n docs per language by md5(seed, id) rank — the eval-set
+    construction spec the rate-based sampler only hits in expectation.
+    One stratum-keyed window, deterministic, full hash oracle."""
+    return text.stratified_topn(
+        _fanout(spark, _docs(spark, sf_dir)).select(
+            "doc_id", "lang", "n_chars"
+        ),
+        key_col="doc_id", stratum_col="lang", n=n, seed=seed,
+    )
+
+
+DOC_STRATIFIED_TOPN_SQL = """
+WITH ranked AS (
+    SELECT doc_id, lang, n_chars,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5('11' || chr(31) || CAST(doc_id AS VARCHAR)),
+                        doc_id
+           ) AS rk
+    FROM documents
+)
+SELECT doc_id, lang, n_chars FROM ranked WHERE rk <= 20
+"""
+
+
 QUERIES = {
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
     "doc_exact_dedup": (doc_exact_dedup, DOC_EXACT_DEDUP_SQL),
@@ -3177,4 +3204,5 @@ QUERIES = {
     "emb_pca_check": (emb_pca_check, EMB_PCA_CHECK_SQL),
     "doc_perplexity_model": (doc_perplexity_model,
                              DOC_PERPLEXITY_MODEL_SQL),
+    "doc_stratified_topn": (doc_stratified_topn, DOC_STRATIFIED_TOPN_SQL),
 }

@@ -1397,3 +1397,36 @@ def test_perplexity_model_prune_keeps_contexts_consistent(
     # doc 2's bigram (c,d) was anti-pruned away with its context 'c';
     # every one of its bigrams scores exactly the OOV floor 1/V
     assert abs(scored[2] - round(math.log(v), 4)) < 1e-3
+
+
+def test_stratified_topn_exact_counts_and_determinism(spark):
+    from garmadon_spark.operators import text as text_ops
+
+    rows = [(i, ["en", "de", "zh"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = text_ops.stratified_topn(df, "doc_id", "lang", n=7, seed=3)
+    got = out.collect()
+    by = {}
+    for r in got:
+        by.setdefault(r.lang, set()).add(r.doc_id)
+    assert {k: len(v) for k, v in by.items()} == \
+        {"en": 7, "de": 7, "zh": 7}
+    # deterministic re-run; different seed gives a different draw
+    again = {(r.lang, r.doc_id)
+             for r in text_ops.stratified_topn(
+                 df, "doc_id", "lang", n=7, seed=3).collect()}
+    assert again == {(r.lang, r.doc_id) for r in got}
+    other = {(r.lang, r.doc_id)
+             for r in text_ops.stratified_topn(
+                 df, "doc_id", "lang", n=7, seed=4).collect()}
+    assert other != again
+    # undersized stratum keeps everything it has
+    small = df.filter((F.col("lang") != "zh") | (F.col("doc_id") < 9))
+    kept = text_ops.stratified_topn(small, "doc_id", "lang", n=7,
+                                    seed=3)
+    assert kept.filter(F.col("lang") == "zh").count() == 3
+    # tuple-of-columns strata accepted
+    two = text_ops.stratified_topn(
+        df.withColumn("b", F.col("doc_id") % 2),
+        "doc_id", ("lang", "b"), n=2, seed=0)
+    assert two.count() == 3 * 2 * 2
