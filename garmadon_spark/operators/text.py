@@ -368,6 +368,12 @@ def stratified_topn(
     Deterministic for a fixed (corpus, seed): re-runs, supersets of
     strata, and the DuckDB oracle all agree row-for-row.
 
+    ``key_col`` must uniquely identify rows (the standard sampling-key
+    contract, same as stratified_hash_sample): duplicate or NULL keys
+    collapse to one rank position whose internal order is
+    plan-dependent, so the draw would no longer be reproducible
+    row-for-row when the cutoff lands inside the tie.
+
     ``stratum_col`` may be a column name or a tuple of names.
     Plan: one hash-partitioned window per stratum (rank over the md5
     key) — a single shuffle keyed on the stratum, no global sort;
@@ -381,12 +387,13 @@ def stratified_topn(
               else list(stratum_col))
     rk = F.md5(F.concat_ws("\x1f", F.lit(str(seed)),
                            F.col(key_col).cast("string")))
+    rank_col = "__stratified_topn_rank"   # never clobber caller columns
     w = Window.partitionBy(*strata).orderBy(rk.asc(),
                                             F.col(key_col).asc())
     return (
-        df.withColumn("_rank", F.row_number().over(w))
-        .filter(F.col("_rank") <= n)
-        .drop("_rank")
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= n)
+        .drop(rank_col)
     )
 
 

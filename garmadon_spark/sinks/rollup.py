@@ -49,11 +49,6 @@ def _has_day_partitions(spark: SparkSession, path: str) -> bool:
     )
 
 
-def _marker_exists(spark: SparkSession, marker: str) -> bool:
-    fs, jpath = _hadoop_fs(spark, marker)
-    return fs.exists(jpath)
-
-
 def _write_marker(spark: SparkSession, marker: str,
                   run_id: str | None = None) -> None:
     """Commit marker.  With ``run_id`` the marker records WHICH
@@ -86,6 +81,12 @@ def _read_marker(spark: SparkSession, marker: str) -> str | None:
             )
             return bytes(data).decode()
         except Exception:
+            # the fast path may have consumed part of the stream before
+            # failing; restart from the top or the fallback would return
+            # a silently TRUNCATED marker — which _marker_run_id reads
+            # as a legacy own marker, the exact misread the run-scoped
+            # guards exist to prevent.  FSDataInputStream is seekable.
+            stream.seek(0)
             buf = bytearray()           # slow per-byte fallback
             while True:
                 b = stream.read()
@@ -113,18 +114,23 @@ def _list_markers(spark: SparkSession, marker_dir: str) -> list:
 
 
 def _refuse_foreign_chain(
-    spark: SparkSession, marker_dir: str, run_id: str | None, hint: str
+    spark: SparkSession, marker_dir: str, run_id: str | None, hint: str,
+    allow_foreign: bool = False,
 ) -> None:
-    """Fail LOUD, not open, when a state-CHAINING sink cannot prove the
-    existing batch chain is its own:
+    """Fail LOUD, not open, when a sink cannot prove the existing
+    marker set is safe to act on:
 
+    - markers exist but THIS incarnation's run id is unreadable
+      (checkpoint metadata missing/unparseable) ⇒ own-vs-dead markers
+      are indistinguishable and both skip-and-lose and
+      recompute-and-duplicate are possible — refuse rather than
+      silently reverting to unscoped presence-skip semantics;
     - markers recorded by a DIFFERENT incarnation ⇒ a fresh checkpoint
       is re-numbering batches over someone else's chain (skip loses
-      rows, re-fold double-counts) — refuse with the remediation;
-    - markers exist but THIS incarnation's run id is unreadable
-      (checkpoint metadata missing/unparseable) ⇒ the same corruption
-      is possible and undetectable — refuse rather than silently
-      reverting to unscoped presence-skip semantics.
+      rows, re-fold double-counts) — refuse with the remediation.
+      ``allow_foreign=True`` skips this second check for sinks whose
+      batches are independent and idempotently overwritten (the ANN
+      serving results): there a foreign marker is simply recomputed.
 
     Bare legacy ``done`` markers (no recorded run) are accepted as own
     — the upgrade path for deployments resuming their original
@@ -136,8 +142,11 @@ def _refuse_foreign_chain(
         raise RuntimeError(
             f"{marker_dir} holds committed batches but this query's "
             "run id could not be read from its checkpoint metadata; "
-            "refusing to fold over a chain of unknown ownership. " + hint
+            "refusing to act on a marker set of unknown ownership. "
+            + hint
         )
+    if allow_foreign:
+        return
     for m in markers:
         rec = _marker_run_id(_read_marker(spark, m))
         if rec is not None and rec != run_id:

@@ -29,7 +29,6 @@ from pyspark.sql import functions as F
 from garmadon_spark.operators import similarity
 from garmadon_spark.sinks.rollup import (
     _checkpoint_run_id,
-    _list_markers,
     _marker_current,
     _marker_run_id,
     _refuse_foreign_chain,
@@ -195,18 +194,15 @@ def serve_ann_stream(
             # RECOMPUTES colliding batch ids (idempotent per-partition
             # overwrite) instead of silently skipping them
             cache["run"] = _checkpoint_run_id(sess, checkpoint)
-            if cache["run"] is None and _list_markers(
-                sess, f"{out_path}/_ann_batches"
-            ):
-                # fail loud, not open: without a run id we cannot tell
-                # our own markers from a dead incarnation's, and
-                # treating them as ours silently swallows batches
-                raise RuntimeError(
-                    f"{out_path} holds committed serving batches but "
-                    "this query's run id could not be read from its "
-                    "checkpoint metadata; clear the results path or "
-                    "fix the checkpoint before serving"
-                )
+            # allow_foreign: serving batches are independent and
+            # idempotently overwritten, so a dead incarnation's marker
+            # is simply recomputed — only the unreadable-run-id case
+            # must fail loud (own vs dead is indistinguishable)
+            _refuse_foreign_chain(
+                sess, f"{out_path}/_ann_batches", cache["run"],
+                "clear the results path or fix the checkpoint before "
+                "serving", allow_foreign=True,
+            )
         run = cache["run"]
         marker = f"{out_path}/_ann_batches/{batch_id}.done"
         if _marker_current(sess, marker, run) or batch_df.isEmpty():

@@ -277,8 +277,10 @@ def run(spark, names=None) -> None:
         "copies": COPIES,
         "n_queries": len(out),
         "n_failed": len(out) - len(ok),
-        "median_ratio": sorted(r["ratio"] for r in ok.values())[
-            len(ok) // 2] if ok else None,
+        # true median (interpolated for even counts) so the headline
+        # stays consistent with anyone recomputing it from the rows
+        "median_ratio": round(__import__("statistics").median(
+            r["ratio"] for r in ok.values()), 3) if ok else None,
         "worst": max(ok.items(), key=lambda kv: kv[1]["ratio"])[0]
         if ok else None,
         "queries": out,
