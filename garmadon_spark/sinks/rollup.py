@@ -134,7 +134,19 @@ def _refuse_foreign_chain(
 
     Bare legacy ``done`` markers (no recorded run) are accepted as own
     — the upgrade path for deployments resuming their original
-    checkpoint."""
+    checkpoint.
+
+    Cost: O(1) marker READS, not O(total batches ever).  This check
+    runs on an incarnation's FIRST batch, before it commits anything —
+    so a passing incarnation only ever adds its OWN run id to a set it
+    verified as own/legacy, and the marker set is always
+    {legacy} ∪ {exactly one run id}.  A fresh incarnation over a legacy
+    chain skips the legacy-marked batch ids (_marker_current treats
+    them as own) and commits strictly larger ones, so the
+    numerically-newest marker always belongs to the most recent
+    run-scoped writer: reading it alone decides own-vs-foreign.  (Any
+    non-numeric marker names — none are written today — are still read
+    exhaustively rather than silently trusted.)"""
     markers = _list_markers(spark, marker_dir)
     if not markers:
         return
@@ -147,7 +159,15 @@ def _refuse_foreign_chain(
         )
     if allow_foreign:
         return
-    for m in markers:
+    numeric = [m for m in markers
+               if m.rsplit("/", 1)[-1][: -len(".done")].isdigit()]
+    check = [m for m in markers if m not in set(numeric)]
+    if numeric:
+        check.append(max(
+            numeric,
+            key=lambda m: int(m.rsplit("/", 1)[-1][: -len(".done")]),
+        ))
+    for m in check:
         rec = _marker_run_id(_read_marker(spark, m))
         if rec is not None and rec != run_id:
             raise RuntimeError(

@@ -33,6 +33,13 @@ summary:
 
 State on disk: k rows + one meta row per retained batch.  Driver
 memory: O(k).  Nothing anywhere is keyed on the raw item space.
+
+Filesystem scope: MARKERS go through the Hadoop FS API (write AND
+discovery — consistent on hdfs:// / s3a://), but the summary state
+itself (``_meta.json`` via open(), prune via shutil) is a LOCAL-FS
+implementation like sinks.archive.apply_retention / streaming.ann's
+results retention — on a cluster the k-row summary belongs in a
+table-format table or a key-value store, not a posix directory.
 """
 
 from __future__ import annotations
@@ -48,6 +55,7 @@ from pyspark.sql import functions as F
 from garmadon_spark.operators.sketch import _mg_fold, freq_items_partial
 from garmadon_spark.sinks.rollup import (
     _checkpoint_run_id,
+    _list_markers,
     _marker_current,
     _refuse_foreign_chain,
     _write_marker,
@@ -56,21 +64,23 @@ from garmadon_spark.sinks.rollup import (
 _RETAIN_SUMMARIES = 2
 
 
-def _marked_batches(out_path: str) -> list:
-    mdir = f"{out_path}/_freq_batches"
-    if not _os.path.isdir(mdir):
-        return []
-    return sorted(
-        int(f[: -len(".done")])
-        for f in _os.listdir(mdir)
-        if f.endswith(".done") and f[: -len(".done")].isdigit()
-    )
+def _marked_batches(spark, out_path: str) -> list:
+    """Marked batch ids, via the Hadoop FS API — the same listing the
+    markers were written through (os.listdir silently sees nothing on
+    hdfs://s3a:// paths, turning every guard built on it into a no-op
+    — the trap rollup._list_markers documents)."""
+    out = []
+    for m in _list_markers(spark, f"{out_path}/_freq_batches"):
+        stem = m.rsplit("/", 1)[-1][: -len(".done")]
+        if stem.isdigit():
+            out.append(int(stem))
+    return sorted(out)
 
 
 def load_freq_summary(spark, out_path: str):
     """The live summary: (counters dict, n_total) of the newest MARKED
     batch, or ({}, 0) before the first commit.  k-sized driver read."""
-    marked = _marked_batches(out_path)
+    marked = _marked_batches(spark, out_path)
     if not marked:
         return {}, 0
     d = f"{out_path}/summary/batch={marked[-1]}"
@@ -143,13 +153,23 @@ def maintain_freq_items_stream(
             _json.dump({"n_total": n_prev + n_batch, "k": k}, fh)
         _write_marker(sess, marker, run)
         # prune superseded summaries (keep the newest _RETAIN_SUMMARIES
-        # marked ones; never touch unmarked = in-flight)
-        marked = _marked_batches(out_path)
+        # marked ones; never touch unmarked = in-flight) AND their
+        # markers — a committed batch can never replay (the checkpoint
+        # committed past it), so its marker's only remaining job is
+        # done and the marker dir stays bounded instead of growing
+        # O(total batches ever)
+        marked = _marked_batches(sess, out_path)
+        superseded = set(marked[:-_RETAIN_SUMMARIES])
         sdir = f"{out_path}/summary"
         for entry in _os.listdir(sdir) if _os.path.isdir(sdir) else []:
             m = _re.fullmatch(r"batch=(\d+)", entry)
-            if m and int(m.group(1)) in marked[:-_RETAIN_SUMMARIES]:
+            if m and int(m.group(1)) in superseded:
                 _shutil.rmtree(f"{sdir}/{entry}", ignore_errors=True)
+        from garmadon_spark.sinks.rollup import _hadoop_fs
+        for b in superseded:
+            fs, jp = _hadoop_fs(
+                sess, f"{out_path}/_freq_batches/{b}.done")
+            fs.delete(jp, False)
 
     return (
         items.writeStream.foreachBatch(_absorb)
