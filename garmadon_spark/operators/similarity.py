@@ -633,6 +633,7 @@ def compact_ivf_index(
     path: str,
     target_files: int = 1,
     min_files: int = 2,
+    subtree: str = "vectors",
 ) -> list:
     """Compact fragmented IVF cells: every ``append_to_ivf_index`` adds
     files to the ``ivf_cell=`` directories, so a daily-append deployment
@@ -677,7 +678,12 @@ def compact_ivf_index(
 
     from garmadon_spark.sinks.archive import _exchange_dirs
 
-    vec = f"{path}/vectors"
+    # ``subtree`` selects WHICH cell-partitioned tree to compact: the
+    # raw "vectors" (default), or "codes" on a persisted IVF-PQ index —
+    # both fragment identically under streaming appends and share the
+    # b{N}-* naming, so the whole protocol (marker gate, manifest heal,
+    # atomic swap, concurrent-append rescue) applies unchanged
+    vec = f"{path}/{subtree}"
     stale_tmp = vec + "._compact_tmp"
     _heal_compact_crash(vec, stale_tmp)
 
@@ -944,9 +950,17 @@ def retrain_ivf_index(
         id_col=id_col, vec_col=vec_col,
     )
     if done:
+        # copy marker CONTENT, not just presence: markers are run-scoped
+        # (``done:<query-id>``, sinks/rollup._write_marker), and an empty
+        # carried marker reads as legacy own-marker — which would let
+        # _refuse_foreign_chain accept a fresh checkpoint over this
+        # index and _marker_current silently skip colliding batch ids.
         _os.makedirs(f"{staging}/_append_batches", exist_ok=True)
         for b in sorted(done):
-            open(f"{staging}/_append_batches/{b}.done", "w").close()
+            _shutil.copyfile(
+                f"{path}/_append_batches/{b}.done",
+                f"{staging}/_append_batches/{b}.done",
+            )
 
     if _exchange_dirs(staging, path):
         _shutil.rmtree(staging)     # now holds the pre-retrain tree
@@ -1345,13 +1359,24 @@ def semantic_dedup(
 PQ_TRAIN_SAMPLE = 16_384
 
 
-def _kmeans_np(data: "np.ndarray", k: int, iterations: int) -> "np.ndarray":
+def _kmeans_np(data: "np.ndarray", k: int, iterations: int,
+               init: "np.ndarray | None" = None) -> "np.ndarray":
     """Deterministic driver-side Lloyd on a sample: seed = first k rows
     (matches build_ivf's seeding contract), empty clusters keep their
     previous centroid.  Sample-sized input → O(sample·k·dsub) per round
-    on the driver, never distributed work."""
-    k = min(k, len(data))
-    cents = data[:k].copy()
+    on the driver, never distributed work.
+
+    ``init`` WARM-STARTS from existing centroids instead of re-seeding —
+    the OPQ alternation's descent guarantee needs it: from a warm start
+    every assignment step and every update step is non-increasing in
+    the quantization objective, so re-fitting after a rotation update
+    can only keep or improve the error (a fresh seed could regress)."""
+    if init is not None:
+        cents = np.asarray(init, dtype=np.float64).copy()
+        k = len(cents)
+    else:
+        k = min(k, len(data))
+        cents = data[:k].copy()
     for _ in range(iterations):
         d2 = ((data[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
         assign = d2.argmin(axis=1)
@@ -1772,3 +1797,631 @@ def pca_project(
         return pd.Series(list(P))
 
     return embs.withColumn(out_col, _proj(F.col(vec_col)))
+
+
+# --- OPQ: learned rotation for PQ (Ge et al., CVPR 2013, OPQ-NP) ----------
+
+
+def _pca_rotation_np(X: "np.ndarray") -> "np.ndarray":
+    """Full-rank PURE-rotation PCA basis of an in-memory sample (rows =
+    components, descending variance, signs fixed exactly like fit_pca):
+    the initializer OPQ's alternation descends from.  No centering —
+    the rotation must preserve inner products exactly (fit_pca's
+    ``center=False`` contract), so rotated-space cosine == raw cosine."""
+    cov = X.T @ X / max(X.shape[0] - 1, 1)
+    evals, evecs = np.linalg.eigh(cov)
+    evecs = evecs[:, np.argsort(evals)[::-1]]
+    for j in range(evecs.shape[1]):
+        i = int(np.argmax(np.abs(evecs[:, j])))
+        if evecs[i, j] < 0:
+            evecs[:, j] = -evecs[:, j]
+    return np.ascontiguousarray(evecs.T)
+
+
+def _pq_train_err_np(Z: "np.ndarray", m: int, ksub: int, iterations: int,
+                     init_books: list | None = None):
+    """Per-subspace Lloyd over an in-memory rotated sample; returns
+    ``(codebooks, mean squared quantization error)``.  With
+    ``init_books`` the fit WARM-STARTS (see _kmeans_np) — the step that
+    makes the OPQ alternation a true descent."""
+    dsub = Z.shape[1] // m
+    books, err = [], 0.0
+    for j in range(m):
+        sub = np.ascontiguousarray(Z[:, j * dsub:(j + 1) * dsub])
+        C = _kmeans_np(
+            sub, ksub, iterations,
+            init=None if init_books is None else init_books[j],
+        )
+        d2 = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        err += float(d2.min(axis=1).sum())
+        books.append(C)
+    return books, err / max(len(Z), 1)
+
+
+def fit_opq(
+    embs: DataFrame,
+    m: int = 16,
+    ksub: int = 64,
+    iterations: int = 5,
+    opq_iterations: int = 6,
+    sample: int = PQ_TRAIN_SAMPLE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+):
+    """Learned OPQ rotation: alternating rotation ↔ codebook
+    optimization (Ge et al., CVPR 2013 — the non-parametric OPQ the
+    fit_pca docstring defers to) on the bounded deterministic sample
+    (first ``sample`` rows by id, the train_pq idiom).
+
+    Returns ``(rotation, codebooks, errs)``: rotation is the d×d
+    orthonormal matrix as a list of rows (apply x → R·x, i.e. X @ R.T);
+    codebooks live in ROTATED space; ``errs[i]`` is the mean squared
+    quantization error on the training sample after alternation i, with
+    ``errs[0]`` the PCA-initialized error.
+
+    The descent is NON-INCREASING by construction — each alternation
+    step either solves its subproblem exactly or warm-starts:
+
+    - codes: nearest-centroid encode (optimal given R and codebooks);
+    - rotation: orthogonal Procrustes — the R minimizing ‖X·Rᵀ − Y‖_F
+      for the fixed reconstructions Y, exact via one SVD of XᵀY
+      (R = (U·Vᵀ)ᵀ);
+    - codebooks: warm-started Lloyd (assignment then update, each
+      non-increasing).
+
+    Hence ``errs[-1] ≤ errs[0]`` always — the inequality the
+    emb_opq gate pins.  Against RAW-space PQ nothing is guaranteed in
+    general (on isotropic data the PCA init can start slightly worse);
+    on the repo fixture the learned rotation lands ~15 % under raw.
+
+    Driver budget: sample·d floats plus the per-subspace n×ksub
+    distance matrix — the same transient model-fit load as train_pq /
+    fit_pca; the corpus is never scanned here."""
+    rows = embs.orderBy(id_col).limit(sample).select(vec_col).collect()
+    X = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    if X.ndim != 2 or X.shape[0] < 2:
+        raise ValueError("need at least 2 sample vectors to fit OPQ")
+    if normalize:
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        X /= norms
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    R = _pca_rotation_np(X)
+    Z = X @ R.T
+    books, err = _pq_train_err_np(Z, m, ksub, iterations)
+    errs = [err]
+    for _ in range(opq_iterations):
+        Y = np.empty_like(Z)
+        for j in range(m):
+            sub = Z[:, j * dsub:(j + 1) * dsub]
+            B = books[j]
+            d2 = ((sub[:, None, :] - B[None, :, :]) ** 2).sum(axis=2)
+            Y[:, j * dsub:(j + 1) * dsub] = B[d2.argmin(axis=1)]
+        U, _s, Vt = np.linalg.svd(X.T @ Y)
+        R = np.ascontiguousarray((U @ Vt).T)
+        Z = X @ R.T
+        books, err = _pq_train_err_np(Z, m, ksub, 1, init_books=books)
+        errs.append(err)
+    return ([row.tolist() for row in R],
+            [b.tolist() for b in books],
+            errs)
+
+
+def pq_quantization_error(
+    embs: DataFrame,
+    codebooks: list,
+    rotation: list | None = None,
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """Corpus-wide mean squared PQ reconstruction error — the number
+    the OPQ gate compares across rotations: ONE Arrow map pass (per-row
+    error, M small matmuls per batch) + one scalar aggregate.  Returns
+    a 1-row DataFrame ``(mse, n)``.  Map-only then a partial-aggregated
+    scalar — a linear scan at any corpus size."""
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    dsub = books[0].shape[1]
+    R = (None if rotation is None
+         else np.asarray(rotation, dtype=np.float64))
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _err(v: pd.Series) -> pd.Series:
+        X = np.asarray(v.to_list(), dtype=np.float64)
+        if normalize:
+            norms = np.linalg.norm(X, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            X = X / norms
+        if R is not None:
+            X = X @ R.T
+        tot = np.zeros(len(X))
+        for j in range(m):
+            sub = X[:, j * dsub:(j + 1) * dsub]
+            d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            tot += d2.min(axis=1)
+        return pd.Series(tot)
+
+    return embs.select(_err(F.col(vec_col)).alias("_qe")).agg(
+        F.avg("_qe").alias("mse"), F.count(F.lit(1)).alias("n")
+    )
+
+
+# --- persisted IVF-PQ index: layout + probes + blue/green lifecycle -------
+#
+# The persisted form of build_ivfpq and the billion-scale serving
+# layout (faiss "OPQd,IVFk,PQm"): the IVF tree write_ivf_index already
+# materializes, extended with three side artifacts —
+#
+#     path/centroids, path/coarse        write_ivf_index's quantizer
+#     path/vectors/ivf_cell=N/           UNIT vectors, ROTATED space
+#     path/rotation                      optional OPQ rotation (d rows)
+#     path/codebooks                     m×ksub residual codebooks
+#     path/codes/ivf_cell=N/             (id, pq_codes) mirror of vectors
+#
+# Vectors are L2-normalized (and OPQ-rotated) BEFORE the IVF build, so
+# every existing tree operator — append_to_ivf_index, compact_ivf_index,
+# retrain_ivf_index, rerank cosines — operates in one consistent space:
+# the rotation is orthonormal, rotated-space cosine == raw cosine
+# exactly, and queries are rotated driver-side at probe time (d² mults).
+# Codes quantize the residual x − c(x) (Jégou et al., TPAMI 2011 §IV)
+# with codebooks trained on a bounded residual sample, exactly like
+# build_ivfpq's in-memory form.
+
+
+def _rotate_normalize(embs: DataFrame, rotation: list | None,
+                      vec_col: str) -> DataFrame:
+    """L2-normalize (and optionally rotate) every vector in ONE Arrow
+    batch pass — the preprocessing in front of the persisted IVF-PQ
+    build and its appends.  Map-only, zero shuffle."""
+    R = (None if rotation is None
+         else np.asarray(rotation, dtype=np.float64))
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def _prep(v: pd.Series) -> pd.Series:
+        X = np.asarray(v.to_list(), dtype=np.float64)
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        X = X / norms
+        if R is not None:
+            X = X @ R.T
+        return pd.Series(list(X))
+
+    return embs.withColumn(vec_col, _prep(F.col(vec_col)))
+
+
+def _index_residuals(spark, path: str, id_col: str, vec_col: str,
+                     source: DataFrame | None = None):
+    """Residual x − c(x) of (a subset of) an index's vectors against
+    its OWN centroid table: a broadcast join on ivf_cell (the centroid
+    table is quantizer-sized), then one zip_with — map-only after the
+    broadcast.  Returns ``(residuals(id, ivf_cell, _resid), n_cells)``."""
+    assigned = (spark.read.parquet(f"{path}/vectors")
+                if source is None else source)
+    cent_df = (
+        spark.read.parquet(f"{path}/centroids")
+        .select("ivf_cell", F.col("centroid").alias("_cent"))
+    )
+    n_cells = cent_df.count()
+    resid = (
+        assigned.join(F.broadcast(cent_df), "ivf_cell")
+        .select(
+            id_col, "ivf_cell",
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"), F.col("_cent"),
+                lambda x, c: x - c,
+            ).alias("_resid"),
+        )
+    )
+    return resid, n_cells
+
+
+def _write_pq_sidecar(
+    spark, path: str, m: int, ksub: int, pq_iterations: int,
+    sample: int, id_col: str, vec_col: str,
+) -> list:
+    """Train residual codebooks from the index's own vectors and
+    materialize the ``codebooks`` + cell-partitioned ``codes`` side
+    artifacts.  Shared by write_ivfpq_index and retrain_ivfpq_index so
+    the two can never drift on the encode pipeline."""
+    resid, n_cells = _index_residuals(spark, path, id_col, vec_col)
+    books = train_pq(
+        resid, m=m, ksub=ksub, iterations=pq_iterations, sample=sample,
+        id_col=id_col, vec_col="_resid", normalize=False,
+    )
+    codes = _pq_encode_raw(resid, books, id_col, "_resid").select(
+        id_col, "ivf_cell", "pq_codes"
+    )
+    (
+        codes.repartition(n_cells, "ivf_cell")
+        .write.mode("overwrite")
+        .partitionBy("ivf_cell")
+        .parquet(f"{path}/codes")
+    )
+    rows = [
+        (j, c, [float(x) for x in books[j][c]])
+        for j in range(len(books)) for c in range(len(books[j]))
+    ]
+    spark.createDataFrame(
+        rows, "subspace int, code int, center array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    return books
+
+
+def write_ivfpq_index(
+    embs: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    m: int = 16,
+    ksub: int = 64,
+    iterations: int = 2,
+    pq_iterations: int = 5,
+    sample: int = PQ_TRAIN_SAMPLE,
+    opq: bool = False,
+    opq_iterations: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Materialize the IVF-PQ index (layout in the section comment).
+    With ``opq=True`` the corpus is first rotated by a learned OPQ
+    rotation (fit_opq) — PQ subquantizers stop wasting codebook entropy
+    on correlated coordinate blocks; the rotation is persisted so
+    probes, appends and re-trains stay in the same space.
+
+    Returns ``(centroids, codebooks)``.  Scale shape: fit_opq/train_pq
+    are bounded-sample driver fits; the corpus passes are the IVF build
+    (write_ivf_index's O(n·√k·d) path past HIER_IVF_MIN_CELLS), one
+    broadcast-join residual pass, one encode pass — no extra shuffle
+    beyond the cell-clustered writes."""
+    import shutil as _shutil
+
+    spark = embs.sparkSession
+    embs = embs.drop("ivf_cell", "ivf_branch")
+    rotation = None
+    if opq:
+        rotation, _books, _errs = fit_opq(
+            embs, m=m, ksub=ksub, iterations=pq_iterations,
+            opq_iterations=opq_iterations, sample=sample,
+            id_col=id_col, vec_col=vec_col,
+        )
+    prep = _rotate_normalize(embs, rotation, vec_col)
+    centroids = write_ivf_index(
+        prep, path, n_centroids=n_centroids, iterations=iterations,
+        id_col=id_col, vec_col=vec_col,
+    )
+    if rotation is not None:
+        spark.createDataFrame(
+            [(i, row) for i, row in enumerate(rotation)],
+            "axis int, row array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/rotation")
+    else:
+        _shutil.rmtree(f"{path}/rotation", ignore_errors=True)
+    books = _write_pq_sidecar(
+        spark, path, m=m, ksub=ksub, pq_iterations=pq_iterations,
+        sample=sample, id_col=id_col, vec_col=vec_col,
+    )
+    return centroids, books
+
+
+def load_pq_codebooks(spark, path: str) -> list:
+    """The persisted residual codebooks, nested-list form (model-sized:
+    m·ksub·dsub doubles)."""
+    rows = (
+        spark.read.parquet(f"{path}/codebooks")
+        .orderBy("subspace", "code").collect()
+    )
+    books: dict = {}
+    for r in rows:
+        books.setdefault(int(r.subspace), []).append(list(r.center))
+    return [books[j] for j in sorted(books)]
+
+
+def load_opq_rotation(spark, path: str) -> list | None:
+    """The persisted OPQ rotation (rows = output axes), or None for an
+    unrotated index."""
+    import os as _os
+
+    if not _os.path.isdir(f"{path}/rotation"):
+        return None
+    rows = spark.read.parquet(f"{path}/rotation").orderBy("axis").collect()
+    return [list(r.row) for r in rows]
+
+
+def ivfpq_topk_from_index(
+    spark,
+    path: str,
+    query_vec,
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: list | None = None,
+) -> DataFrame:
+    """ADC probe of the persisted IVF-PQ tree: normalize (then rotate,
+    if the index is OPQ) the query driver-side, select nprobe cells
+    against the centroid table, scan ONLY those cells' codes — the same
+    planning-time ``ivf_cell IN (...)`` partition pruning as
+    ivf_topk_from_index, but over M-byte codes instead of 4·D-byte
+    vectors: (nprobe/K)·(M/4D) of a raw scan.  score = q·c(cell) +
+    Σ_j LUT[j][code_j] (ivfpq_topk's residual decomposition — one query
+    LUT serves every cell).  ``rerank`` > 0 re-scores a shortlist with
+    exact cosine from the vectors tree (broadcast semi-join point
+    lookup, pruned to the same cells)."""
+    books = load_pq_codebooks(spark, path)
+    rotation = load_opq_rotation(spark, path)
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    if rotation is not None:
+        q = np.asarray(rotation, dtype=np.float64) @ q
+    fine_rows, _coarse = load_ivf_centroids(spark, path)
+    cells_np = np.asarray([c for c, _, _ in fine_rows], dtype=np.int64)
+    cn_t = _normalized_t([v for _, _, v in fine_rows])
+    probe = [int(c) for c in _top_ids_np(q, cells_np, cn_t, nprobe)]
+    cent_by_id = {c: v for c, _, v in fine_rows}
+    qc_items = []
+    for cid in probe:
+        qc_items += [
+            F.lit(cid),
+            F.lit(float(np.dot(q, np.asarray(cent_by_id[cid])))),
+        ]
+
+    bks = [np.asarray(b, dtype=np.float64) for b in books]
+    mm = len(bks)
+    dsub = bks[0].shape[1]
+    lut = np.stack([
+        bks[j] @ q[j * dsub:(j + 1) * dsub] for j in range(mm)
+    ])
+    idx = np.arange(mm)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _adc(c: pd.Series) -> pd.Series:
+        C = np.asarray(c.to_list(), dtype=np.int64)
+        return pd.Series(lut[idx[None, :], C].sum(axis=1))
+
+    codes = spark.read.parquet(f"{path}/codes")
+    if exclude_ids:
+        codes = codes.filter(~F.col(id_col).isin(exclude_ids))
+    scored = (
+        codes.filter(F.col("ivf_cell").isin(probe))
+        .select(
+            id_col,
+            (
+                F.element_at(F.create_map(*qc_items), F.col("ivf_cell"))
+                + _adc(F.col("pq_codes"))
+            ).alias("adc"),
+        )
+    )
+    if rerank:
+        short = (
+            scored.orderBy(F.desc("adc"), F.asc(id_col))
+            .limit(rerank).select(id_col)
+        )
+        vectors = (
+            spark.read.parquet(f"{path}/vectors")
+            .filter(F.col("ivf_cell").isin(probe))
+        )
+        qcol = _lit_vec([float(x) for x in q])
+        return (
+            vectors.join(F.broadcast(short), [id_col])
+            .select(
+                id_col,
+                F.round(cosine(F.col(vec_col), qcol), 6).alias("cosine"),
+            )
+            .orderBy(F.desc("cosine"), F.asc(id_col))
+            .limit(k)
+        )
+    return (
+        scored.select(id_col, F.round(F.col("adc"), 6).alias("adc"))
+        .orderBy(F.desc("adc"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def append_to_ivfpq_index(
+    new_embs: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stage_dir: str | None = None,
+) -> None:
+    """Incremental IVF-PQ update: normalize/rotate the batch into the
+    index's space, append vectors via append_to_ivf_index (frozen
+    centroids), then encode the SAME rows' residuals with the FROZEN
+    codebooks and append their codes — quantizers stay fixed between
+    re-trains, exactly the append_to_ivf_index contract extended to the
+    codes mirror.
+
+    ``stage_dir`` mirrors append_to_ivf_index's staging redirect:
+    vectors land in ``{stage_dir}/vectors`` and codes in
+    ``{stage_dir}/codes`` (both mode-overwrite, cell-partitioned)
+    WITHOUT touching the live tree — the exactly-once streaming
+    maintainer stages then publishes under deterministic names, and a
+    replay regenerates both identically (same frozen quantizers)."""
+    import shutil as _shutil
+
+    spark = new_embs.sparkSession
+    rotation = load_opq_rotation(spark, path)
+    prep = _rotate_normalize(
+        new_embs.drop("ivf_cell", "ivf_branch"), rotation, vec_col
+    )
+    # the batch is ALWAYS assigned through append_to_ivf_index's staged
+    # path (which routes hierarchical indexes correctly), then the codes
+    # are encoded from the SAME staged assignment — vector and code
+    # routing can never disagree
+    staged = stage_dir is not None
+    vec_stage = (f"{stage_dir}/vectors" if staged
+                 else f"{path}/._pq_append_stage/vectors")
+    append_to_ivf_index(
+        prep, path, id_col=id_col, vec_col=vec_col, stage_dir=vec_stage
+    )
+    assigned = spark.read.parquet(vec_stage)
+    resid, n_cells = _index_residuals(
+        spark, path, id_col, vec_col, source=assigned
+    )
+    books = load_pq_codebooks(spark, path)
+    codes = _pq_encode_raw(resid, books, id_col, "_resid").select(
+        id_col, "ivf_cell", "pq_codes"
+    )
+    if staged:
+        (
+            codes.repartition(n_cells, "ivf_cell")
+            .write.mode("overwrite")
+            .partitionBy("ivf_cell")
+            .parquet(f"{stage_dir}/codes")
+        )
+        return
+    (
+        assigned.repartition(n_cells, "ivf_cell")
+        .write.mode("append")
+        .partitionBy("ivf_cell")
+        .parquet(f"{path}/vectors")
+    )
+    (
+        codes.repartition(n_cells, "ivf_cell")
+        .write.mode("append")
+        .partitionBy("ivf_cell")
+        .parquet(f"{path}/codes")
+    )
+    _shutil.rmtree(f"{path}/._pq_append_stage", ignore_errors=True)
+
+
+def retrain_ivfpq_index(
+    spark,
+    path: str,
+    n_centroids: int | None = None,
+    m: int | None = None,
+    ksub: int | None = None,
+    iterations: int = 2,
+    pq_iterations: int = 5,
+    sample: int = PQ_TRAIN_SAMPLE,
+    refit_rotation: bool = True,
+    opq_iterations: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Blue/green re-train of the ENTIRE IVF-PQ quantizer stack —
+    coarse cells, OPQ rotation, AND the residual codebooks — the PQ
+    half of the lifecycle retrain_ivf_index covers for the flat layout
+    (without this, a PQ deployment under drift could re-fit its coarse
+    layer but kept stale codebooks: quantization error drifting
+    unmeasured on the ADC path).
+
+    Same contract as retrain_ivf_index, same mechanics:
+
+    - rebuild entirely in ``<path>._retrain``; ONE atomic root swap
+      (renameat2 RENAME_EXCHANGE, healed rename-pair fallback);
+    - committed ``_append_batches`` markers carried WITH their content
+      (run scoping survives); published-but-unmarked batches EXCLUDED
+      from the corpus read (codes are REBUILT from that read, so the
+      exclusion covers both trees — their old ``b{N}-*`` files are
+      discarded with the pre-retrain root) and their replay lands
+      exactly once;
+    - serialize with appends/compaction (the same directory-layout
+      limit retrain_ivf_index documents).
+
+    The index's stored vectors already live in (rotated) unit space; a
+    rotation refit therefore learns an INCREMENTAL rotation on the
+    stored space and persists the COMPOSITION R_new·R_old, so external
+    raw queries keep working through one stored matrix.  Rotation
+    refit only applies to an index built with ``opq=True``
+    (``refit_rotation`` is ignored otherwise — pass m/ksub explicitly
+    to ADD rotation at retrain time if wanted).
+
+    Returns ``(centroids, codebooks)``."""
+    import os as _os
+    import shutil as _shutil
+
+    from garmadon_spark.sinks.archive import _exchange_dirs
+
+    staging = path + "._retrain"
+    old = path + "._retrain_old"
+    if not _os.path.isdir(path) and _os.path.isdir(old):
+        _os.rename(old, path)
+    _shutil.rmtree(old, ignore_errors=True)
+    _shutil.rmtree(staging, ignore_errors=True)
+
+    vec = f"{path}/vectors"
+    done = _done_batch_ids(path)
+    unmarked = set()
+    for entry in _os.listdir(vec):
+        if not entry.startswith("ivf_cell="):
+            continue
+        for f in _os.listdir(_os.path.join(vec, entry)):
+            bid = _batch_id_of(f)
+            if bid is not None and bid not in done:
+                unmarked.add(bid)
+
+    corpus = spark.read.parquet(vec)
+    if unmarked:
+        pat = "/b(" + "|".join(sorted(unmarked)) + r")-[^/]*\.parquet$"
+        corpus = corpus.filter(~F.input_file_name().rlike(pat))
+    if n_centroids is None:
+        n_centroids = spark.read.parquet(f"{path}/centroids").count()
+    old_books = load_pq_codebooks(spark, path)
+    if m is None:
+        m = len(old_books)
+    if ksub is None:
+        ksub = len(old_books[0])
+    old_rotation = load_opq_rotation(spark, path)
+
+    rotation = None
+    inc_rotation = None
+    if old_rotation is not None and refit_rotation:
+        # stored vectors are already unit-norm in the OLD rotated space:
+        # fit the incremental rotation there (normalize=True is a no-op
+        # on unit vectors but harmless), then compose for persistence
+        inc_rotation, _b, _e = fit_opq(
+            corpus, m=m, ksub=ksub, iterations=pq_iterations,
+            opq_iterations=opq_iterations, sample=sample,
+            id_col=id_col, vec_col=vec_col,
+        )
+        rotation = (
+            np.asarray(inc_rotation) @ np.asarray(old_rotation)
+        ).tolist()
+    elif old_rotation is not None:
+        rotation = old_rotation
+
+    prep = _rotate_normalize(
+        corpus.drop("ivf_cell", "ivf_branch"), inc_rotation, vec_col
+    )
+    centroids = write_ivf_index(
+        prep, staging, n_centroids=n_centroids, iterations=iterations,
+        id_col=id_col, vec_col=vec_col,
+    )
+    if rotation is not None:
+        spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(rotation)],
+            "axis int, row array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{staging}/rotation"
+        )
+    books = _write_pq_sidecar(
+        spark, staging, m=m, ksub=ksub, pq_iterations=pq_iterations,
+        sample=sample, id_col=id_col, vec_col=vec_col,
+    )
+    if done:
+        # content-preserving carry — see retrain_ivf_index
+        _os.makedirs(f"{staging}/_append_batches", exist_ok=True)
+        for b in sorted(done):
+            _shutil.copyfile(
+                f"{path}/_append_batches/{b}.done",
+                f"{staging}/_append_batches/{b}.done",
+            )
+
+    if _exchange_dirs(staging, path):
+        _shutil.rmtree(staging)
+    else:
+        _os.rename(path, old)
+        _os.rename(staging, path)
+        _shutil.rmtree(old)
+    return centroids, books

@@ -218,6 +218,17 @@ def serve_ann_stream(
                 gen = _quantizer_generation(index_path)
                 if gen != (None, None):
                     break
+            else:
+                # still absent after the bounded retry: this is not the
+                # swap window any more — name the real problem instead
+                # of letting the centroid load die on an opaque
+                # path-not-found deep in the parquet reader
+                raise RuntimeError(
+                    f"ANN index absent or mid-swap at {index_path}: no "
+                    "quantizer side tables after 5 s — build the index "
+                    "(write_ivf_index) or check the re-train job, then "
+                    "restart serving from the same checkpoint"
+                )
         if cache.get("gen") != gen:
             cache["cents"] = similarity.load_ivf_centroids(
                 sess, index_path
@@ -285,12 +296,13 @@ def maintain_ann_index_stream(
     RuntimeError on the first batch): re-numbered batch ids neither
     line up with the published ``b{N}-*`` files (skipping loses data)
     nor cover the old run's higher-numbered batches (re-publishing
-    duplicates them).  Resume the original checkpoint, or start from a
-    fresh/re-trained index.  Markers written before run scoping
-    (bare ``done``) are accepted as own — the live-deployment upgrade
-    path."""
-    import glob as _glob
-    import os as _os
+    duplicates them).  Resume the original checkpoint, or rebuild the
+    index from scratch (a RE-TRAIN does not escape this guard: it
+    carries both the committed rows and their run-scoped markers, so a
+    fresh checkpoint over a retrained index would still re-read the
+    whole source over data the index already holds).  Markers written
+    before run scoping (bare ``done``) are accepted as own — the
+    live-deployment upgrade path."""
     import shutil as _shutil
 
     cache: dict = {}
@@ -301,8 +313,8 @@ def maintain_ann_index_stream(
             cache["run"] = _checkpoint_run_id(sess, checkpoint)
             _refuse_foreign_chain(
                 sess, f"{index_path}/_append_batches", cache["run"],
-                "resume its original checkpoint, or start from a "
-                "fresh/re-trained index",
+                "resume its original checkpoint, or rebuild the index "
+                "from scratch",
             )
         run = cache["run"]
         marker = f"{index_path}/_append_batches/{batch_id}.done"
@@ -313,21 +325,99 @@ def maintain_ann_index_stream(
             batch_df, index_path, id_col=id_col, vec_col=vec_col,
             stage_dir=stage,
         )
-        vec = f"{index_path}/vectors"
-        for stale in _glob.glob(f"{vec}/ivf_cell=*/b{batch_id}-*.parquet"):
-            _os.remove(stale)
-        for cell_dir in sorted(_glob.glob(f"{stage}/ivf_cell=*")):
-            cell = _os.path.basename(cell_dir)
-            dst_dir = _os.path.join(vec, cell)
-            _os.makedirs(dst_dir, exist_ok=True)
-            files = sorted(
-                f for f in _os.listdir(cell_dir) if f.endswith(".parquet")
+        _publish_staged_cells(stage, f"{index_path}/vectors", batch_id)
+        _shutil.rmtree(stage, ignore_errors=True)
+        _write_marker(sess, marker, run)
+
+    return (
+        embs.writeStream.foreachBatch(_absorb)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+    )
+
+
+def _publish_staged_cells(stage_root: str, live_root: str,
+                          batch_id: int) -> None:
+    """Publish one staged cell-partitioned tree into its live twin
+    under the DETERMINISTIC names ``b{batch_id}-{i}.parquet``: stale
+    leftovers of the same batch (a crashed earlier attempt) are removed
+    first, so a replayed publish CONVERGES to the same final file set
+    instead of duplicating — the step 2 of the maintainers' exactly-once
+    protocol."""
+    import glob as _glob
+    import os as _os
+
+    for stale in _glob.glob(
+            f"{live_root}/ivf_cell=*/b{batch_id}-*.parquet"):
+        _os.remove(stale)
+    for cell_dir in sorted(_glob.glob(f"{stage_root}/ivf_cell=*")):
+        cell = _os.path.basename(cell_dir)
+        dst_dir = _os.path.join(live_root, cell)
+        _os.makedirs(dst_dir, exist_ok=True)
+        files = sorted(
+            f for f in _os.listdir(cell_dir) if f.endswith(".parquet")
+        )
+        for i, f in enumerate(files):
+            _os.replace(
+                _os.path.join(cell_dir, f),
+                _os.path.join(dst_dir, f"b{batch_id}-{i}.parquet"),
             )
-            for i, f in enumerate(files):
-                _os.replace(
-                    _os.path.join(cell_dir, f),
-                    _os.path.join(dst_dir, f"b{batch_id}-{i}.parquet"),
-                )
+
+
+def maintain_ivfpq_index_stream(
+    embs: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """maintain_ann_index_stream's twin for a persisted IVF-PQ index
+    (similarity.write_ivfpq_index): each micro-batch is rotated into
+    the index's space, assigned with the FROZEN quantizers, staged as
+    BOTH its vectors and its PQ codes
+    (similarity.append_to_ivfpq_index's staging redirect), then
+    published into the two live trees under the same deterministic
+    ``b{N}-{i}`` names and committed with one run-scoped marker.
+
+    Crash at any point replays to the same final file set: the staged
+    batch regenerates identically (frozen centroids, codebooks AND
+    rotation), and the publish removes same-batch leftovers first.
+    Vectors publish before codes, so a codes ``b{N}`` file implies its
+    vectors are live; the marker commits only after both.  A fresh
+    checkpoint over another incarnation's chain is refused — same
+    guard, same remediation as maintain_ann_index_stream;
+    retrain_ivfpq_index carries these markers (with content) across its
+    blue/green swap and excludes published-but-unmarked batches from
+    the rebuilt corpus."""
+    import shutil as _shutil
+
+    cache: dict = {}
+
+    def _absorb(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        if "run" not in cache:
+            cache["run"] = _checkpoint_run_id(sess, checkpoint)
+            _refuse_foreign_chain(
+                sess, f"{index_path}/_append_batches", cache["run"],
+                "resume its original checkpoint, or rebuild the index "
+                "from scratch",
+            )
+        run = cache["run"]
+        marker = f"{index_path}/_append_batches/{batch_id}.done"
+        if _marker_current(sess, marker, run) or batch_df.isEmpty():
+            return
+        stage = f"{index_path}/incoming/batch={batch_id}"
+        similarity.append_to_ivfpq_index(
+            batch_df, index_path, id_col=id_col, vec_col=vec_col,
+            stage_dir=stage,
+        )
+        _publish_staged_cells(
+            f"{stage}/vectors", f"{index_path}/vectors", batch_id
+        )
+        _publish_staged_cells(
+            f"{stage}/codes", f"{index_path}/codes", batch_id
+        )
         _shutil.rmtree(stage, ignore_errors=True)
         _write_marker(sess, marker, run)
 

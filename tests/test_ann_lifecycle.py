@@ -68,57 +68,117 @@ def test_retrain_blue_green_swap(spark, embs, tmp_path):
     assert len(top) == 5 and top[0].cosine >= top[-1].cosine
 
 
-def test_retrain_carries_markers_and_excludes_unmarked(
-        spark, embs, tmp_path):
-    """Streaming-maintained index: committed batches' markers ride into
-    the re-trained tree (their rows are in the retrained corpus — a
-    replay must short-circuit), while a published-but-unmarked batch is
-    EXCLUDED from the rebuild so its replay into the new tree lands its
-    rows exactly once."""
+def _streamed_index(spark, embs, root):
+    """An index built from the even vec_ids with the odd ones streamed
+    in as two marked maintain-batches; returns (index, drain, uncommit,
+    new)."""
     from garmadon_spark.streaming import ann
 
-    n_total = embs.count()
-    index = str(tmp_path / "idx")
+    index = f"{root}/idx"
     similarity.write_ivf_index(
         embs.filter(F.col("vec_id") % 2 == 0), index,
         n_centroids=4, iterations=1,
     )
-    src = str(tmp_path / "new_vectors")
+    src = f"{root}/new_vectors"
     new = embs.filter(F.col("vec_id") % 2 == 1).select(
         "vec_id", "embedding"
     )
     new.filter(F.col("vec_id") % 4 == 1).write.mode("append").parquet(src)
     new.filter(F.col("vec_id") % 4 == 3).write.mode("append").parquet(src)
-    q = ann.maintain_ann_index_stream(
-        spark.readStream.schema(spark.read.parquet(src).schema)
-        .option("maxFilesPerTrigger", "1").parquet(src),
-        index, str(tmp_path / "ckpt"),
-    ).start()
-    q.awaitTermination()
+
+    def drain(ckpt):
+        q = ann.maintain_ann_index_stream(
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1").parquet(src),
+            index, f"{root}/{ckpt}",
+        ).start()
+        q.awaitTermination()
+
+    def uncommit():
+        # drop the newest commit (and its checksum sidecar) so the SAME
+        # checkpoint re-runs its final batch on the next start —
+        # Structured Streaming only ever replays the LAST uncommitted
+        # batch, so this is the one replay shape production can see
+        commits = f"{root}/ckpt/commits"
+        last = sorted(f for f in os.listdir(commits) if f.isdigit())[-1]
+        os.remove(f"{commits}/{last}")
+        try:
+            os.remove(f"{commits}/.{last}.crc")
+        except FileNotFoundError:
+            pass
+
+    drain("ckpt")
+    return index, drain, uncommit, new
+
+
+def test_retrain_carries_markers_replay_short_circuits(
+        spark, embs, tmp_path):
+    """Committed batches' markers ride into the re-trained tree WITH
+    their content — run scoping survives the retrain, so (a) a replay
+    of the final batch short-circuits on its CARRIED marker (its rows
+    are already baked into the retrained corpus — re-publishing would
+    duplicate them) and (b) a FRESH checkpoint over the retrained index
+    is still refused (an empty carried marker would read as legacy
+    own-marker and silently skip/duplicate re-numbered batches)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    n_total = embs.count()
+    index, drain, uncommit, _ = _streamed_index(spark, embs, tmp_path)
     markers = sorted(glob.glob(f"{index}/_append_batches/*.done"))
     assert len(markers) == 2
-    # crash window: batch 0 published, marker lost
-    os.remove(markers[0])
-    lost = os.path.basename(markers[0])
-    n_lost = new.filter(F.col("vec_id") % 4 == 1).count()
+    contents = {os.path.basename(m): open(m).read() for m in markers}
+    # the maintainer run-scopes its markers; the carry must preserve it
+    assert all(c.startswith("done:") for c in contents.values())
+    vec = f"{index}/vectors"
+
+    similarity.retrain_ivf_index(spark, index, n_centroids=8)
+    carried = sorted(glob.glob(f"{index}/_append_batches/*.done"))
+    assert {os.path.basename(m): open(m).read()
+            for m in carried} == contents
+    assert spark.read.parquet(vec).count() == n_total
+
+    uncommit()
+    drain("ckpt")
+    after = spark.read.parquet(vec)
+    assert after.count() == n_total
+    assert after.select("vec_id").distinct().count() == n_total
+
+    with pytest.raises(StreamingQueryException,
+                       match="different streaming incarnation"):
+        drain("ckpt2")
+
+
+def test_retrain_excludes_unmarked_exactly_once(spark, embs, tmp_path):
+    """The crash window: the final batch published its files but lost
+    its marker.  The retrain EXCLUDES those rows from the rebuild (they
+    will replay) and does not carry the lost marker, so the replay on
+    the original checkpoint re-publishes them into the new tree exactly
+    once."""
+    n_total = embs.count()
+    index, drain, uncommit, new = _streamed_index(spark, embs, tmp_path)
+    markers = sorted(glob.glob(f"{index}/_append_batches/*.done"))
+    assert len(markers) == 2
+    kept_content = open(markers[0]).read()
+    vec = f"{index}/vectors"
+
+    # final batch published, marker lost
+    os.remove(markers[1])
+    lost = os.path.basename(markers[1])
+    n_lost = new.filter(F.col("vec_id") % 4 == 3).count()
 
     similarity.retrain_ivf_index(spark, index, n_centroids=8)
 
-    # committed batch's marker carried; unmarked one not
-    left = sorted(os.path.basename(m) for m in
-                  glob.glob(f"{index}/_append_batches/*.done"))
-    assert left == [os.path.basename(markers[1])]
-    # unmarked batch's rows were excluded from the rebuild
-    vec = f"{index}/vectors"
+    # committed batch's marker carried (with content); unmarked batch's
+    # rows excluded from the rebuild
+    left = sorted(glob.glob(f"{index}/_append_batches/*.done"))
+    assert [os.path.basename(m) for m in left] == [
+        os.path.basename(markers[0])]
+    assert open(left[0]).read() == kept_content
     assert spark.read.parquet(vec).count() == n_total - n_lost
 
-    # the replay: committed batch short-circuits, lost batch re-publishes
-    q2 = ann.maintain_ann_index_stream(
-        spark.readStream.schema(spark.read.parquet(src).schema)
-        .option("maxFilesPerTrigger", "1").parquet(src),
-        index, str(tmp_path / "ckpt2"),
-    ).start()
-    q2.awaitTermination()
+    # the replay: the lost batch re-runs and re-publishes exactly once
+    uncommit()
+    drain("ckpt")
     after = spark.read.parquet(vec)
     assert after.count() == n_total
     assert after.select("vec_id").distinct().count() == n_total
