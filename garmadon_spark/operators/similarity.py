@@ -2425,3 +2425,156 @@ def retrain_ivfpq_index(
         _os.rename(staging, path)
         _shutil.rmtree(old)
     return centroids, books
+
+
+def ivfpq_topk_batch(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 0,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+    queries_in_index_space: bool = False,
+) -> DataFrame:
+    """Probe a persisted IVF-PQ index with a BATCH of query vectors —
+    ivf_topk_batch's plan shape over the M-byte codes tree:
+
+      1. queries are normalized (and OPQ-rotated, unless
+         ``queries_in_index_space`` says they already live in the
+         index's space — e.g. rows read back from the index itself)
+         and each gets its top-``nprobe`` cells via the SAME
+         ``_probe_cells_udf`` arithmetic as every other probe;
+      2. the CODES scan partition-prunes to the union of probed cells
+         (``isin`` literal — planning time), reading M bytes/vector;
+      3. the batch-sized (query, cell) table broadcast-joins the pruned
+         scan; ADC scoring is ONE Arrow pass with the per-query LUT
+         tensor (|batch|·m·ksub doubles) riding the closure —
+         score = q·c(cell) + Σ_j LUT[q][j][code_j];
+      4. per-query shortlist by window rank; with ``rerank`` > 0 the
+         exact cosine re-scores shortlist rows from the vectors tree
+         (broadcast shortlist join, pruned to the same cells).
+
+    Driver budget: the query batch is collected once to build the LUT
+    tensor — batch-sized, the serving contract ivf_topk_batch already
+    sets (its probe UDF closure carries the same batch).  Returns
+    (query_id, vec_id, cosine|adc, rank); carries ``_gs_unpersist``."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    books = [np.asarray(b, dtype=np.float64) for b in
+             load_pq_codebooks(spark, path)]
+    m = len(books)
+    dsub = books[0].shape[1]
+    ksub = books[0].shape[0]
+    rotation = load_opq_rotation(spark, path)
+    R = (None if rotation is None or queries_in_index_space
+         else np.asarray(rotation, dtype=np.float64))
+
+    @pandas_udf("array<double>")
+    def _to_index_space(v: pd.Series) -> pd.Series:
+        X = np.asarray(v.to_list(), dtype=np.float64)
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        X = X / norms
+        if R is not None:
+            X = X @ R.T
+        return pd.Series(list(X))
+
+    fine_rows, coarse_by_id = load_ivf_centroids(spark, path)
+    probe_branches = 0
+    if coarse_by_id:
+        kb = max(1, len(fine_rows) // max(len(coarse_by_id), 1))
+        probe_branches = min(
+            len(coarse_by_id), max(2, -(-2 * nprobe // kb))
+        )
+    probe = _probe_cells_udf(fine_rows, coarse_by_id, nprobe,
+                             probe_branches)
+    planned = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _to_index_space(F.col(query_vec_col)).alias("_qvec"),
+    ).select(
+        "query_id", "_qvec", probe(F.col("_qvec")).alias("_cells")
+    ).persist()
+    exploded = planned.select(
+        "query_id", F.explode("_cells").alias("ivf_cell")
+    )
+    probed = [int(r.ivf_cell)
+              for r in exploded.select("ivf_cell").distinct().collect()]
+
+    # batch-sized driver collect: per-query LUT tensor + query matrix
+    qrows = planned.select("query_id", "_qvec").collect()
+    qids = np.asarray([r.query_id for r in qrows], dtype=np.int64)
+    Qmat = np.asarray([list(r._qvec) for r in qrows], dtype=np.float64)
+    qpos = {int(qid): i for i, qid in enumerate(qids)}
+    lut = np.empty((len(qrows), m, ksub), dtype=np.float64)
+    for j in range(m):
+        lut[:, j, :] = Qmat[:, j * dsub:(j + 1) * dsub] @ books[j].T
+    cent_ids = np.asarray([c for c, _, _ in fine_rows], dtype=np.int64)
+    Cmat = np.asarray([v for _, _, v in fine_rows], dtype=np.float64)
+    cpos = {int(c): i for i, c in enumerate(cent_ids)}
+    jidx = np.arange(m)
+
+    @pandas_udf("double")
+    def _adc(qid: pd.Series, cell: pd.Series, codes: pd.Series
+             ) -> pd.Series:
+        qi = np.asarray([qpos[int(x)] for x in qid], dtype=np.int64)
+        ci = np.asarray([cpos[int(x)] for x in cell], dtype=np.int64)
+        C = np.asarray(codes.to_list(), dtype=np.int64)
+        qc = (Qmat[qi] * Cmat[ci]).sum(axis=1)
+        adc = lut[qi[:, None], jidx[None, :], C].sum(axis=1)
+        return pd.Series(qc + adc)
+
+    codes_df = spark.read.parquet(f"{path}/codes").filter(
+        F.col("ivf_cell").isin(probed)
+    )
+    joined = codes_df.join(F.broadcast(exploded), "ivf_cell")
+    if exclude_self:
+        joined = joined.filter(F.col(id_col) != F.col("query_id"))
+    scored = joined.select(
+        "query_id", id_col,
+        _adc(F.col("query_id"), F.col("ivf_cell"),
+             F.col("pq_codes")).alias("adc"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.asc(id_col)
+    )
+    if not rerank:
+        out = (
+            scored.select(
+                "query_id", id_col, F.round("adc", 6).alias("adc")
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+        out._gs_unpersist = planned.unpersist
+        return out
+    short = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rerank)
+        .select("query_id", id_col)
+    )
+    vectors = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("ivf_cell").isin(probed)
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    out = (
+        vectors.join(F.broadcast(short), [id_col])
+        .join(F.broadcast(planned.select("query_id", "_qvec")),
+              "query_id")
+        .select(
+            "query_id", id_col,
+            F.round(cosine(F.col(vec_col), F.col("_qvec")), 6)
+            .alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= k)
+    )
+    out._gs_unpersist = planned.unpersist
+    return out

@@ -1169,6 +1169,128 @@ FROM g, n WHERE exact_cnt > n.n / {_FREQ_K + 1}
 """
 
 
+# --- stream-served heavy hitters (r9) -------------------------------------
+#
+# The serving loop for the terms-top-k panel family (the Grafana
+# `terms` panels — readers/elasticsearch/src/main/elasticsearch/
+# grafana/*.json): a monitoring deployment doesn't re-scan history per
+# dashboard refresh; it reads the k-row summary the streaming
+# Misra–Gries maintainer (streaming/sketch.py) keeps folded — the same
+# closing-the-loop the rollup sink gives ev_hist_quantile /
+# ev_distinct_merge_check.
+
+
+def _ensure_freq_summary(spark, sf_dir):
+    """Materialize the maintained summary once per corpus: the value
+    buckets written as a 3-file stream source, drained through
+    maintain_freq_items_stream (availableNow) into the on-disk k-row
+    summary.  Stamp-keyed on the events table's file state, like every
+    other index fixture."""
+    import os
+    import shutil
+
+    from garmadon_spark.queries.datapipe import _index_cache_path
+    from garmadon_spark.streaming.sketch import (
+        maintain_freq_items_stream,
+    )
+
+    base = _index_cache_path(sf_dir, "events.parquet",
+                             "garmadon_freqsum_")
+    stamp = os.path.join(base, "_OK")
+    want = f"k={_FREQ_K};w={_FREQ_BUCKET_WIDTH}"
+    stamped = open(stamp).read() if os.path.exists(stamp) else None
+    if stamped != want:
+        shutil.rmtree(base, ignore_errors=True)
+        src = f"{base}/src"
+        # 3 source files -> 3 micro-batches with maxFilesPerTrigger=1:
+        # the summary is genuinely FOLDED across triggers, not built in
+        # one batch
+        _value_buckets(spark, sf_dir).repartition(3) \
+            .write.mode("overwrite").parquet(src)
+        q = maintain_freq_items_stream(
+            spark.readStream.schema("bucket int")
+            .option("maxFilesPerTrigger", "1").parquet(src),
+            f"{base}/out", f"{base}/ckpt",
+            item_col="bucket", k=_FREQ_K,
+        ).start()
+        q.awaitTermination()
+        with open(stamp, "w") as fh:
+            fh.write(want)
+    return f"{base}/out"
+
+
+def ev_heavy_served(spark, sf_dir):
+    """ev_heavy_value_buckets SERVED from the streaming summary: the
+    dashboard refresh reads the k-row folded state
+    (load_freq_summary — kilobytes), never the event history.  Rows-only
+    (counter values depend on fold order); the adjacent
+    ``ev_heavy_served_check`` hash-gates the Misra–Gries guarantee
+    against the exact aggregate."""
+    from garmadon_spark.streaming.sketch import load_freq_summary
+
+    counters, n_total = load_freq_summary(
+        spark, _ensure_freq_summary(spark, sf_dir)
+    )
+    rows = sorted(
+        ((b, c) for b, c in counters.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:_FREQ_K]
+    return spark.createDataFrame(
+        [(b, c, n_total) for b, c in rows],
+        "bucket int, count_lb bigint, n_total bigint",
+    )
+
+
+def ev_heavy_served_check(spark, sf_dir):
+    """The maintained summary satisfies the SAME contract as the batch
+    sketch (ev_heavy_value_buckets_check): every bucket with true
+    frequency > n/(k+1) is present with
+    ``true − n/(k+1) ≤ count_lb ≤ true``, and the summary counted every
+    row (n_total == exact n — the errors of the folded batches ADD to
+    the same bound, Agarwal et al. PODS 2012).  Data-bearing hash gate
+    (bucket + exact count vs SQL)."""
+    from garmadon_spark.streaming.sketch import load_freq_summary
+
+    counters, n_total = load_freq_summary(
+        spark, _ensure_freq_summary(spark, sf_dir)
+    )
+    ev = _value_buckets(spark, sf_dir)
+    n = ev.count()
+    thr = n / (_FREQ_K + 1)
+    sk = spark.createDataFrame(
+        [(b, c) for b, c in counters.items()],
+        "bucket int, count_lb bigint",
+    )
+    exact = ev.groupBy("bucket").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return (
+        exact.filter(F.col("exact_cnt") > thr)
+        .join(F.broadcast(sk), "bucket", "left")
+        .select(
+            "bucket",
+            "exact_cnt",
+            F.col("count_lb").isNotNull().alias("in_summary"),
+            (
+                F.col("count_lb").isNotNull()
+                & (F.col("count_lb") <= F.col("exact_cnt"))
+                & (F.col("count_lb") >= F.col("exact_cnt") - F.lit(thr))
+            ).alias("bound_ok"),
+            F.lit(n_total == n).alias("counted_all"),
+        )
+    )
+
+
+EV_HEAVY_SERVED_CHECK_SQL = f"""
+WITH g AS (
+    SELECT CAST(floor(value / {_FREQ_BUCKET_WIDTH}) AS INT) AS bucket,
+           COUNT(*) AS exact_cnt
+    FROM events GROUP BY 1
+), n AS (SELECT COUNT(*) AS n FROM events)
+SELECT bucket, exact_cnt, TRUE AS in_summary, TRUE AS bound_ok,
+       TRUE AS counted_all
+FROM g, n WHERE exact_cnt > n.n / {_FREQ_K + 1}
+"""
+
+
 QUERIES = {
     "ev_count_by_type": (ev_count_by_type, EV_COUNT_BY_TYPE_SQL),
     "ev_date_histogram_hour": (ev_date_histogram_hour, EV_DATE_HISTOGRAM_HOUR_SQL),
@@ -1209,5 +1331,9 @@ QUERIES = {
     "ev_heavy_value_buckets": (ev_heavy_value_buckets, None),
     "ev_heavy_value_buckets_check": (
         ev_heavy_value_buckets_check, EV_HEAVY_VALUE_BUCKETS_CHECK_SQL
+    ),
+    "ev_heavy_served": (ev_heavy_served, None),
+    "ev_heavy_served_check": (
+        ev_heavy_served_check, EV_HEAVY_SERVED_CHECK_SQL
     ),
 }

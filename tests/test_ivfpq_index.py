@@ -325,3 +325,67 @@ def test_compact_codes_subtree(spark, embs, tmp_path):
     after_files = len(glob.glob(f"{codes}/ivf_cell=*/*.parquet"))
     assert after_files < before_files
     assert spark.read.parquet(codes).count() == before_rows
+
+
+def test_opq_and_ivfpq_queries_contract(spark):
+    """Declared-surface smoke at sf0.001: the OPQ gate booleans are
+    all-true (the floors the oracle pins at sf0.01), the telemetry
+    rows cover both cohorts per stage, and the descent rows are
+    non-increasing."""
+    from garmadon_spark.queries import datapipe as dp
+
+    sf = "/root/testdata/sf0.001"
+    tel = dp.emb_opq(spark, sf).collect()
+    descent = [r.mse for r in sorted(
+        (r for r in tel if r.variant == "train_descent"),
+        key=lambda r: r.iter)]
+    assert len(descent) >= 2
+    assert descent == sorted(descent, reverse=True) or all(
+        b <= a + 1e-12 for a, b in zip(descent, descent[1:]))
+    assert {r.variant for r in tel} == {
+        "corpus_raw", "corpus_opq", "train_descent"}
+    row = dp.emb_opq_check(spark, sf).head()
+    assert all(row.asDict().values()), row.asDict()
+
+    rec = {(r.stage, r.cohort): r for r in
+           dp.emb_ivfpq_retrain(spark, sf).collect()}
+    assert set(rec) == {("appended", "base"), ("appended", "drifted"),
+                        ("retrained", "base"), ("retrained", "drifted")}
+    for r in rec.values():
+        assert 0.0 <= r.recall <= 1.0
+    row = dp.emb_ivfpq_lifecycle_check(spark, sf).head()
+    assert all(row.asDict().values()), row.asDict()
+
+
+def test_ivfpq_batch_matches_single(spark, embs, tmp_path):
+    """The batched ADC probe reproduces the single-query probe exactly
+    for each query in the batch — shared cell-selection arithmetic
+    (_probe_cells_udf / _top_ids_np) plus identical ADC decomposition
+    and tie-breaks, the same parity contract ivf_topk_batch carries."""
+    path = str(tmp_path / "idx")
+    similarity.write_ivfpq_index(
+        embs, path, n_centroids=8, m=16, ksub=16, iterations=1,
+        pq_iterations=3, opq=True,
+    )
+    qids = [0, 7, 42]
+    queries = embs.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for rerank in (0, 20):
+        batch = similarity.ivfpq_topk_batch(
+            spark, path, queries, k=5, nprobe=4, rerank=rerank,
+        )
+        got = {}
+        for r in batch.collect():
+            got.setdefault(r.query_id, []).append(
+                (r.rank, r.vec_id, r[2]))
+        batch._gs_unpersist()
+        for qid in qids:
+            q = [float(x) for x in
+                 embs.filter(F.col("vec_id") == qid).head()["embedding"]]
+            single = similarity.ivfpq_topk_from_index(
+                spark, path, q, k=5, nprobe=4, rerank=rerank,
+                exclude_ids=[qid],
+            ).collect()
+            want = [(i + 1, r.vec_id, r[1]) for i, r in enumerate(single)]
+            assert sorted(got[qid]) == want, (qid, rerank)

@@ -223,3 +223,35 @@ try:
                 assert it in counters
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+def test_heavy_served_stream_batch_parity(spark):
+    """The stream-served panel (ev_heavy_served — read from the
+    maintained k-row summary) and its batch twin (ev_heavy_value_buckets
+    — one-shot merged sketch) agree on the guaranteed set: every bucket
+    with true frequency > n/(k+1) appears in BOTH with its count_lb
+    sandwiched against the exact count.  Counter values legitimately
+    differ (fold order vs partition merge); the contract is what's
+    shared."""
+    from pyspark.sql import functions as F  # noqa: F811
+    from garmadon_spark.queries import dashboard as db
+
+    sf = "/root/testdata/sf0.001"
+    served = {r.bucket: r.count_lb
+              for r in db.ev_heavy_served(spark, sf).collect()}
+    batch = {r.bucket: r.count_lb
+             for r in db.ev_heavy_value_buckets(spark, sf).collect()}
+    ev = db._value_buckets(spark, sf)
+    exact = {r.bucket: r.c for r in ev.groupBy("bucket")
+             .agg(F.count(F.lit(1)).alias("c")).collect()}
+    n = sum(exact.values())
+    thr = n / (db._FREQ_K + 1)
+    heavy = {b for b, c in exact.items() if c > thr}
+    assert heavy
+    for summary in (served, batch):
+        assert heavy <= set(summary)
+        for b, lb in summary.items():
+            assert exact[b] - thr <= lb <= exact[b]
+    # and the served check query itself is all-green
+    for r in db.ev_heavy_served_check(spark, sf).collect():
+        assert r.in_summary and r.bound_ok and r.counted_all
