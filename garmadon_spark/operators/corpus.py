@@ -567,3 +567,226 @@ def corpus_report(
             F.round(median, 1).alias("median_chars"),
         )
     )
+
+
+# --- incremental corpus datasheet (mergeable rollup form) -----------------
+#
+# corpus_report answers "what is in this corpus" with one scan; a 100 TB
+# corpus that grows by daily increments must not rescan history per
+# refresh.  The datasheet state is a MERGEABLE rollup at
+# (cohort, char_bin) grain: scalar partials (docs/chars/tokens — sums),
+# an HLL sketch per cell for the distinct-text term (union-mergeable,
+# the same engine as sinks/rollup.build_distinct_rollup), and the bin
+# histogram doubling as the median engine (bin-walk interpolation, the
+# ev_hist_quantile estimator).  Folding an increment touches only the
+# cohorts it contains; serving reads cohort×bins rows — kilobytes.
+
+REPORT_CHAR_BIN = 64
+REPORT_HLL_LG_K = 12
+
+
+def corpus_report_partials(
+    df: DataFrame,
+    group_cols: tuple = ("lang", "source"),
+    text_col: str = "text",
+    char_bin: int = REPORT_CHAR_BIN,
+    lg_k: int = REPORT_HLL_LG_K,
+) -> DataFrame:
+    """One increment's datasheet partials: one linear scan + one
+    (cohort, char_bin)-keyed aggregate.  Every column is mergeable —
+    sums, plus an HLL sketch of the text hashes (16 B hashes shuffle,
+    never text; the merged sketch is what makes incremental
+    distinct-counting possible at all: exact COUNT(DISTINCT) partials
+    do not merge)."""
+    toks = F.size(F.filter(F.split(F.col(text_col), r"\s+"),
+                           lambda t: t != ""))
+    return (
+        df.select(
+            *group_cols,
+            F.length(F.col(text_col)).alias("_chars"),
+            toks.alias("_toks"),
+            F.md5(F.col(text_col)).alias("_h"),
+        )
+        .groupBy(
+            *group_cols,
+            F.floor(F.col("_chars") / char_bin).cast("long")
+            .alias("char_bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_chars").alias("total_chars"),
+            F.sum("_toks").alias("total_tokens"),
+            F.hll_sketch_agg("_h", F.lit(lg_k)).alias("hll"),
+        )
+    )
+
+
+def merge_report_partials(
+    partials: DataFrame, group_cols: tuple = ("lang", "source")
+) -> DataFrame:
+    """Fold any union of partial sets back to one row per cell: sums
+    sum, sketches union — the algebra that makes increments, replays
+    of increments, and cross-shard merges all the same operation."""
+    return partials.groupBy(*group_cols, "char_bin").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("total_chars").alias("total_chars"),
+        F.sum("total_tokens").alias("total_tokens"),
+        F.hll_union_agg("hll", F.lit(True)).alias("hll"),
+    )
+
+
+def maintain_corpus_report(
+    spark,
+    increment: DataFrame,
+    path: str,
+    group_cols: tuple = ("lang", "source"),
+    text_col: str = "text",
+    char_bin: int = REPORT_CHAR_BIN,
+    lg_k: int = REPORT_HLL_LG_K,
+) -> list:
+    """Fold one increment into the materialized datasheet state:
+    dynamic partition overwrite of exactly the touched first-group
+    partitions (lang), the sinks/rollup._fold_partials discipline with
+    the cohort key in place of the day key.  Returns the touched
+    partition values."""
+    import os as _os
+
+    inc = corpus_report_partials(
+        increment, group_cols, text_col, char_bin, lg_k
+    )
+    part_col = group_cols[0]
+    touched = [r[0] for r in inc.select(part_col).distinct().collect()]
+    exists = _os.path.isdir(path) and any(
+        e.name.startswith(f"{part_col}=")
+        for e in _os.scandir(path)
+    )
+    if exists:
+        existing = spark.read.parquet(path).filter(
+            F.col(part_col).isin(touched)
+        ).select(*inc.columns)
+        merged = merge_report_partials(
+            existing.unionByName(inc), group_cols
+        )
+    else:
+        merged = inc
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.repartition(part_col)
+            .write.partitionBy(part_col)
+            .mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return sorted(touched)
+
+
+def corpus_report_from_partials(
+    partials: DataFrame,
+    group_cols: tuple = ("lang", "source"),
+    char_bin: int = REPORT_CHAR_BIN,
+) -> DataFrame:
+    """Serve the corpus_report datasheet shape from the merged state:
+    one aggregate over cohort×bins rows (never the corpus).  The
+    distinct term is the HLL union estimate (~1.6 % rsd at lg_k=12 —
+    the documented 100 TB trade corpus_report(exact=False) makes); the
+    median is the bin-walk interpolation (within char_bin of exact —
+    the ev_hist_quantile error contract)."""
+    from garmadon_spark.sinks.rollup import histogram_quantile
+
+    totals = partials.groupBy(*group_cols).agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.hll_sketch_estimate(
+            F.hll_union_agg("hll", F.lit(True))
+        ).alias("n_distinct_texts"),
+        F.sum("total_chars").alias("total_chars"),
+        F.sum("total_tokens").alias("total_tokens"),
+    )
+    med = histogram_quantile(
+        partials.select(
+            *group_cols,
+            F.col("char_bin").alias("bin"),
+            F.col("n_docs").alias("cnt"),
+        ),
+        0.5, bin_width=float(char_bin), group_cols=group_cols,
+        per_bucket=False,
+    ).withColumnRenamed("p50_est", "median_chars_est")
+    return (
+        totals.join(med, list(group_cols))
+        .select(
+            *group_cols,
+            "n_docs",
+            "n_distinct_texts",
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    F.lit(1.0)
+                    - F.col("n_distinct_texts") / F.col("n_docs"),
+                ), 4
+            ).alias("dup_ratio"),
+            "total_chars",
+            "total_tokens",
+            F.round(
+                F.col("total_tokens") / F.col("n_docs"), 2
+            ).alias("mean_tokens"),
+            F.round("median_chars_est", 1).alias("median_chars_est"),
+        )
+    )
+
+
+def corpus_report_stream(
+    docs: DataFrame,
+    path: str,
+    checkpoint: str,
+    group_cols: tuple = ("lang", "source"),
+    text_col: str = "text",
+    char_bin: int = REPORT_CHAR_BIN,
+    lg_k: int = REPORT_HLL_LG_K,
+):
+    """The continuous datasheet: every micro-batch of documents folds
+    into the materialized state via maintain_corpus_report inside
+    foreachBatch — the rollup_query idiom, with the same run-scoped
+    marker protocol (``_report_batches``): a replayed committed batch
+    short-circuits, and a FRESH checkpoint over another incarnation's
+    fold chain is REFUSED (re-numbered batches would re-fold counted
+    documents).  Same honest window as every merge sink here: a crash
+    BETWEEN the partition commit and the marker write can double-fold
+    one batch; closing it needs a transactional table format (the
+    documented production swap).  Returns the (unstarted,
+    availableNow-triggered) writer."""
+    from garmadon_spark.sinks.rollup import (
+        _checkpoint_run_id,
+        _marker_current,
+        _refuse_foreign_chain,
+        _write_marker,
+    )
+
+    cache: dict = {}
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        if "run" not in cache:
+            cache["run"] = _checkpoint_run_id(sess, checkpoint)
+            _refuse_foreign_chain(
+                sess, f"{path}/_report_batches", cache["run"],
+                "resume its original checkpoint or rebuild the "
+                "datasheet state",
+            )
+        marker = f"{path}/_report_batches/{batch_id}.done"
+        if _marker_current(sess, marker, cache["run"]):
+            return
+        maintain_corpus_report(
+            sess, batch_df, path, group_cols, text_col, char_bin, lg_k
+        )
+        _write_marker(sess, marker, cache["run"])
+
+    return (
+        docs.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+    )

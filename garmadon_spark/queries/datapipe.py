@@ -3420,6 +3420,123 @@ SELECT TRUE AS appended_base_ok, TRUE AS appended_drifted_ok,
 """
 
 
+def _ensure_report_state(spark, sf_dir):
+    """Materialize the incremental-datasheet state once per corpus:
+    the documents table split into 3 stream files and drained through
+    corpus.corpus_report_stream — the state is genuinely FOLDED from
+    increments with the run-scoped marker protocol, never built in one
+    scan.  Stamp-keyed on the documents table's file state."""
+    import os
+    import shutil
+
+    base = _index_cache_path(sf_dir, "documents.parquet",
+                             "garmadon_reportincr_")
+    stamp = os.path.join(base, "_STAMP")
+    want = f"bin={corpus.REPORT_CHAR_BIN};lgk={corpus.REPORT_HLL_LG_K}"
+    stamped = open(stamp).read() if os.path.exists(stamp) else None
+    if stamped != want:
+        shutil.rmtree(base, ignore_errors=True)
+        docs = _docs(spark, sf_dir)
+        src = f"{base}/src"
+        for i in range(3):
+            docs.filter(F.col("doc_id") % 3 == i).coalesce(1) \
+                .write.mode("append").parquet(src)
+        q = corpus.corpus_report_stream(
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1").parquet(src),
+            f"{base}/state", f"{base}/ckpt",
+        ).start()
+        q.awaitTermination()
+        with open(stamp, "w") as fh:
+            fh.write(want)
+    return f"{base}/state"
+
+
+def doc_corpus_report_incr(spark, sf_dir):
+    """The corpus datasheet served from INCREMENTALLY-FOLDED state
+    (corpus.maintain_corpus_report via the streaming fold): scalar sums
+    + per-cell HLL sketches + the char-length histogram, merged at
+    (cohort, char_bin) grain — a daily-growing 100 TB corpus refreshes
+    its datasheet from each increment without rescanning history, and
+    the serve reads cohort×bins rows.  Rows-only (the distinct term is
+    an HLL estimate, the median a bin-walk interpolation); the
+    adjacent ``doc_corpus_report_incr_check`` hash-gates the exact
+    scalars and bounds the estimates."""
+    return corpus.corpus_report_from_partials(
+        spark.read.parquet(_ensure_report_state(spark, sf_dir))
+    )
+
+
+def doc_corpus_report_incr_check(spark, sf_dir):
+    """Exact gate over the incremental datasheet: the folded state's
+    scalar columns (docs, chars, tokens, mean) match the one-scan
+    ground truth EXACTLY (hash vs SQL — folding is lossless for sums),
+    the HLL distinct estimate sits within 5·rsd of exact, and the
+    median estimate within one char_bin of the median-rank order
+    statistic (computed distributed — one window, no driver collect of
+    corpus rows)."""
+    served = {
+        (r.lang, r.source): r
+        for r in doc_corpus_report_incr(spark, sf_dir).collect()
+    }
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang", "source").orderBy("c")
+    wn = Window.partitionBy("lang", "source")
+    stats = (
+        docs.select("lang", "source", F.length("text").alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("rn") == F.ceil(F.col("n") / 2))
+        .select("lang", "source", F.col("c").alias("med_stat"))
+    )
+    exact = (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(F.md5("text")).alias("nd"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.sum(
+                F.size(F.filter(F.split(F.col("text"), r"\s+"),
+                                lambda t: t != ""))
+            ).alias("total_tokens"),
+        )
+        .join(stats, ["lang", "source"])
+    )
+    rsd = 1.04 / (2 ** (corpus.REPORT_HLL_LG_K / 2))
+    rows = []
+    for r in exact.collect():
+        s = served[(r.lang, r.source)]
+        rows.append((
+            r.lang, r.source, int(r.n_docs), int(r.total_chars),
+            int(r.total_tokens),
+            bool((s.n_docs, s.total_chars, s.total_tokens)
+                 == (r.n_docs, r.total_chars, r.total_tokens)),
+            bool(abs(s.n_distinct_texts - r.nd)
+                 <= max(1, 5 * rsd * r.nd)),
+            bool(abs(s.median_chars_est - r.med_stat)
+                 <= corpus.REPORT_CHAR_BIN),
+        ))
+    return spark.createDataFrame(
+        rows,
+        "lang string, source string, n_docs bigint, total_chars bigint,"
+        " total_tokens bigint, scalars_ok boolean, distinct_ok boolean,"
+        " median_ok boolean",
+    )
+
+
+DOC_CORPUS_REPORT_INCR_CHECK_SQL = r"""
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(len(list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> ''))) AS BIGINT)
+           AS total_tokens,
+       TRUE AS scalars_ok, TRUE AS distinct_ok, TRUE AS median_ok
+FROM documents GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
     "doc_exact_dedup": (doc_exact_dedup, DOC_EXACT_DEDUP_SQL),
@@ -3518,5 +3635,9 @@ QUERIES = {
     "emb_ivfpq_retrain": (emb_ivfpq_retrain, None),
     "emb_ivfpq_lifecycle_check": (
         emb_ivfpq_lifecycle_check, EMB_IVFPQ_LIFECYCLE_CHECK_SQL
+    ),
+    "doc_corpus_report_incr": (doc_corpus_report_incr, None),
+    "doc_corpus_report_incr_check": (
+        doc_corpus_report_incr_check, DOC_CORPUS_REPORT_INCR_CHECK_SQL
     ),
 }

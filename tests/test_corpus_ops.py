@@ -302,3 +302,143 @@ def test_corpus_report_approx_mode_tracks_exact(spark):
     assert abs(ap.n_distinct_texts - 37) <= max(1, 5 * 0.01 * 37)
     assert ap.n_docs == ex.n_docs == 3000
     assert ap.total_tokens == ex.total_tokens
+
+
+# --- incremental corpus datasheet ----------------------------------------
+
+
+def _report_docs(spark):
+    from garmadon_spark.session import load_table
+
+    return load_table(spark, "/root/testdata/sf0.001", "documents")
+
+
+def test_report_partials_fold_equals_one_shot(spark, tmp_path):
+    """Folding the corpus in 3 increments produces the SAME merged
+    state as one shot — sums sum and sketches union, so increment
+    order and grouping cannot matter (the mergeability contract)."""
+    from pyspark.sql import functions as F
+
+    docs = _report_docs(spark)
+    path = str(tmp_path / "state")
+    for i in range(3):
+        corpus.maintain_corpus_report(
+            spark, docs.filter(F.col("doc_id") % 3 == i), path
+        )
+    folded = corpus.corpus_report_from_partials(
+        spark.read.parquet(path)
+    )
+    oneshot = corpus.corpus_report_from_partials(
+        corpus.corpus_report_partials(docs)
+    )
+    key = lambda r: (r.lang, r.source)  # noqa: E731
+    f = {key(r): r for r in folded.collect()}
+    o = {key(r): r for r in oneshot.collect()}
+    assert set(f) == set(o)
+    for k in f:
+        assert f[k] == o[k], k
+
+
+def test_report_from_partials_parity_with_batch_report(spark):
+    """The served datasheet matches the exact one-scan corpus_report:
+    scalars EXACTLY; distinct within 5·rsd of exact (the
+    ev_distinct_merge_check contract); the median estimate within one
+    char_bin of the exact MEDIAN-RANK ORDER STATISTIC — the bin walk
+    estimates the value at rank ⌈q·n⌉, which for a 2-doc cohort can
+    legitimately sit far from percentile()'s midpoint interpolation,
+    so the order statistic is the honest comparison target."""
+    from pyspark.sql import functions as F
+
+    docs = _report_docs(spark)
+    served = {
+        (r.lang, r.source): r
+        for r in corpus.corpus_report_from_partials(
+            corpus.corpus_report_partials(docs)
+        ).collect()
+    }
+    exact = {
+        (r.lang, r.source): r
+        for r in corpus.corpus_report(docs).collect()
+    }
+    chars: dict = {}
+    for r in docs.select(
+            "lang", "source", F.length("text").alias("c")).collect():
+        chars.setdefault((r.lang, r.source), []).append(r.c)
+    assert set(served) == set(exact)
+    rsd = 1.04 / (2 ** (corpus.REPORT_HLL_LG_K / 2))
+    for k, s in served.items():
+        e = exact[k]
+        assert (s.n_docs, s.total_chars, s.total_tokens) == (
+            e.n_docs, e.total_chars, e.total_tokens), k
+        assert s.mean_tokens == e.mean_tokens, k
+        assert abs(s.n_distinct_texts - e.n_distinct_texts) \
+            <= max(1, 5 * rsd * e.n_distinct_texts), k
+        vals = sorted(chars[k])
+        stat = vals[max(0, -(-len(vals) // 2) - 1)]   # rank ceil(n/2)
+        assert abs(s.median_chars_est - stat) \
+            <= corpus.REPORT_CHAR_BIN, (k, stat, s.median_chars_est)
+
+
+def test_corpus_report_stream_exactly_once(spark, tmp_path):
+    """The continuous datasheet folds each batch once: after draining a
+    3-file stream the state equals the one-shot report; a replayed
+    committed batch short-circuits on its run-scoped marker; a fresh
+    checkpoint over the fold chain is refused."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import (
+        StreamingQueryException,
+    )
+    from pyspark.sql import functions as F
+
+    docs = _report_docs(spark)
+    src = str(tmp_path / "src")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1) \
+            .write.mode("append").parquet(src)
+    path = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain(cp):
+        q = corpus.corpus_report_stream(
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1").parquet(src),
+            path, cp,
+        ).start()
+        q.awaitTermination()
+
+    drain(ckpt)
+    served = corpus.corpus_report_from_partials(
+        spark.read.parquet(path)
+    ).collect()
+    oneshot = {
+        (r.lang, r.source): r
+        for r in corpus.corpus_report_from_partials(
+            corpus.corpus_report_partials(docs)
+        ).collect()
+    }
+    assert {(r.lang, r.source): r for r in served} == oneshot
+
+    # replay the last batch (uncommit): the marker short-circuits, the
+    # state is untouched
+    commits = f"{ckpt}/commits"
+    last = sorted(f for f in os.listdir(commits) if f.isdigit())[-1]
+    os.remove(f"{commits}/{last}")
+    try:
+        os.remove(f"{commits}/.{last}.crc")
+    except FileNotFoundError:
+        pass
+    drain(ckpt)
+    again = {
+        (r.lang, r.source): r
+        for r in corpus.corpus_report_from_partials(
+            spark.read.parquet(path)
+        ).collect()
+    }
+    assert again == oneshot
+
+    # fresh checkpoint over the fold chain: refused
+    with _pytest.raises(StreamingQueryException,
+                        match="different streaming incarnation"):
+        drain(str(tmp_path / "ckpt2"))
