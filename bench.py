@@ -530,12 +530,10 @@ def main():
         for r in recall_curve:
             key = (r["stage"], r["cohort"])
             cur = by_stage.get(key)
-            # floors bind narrowest for appended, widest for retrained
-            # (emb_ann_lifecycle_check's exact contract)
-            want_widest = r["stage"] == "retrained"
-            if cur is None or (r["nprobe"] > cur["nprobe"]
-                               if want_widest
-                               else r["nprobe"] < cur["nprobe"]):
+            # floors bind at the widest (constant-fraction cells/2)
+            # width — emb_ann_lifecycle_check's exact contract; the
+            # narrower serving-width rows stay in ann_recall_curve
+            if cur is None or r["nprobe"] > cur["nprobe"]:
                 by_stage[key] = r
         ingest["recall_app_base"] = by_stage[("appended", "base")]["recall"]
         ingest["recall_app_drift"] = by_stage[
