@@ -520,12 +520,21 @@ def main():
     recall_curve: list = []
     try:
         from garmadon_spark.queries.datapipe import (
-            emb_ann_recall, emb_ann_retrain,
+            _memo_fetch, emb_ann_recall, emb_ann_retrain,
         )
 
-        for q in (emb_ann_recall, emb_ann_retrain):
-            recall_curve += [r.asDict() for r in
-                             q(spark, sf_dir).collect()]
+        for memo, q in (("ann_recall_appended", emb_ann_recall),
+                        ("ann_recall_retrained", emb_ann_retrain)):
+            # _memo_fetch, not a direct call: the builder re-probes
+            # eagerly even when its result is memoized (the declared
+            # sweep above already ran both), the fetch only collects
+            recall_curve += [
+                r.asDict()
+                for r in _memo_fetch(
+                    spark, sf_dir, memo,
+                    lambda q=q: q(spark, sf_dir),
+                ).collect()
+            ]
         by_stage: dict = {}
         for r in recall_curve:
             key = (r["stage"], r["cohort"])

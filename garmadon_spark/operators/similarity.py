@@ -2161,10 +2161,30 @@ def ivfpq_topk_from_index(
     q = q / (np.linalg.norm(q) or 1.0)
     if rotation is not None:
         q = np.asarray(rotation, dtype=np.float64) @ q
-    fine_rows, _coarse = load_ivf_centroids(spark, path)
+    # cell selection routes TWO-LEVEL on a hierarchical index with the
+    # same branch budget and arithmetic as _probe_cells_udf — the
+    # batch==single parity contract holds by construction, exactly as
+    # it does for the plain-IVF probe pair
+    fine_rows, coarse_by_id = load_ivf_centroids(spark, path)
     cells_np = np.asarray([c for c, _, _ in fine_rows], dtype=np.int64)
     cn_t = _normalized_t([v for _, _, v in fine_rows])
-    probe = [int(c) for c in _top_ids_np(q, cells_np, cn_t, nprobe)]
+    if coarse_by_id:
+        kb = max(1, len(fine_rows) // max(len(coarse_by_id), 1))
+        probe_branches = min(
+            len(coarse_by_id), max(2, -(-2 * nprobe // kb))
+        )
+        bids = np.asarray(sorted(coarse_by_id), dtype=np.int64)
+        bn_t = _normalized_t([coarse_by_id[int(b)] for b in bids])
+        top_b = _top_ids_np(q, bids, bn_t, probe_branches)
+        branches = np.asarray([b for _, b, _ in fine_rows],
+                              dtype=np.int64)
+        sel = np.isin(branches, top_b)
+        probe = [int(c) for c in _top_ids_np(
+            q, cells_np[sel], np.ascontiguousarray(cn_t[:, sel]),
+            nprobe,
+        )]
+    else:
+        probe = [int(c) for c in _top_ids_np(q, cells_np, cn_t, nprobe)]
     cent_by_id = {c: v for c, _, v in fine_rows}
     qc_items = []
     for cid in probe:
@@ -2246,7 +2266,18 @@ def append_to_ivfpq_index(
     ``{stage_dir}/codes`` (both mode-overwrite, cell-partitioned)
     WITHOUT touching the live tree — the exactly-once streaming
     maintainer stages then publishes under deterministic names, and a
-    replay regenerates both identically (same frozen quantizers)."""
+    replay regenerates both identically (same frozen quantizers).
+
+    Crash window of the DIRECT (non-staged) path, documented: vectors
+    append before codes in two non-atomic writes, so a crash between
+    them leaves the batch probe-visible in the vectors tree but absent
+    from codes — rerank probes still see the rows, ADC scans do not.
+    ``emb_ivfpq_lifecycle_check``'s codes_mirror_vectors gate detects
+    it; ``sync_ivfpq_codes`` heals it (re-encode exactly the missing
+    rows with the frozen codebooks).  Re-running the whole failed
+    append instead would duplicate the vector rows — the same caller
+    idempotency caveat append_to_ivf_index documents; exactly-once
+    appends belong to maintain_ivfpq_index_stream."""
     import shutil as _shutil
 
     spark = new_embs.sparkSession
@@ -2293,6 +2324,41 @@ def append_to_ivfpq_index(
         .parquet(f"{path}/codes")
     )
     _shutil.rmtree(f"{path}/._pq_append_stage", ignore_errors=True)
+
+
+def sync_ivfpq_codes(
+    spark,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Heal append_to_ivfpq_index's direct-path crash window: encode
+    any vector rows MISSING from the codes tree (one anti-join on the
+    id) with the FROZEN codebooks and append their codes — after this,
+    codes mirror vectors again and the ADC scan covers every row.
+    Idempotent (healing twice appends nothing) and read-bounded by the
+    missing set.  Returns the number of rows healed."""
+    vecs = spark.read.parquet(f"{path}/vectors")
+    have = spark.read.parquet(f"{path}/codes").select(id_col)
+    missing = vecs.join(have, [id_col], "left_anti")
+    resid, n_cells = _index_residuals(
+        spark, path, id_col, vec_col, source=missing
+    )
+    books = load_pq_codebooks(spark, path)
+    codes = _pq_encode_raw(resid, books, id_col, "_resid").select(
+        id_col, "ivf_cell", "pq_codes"
+    )
+    codes = codes.persist()
+    n = codes.count()
+    if n:
+        (
+            codes.repartition(n_cells, "ivf_cell")
+            .write.mode("append")
+            .partitionBy("ivf_cell")
+            .parquet(f"{path}/codes")
+        )
+    codes.unpersist()
+    return int(n)
 
 
 def retrain_ivfpq_index(
@@ -2472,18 +2538,6 @@ def ivfpq_topk_batch(
     dsub = books[0].shape[1]
     ksub = books[0].shape[0]
     rotation = load_opq_rotation(spark, path)
-    R = (None if rotation is None or queries_in_index_space
-         else np.asarray(rotation, dtype=np.float64))
-
-    @pandas_udf("array<double>")
-    def _to_index_space(v: pd.Series) -> pd.Series:
-        X = np.asarray(v.to_list(), dtype=np.float64)
-        norms = np.linalg.norm(X, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        X = X / norms
-        if R is not None:
-            X = X @ R.T
-        return pd.Series(list(X))
 
     fine_rows, coarse_by_id = load_ivf_centroids(spark, path)
     probe_branches = 0
@@ -2494,9 +2548,16 @@ def ivfpq_topk_batch(
         )
     probe = _probe_cells_udf(fine_rows, coarse_by_id, nprobe,
                              probe_branches)
-    planned = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        _to_index_space(F.col(query_vec_col)).alias("_qvec"),
+    # the SAME preprocessing pass the build/append path uses — reusing
+    # _rotate_normalize (rather than a local twin) is what keeps the
+    # probe's query space from silently diverging from the index's
+    planned = _rotate_normalize(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("_qvec"),
+        ),
+        None if queries_in_index_space else rotation,
+        "_qvec",
     ).select(
         "query_id", "_qvec", probe(F.col("_qvec")).alias("_cells")
     ).persist()

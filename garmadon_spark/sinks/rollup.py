@@ -136,17 +136,20 @@ def _refuse_foreign_chain(
     — the upgrade path for deployments resuming their original
     checkpoint.
 
-    Cost: O(1) marker READS, not O(total batches ever).  This check
-    runs on an incarnation's FIRST batch, before it commits anything —
-    so a passing incarnation only ever adds its OWN run id to a set it
-    verified as own/legacy, and the marker set is always
-    {legacy} ∪ {exactly one run id}.  A fresh incarnation over a legacy
-    chain skips the legacy-marked batch ids (_marker_current treats
-    them as own) and commits strictly larger ones, so the
-    numerically-newest marker always belongs to the most recent
-    run-scoped writer: reading it alone decides own-vs-foreign.  (Any
-    non-numeric marker names — none are written today — are still read
-    exhaustively rather than silently trusted.)"""
+    Cost: O(1) marker READS on the common path, not O(total batches
+    ever).  This check runs on an incarnation's FIRST batch, before it
+    commits anything — so a passing incarnation only ever adds its OWN
+    run id to a set it verified as own/legacy, and (as long as every
+    writer run-scopes) the marker set is always {legacy} ∪ {exactly
+    one run id}, with the numerically-newest marker belonging to the
+    most recent run-scoped writer: reading it alone decides
+    own-vs-foreign.  Two escapes keep the guard exhaustive where that
+    invariant can't be trusted: a newest marker that turns out to be
+    LEGACY (a pre-run-scoping build may have resumed the checkpoint
+    AFTER a scoped incarnation, burying foreign scoped markers behind
+    bare ones) falls back to scanning every marker, and non-numeric
+    marker names (none are written today) are always read rather than
+    silently trusted."""
     markers = _list_markers(spark, marker_dir)
     if not markers:
         return
@@ -159,22 +162,34 @@ def _refuse_foreign_chain(
         )
     if allow_foreign:
         return
+
+    def _raise_foreign(m, rec):
+        raise RuntimeError(
+            f"{marker_dir} holds batches committed by a different "
+            f"streaming incarnation ({m.rsplit('/', 1)[-1]}: run "
+            f"{rec}); " + hint
+        )
+
     numeric = [m for m in markers
                if m.rsplit("/", 1)[-1][: -len(".done")].isdigit()]
     check = [m for m in markers if m not in set(numeric)]
+    newest = None
     if numeric:
-        check.append(max(
+        newest = max(
             numeric,
             key=lambda m: int(m.rsplit("/", 1)[-1][: -len(".done")]),
-        ))
+        )
+        rec = _marker_run_id(_read_marker(spark, newest))
+        if rec is not None and rec != run_id:
+            _raise_foreign(newest, rec)
+        if rec is None:
+            # newest is legacy: the one-run-id invariant may not hold
+            # (mixed-version history) — scan the rest
+            check += [m for m in numeric if m != newest]
     for m in check:
         rec = _marker_run_id(_read_marker(spark, m))
         if rec is not None and rec != run_id:
-            raise RuntimeError(
-                f"{marker_dir} holds batches committed by a different "
-                f"streaming incarnation ({m.rsplit('/', 1)[-1]}: run "
-                f"{rec}); " + hint
-            )
+            _raise_foreign(m, rec)
 
 
 def _marker_run_id(content: str | None) -> str | None:

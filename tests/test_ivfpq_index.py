@@ -389,3 +389,73 @@ def test_ivfpq_batch_matches_single(spark, embs, tmp_path):
             ).collect()
             want = [(i + 1, r.vec_id, r[1]) for i, r in enumerate(single)]
             assert sorted(got[qid]) == want, (qid, rerank)
+
+
+def test_ivfpq_hierarchical_batch_matches_single(spark, embs, tmp_path,
+                                                 monkeypatch):
+    """The parity contract holds through a HIERARCHICAL IVF-PQ index
+    too: the single-query probe routes two-level with the same branch
+    budget as the batch UDF (the review found it probing all fine
+    centroids flat, which diverged past HIER_IVF_MIN_CELLS)."""
+    monkeypatch.setattr(similarity, "HIER_IVF_MIN_CELLS", 4)
+    path = str(tmp_path / "idx")
+    similarity.write_ivfpq_index(
+        embs, path, n_centroids=9, m=16, ksub=16, iterations=1,
+        pq_iterations=3, opq=True,
+    )
+    assert os.path.isdir(f"{path}/coarse")
+    qids = [0, 13, 77]
+    queries = embs.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch = similarity.ivfpq_topk_batch(
+        spark, path, queries, k=5, nprobe=3, rerank=20,
+    )
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.vec_id, r[2]))
+    batch._gs_unpersist()
+    for qid in qids:
+        q = [float(x) for x in
+             embs.filter(F.col("vec_id") == qid).head()["embedding"]]
+        single = similarity.ivfpq_topk_from_index(
+            spark, path, q, k=5, nprobe=3, rerank=20, exclude_ids=[qid],
+        ).collect()
+        want = [(i + 1, r.vec_id, r[1]) for i, r in enumerate(single)]
+        assert sorted(got[qid]) == want, qid
+
+
+def test_sync_ivfpq_codes_heals_crash_window(spark, embs, tmp_path):
+    """A direct append that died between the vectors write and the
+    codes write leaves the trees diverged; sync_ivfpq_codes re-encodes
+    exactly the missing rows (frozen codebooks), is idempotent, and
+    the probe then sees the healed rows on the ADC path."""
+    n = embs.count()
+    path = str(tmp_path / "idx")
+    similarity.write_ivfpq_index(
+        embs, path, n_centroids=8, m=16, ksub=16, iterations=1,
+        pq_iterations=3, opq=True,
+    )
+    # simulate the window: append vectors WITHOUT codes
+    newbie = embs.select(
+        (F.col("vec_id") + n).alias("vec_id"), "embedding", "label"
+    ).limit(30)
+    rotation = similarity.load_opq_rotation(spark, path)
+    prep = similarity._rotate_normalize(
+        newbie.drop("ivf_cell", "ivf_branch"), rotation, "embedding"
+    )
+    similarity.append_to_ivf_index(prep, path)
+    assert (spark.read.parquet(f"{path}/vectors").count()
+            - spark.read.parquet(f"{path}/codes").count()) == 30
+
+    healed = similarity.sync_ivfpq_codes(spark, path)
+    assert healed == 30
+    vecs = spark.read.parquet(f"{path}/vectors")
+    codes = spark.read.parquet(f"{path}/codes")
+    assert vecs.count() == codes.count() == n + 30
+    vcells = {(r.vec_id, r.ivf_cell) for r in
+              vecs.select("vec_id", "ivf_cell").collect()}
+    ccells = {(r.vec_id, r.ivf_cell) for r in
+              codes.select("vec_id", "ivf_cell").collect()}
+    assert vcells == ccells
+    assert similarity.sync_ivfpq_codes(spark, path) == 0  # idempotent

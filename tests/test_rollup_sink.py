@@ -287,3 +287,37 @@ def test_read_rollup_derives_avg(spark, tmp_path):
     view = rollup.read_rollup(spark, path)
     r = view.filter(F.col("cnt") > 0).head()
     assert r.avg_value == round(r.sum_value / r.cnt, 4)
+
+
+def test_refuse_foreign_chain_scans_past_newest_legacy(spark, tmp_path):
+    """The O(1) newest-marker short-circuit must fall back to an
+    exhaustive scan when the newest marker is LEGACY: a pre-run-scoping
+    build that resumed the checkpoint AFTER a scoped incarnation buries
+    that incarnation's foreign markers behind bare 'done' ones — the
+    guard still has to find them."""
+    import pytest as _pytest
+
+    from garmadon_spark.sinks.rollup import (
+        _refuse_foreign_chain, _write_marker,
+    )
+
+    mdir = str(tmp_path / "_chain")
+    # scoped incarnation A committed 0-1, then a legacy build wrote 2-3
+    _write_marker(spark, f"{mdir}/0.done", "run-A")
+    _write_marker(spark, f"{mdir}/1.done", "run-A")
+    _write_marker(spark, f"{mdir}/2.done", None)
+    _write_marker(spark, f"{mdir}/3.done", None)
+
+    with _pytest.raises(RuntimeError, match="different streaming"):
+        _refuse_foreign_chain(spark, mdir, "run-C", "hint")
+    # the same history is fine for A itself (legacy accepted as own)
+    _refuse_foreign_chain(spark, mdir, "run-A", "hint")
+
+    # all-scoped history: newest marker alone decides (foreign newest
+    # refuses, own newest passes even over older legacy)
+    mdir2 = str(tmp_path / "_chain2")
+    _write_marker(spark, f"{mdir2}/0.done", None)
+    _write_marker(spark, f"{mdir2}/1.done", "run-B")
+    with _pytest.raises(RuntimeError, match="different streaming"):
+        _refuse_foreign_chain(spark, mdir2, "run-C", "hint")
+    _refuse_foreign_chain(spark, mdir2, "run-B", "hint")
