@@ -649,22 +649,14 @@ def maintain_corpus_report(
     partitions (lang), the sinks/rollup._fold_partials discipline with
     the cohort key in place of the day key.  Returns the touched
     partition values."""
-    from garmadon_spark.sinks.rollup import _hadoop_fs
+    from garmadon_spark.sinks.rollup import _has_partitions
 
     inc = corpus_report_partials(
         increment, group_cols, text_col, char_bin, lg_k
     )
     part_col = group_cols[0]
     touched = [r[0] for r in inc.select(part_col).distinct().collect()]
-    # probe through the Hadoop FS API, NOT os.path — on hdfs://s3a://
-    # paths os.path.isdir silently returns False and the merge would
-    # degrade to an overwrite that clobbers the folded state (the
-    # rollup._has_day_partitions trap, same fix)
-    fs, jpath = _hadoop_fs(spark, path)
-    exists = fs.exists(jpath) and any(
-        st.getPath().getName().startswith(f"{part_col}=")
-        for st in fs.listStatus(jpath)
-    )
+    exists = _has_partitions(spark, path, part_col)
     if exists:
         existing = spark.read.parquet(path).filter(
             F.col(part_col).isin(touched)

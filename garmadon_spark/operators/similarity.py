@@ -996,6 +996,52 @@ def _top_ids_np(q: np.ndarray, ids: np.ndarray, m_t: np.ndarray,
     return ids[order[:top]]
 
 
+def _branch_budget(n_cells: int, n_branches: int, nprobe: int) -> int:
+    """Coarse branches to probe on a two-level index: enough to hold
+    ~2·nprobe fine cells at the average branch width.  The ONE copy of
+    the formula — every probe path (single/batch, IVF/IVF-PQ) routes
+    through it, so the batch==single parity contract can't drift on
+    the budget arithmetic."""
+    kb = max(1, n_cells // max(n_branches, 1))
+    return min(n_branches, max(2, -(-2 * nprobe // kb)))
+
+
+def _select_probe_cells(spark, path: str, q_np, nprobe: int,
+                        probe_branches: int | None = None):
+    """Driver-side cell selection for ONE query against the persisted
+    quantizer tables — shared by the single-query IVF and IVF-PQ
+    probes.  On a hierarchical index the coarse table picks branches
+    first and the fine read pushes ``ivf_branch IN (...)`` so the
+    driver never loads all k fine vectors (row-wise normalization
+    makes the filtered submatrix bit-identical to the same columns of
+    the full matrix, so this matches the batch UDF's mask-based
+    selection exactly).  Returns ``(probe_cells, fine_rows)`` with
+    fine_rows restricted to the selected branches."""
+    import os as _os
+
+    cent_df = spark.read.parquet(f"{path}/centroids")
+    if _os.path.isdir(f"{path}/coarse"):
+        coarse = {
+            int(r.ivf_branch): list(r.centroid)
+            for r in spark.read.parquet(f"{path}/coarse").collect()
+        }
+        if probe_branches is None:
+            probe_branches = _branch_budget(
+                cent_df.count(), len(coarse), nprobe
+            )
+        bids = np.asarray(sorted(coarse), dtype=np.int64)
+        bn_t = _normalized_t([coarse[int(b)] for b in bids])
+        branches = [
+            int(b) for b in _top_ids_np(q_np, bids, bn_t, probe_branches)
+        ]
+        cent_df = cent_df.filter(F.col("ivf_branch").isin(branches))
+    rows = cent_df.collect()
+    cells = np.asarray([int(r.ivf_cell) for r in rows], dtype=np.int64)
+    cn_t = _normalized_t([list(r.centroid) for r in rows])
+    probe = [int(c) for c in _top_ids_np(q_np, cells, cn_t, nprobe)]
+    return probe, rows
+
+
 def ivf_topk_from_index(
     spark,
     path: str,
@@ -1018,31 +1064,10 @@ def ivf_topk_from_index(
     table, so the driver never loads all k fine vectors), then pick the
     nprobe cells among them.  ``probe_branches`` defaults to enough
     branches to hold ~2·nprobe fine cells."""
-    import os as _os
-
     q_np = np.asarray([float(x) for x in query_vec], dtype=np.float64)
-    cent_df = spark.read.parquet(f"{path}/centroids")
-    if _os.path.isdir(f"{path}/coarse"):
-        coarse = {
-            int(r.ivf_branch): list(r.centroid)
-            for r in spark.read.parquet(f"{path}/coarse").collect()
-        }
-        n_cells = cent_df.count()
-        kb = max(1, n_cells // max(len(coarse), 1))
-        if probe_branches is None:
-            probe_branches = min(
-                len(coarse), max(2, -(-2 * nprobe // kb))
-            )
-        bids = np.asarray(sorted(coarse), dtype=np.int64)
-        bn_t = _normalized_t([coarse[int(b)] for b in bids])
-        branches = [
-            int(b) for b in _top_ids_np(q_np, bids, bn_t, probe_branches)
-        ]
-        cent_df = cent_df.filter(F.col("ivf_branch").isin(branches))
-    rows = cent_df.collect()
-    cells = np.asarray([int(r.ivf_cell) for r in rows], dtype=np.int64)
-    cn_t = _normalized_t([list(r.centroid) for r in rows])
-    probe = [int(c) for c in _top_ids_np(q_np, cells, cn_t, nprobe)]
+    probe, _rows = _select_probe_cells(
+        spark, path, q_np, nprobe, probe_branches
+    )
     q = _lit_vec(query_vec)
     vectors = spark.read.parquet(f"{path}/vectors")
     if exclude_ids:
@@ -1190,9 +1215,8 @@ def ivf_topk_batch(
         centroids = load_ivf_centroids(spark, path)
     fine_rows, coarse_by_id = centroids
     if coarse_by_id and probe_branches is None:
-        kb = max(1, len(fine_rows) // max(len(coarse_by_id), 1))
-        probe_branches = min(
-            len(coarse_by_id), max(2, -(-2 * nprobe // kb))
+        probe_branches = _branch_budget(
+            len(fine_rows), len(coarse_by_id), nprobe
         )
     probe = _probe_cells_udf(fine_rows, coarse_by_id, nprobe,
                              probe_branches or 0)
@@ -2161,31 +2185,13 @@ def ivfpq_topk_from_index(
     q = q / (np.linalg.norm(q) or 1.0)
     if rotation is not None:
         q = np.asarray(rotation, dtype=np.float64) @ q
-    # cell selection routes TWO-LEVEL on a hierarchical index with the
-    # same branch budget and arithmetic as _probe_cells_udf — the
-    # batch==single parity contract holds by construction, exactly as
-    # it does for the plain-IVF probe pair
-    fine_rows, coarse_by_id = load_ivf_centroids(spark, path)
-    cells_np = np.asarray([c for c, _, _ in fine_rows], dtype=np.int64)
-    cn_t = _normalized_t([v for _, _, v in fine_rows])
-    if coarse_by_id:
-        kb = max(1, len(fine_rows) // max(len(coarse_by_id), 1))
-        probe_branches = min(
-            len(coarse_by_id), max(2, -(-2 * nprobe // kb))
-        )
-        bids = np.asarray(sorted(coarse_by_id), dtype=np.int64)
-        bn_t = _normalized_t([coarse_by_id[int(b)] for b in bids])
-        top_b = _top_ids_np(q, bids, bn_t, probe_branches)
-        branches = np.asarray([b for _, b, _ in fine_rows],
-                              dtype=np.int64)
-        sel = np.isin(branches, top_b)
-        probe = [int(c) for c in _top_ids_np(
-            q, cells_np[sel], np.ascontiguousarray(cn_t[:, sel]),
-            nprobe,
-        )]
-    else:
-        probe = [int(c) for c in _top_ids_np(q, cells_np, cn_t, nprobe)]
-    cent_by_id = {c: v for c, _, v in fine_rows}
+    # cell selection routes through the SAME shared helper as the
+    # plain-IVF single probe (two-level on a hierarchical index, fine
+    # read pushed-filtered to the selected branches — the driver never
+    # loads all k fine vectors), with the same branch budget as the
+    # batch UDF: the batch==single parity contract holds structurally
+    probe, fine_rows = _select_probe_cells(spark, path, q, nprobe)
+    cent_by_id = {int(r.ivf_cell): list(r.centroid) for r in fine_rows}
     qc_items = []
     for cid in probe:
         qc_items += [
@@ -2540,12 +2546,9 @@ def ivfpq_topk_batch(
     rotation = load_opq_rotation(spark, path)
 
     fine_rows, coarse_by_id = load_ivf_centroids(spark, path)
-    probe_branches = 0
-    if coarse_by_id:
-        kb = max(1, len(fine_rows) // max(len(coarse_by_id), 1))
-        probe_branches = min(
-            len(coarse_by_id), max(2, -(-2 * nprobe // kb))
-        )
+    probe_branches = (_branch_budget(len(fine_rows), len(coarse_by_id),
+                                     nprobe)
+                      if coarse_by_id else 0)
     probe = _probe_cells_udf(fine_rows, coarse_by_id, nprobe,
                              probe_branches)
     # the SAME preprocessing pass the build/append path uses — reusing

@@ -39,14 +39,24 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return fs, jpath
 
 
-def _has_day_partitions(spark: SparkSession, path: str) -> bool:
+def _has_partitions(spark: SparkSession, path: str,
+                    part_col: str) -> bool:
+    """Does ``path`` already hold ``{part_col}=`` partitions?  Through
+    the Hadoop FS API — os.path silently answers False on hdfs://s3a://
+    paths, which would turn every merge-with-existing fold into an
+    overwrite (the round-5 advisor finding; corpus's datasheet fold
+    shares this probe for the same reason)."""
     fs, jpath = _hadoop_fs(spark, path)
     if not fs.exists(jpath):
         return False
     return any(
-        st.getPath().getName().startswith("day=")
+        st.getPath().getName().startswith(f"{part_col}=")
         for st in fs.listStatus(jpath)
     )
+
+
+def _has_day_partitions(spark: SparkSession, path: str) -> bool:
+    return _has_partitions(spark, path, "day")
 
 
 def _write_marker(spark: SparkSession, marker: str,
