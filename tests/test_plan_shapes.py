@@ -249,3 +249,30 @@ def test_dsir_ratio_model_is_broadcast(spark):
     plan = _plan(out)
     assert "BroadcastHashJoin" in plan
     assert "partial_sum" in plan
+
+
+def test_ivfpq_probe_prunes_code_partitions(spark, tmp_path):
+    """The IVF-PQ ADC probe's codes scan partition-prunes at planning
+    time exactly like the raw-vector probe: the nprobe cell set shows
+    up in PartitionFilters, not a post-scan Filter — at 100 TB that is
+    the difference between reading (nprobe/K)·(M/4D) of the corpus and
+    reading all of it."""
+    from garmadon_spark.operators import similarity
+    from garmadon_spark.session import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "ivfpq")
+    similarity.write_ivfpq_index(
+        embs, path, n_centroids=8, m=16, ksub=16, iterations=1,
+        pq_iterations=2, opq=True,
+    )
+    q = [float(x) for x in embs.head()["embedding"]]
+    probe = similarity.ivfpq_topk_from_index(
+        spark, path, q, k=5, nprobe=2
+    )
+    plan = _plan(probe)
+    scan = next(l for l in plan.splitlines()
+                if "FileScan" in l and "codes" in l)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", scan)
+    assert m and "ivf_cell" in m.group(1) and " IN " in m.group(1), scan
+    assert probe.count() == 5

@@ -1100,3 +1100,28 @@ def test_perplexity_model_scores_stream_equals_batch(spark, tmp_path):
            for r in text_ops.perplexity_from_model(
                spark.read.parquet(src), path).collect()}
     assert got == exp and len(got) > 0
+
+
+def test_serve_ann_stream_names_missing_index(spark, tmp_path):
+    """A genuinely missing index must fail LOUD with the remediation in
+    the message after the bounded mid-swap retry — not an opaque
+    path-not-found from deep inside the centroid load (r8 advice)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from garmadon_spark.streaming import ann
+
+    src = str(tmp_path / "queries")
+    spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0])], "query_id long, embedding array<float>"
+    ).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .parquet(src)
+    )
+    q = ann.serve_ann_stream(
+        stream, str(tmp_path / "no_such_index"),
+        str(tmp_path / "out"), str(tmp_path / "ckpt"), k=3, nprobe=2,
+    ).start()
+    with pytest.raises(StreamingQueryException,
+                       match="index absent or mid-swap"):
+        q.awaitTermination()
