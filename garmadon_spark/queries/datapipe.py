@@ -3301,8 +3301,9 @@ def _ensure_ivfpq_retrained_index(spark, sf_dir):
 
 def _ivfpq_recall_df(spark, path, n_base, stage, k=10):
     """Sampled recall@k of the SERVING-SHAPE probe (cells/2 probed,
-    ADC over M-byte codes, rerank 4·k — emb_ann_ivfpq's
-    constant-fraction contract) vs the exact all-cells cosine ranking
+    ADC over M-byte codes, rerank scaled below — both constant
+    FRACTIONS, so the contract is size-independent) vs the exact
+    all-cells cosine ranking
     of the same index's vectors, so the measured gap is exactly
     pruning + compression.  BOTH sides are batched: one
     ivfpq_topk_batch call and one ivf_topk_batch call per stage — the
