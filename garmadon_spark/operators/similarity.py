@@ -2406,8 +2406,10 @@ def retrain_ivfpq_index(
     stored space and persists the COMPOSITION R_new·R_old, so external
     raw queries keep working through one stored matrix.  Rotation
     refit only applies to an index built with ``opq=True``
-    (``refit_rotation`` is ignored otherwise — pass m/ksub explicitly
-    to ADD rotation at retrain time if wanted).
+    (``refit_rotation`` is ignored otherwise); a retrain never ADDS a
+    rotation to an unrotated index — the stored vectors would have to
+    be rewritten into the new space, which is a rebuild, not a refit
+    (``write_ivfpq_index(opq=True)`` over the corpus).
 
     Returns ``(centroids, codebooks)``."""
     import os as _os
@@ -2570,11 +2572,13 @@ def ivfpq_topk_batch(
     probed = [int(r.ivf_cell)
               for r in exploded.select("ivf_cell").distinct().collect()]
 
-    # batch-sized driver collect: per-query LUT tensor + query matrix
+    # batch-sized driver collect: per-query LUT tensor + query matrix.
+    # qpos keys on the RAW id value (no integer cast) so string/UUID
+    # query ids work exactly like in ivf_topk_batch — pandas hands the
+    # UDF np.int64 for long ids, which hash-equals the Python int key
     qrows = planned.select("query_id", "_qvec").collect()
-    qids = np.asarray([r.query_id for r in qrows], dtype=np.int64)
     Qmat = np.asarray([list(r._qvec) for r in qrows], dtype=np.float64)
-    qpos = {int(qid): i for i, qid in enumerate(qids)}
+    qpos = {r.query_id: i for i, r in enumerate(qrows)}
     lut = np.empty((len(qrows), m, ksub), dtype=np.float64)
     for j in range(m):
         lut[:, j, :] = Qmat[:, j * dsub:(j + 1) * dsub] @ books[j].T
@@ -2586,7 +2590,7 @@ def ivfpq_topk_batch(
     @pandas_udf("double")
     def _adc(qid: pd.Series, cell: pd.Series, codes: pd.Series
              ) -> pd.Series:
-        qi = np.asarray([qpos[int(x)] for x in qid], dtype=np.int64)
+        qi = np.asarray([qpos[x] for x in qid], dtype=np.int64)
         ci = np.asarray([cpos[int(x)] for x in cell], dtype=np.int64)
         C = np.asarray(codes.to_list(), dtype=np.int64)
         qc = (Qmat[qi] * Cmat[ci]).sum(axis=1)

@@ -3254,7 +3254,11 @@ def _ensure_ivfpq_drift_index(spark, sf_dir):
     n = _emb_count(spark, sf_dir)
     k = _ivf_cells_for(n)
     path = _ivfpq_drift_path(sf_dir)
-    want = f"k={k};sig={_emb_signature(sf_dir)}"
+    # the stamp records every build param the fixture depends on —
+    # changing _PQ_M/_PQ_KSUB/iterations in a later round must rebuild,
+    # not silently serve an index built with the old quantizer shape
+    want = (f"k={k};m={_PQ_M};ks={_PQ_KSUB};pi=3;oi=6;"
+            f"sig={_emb_signature(sf_dir)}")
     stamp = os.path.join(path, "_OK")
     stamped = open(stamp).read() if os.path.exists(stamp) else None
     if stamped != want:
@@ -3284,7 +3288,8 @@ def _ensure_ivfpq_retrained_index(spark, sf_dir):
     dpath, n = _ensure_ivfpq_drift_index(spark, sf_dir)
     k2 = _ivf_cells_for(2 * n)
     path = _ivfpq_retrain_path(sf_dir)
-    want = f"k={k2};sig={_emb_signature(sf_dir)}"
+    want = (f"k={k2};m={_PQ_M};ks={_PQ_KSUB};pi=3;"
+            f"sig={_emb_signature(sf_dir)}")
     stamp = os.path.join(path, "_OK")
     stamped = open(stamp).read() if os.path.exists(stamp) else None
     if stamped != want:

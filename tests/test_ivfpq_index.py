@@ -459,3 +459,40 @@ def test_sync_ivfpq_codes_heals_crash_window(spark, embs, tmp_path):
               codes.select("vec_id", "ivf_cell").collect()}
     assert vcells == ccells
     assert similarity.sync_ivfpq_codes(spark, path) == 0  # idempotent
+
+
+def test_ivfpq_batch_accepts_string_query_ids(spark, embs, tmp_path):
+    """The batched ADC probe must accept ANY query-id type like its
+    twin ivf_topk_batch — the r9 advisor found the LUT position map
+    int64-casting query ids, so string/UUID ids crashed.  Same index,
+    same vectors: results under string ids must be the int-id results
+    modulo the id relabeling, on both the ADC and rerank paths."""
+    path = str(tmp_path / "idx")
+    similarity.write_ivfpq_index(
+        embs, path, n_centroids=8, m=16, ksub=16, iterations=1,
+        pq_iterations=3, opq=True,
+    )
+    qids = [0, 7, 42]
+    int_q = embs.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    str_q = int_q.select(
+        F.concat(F.lit("q-"), F.col("query_id")).alias("query_id"),
+        "embedding",
+    )
+    for rerank in (0, 20):
+        a = similarity.ivfpq_topk_batch(
+            spark, path, int_q, k=5, nprobe=4, rerank=rerank,
+            exclude_self=False,
+        )
+        want = {(f"q-{r.query_id}", r.rank, r.vec_id, r[2])
+                for r in a.collect()}
+        a._gs_unpersist()
+        b = similarity.ivfpq_topk_batch(
+            spark, path, str_q, k=5, nprobe=4, rerank=rerank,
+            exclude_self=False,
+        )
+        got = {(r.query_id, r.rank, r.vec_id, r[2])
+               for r in b.collect()}
+        b._gs_unpersist()
+        assert got == want and len({q for q, *_ in got}) == 3
