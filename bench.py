@@ -496,6 +496,9 @@ def main():
             ]
         by_stage: dict = {}
         for r in recall_curve:
+            if r["nprobe"] >= r["cells"]:
+                continue   # all-cells anchor row: 1.0 by construction,
+                # not a floor-relevant scalar (the curve keeps it)
             key = (r["stage"], r["cohort"])
             cur = by_stage.get(key)
             if cur is None or r["nprobe"] > cur["nprobe"]:

@@ -248,15 +248,20 @@ def test_lifecycle_queries_contract(spark):
         ("appended", "base"), ("appended", "drifted")}
     assert {(s, c) for s, c, _ in ret} == {
         ("retrained", "base"), ("retrained", "drifted")}
-    # same width set for every cohort within a stage
+    # same width set for every cohort within a stage, and the all-cells
+    # anchor keeps every stage a curve (≥2 widths) even at the fixture's
+    # tiny cell counts where the three fractions collapse to one
     for d in (rec, ret):
         widths = {}
         for s, c, np_ in d:
             widths.setdefault(c, set()).add(np_)
         assert len(set(map(frozenset, widths.values()))) == 1
+        assert all(len(w) >= 2 for w in widths.values()), widths
     for r in list(rec.values()) + list(ret.values()):
         assert 0.0 <= r.recall <= 1.0
-        assert r.nprobe < r.cells or r.cells <= 4
+        assert r.nprobe <= r.cells
+        if r.nprobe == r.cells:       # the anchor row is exact-vs-exact
+            assert r.recall == 1.0, r
     row = dp.emb_ann_lifecycle_check(spark, sf).head()
     assert all(list(row.asDict().values())), row.asDict()
 
@@ -309,10 +314,12 @@ def test_recall_curve_three_widths_monotone(spark, embs, tmp_path):
     similarity.append_to_ivf_index(_drifted(embs, n), path)
     rows = _recall_df(spark, path, n, stage="appended").collect()
     widths = sorted({r.nprobe for r in rows})
-    assert widths == [8, 16, 32]          # cells/8, cells/4, cells/2
+    # cells/8, cells/4, cells/2 + the all-cells anchor
+    assert widths == [8, 16, 32, 64]
     for cohort in ("base", "drifted"):
         curve = [r.recall for r in
                  sorted((x for x in rows if x.cohort == cohort),
                         key=lambda r: r.nprobe)]
-        assert len(curve) == 3
+        assert len(curve) == 4
         assert curve == sorted(curve), (cohort, curve)
+        assert curve[-1] == 1.0           # the anchor is exact-vs-exact
