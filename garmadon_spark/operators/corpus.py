@@ -583,6 +583,9 @@ def corpus_report(
 
 REPORT_CHAR_BIN = 64
 REPORT_HLL_LG_K = 12
+# corpus_report_stream keeps only this many newest commit markers —
+# a committed fold can never replay, so old markers are dead weight
+_REPORT_RETAIN_MARKERS = 3
 
 
 def corpus_report_partials(
@@ -751,10 +754,20 @@ def corpus_report_stream(
     documents).  Same honest window as every merge sink here: a crash
     BETWEEN the partition commit and the marker write can double-fold
     one batch; closing it needs a transactional table format (the
-    documented production swap).  Returns the (unstarted,
+    documented production swap).  Markers older than the newest
+    ``_REPORT_RETAIN_MARKERS`` are pruned after each commit — a
+    committed batch can never replay (the checkpoint committed past
+    it; Structured Streaming only ever re-runs the LAST uncommitted
+    batch), so an old marker's only job is done and the directory
+    stays bounded instead of growing O(total batches ever), the same
+    retention maintain_freq_items_stream applies.  The newest marker
+    always survives, which is all _refuse_foreign_chain's O(1)
+    own-vs-foreign read needs.  Returns the (unstarted,
     availableNow-triggered) writer."""
     from garmadon_spark.sinks.rollup import (
         _checkpoint_run_id,
+        _hadoop_fs,
+        _list_markers,
         _marker_current,
         _refuse_foreign_chain,
         _write_marker,
@@ -780,6 +793,15 @@ def corpus_report_stream(
             sess, batch_df, path, group_cols, text_col, char_bin, lg_k
         )
         _write_marker(sess, marker, cache["run"])
+        marked = []
+        for m in _list_markers(sess, f"{path}/_report_batches"):
+            stem = m.rsplit("/", 1)[-1][: -len(".done")]
+            if stem.isdigit():
+                marked.append(int(stem))
+        for b in sorted(marked)[:-_REPORT_RETAIN_MARKERS]:
+            fs, jp = _hadoop_fs(
+                sess, f"{path}/_report_batches/{b}.done")
+            fs.delete(jp, False)
 
     return (
         docs.writeStream.foreachBatch(_fold)

@@ -442,3 +442,50 @@ def test_corpus_report_stream_exactly_once(spark, tmp_path):
     with _pytest.raises(StreamingQueryException,
                         match="different streaming incarnation"):
         drain(str(tmp_path / "ckpt2"))
+
+
+def test_corpus_report_stream_prunes_markers(spark, tmp_path):
+    """The fold's commit-marker directory is BOUNDED: after draining
+    more batches than _REPORT_RETAIN_MARKERS, only the newest retained
+    markers remain (a committed fold can never replay — the checkpoint
+    committed past it — so old markers are dead weight), the newest
+    marker survives (what _refuse_foreign_chain's O(1) read needs),
+    and the folded state still equals the one-shot report."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    docs = _report_docs(spark)
+    src = str(tmp_path / "src")
+    n_batches = corpus._REPORT_RETAIN_MARKERS + 3
+    for i in range(n_batches):
+        docs.filter(F.col("doc_id") % n_batches == i).coalesce(1) \
+            .write.mode("append").parquet(src)
+    path = str(tmp_path / "state")
+    q = corpus.corpus_report_stream(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+        path, str(tmp_path / "ckpt"),
+    ).start()
+    q.awaitTermination()
+
+    markers = sorted(
+        int(f[: -len(".done")])
+        for f in os.listdir(f"{path}/_report_batches")
+        if f.endswith(".done")
+    )
+    assert len(markers) <= corpus._REPORT_RETAIN_MARKERS
+    assert markers[-1] == n_batches - 1      # the newest always survives
+    served = {
+        (r.lang, r.source): r
+        for r in corpus.corpus_report_from_partials(
+            spark.read.parquet(path)
+        ).collect()
+    }
+    oneshot = {
+        (r.lang, r.source): r
+        for r in corpus.corpus_report_from_partials(
+            corpus.corpus_report_partials(docs)
+        ).collect()
+    }
+    assert served == oneshot
