@@ -2158,6 +2158,22 @@ def load_opq_rotation(spark, path: str) -> list | None:
     return [list(r.row) for r in rows]
 
 
+def load_ivfpq_quantizer(spark, path: str) -> tuple:
+    """The persisted IVF-PQ index's ENTIRE quantizer stack in one
+    driver-sized object: ``(fine_rows, coarse_by_id, books, rotation)``
+    — the coarse/fine centroid tables (load_ivf_centroids), the
+    residual codebooks as float64 arrays, and the OPQ rotation (None
+    for an unrotated index).  k·d + m·ksub·dsub + d² doubles.  This is
+    the unit the streaming server caches per quantizer GENERATION: a
+    blue/green re-train swaps all four together (atomic root swap), so
+    caching them as one tuple can never mix stacks."""
+    books = [np.asarray(b, dtype=np.float64)
+             for b in load_pq_codebooks(spark, path)]
+    rotation = load_opq_rotation(spark, path)
+    fine_rows, coarse_by_id = load_ivf_centroids(spark, path)
+    return fine_rows, coarse_by_id, books, rotation
+
+
 def ivfpq_topk_from_index(
     spark,
     path: str,
@@ -2514,6 +2530,7 @@ def ivfpq_topk_batch(
     vec_col: str = "embedding",
     exclude_self: bool = True,
     queries_in_index_space: bool = False,
+    quantizer: tuple | None = None,
 ) -> DataFrame:
     """Probe a persisted IVF-PQ index with a BATCH of query vectors —
     ivf_topk_batch's plan shape over the M-byte codes tree:
@@ -2536,18 +2553,23 @@ def ivfpq_topk_batch(
     Driver budget: the query batch is collected once to build the LUT
     tensor — batch-sized, the serving contract ivf_topk_batch already
     sets (its probe UDF closure carries the same batch).  Returns
-    (query_id, vec_id, cosine|adc, rank); carries ``_gs_unpersist``."""
+    (query_id, vec_id, cosine|adc, rank); carries ``_gs_unpersist``.
+
+    ``quantizer``: a preloaded load_ivfpq_quantizer tuple — the
+    streaming server passes its generation-checked cache here so a
+    long-running serve loop reads the quantizer side tables once per
+    re-train, not once per micro-batch (the ivf_topk_batch
+    ``centroids=`` contract extended to rotation + codebooks)."""
     from pyspark.sql import Window
     from pyspark.sql.functions import pandas_udf
 
-    books = [np.asarray(b, dtype=np.float64) for b in
-             load_pq_codebooks(spark, path)]
+    if quantizer is None:
+        quantizer = load_ivfpq_quantizer(spark, path)
+    fine_rows, coarse_by_id, books, rotation = quantizer
+    books = [np.asarray(b, dtype=np.float64) for b in books]
     m = len(books)
     dsub = books[0].shape[1]
     ksub = books[0].shape[0]
-    rotation = load_opq_rotation(spark, path)
-
-    fine_rows, coarse_by_id = load_ivf_centroids(spark, path)
     probe_branches = (_branch_budget(len(fine_rows), len(coarse_by_id),
                                      nprobe)
                       if coarse_by_id else 0)

@@ -110,16 +110,29 @@ def apply_results_retention(
     return sorted(dropped)
 
 
-def _quantizer_generation(index_path: str) -> tuple:
-    """Cheap identity of the index's quantizer: the mtimes of the
-    ``centroids`` and ``coarse`` side-table directories.  A blue/green
-    re-train swaps the index ROOT, so both resolve to newly written
-    directories (new mtimes); appends and cell compaction touch only
-    ``vectors/`` and leave the generation unchanged."""
+_IVF_GEN_SIDES = ("centroids", "coarse")
+_IVFPQ_GEN_SIDES = ("centroids", "coarse", "codebooks", "rotation")
+
+
+def _quantizer_generation(
+    index_path: str, sides: tuple = _IVF_GEN_SIDES
+) -> tuple:
+    """Cheap identity of the index's quantizer: the mtimes of its
+    side-table directories (``centroids``/``coarse`` for plain IVF;
+    plus ``codebooks``/``rotation`` for IVF-PQ — one tuple, so the
+    serving cache can never mix a new coarse layer with stale
+    codebooks).  A blue/green re-train swaps the index ROOT, so every
+    side resolves to a newly written directory (new mtimes); appends
+    and cell compaction touch only ``vectors/``/``codes/`` and leave
+    the generation unchanged.  ``gen[0] is None`` (no centroid table —
+    the one side every layout requires) is the index-absent/mid-swap
+    signal the serve loop retries on; an absent ``coarse`` (flat
+    index) or ``rotation`` (unrotated index) is just None in its slot
+    and compares stably."""
     import os as _os
 
     gen = []
-    for side in ("centroids", "coarse"):
+    for side in sides:
         try:
             gen.append(_os.stat(f"{index_path}/{side}").st_mtime_ns)
         except OSError:
