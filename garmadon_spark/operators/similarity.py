@@ -1165,6 +1165,23 @@ def _probe_cells_udf(fine_rows, coarse_by_id, nprobe, probe_branches):
     return _probe
 
 
+def _drop_self_rows(joined: DataFrame, id_col: str) -> DataFrame:
+    """The ``exclude_self`` filter shared by both batch probes: drop
+    candidate rows whose corpus id equals the query id.  When the two id
+    DTYPES differ (external string/UUID query ids probed with
+    ``exclude_self=True`` against a bigint corpus), a direct ``!=``
+    would ANSI-cast the string to bigint and throw CAST_INVALID_INPUT
+    on executors — compare both sides as strings instead (exact for
+    integer ids; a fractional corpus id never string-equals an integer
+    query id, which errs toward keeping the row — the safe side)."""
+    dt = dict(joined.dtypes)
+    if dt[id_col] == dt["query_id"]:
+        return joined.filter(F.col(id_col) != F.col("query_id"))
+    return joined.filter(
+        F.col(id_col).cast("string") != F.col("query_id").cast("string")
+    )
+
+
 def ivf_topk_batch(
     spark,
     path: str,
@@ -1244,7 +1261,8 @@ def ivf_topk_batch(
     joined = vectors.join(F.broadcast(exploded), "ivf_cell")
     if exclude_self:
         # queries drawn from the corpus: drop the query's own row
-        joined = joined.filter(F.col(id_col) != F.col("query_id"))
+        # (dtype-safe — string/UUID query ids must not ANSI-cast)
+        joined = _drop_self_rows(joined, id_col)
     out = (
         joined
         .select(
@@ -2624,7 +2642,9 @@ def ivfpq_topk_batch(
     )
     joined = codes_df.join(F.broadcast(exploded), "ivf_cell")
     if exclude_self:
-        joined = joined.filter(F.col(id_col) != F.col("query_id"))
+        # dtype-safe: string/UUID query ids vs bigint vec ids must
+        # compare without an ANSI cast (r10 advisor finding)
+        joined = _drop_self_rows(joined, id_col)
     scored = joined.select(
         "query_id", id_col,
         _adc(F.col("query_id"), F.col("ivf_cell"),

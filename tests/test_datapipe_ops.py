@@ -837,6 +837,37 @@ def test_ann_batch_matches_single(spark, embs, tmp_path):
     assert "SortMergeJoin" not in plan
 
 
+def test_ann_batch_string_ids_with_exclude_self(spark, embs, tmp_path):
+    """External string/UUID query ids with the default
+    exclude_self=True: the self-exclusion filter must compare
+    dtype-safely (a direct != ANSI-casts the string to bigint and
+    throws on executors — r10 advisor).  An external id space shares
+    no ids with the corpus, so exclusion is a no-op: same rows as
+    exclude_self=False modulo the id relabeling."""
+    path = str(tmp_path / "ivf_strids")
+    similarity.write_ivf_index(embs, path, n_centroids=8, iterations=1)
+    int_q = embs.filter(F.col("vec_id").isin([0, 3, 7])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    str_q = int_q.select(
+        F.concat(F.lit("q-"), F.col("query_id")).alias("query_id"),
+        "embedding",
+    )
+    base = similarity.ivf_topk_batch(
+        spark, path, str_q, k=5, nprobe=4, exclude_self=False
+    )
+    want = {(r.query_id, r.rank, r.vec_id, r.cosine)
+            for r in base.collect()}
+    base._gs_unpersist()
+    excl = similarity.ivf_topk_batch(
+        spark, path, str_q, k=5, nprobe=4, exclude_self=True
+    )
+    got = {(r.query_id, r.rank, r.vec_id, r.cosine)
+           for r in excl.collect()}
+    excl._gs_unpersist()
+    assert got == want and len({q for q, *_ in got}) == 3
+
+
 def test_compact_ivf_index_merges_append_fragments(spark, embs, tmp_path):
     """Daily appends fragment the cell directories; compaction rewrites
     fragmented cells to one file each, preserves every row, keeps probe

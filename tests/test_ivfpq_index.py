@@ -496,3 +496,17 @@ def test_ivfpq_batch_accepts_string_query_ids(spark, embs, tmp_path):
                for r in b.collect()}
         b._gs_unpersist()
         assert got == want and len({q for q, *_ in got}) == 3
+
+        # exclude_self=True with string ids vs a bigint corpus: the r10
+        # advisor found the self-exclusion filter ANSI-casting the
+        # string id to bigint and throwing on executors.  An external
+        # id space shares no ids with the corpus, so exclusion must be
+        # a no-op — same rows as exclude_self=False, and no crash.
+        c = similarity.ivfpq_topk_batch(
+            spark, path, str_q, k=5, nprobe=4, rerank=rerank,
+            exclude_self=True,
+        )
+        got_excl = {(r.query_id, r.rank, r.vec_id, r[2])
+                    for r in c.collect()}
+        c._gs_unpersist()
+        assert got_excl == got
