@@ -140,6 +140,101 @@ def _quantizer_generation(
     return tuple(gen)
 
 
+def _serve_probe_loop(
+    queries: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    retain_batches: int | None,
+    sides: tuple,
+    load_quantizer,
+    probe,
+    build_hint: str,
+):
+    """The serving loop shared by ``serve_ann_stream`` (plain IVF) and
+    ``serve_ivfpq_stream`` (ADC over the codes tree).  Everything that
+    is NOT the probe itself lives here once: run-scoped marker
+    idempotence, the generation-checked quantizer cache
+    (``_quantizer_generation`` over ``sides``), the bounded mid-swap
+    retry, per-batch partition overwrite, and optional results
+    retention.  ``load_quantizer(sess)`` loads the driver-sized
+    quantizer unit; ``probe(sess, batch_df, quantizer)`` returns the
+    batch's result DataFrame (must carry ``_gs_unpersist``)."""
+    if retain_batches is not None and retain_batches < 1:
+        # fail at wiring time, not inside the first foreachBatch
+        raise ValueError("retain_batches must be >= 1")
+    cache: dict = {}
+
+    def _probe(batch_df: DataFrame, batch_id: int) -> None:
+        import time as _time
+
+        sess = batch_df.sparkSession
+        if "run" not in cache:
+            # the checkpoint's query id: stable across restarts of the
+            # SAME checkpoint, fresh for a new one — scopes the markers
+            # so a fresh-checkpoint restart over the same out_path
+            # RECOMPUTES colliding batch ids (idempotent per-partition
+            # overwrite) instead of silently skipping them
+            cache["run"] = _checkpoint_run_id(sess, checkpoint)
+            # allow_foreign: serving batches are independent and
+            # idempotently overwritten, so a dead incarnation's marker
+            # is simply recomputed — only the unreadable-run-id case
+            # must fail loud (own vs dead is indistinguishable)
+            _refuse_foreign_chain(
+                sess, f"{out_path}/_ann_batches", cache["run"],
+                "clear the results path or fix the checkpoint before "
+                "serving", allow_foreign=True,
+            )
+        run = cache["run"]
+        marker = f"{out_path}/_ann_batches/{batch_id}.done"
+        if _marker_current(sess, marker, run) or batch_df.isEmpty():
+            return
+        gen = _quantizer_generation(index_path, sides)
+        # gen[0] is None: the centroid table (the one side every layout
+        # requires) is ABSENT — the rename-pair fallback of a concurrent
+        # re-train swap (no renameat2 on this filesystem) has a
+        # sub-millisecond window between its two renames.  Bounded retry
+        # instead of killing the query.
+        if gen[0] is None:
+            for _ in range(50):
+                _time.sleep(0.1)
+                gen = _quantizer_generation(index_path, sides)
+                if gen[0] is not None:
+                    break
+            else:
+                # still absent after the bounded retry: this is not the
+                # swap window any more — name the real problem instead
+                # of letting the quantizer load die on an opaque
+                # path-not-found deep in the parquet reader
+                raise RuntimeError(
+                    f"ANN index absent or mid-swap at {index_path}: no "
+                    "quantizer side tables after 5 s — build the index "
+                    f"({build_hint}) or check the re-train job, then "
+                    "restart serving from the same checkpoint"
+                )
+        if cache.get("gen") != gen:
+            cache["quant"] = load_quantizer(sess)
+            cache["gen"] = gen
+        res = probe(sess, batch_df, cache["quant"])
+        try:
+            res.write.mode("overwrite").parquet(
+                f"{out_path}/batch_id={batch_id}"
+            )
+        finally:
+            res._gs_unpersist()
+        _write_marker(sess, marker, run)
+        if retain_batches is not None:
+            apply_results_retention(out_path, retain_batches,
+                                    run_id=run)
+
+    return (
+        queries.writeStream.foreachBatch(_probe)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+    )
+
+
 def serve_ann_stream(
     queries: DataFrame,
     index_path: str,
@@ -191,84 +286,81 @@ def serve_ann_stream(
     older than the newest N batches (markers pruned together —
     ``apply_results_retention``) after each commit.  None (default)
     keeps everything — the batch-job semantics."""
-    if retain_batches is not None and retain_batches < 1:
-        # fail at wiring time, not inside the first foreachBatch
-        raise ValueError("retain_batches must be >= 1")
-    cache: dict = {}
 
-    def _probe(batch_df: DataFrame, batch_id: int) -> None:
-        import time as _time
-
-        sess = batch_df.sparkSession
-        if "run" not in cache:
-            # the checkpoint's query id: stable across restarts of the
-            # SAME checkpoint, fresh for a new one — scopes the markers
-            # so a fresh-checkpoint restart over the same out_path
-            # RECOMPUTES colliding batch ids (idempotent per-partition
-            # overwrite) instead of silently skipping them
-            cache["run"] = _checkpoint_run_id(sess, checkpoint)
-            # allow_foreign: serving batches are independent and
-            # idempotently overwritten, so a dead incarnation's marker
-            # is simply recomputed — only the unreadable-run-id case
-            # must fail loud (own vs dead is indistinguishable)
-            _refuse_foreign_chain(
-                sess, f"{out_path}/_ann_batches", cache["run"],
-                "clear the results path or fix the checkpoint before "
-                "serving", allow_foreign=True,
-            )
-        run = cache["run"]
-        marker = f"{out_path}/_ann_batches/{batch_id}.done"
-        if _marker_current(sess, marker, run) or batch_df.isEmpty():
-            return
-        gen = _quantizer_generation(index_path)
-        # (None, None): the index root is ABSENT — the rename-pair
-        # fallback of a concurrent re-train swap (no renameat2 on this
-        # filesystem) has a sub-millisecond window between its two
-        # renames.  Bounded retry instead of killing the query.
-        if gen == (None, None):
-            for _ in range(50):
-                _time.sleep(0.1)
-                gen = _quantizer_generation(index_path)
-                if gen != (None, None):
-                    break
-            else:
-                # still absent after the bounded retry: this is not the
-                # swap window any more — name the real problem instead
-                # of letting the centroid load die on an opaque
-                # path-not-found deep in the parquet reader
-                raise RuntimeError(
-                    f"ANN index absent or mid-swap at {index_path}: no "
-                    "quantizer side tables after 5 s — build the index "
-                    "(write_ivf_index) or check the re-train job, then "
-                    "restart serving from the same checkpoint"
-                )
-        if cache.get("gen") != gen:
-            cache["cents"] = similarity.load_ivf_centroids(
-                sess, index_path
-            )
-            cache["gen"] = gen
-        cents = cache["cents"]
-        res = similarity.ivf_topk_batch(
+    def probe(sess, batch_df: DataFrame, quantizer) -> DataFrame:
+        return similarity.ivf_topk_batch(
             sess, index_path, batch_df, k=k, nprobe=nprobe,
             query_id_col=query_id_col, query_vec_col=query_vec_col,
-            exclude_self=exclude_self, centroids=cents,
+            exclude_self=exclude_self, centroids=quantizer,
         )
-        try:
-            res.write.mode("overwrite").parquet(
-                f"{out_path}/batch_id={batch_id}"
-            )
-        finally:
-            res._gs_unpersist()
-        _write_marker(sess, marker, run)
-        if retain_batches is not None:
-            apply_results_retention(out_path, retain_batches,
-                                    run_id=run)
 
-    return (
-        queries.writeStream.foreachBatch(_probe)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("update")
-        .trigger(availableNow=True)
+    return _serve_probe_loop(
+        queries, index_path, out_path, checkpoint, retain_batches,
+        _IVF_GEN_SIDES,
+        lambda sess: similarity.load_ivf_centroids(sess, index_path),
+        probe, "write_ivf_index",
+    )
+
+
+def serve_ivfpq_stream(
+    queries: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int | None = None,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    exclude_self: bool = False,
+    retain_batches: int | None = None,
+):
+    """``serve_ann_stream``'s twin over a persisted IVF-PQ index
+    (similarity.write_ivfpq_index): each micro-batch of query vectors
+    probes the M-byte CODES tree via ``ivfpq_topk_batch`` — ADC scoring
+    with the per-batch LUT tensor, the codes scan partition-pruned to
+    the union of probed cells at planning time — instead of the
+    4·D-byte vectors tree, so billion-scale serving reads
+    (nprobe/K)·(M/4D) of what the raw-vector probe reads.  Results land
+    in ``out_path`` as parquet rows (query_id, vec_id, cosine|adc,
+    rank, batch_id).  Reference analogue: the dashboard serving loop
+    (`ElasticSearchReader.java:230-279`) — a long-lived reader probing
+    a maintained store per request batch.
+
+    ``rerank``: shortlist size for the exact-cosine re-score from the
+    vectors tree (broadcast point lookup, pruned to the same cells).
+    Default None resolves to ``4·k`` — the corpus-fraction serving
+    contract the declared ``emb_ann_ivfpq`` query pins; pass ``0`` to
+    opt into pure-ADC results (columns then carry ``adc``, not
+    ``cosine``).
+
+    The quantizer cache holds the WHOLE stack as one unit
+    (``load_ivfpq_quantizer``: fine/coarse centroids + residual
+    codebooks + OPQ rotation — k·d + m·ksub·dsub + d² doubles of
+    driver memory) and is generation-checked over ALL FOUR side tables
+    (``_IVFPQ_GEN_SIDES``): a blue/green ``retrain_ivfpq_index`` swaps
+    the root atomically, so the next micro-batch reloads everything
+    together and can never mix a new coarse layer with stale codebooks;
+    appends and codes compaction touch only ``vectors/``/``codes/`` and
+    never trigger a reload.  Everything else — run-scoped marker
+    idempotence, per-batch partition overwrite, the mid-swap bounded
+    retry, ``retain_batches`` pruning, availableNow default trigger —
+    is the shared serving loop, identical to ``serve_ann_stream``."""
+    eff_rerank = 4 * k if rerank is None else rerank
+
+    def probe(sess, batch_df: DataFrame, quantizer) -> DataFrame:
+        return similarity.ivfpq_topk_batch(
+            sess, index_path, batch_df, k=k, nprobe=nprobe,
+            rerank=eff_rerank,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+            exclude_self=exclude_self, quantizer=quantizer,
+        )
+
+    return _serve_probe_loop(
+        queries, index_path, out_path, checkpoint, retain_batches,
+        _IVFPQ_GEN_SIDES,
+        lambda sess: similarity.load_ivfpq_quantizer(sess, index_path),
+        probe, "write_ivfpq_index",
     )
 
 

@@ -510,3 +510,37 @@ def test_ivfpq_batch_accepts_string_query_ids(spark, embs, tmp_path):
                     for r in c.collect()}
         c._gs_unpersist()
         assert got_excl == got
+
+
+def test_ivfpq_batch_preloaded_quantizer_parity(spark, embs, tmp_path):
+    """ivfpq_topk_batch(..., quantizer=load_ivfpq_quantizer(...))
+    equals the default self-load path on both the ADC and rerank paths
+    — pins the tuple ORDER contract (fine_rows, coarse_by_id, books,
+    rotation) the streaming server's generation-checked cache depends
+    on; a silent reorder in load_ivfpq_quantizer would break every
+    external quantizer= caller."""
+    path = str(tmp_path / "idx")
+    similarity.write_ivfpq_index(
+        embs, path, n_centroids=8, m=16, ksub=16, iterations=1,
+        pq_iterations=3, opq=True,
+    )
+    queries = embs.filter(F.col("vec_id").isin([0, 7, 42])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    quant = similarity.load_ivfpq_quantizer(spark, path)
+    assert quant[3] is not None          # OPQ index carries a rotation
+    for rerank in (0, 20):
+        a = similarity.ivfpq_topk_batch(
+            spark, path, queries, k=5, nprobe=4, rerank=rerank,
+        )
+        want = {(r.query_id, r.rank, r.vec_id, r[2])
+                for r in a.collect()}
+        a._gs_unpersist()
+        b = similarity.ivfpq_topk_batch(
+            spark, path, queries, k=5, nprobe=4, rerank=rerank,
+            quantizer=quant,
+        )
+        got = {(r.query_id, r.rank, r.vec_id, r[2])
+               for r in b.collect()}
+        b._gs_unpersist()
+        assert got == want and len({q for q, *_ in got}) == 3

@@ -1125,3 +1125,148 @@ def test_serve_ann_stream_names_missing_index(spark, tmp_path):
     with pytest.raises(StreamingQueryException,
                        match="index absent or mid-swap"):
         q.awaitTermination()
+
+
+def test_ivfpq_serve_stream_matches_batch(spark, tmp_path):
+    """Streaming ADC serving over the persisted IVF-PQ index
+    (serve_ivfpq_stream — the billion-scale serving loop reading the
+    M-byte codes tree, not the 4·D-byte vectors): per-micro-batch
+    results equal the batch ivfpq_topk_batch at the same widths, and a
+    fresh-checkpoint restart over the same out_path RECOMPUTES the
+    colliding batch id (run-scoped markers), never skips it."""
+    from garmadon_spark.operators import similarity
+    from garmadon_spark.session import load_table
+    from garmadon_spark.streaming import ann
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    index = str(tmp_path / "idx")
+    similarity.write_ivfpq_index(
+        embs, index, n_centroids=8, m=16, ksub=16, iterations=1,
+        pq_iterations=3, opq=True,
+    )
+    src = str(tmp_path / "queries")
+    queries = embs.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    queries.write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "results")
+    q = ann.serve_ivfpq_stream(
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+        index, out, str(tmp_path / "ckpt"), k=5, nprobe=4,
+        exclude_self=True,
+    ).start()
+    q.awaitTermination()
+    got = {
+        (r.query_id, r.rank): (r.vec_id, r.cosine)
+        for r in spark.read.parquet(out).collect()
+    }
+    exp_df = similarity.ivfpq_topk_batch(
+        spark, index, queries, k=5, nprobe=4, rerank=20,
+        exclude_self=True,
+    )  # rerank=20 == the serving default 4·k at k=5
+    exp = {
+        (r.query_id, r.rank): (r.vec_id, r.cosine)
+        for r in exp_df.collect()
+    }
+    exp_df._gs_unpersist()
+    assert got == exp and len({qq for qq, _ in got}) == 6
+
+    # fresh checkpoint, DIFFERENT queries, colliding batch id 0: the
+    # dead incarnation's 0.done marker must not swallow the new batch
+    src2 = str(tmp_path / "q2")
+    embs.filter(F.col("vec_id").isin(7, 8)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    ).write.parquet(src2)
+    q2 = ann.serve_ivfpq_stream(
+        spark.readStream.schema(spark.read.parquet(src2).schema)
+        .parquet(src2), index, out, str(tmp_path / "ck2"),
+        k=5, nprobe=4, exclude_self=True,
+    ).start()
+    q2.awaitTermination()
+    assert {r.query_id for r in spark.read.parquet(out).collect()} \
+        == {7, 8}          # recomputed, not skipped
+
+    # pure-ADC opt-out: rerank=0 serves adc scores, no vectors read
+    out3 = str(tmp_path / "res_adc")
+    q3 = ann.serve_ivfpq_stream(
+        spark.readStream.schema(spark.read.parquet(src2).schema)
+        .parquet(src2), index, out3, str(tmp_path / "ck3"),
+        k=5, nprobe=4, rerank=0, exclude_self=True,
+    ).start()
+    q3.awaitTermination()
+    res3 = spark.read.parquet(out3)
+    assert "adc" in res3.columns and res3.count() == 2 * 5
+
+
+def test_ivfpq_serve_stream_picks_up_retrain(spark, tmp_path):
+    """The IVF-PQ serving loop's quantizer cache is generation-checked
+    over ALL FOUR side tables (_IVFPQ_GEN_SIDES): after a blue/green
+    retrain_ivfpq_index (atomic root swap of centroids + coarse +
+    codebooks + rotation together), the NEXT micro-batch of the same
+    writer serves from the new stack — no restart.  An append leaves
+    the generation untouched and must NOT reload."""
+    from garmadon_spark.operators import similarity
+    from garmadon_spark.session import load_table
+    from garmadon_spark.streaming import ann
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    index = str(tmp_path / "idx")
+    similarity.write_ivfpq_index(
+        embs, index, n_centroids=8, m=16, ksub=16, iterations=1,
+        pq_iterations=3, opq=True,
+    )
+    g0 = ann._quantizer_generation(index, ann._IVFPQ_GEN_SIDES)
+    # flat OPQ index: centroids + codebooks + rotation present, no
+    # coarse layer (8 cells sits under the hierarchical threshold) —
+    # the absent side rides as a stable None in its slot
+    assert g0[0] is not None and g0[1] is None
+    assert g0[2] is not None and g0[3] is not None
+    # appends touch only the vectors/codes trees — generation stable
+    n = embs.count()
+    similarity.append_to_ivfpq_index(
+        embs.select((F.col("vec_id") + n).alias("vec_id"),
+                    "embedding", "label").limit(20),
+        index,
+    )
+    assert ann._quantizer_generation(index, ann._IVFPQ_GEN_SIDES) == g0
+
+    src = str(tmp_path / "queries")
+    embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    ).write.mode("append").parquet(src)
+    out = str(tmp_path / "results")
+    writer = ann.serve_ivfpq_stream(
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .parquet(src),
+        index, out, str(tmp_path / "ckpt"), k=5, nprobe=4,
+        exclude_self=True,
+    )
+    h = writer.start()
+    h.awaitTermination()           # batch 0 — cache primed on 8 cells
+
+    similarity.retrain_ivfpq_index(
+        spark, index, n_centroids=12, iterations=1, pq_iterations=3,
+    )
+    assert ann._quantizer_generation(index, ann._IVFPQ_GEN_SIDES) != g0
+
+    q2 = embs.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 6)) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    q2.write.mode("append").parquet(src)
+    h2 = writer.start()            # SAME closure + checkpoint
+    h2.awaitTermination()          # batch 1 — generation changed
+
+    got = {
+        (r.query_id, r.rank): (r.vec_id, r.cosine)
+        for r in spark.read.parquet(out)
+        .filter(F.col("query_id") >= 3).collect()
+    }
+    exp_df = similarity.ivfpq_topk_batch(
+        spark, index, q2, k=5, nprobe=4, rerank=20, exclude_self=True,
+    )
+    exp = {
+        (r.query_id, r.rank): (r.vec_id, r.cosine)
+        for r in exp_df.collect()
+    }
+    exp_df._gs_unpersist()
+    assert got == exp and len({qq for qq, _ in got}) == 3
