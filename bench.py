@@ -483,6 +483,7 @@ def main():
     try:
         from garmadon_spark.queries.datapipe import (
             _memo_fetch, emb_ann_recall, emb_ann_retrain,
+            is_anchor_recall_row,
         )
 
         for memo, q in (("ann_recall_appended", emb_ann_recall),
@@ -496,9 +497,10 @@ def main():
             ]
         by_stage: dict = {}
         for r in recall_curve:
-            if r["nprobe"] >= r["cells"]:
+            if is_anchor_recall_row(r["nprobe"], r["cells"]):
                 continue   # all-cells anchor row: 1.0 by construction,
-                # not a floor-relevant scalar (the curve keeps it)
+                # not a floor-relevant scalar (the curve keeps it) —
+                # shared definition with emb_ann_lifecycle_check
             key = (r["stage"], r["cohort"])
             cur = by_stage.get(key)
             if cur is None or r["nprobe"] > cur["nprobe"]:

@@ -2707,6 +2707,17 @@ def _serving_nprobe(cells: int) -> int:
     return max(4, cells // 8)
 
 
+def is_anchor_recall_row(nprobe: int, cells: int) -> bool:
+    """True for the recall-vs-nprobe curve's all-cells ANCHOR rows —
+    recall = 1.0 by construction (the probe IS the exact side), kept on
+    the curve so every stage has ≥2 points even at tiny fixture cell
+    counts.  The single definition every FLOOR consumer must route
+    through (emb_ann_lifecycle_check's widest_row and bench.py's
+    recall scalars): a consumer that hand-codes the filter and drifts
+    would gate on a vacuous 1.0."""
+    return nprobe >= cells
+
+
 # recall floors pinned by measurement at sf0.001/sf0.01 (see
 # emb_ann_lifecycle_check); the drifted floor is intentionally the
 # headroom-free number — if quantization drift worsens, the check trips
@@ -2855,6 +2866,26 @@ def emb_ann_retrain(spark, sf_dir):
                        _recall_df(spark, path, n, stage="retrained"))
 
 
+def _widest_recall_rows(df) -> dict:
+    """Per-cohort recall at the widest NON-ANCHOR width of a recall
+    curve (the contract width cells/2) — what the lifecycle floors gate
+    on.  If an index's cell count collapses to the 4-wide probe floor,
+    EVERY measured width is the anchor — fall back to it rather than
+    KeyError: a 4-cell index's exact probe is legitimately its widest
+    observable point (r10 advisor)."""
+    out: dict = {}
+    anchors: dict = {}
+    for r in df.collect():
+        tgt = (anchors if is_anchor_recall_row(r.nprobe, r.cells)
+               else out)
+        cur = tgt.get(r.cohort)
+        if cur is None or r.nprobe > cur.nprobe:
+            tgt[r.cohort] = r
+    for c, r in anchors.items():
+        out.setdefault(c, r)
+    return {c: r.recall for c, r in out.items()}
+
+
 def emb_ann_lifecycle_check(spark, sf_dir):
     """Exact gate over the drift→re-train lifecycle:
 
@@ -2884,22 +2915,10 @@ def emb_ann_lifecycle_check(spark, sf_dir):
     Deterministic for a fixed corpus → constant-true oracle.
     Re-pinned at _DRIFT_QUERIES=32 per cohort across
     sf0.001/sf0.01/sf0.1 plus the 10×/100× replicas."""
-    def widest_row(df):
-        out: dict = {}
-        for r in df.collect():
-            if r.nprobe >= r.cells:
-                continue   # the all-cells anchor row is 1.0 by
-                # construction — gating on it would make the floors
-                # vacuous; the contract width stays cells/2
-            cur = out.get(r.cohort)
-            if cur is None or r.nprobe > cur.nprobe:
-                out[r.cohort] = r
-        return {c: r.recall for c, r in out.items()}
-
-    app = widest_row(
+    app = _widest_recall_rows(
         _memo_fetch(spark, sf_dir, "ann_recall_appended",
                     lambda: emb_ann_recall(spark, sf_dir)))
-    ret = widest_row(
+    ret = _widest_recall_rows(
         _memo_fetch(spark, sf_dir, "ann_recall_retrained",
                     lambda: emb_ann_retrain(spark, sf_dir)))
     _rp, n, k2 = _ensure_retrained_index(spark, sf_dir)
@@ -3244,6 +3263,13 @@ SELECT TRUE AS descent_monotone, TRUE AS opq_le_pca_init,
 
 _IVFPQ_DRIFT_QUERIES = 32  # per cohort — one batched probe per side
 _IVFPQ_RERANK = 4          # × k, the emb_ann_ivfpq serving contract
+# IVF-PQ fixture fit iterations — named ONCE and used in BOTH the
+# build/retrain calls and the rebuild stamps below, so changing either
+# count forces a fixture rebuild instead of silently serving an index
+# built with the old quantizer (the r10 advisor found the stamp
+# hardcoding literals decoupled from the actual build arguments)
+_PQ_FIT_ITERS = 3
+_OPQ_FIT_ITERS = 6
 
 
 def _ivfpq_drift_path(sf_dir: str) -> str:
@@ -3266,17 +3292,18 @@ def _ensure_ivfpq_drift_index(spark, sf_dir):
     k = _ivf_cells_for(n)
     path = _ivfpq_drift_path(sf_dir)
     # the stamp records every build param the fixture depends on —
-    # changing _PQ_M/_PQ_KSUB/iterations in a later round must rebuild,
+    # changing _PQ_M/_PQ_KSUB/the fit iteration constants must rebuild,
     # not silently serve an index built with the old quantizer shape
-    want = (f"k={k};m={_PQ_M};ks={_PQ_KSUB};pi=3;oi=6;"
-            f"sig={_emb_signature(sf_dir)}")
+    want = (f"k={k};m={_PQ_M};ks={_PQ_KSUB};pi={_PQ_FIT_ITERS};"
+            f"oi={_OPQ_FIT_ITERS};sig={_emb_signature(sf_dir)}")
     stamp = os.path.join(path, "_OK")
     stamped = open(stamp).read() if os.path.exists(stamp) else None
     if stamped != want:
         embs = _embs(spark, sf_dir)
         similarity.write_ivfpq_index(
             embs, path, n_centroids=k, m=_PQ_M, ksub=_PQ_KSUB,
-            iterations=1, pq_iterations=3, opq=True,
+            iterations=1, pq_iterations=_PQ_FIT_ITERS, opq=True,
+            opq_iterations=_OPQ_FIT_ITERS,
         )
         drifted = embs.select(
             (F.col("vec_id") + n).alias("vec_id"),
@@ -3299,8 +3326,8 @@ def _ensure_ivfpq_retrained_index(spark, sf_dir):
     dpath, n = _ensure_ivfpq_drift_index(spark, sf_dir)
     k2 = _ivf_cells_for(2 * n)
     path = _ivfpq_retrain_path(sf_dir)
-    want = (f"k={k2};m={_PQ_M};ks={_PQ_KSUB};pi=3;"
-            f"sig={_emb_signature(sf_dir)}")
+    want = (f"k={k2};m={_PQ_M};ks={_PQ_KSUB};pi={_PQ_FIT_ITERS};"
+            f"oi={_OPQ_FIT_ITERS};sig={_emb_signature(sf_dir)}")
     stamp = os.path.join(path, "_OK")
     stamped = open(stamp).read() if os.path.exists(stamp) else None
     if stamped != want:
@@ -3308,7 +3335,8 @@ def _ensure_ivfpq_retrained_index(spark, sf_dir):
         shutil.copytree(dpath, path)
         os.remove(os.path.join(path, "_OK"))
         similarity.retrain_ivfpq_index(
-            spark, path, n_centroids=k2, iterations=1, pq_iterations=3,
+            spark, path, n_centroids=k2, iterations=1,
+            pq_iterations=_PQ_FIT_ITERS, opq_iterations=_OPQ_FIT_ITERS,
         )
         with open(stamp, "w") as fh:
             fh.write(want)

@@ -323,3 +323,28 @@ def test_recall_curve_three_widths_monotone(spark, embs, tmp_path):
         assert len(curve) == 4
         assert curve == sorted(curve), (cohort, curve)
         assert curve[-1] == 1.0           # the anchor is exact-vs-exact
+
+
+def test_widest_recall_rows_anchor_fallback(spark):
+    """The lifecycle floors gate on the widest NON-anchor width via the
+    single shared anchor definition (is_anchor_recall_row).  Anchor
+    rows never win over a measured width; when a cohort's curve is ALL
+    anchors (cell count collapsed to the probe floor), the widest
+    anchor is returned instead of raising KeyError (r10 advisor)."""
+    from garmadon_spark.queries import datapipe as dp
+
+    assert dp.is_anchor_recall_row(8, 8) and dp.is_anchor_recall_row(9, 8)
+    assert not dp.is_anchor_recall_row(4, 8)
+
+    schema = ("stage string, cohort string, n_queries int, k int,"
+              " nprobe int, cells int, recall double")
+    mixed = spark.createDataFrame(
+        [("s", "base", 1, 1, 4, 8, 0.7),
+         ("s", "base", 1, 1, 8, 8, 1.0),       # anchor must not win
+         ("s", "drifted", 1, 1, 4, 4, 1.0),    # all-anchor cohort
+         ("s", "drifted", 1, 1, 6, 4, 1.0)],
+        schema,
+    )
+    got = dp._widest_recall_rows(mixed)
+    assert got["base"] == 0.7                  # not the vacuous 1.0
+    assert got["drifted"] == 1.0               # fallback, no KeyError
