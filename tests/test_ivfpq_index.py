@@ -544,3 +544,72 @@ def test_ivfpq_batch_preloaded_quantizer_parity(spark, embs, tmp_path):
                for r in b.collect()}
         b._gs_unpersist()
         assert got == want and len({q for q, *_ in got}) == 3
+
+
+def test_compact_codes_skips_unmarked_append_then_replay_no_dupes(
+        spark, embs, tmp_path):
+    """The duplicate window of the vectors tree, replayed over the
+    CODES subtree: a maintain_ivfpq_index_stream batch crashes BETWEEN
+    publish and marker, and compact_ivf_index(subtree='codes') runs
+    before the replay.  Compaction must skip cells holding the unmarked
+    batch's b{N}-* files in the codes tree too — otherwise the replay's
+    stale-file delete finds nothing there and the re-publish duplicates
+    every code row while the vectors tree stays clean (diverged trees,
+    the worst failure mode for ADC serving)."""
+    index = str(tmp_path / "idx")
+    similarity.write_ivfpq_index(
+        embs.filter(F.col("vec_id") % 2 == 0), index,
+        n_centroids=4, m=16, ksub=16, iterations=1, pq_iterations=3,
+        opq=True,
+    )
+    src = str(tmp_path / "new_vectors")
+    new = embs.filter(F.col("vec_id") % 2 == 1).select(
+        "vec_id", "embedding"
+    )
+    new.filter(F.col("vec_id") % 4 == 1).write.mode("append").parquet(src)
+    ckpt = str(tmp_path / "ckpt")
+    _drain_pq(spark, src, index, ckpt)
+    n_total = embs.count()
+
+    # crash window: batch 0 published to BOTH trees, marker lost, and
+    # the checkpoint never committed the batch (same-checkpoint replay)
+    markers = sorted(glob.glob(f"{index}/_append_batches/*.done"))
+    assert len(markers) == 1
+    os.remove(markers[0])
+    for f in os.listdir(f"{ckpt}/commits"):
+        os.remove(f"{ckpt}/commits/{f}")
+    bid = os.path.basename(markers[0])[: -len(".done")]
+    codes = f"{index}/codes"
+    dirty = {
+        d for d in os.listdir(codes)
+        if glob.glob(os.path.join(codes, d, f"b{bid}-*.parquet"))
+    }
+    assert dirty
+
+    compacted = similarity.compact_ivf_index(spark, index,
+                                             subtree="codes")
+    # unmarked-batch cells skipped; their b{N} files still in place
+    assert all(f"ivf_cell={c}" not in dirty for c in compacted)
+    for d in dirty:
+        assert glob.glob(os.path.join(codes, d, f"b{bid}-*.parquet"))
+
+    # the resumed checkpoint replays batch 0 (re-publish converges in
+    # both trees) and absorbs a second file — zero duplicate vec_ids
+    new.filter(F.col("vec_id") % 4 == 3).write.mode("append").parquet(src)
+    _drain_pq(spark, src, index, ckpt)
+    for tree in ("vectors", "codes"):
+        df = spark.read.parquet(f"{index}/{tree}")
+        assert df.count() == n_total, tree
+        assert df.select("vec_id").distinct().count() == n_total, tree
+
+    # with every marker back, compaction folds BOTH subtrees and
+    # preserves each tree's row set exactly, still cell-consistent
+    similarity.compact_ivf_index(spark, index, subtree="codes")
+    similarity.compact_ivf_index(spark, index, subtree="vectors")
+    vcells = {(r.vec_id, r.ivf_cell) for r in
+              spark.read.parquet(f"{index}/vectors")
+              .select("vec_id", "ivf_cell").collect()}
+    ccells = {(r.vec_id, r.ivf_cell) for r in
+              spark.read.parquet(f"{index}/codes")
+              .select("vec_id", "ivf_cell").collect()}
+    assert vcells == ccells and len(vcells) == n_total
