@@ -3593,6 +3593,116 @@ FROM documents GROUP BY 1, 2
 """
 
 
+# --- stream-served IVF-PQ ANN (r11) ----------------------------------
+#
+# The serving loop CLOSED over the persisted IVF-PQ index: results are
+# read from what serve_ivfpq_stream materialized (ADC over the M-byte
+# codes tree, generation-checked quantizer cache, run-scoped markers),
+# never re-probed per refresh — the same closing-the-loop ev_heavy_served
+# gives the sketch family.  Reference analogue: the dashboard serving
+# loop (ElasticSearchReader.java:230-279).
+
+_SERVE_QUERIES = 8   # corpus queries through the loop, 2 micro-batches
+
+
+def _ivfpq_serve_path(sf_dir: str) -> str:
+    return _index_cache_path(sf_dir, "embeddings.parquet",
+                             "garmadon_ivfpqserve_")
+
+
+def _ensure_ivfpq_served(spark, sf_dir):
+    """Materialize serve_ivfpq_stream's results once per corpus: the
+    first _SERVE_QUERIES corpus vectors written as TWO source files and
+    drained availableNow with maxFilesPerTrigger=1 — two micro-batches,
+    so the result genuinely crosses triggers (marker + quantizer-cache
+    mechanics exercised) — against the IVF-PQ drift fixture at the
+    serving-contract widths (nprobe = _serving_nprobe(cells), rerank
+    _IVFPQ_RERANK·k).  The stamp embeds the INDEX fixture's stamp, so
+    an index rebuild (new corpus signature or quantizer shape)
+    invalidates the served results too.  Returns
+    (out_dir, index_path, queries_df, nprobe)."""
+    import os
+    import shutil
+
+    from garmadon_spark.streaming import ann as _ann_stream
+
+    ipath, _n = _ensure_ivfpq_drift_index(spark, sf_dir)
+    cells = spark.read.parquet(f"{ipath}/centroids").count()
+    nprobe = _serving_nprobe(cells)
+    base = _ivfpq_serve_path(sf_dir)
+    stamp = os.path.join(base, "_OK")
+    with open(os.path.join(ipath, "_OK")) as fh:
+        idx_stamp = fh.read()
+    want = (f"q={_SERVE_QUERIES};k={_RECALL_K};np={nprobe};"
+            f"rr={_IVFPQ_RERANK};idx[{idx_stamp}]")
+    stamped = open(stamp).read() if os.path.exists(stamp) else None
+    queries = _embs(spark, sf_dir).filter(
+        F.col("vec_id") < _SERVE_QUERIES
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    if stamped != want:
+        shutil.rmtree(base, ignore_errors=True)
+        src = f"{base}/src"
+        queries.repartition(2).write.mode("overwrite").parquet(src)
+        q = _ann_stream.serve_ivfpq_stream(
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1").parquet(src),
+            ipath, f"{base}/out", f"{base}/ckpt",
+            k=_RECALL_K, nprobe=nprobe,
+            rerank=_IVFPQ_RERANK * _RECALL_K, exclude_self=True,
+        ).start()
+        q.awaitTermination()
+        with open(stamp, "w") as fh:
+            fh.write(want)
+    return f"{base}/out", ipath, queries, nprobe
+
+
+def emb_ivfpq_serve(spark, sf_dir):
+    """Served ANN results over the persisted IVF-PQ index: top-k
+    neighbors for _SERVE_QUERIES corpus queries, READ from the results
+    the streaming loop materialized — the dashboard-refresh pattern
+    (read the served partition, never re-probe history).  Rows-only
+    (ADC shortlist composition is engine-defined);
+    ``emb_ivfpq_serve_check`` gates exact stream==batch equality."""
+    out, _i, _q, _np = _ensure_ivfpq_served(spark, sf_dir)
+    return (
+        spark.read.parquet(out)
+        .select("query_id", "vec_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def emb_ivfpq_serve_check(spark, sf_dir):
+    """Exact gate over the serving loop: the SERVED rows equal
+    ivfpq_topk_batch at identical widths — the streaming mechanics
+    (micro-batching, markers, quantizer cache) must not change a single
+    (query, rank) → (vec_id, cosine) assignment — and every query was
+    served.  Driver work is 2·queries·k rows.  Deterministic for a
+    fixed corpus → constant-true oracle."""
+    out, ipath, queries, nprobe = _ensure_ivfpq_served(spark, sf_dir)
+    served = {(r.query_id, r.rank, r.vec_id, r.cosine)
+              for r in spark.read.parquet(out)
+              .select("query_id", "rank", "vec_id", "cosine").collect()}
+    exp_df = similarity.ivfpq_topk_batch(
+        spark, ipath, queries, k=_RECALL_K, nprobe=nprobe,
+        rerank=_IVFPQ_RERANK * _RECALL_K, exclude_self=True,
+    )
+    want = {(r.query_id, r.rank, r.vec_id, r.cosine)
+            for r in exp_df.collect()}
+    exp_df._gs_unpersist()
+    return spark.createDataFrame(
+        [(
+            bool(served == want),
+            bool(len({qq for qq, *_ in served}) == _SERVE_QUERIES),
+        )],
+        "stream_matches_batch boolean, all_queries_served boolean",
+    )
+
+
+EMB_IVFPQ_SERVE_CHECK_SQL = """
+SELECT TRUE AS stream_matches_batch, TRUE AS all_queries_served
+"""
+
+
 QUERIES = {
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
     "doc_exact_dedup": (doc_exact_dedup, DOC_EXACT_DEDUP_SQL),
@@ -3695,5 +3805,9 @@ QUERIES = {
     "doc_corpus_report_incr": (doc_corpus_report_incr, None),
     "doc_corpus_report_incr_check": (
         doc_corpus_report_incr_check, DOC_CORPUS_REPORT_INCR_CHECK_SQL
+    ),
+    "emb_ivfpq_serve": (emb_ivfpq_serve, None),
+    "emb_ivfpq_serve_check": (
+        emb_ivfpq_serve_check, EMB_IVFPQ_SERVE_CHECK_SQL
     ),
 }

@@ -356,6 +356,14 @@ def test_opq_and_ivfpq_queries_contract(spark):
     row = dp.emb_ivfpq_lifecycle_check(spark, sf).head()
     assert all(row.asDict().values()), row.asDict()
 
+    # the served-ANN pair: k rows per query from the streamed results,
+    # and the exact stream==batch gate holds
+    served = dp.emb_ivfpq_serve(spark, sf).collect()
+    assert len(served) == dp._SERVE_QUERIES * dp._RECALL_K
+    assert {r.query_id for r in served} == set(range(dp._SERVE_QUERIES))
+    row = dp.emb_ivfpq_serve_check(spark, sf).head()
+    assert all(row.asDict().values()), row.asDict()
+
 
 def test_ivfpq_batch_matches_single(spark, embs, tmp_path):
     """The batched ADC probe reproduces the single-query probe exactly
