@@ -307,6 +307,38 @@ def _tree_bytes(root: str) -> int:
     return total
 
 
+def _pq_twin_leg(
+    spark, embs_path: str, idx_pq: str, k_cells: int, prefix: str,
+    query_rows, n_batches: int, batch_size: int,
+) -> dict:
+    """Build the IVF-PQ twin of a synthetic decade's index and measure
+    ADC serving at the same widths: m=8 codes (8 B vs 8·64 B raw) with
+    a sample-bounded 2-iteration PQ fit so the build stays bench-cheap,
+    plus the measured codes/vectors tree bytes behind the
+    ``ann_pq_*_codes_frac`` scalar."""
+    from garmadon_spark.operators import similarity
+    from garmadon_spark.queries.datapipe import _serving_nprobe
+    from garmadon_spark.streaming import ann as _ann
+
+    similarity.write_ivfpq_index(
+        spark.read.parquet(embs_path), idx_pq,
+        n_centroids=k_cells, m=8, ksub=16, iterations=1,
+        pq_iterations=2,
+    )
+    out = {
+        f"ann_pq_{prefix.removeprefix('ann_serve_pq_')}_codes_bytes":
+            _tree_bytes(f"{idx_pq}/codes"),
+        f"ann_pq_{prefix.removeprefix('ann_serve_pq_')}_vectors_bytes":
+            _tree_bytes(f"{idx_pq}/vectors"),
+    }
+    out.update(_serve_latency(
+        spark, idx_pq, query_rows, _serving_nprobe(k_cells), k_cells,
+        prefix, n_batches, batch_size,
+        serve_fn=_ann.serve_ivfpq_stream,
+    ))
+    return out
+
+
 def ann_serving_bench(
     spark, sf_dir: str, n_batches: int = 24, batch_size: int = 32
 ) -> dict:
@@ -380,24 +412,10 @@ def ann_serving_bench(
             "ann_serve_syn", n_batches, batch_size,
         ))
         # ADC twin: same corpus, same widths, IVF-PQ codes tree
-        # (m=8 → 8-byte codes vs 8·64-byte vectors; pq fit is
-        # sample-bounded so the build stays bench-cheap)
-        from garmadon_spark.streaming import ann as _ann
-
-        idx_pq = f"{tmp}/idx_pq"
-        similarity.write_ivfpq_index(
-            spark.read.parquet(f"{tmp}/embs"), idx_pq,
-            n_centroids=k_cells, m=8, ksub=16, iterations=1,
-            pq_iterations=2,
-        )
-        out["ann_pq_syn_codes_bytes"] = _tree_bytes(f"{idx_pq}/codes")
-        out["ann_pq_syn_vectors_bytes"] = _tree_bytes(
-            f"{idx_pq}/vectors")
-        out.update(_serve_latency(
-            spark, idx_pq, syn_rows[: n_batches * batch_size],
-            _serving_nprobe(k_cells), k_cells,
-            "ann_serve_pq_syn", n_batches, batch_size,
-            serve_fn=_ann.serve_ivfpq_stream,
+        out.update(_pq_twin_leg(
+            spark, f"{tmp}/embs", f"{tmp}/idx_pq", k_cells,
+            "ann_serve_pq_syn", syn_rows[: n_batches * batch_size],
+            n_batches, batch_size,
         ))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -449,21 +467,9 @@ def ann_serving_bench(
         ))
         # ADC twin at the hierarchical decade — the layout built for
         # billion-scale serving, measured at the same widths
-        from garmadon_spark.streaming import ann as _ann
-
-        idx2_pq = f"{tmp2}/idx_pq"
-        similarity.write_ivfpq_index(
-            spark.read.parquet(f"{tmp2}/embs"), idx2_pq,
-            n_centroids=k2_cells, m=8, ksub=16, iterations=1,
-            pq_iterations=2,
-        )
-        out["ann_pq_syn2_codes_bytes"] = _tree_bytes(f"{idx2_pq}/codes")
-        out["ann_pq_syn2_vectors_bytes"] = _tree_bytes(
-            f"{idx2_pq}/vectors")
-        out.update(_serve_latency(
-            spark, idx2_pq, qrows2, _serving_nprobe(k2_cells), k2_cells,
-            "ann_serve_pq_syn2", n2_batches, batch_size,
-            serve_fn=_ann.serve_ivfpq_stream,
+        out.update(_pq_twin_leg(
+            spark, f"{tmp2}/embs", f"{tmp2}/idx_pq", k2_cells,
+            "ann_serve_pq_syn2", qrows2, n2_batches, batch_size,
         ))
     finally:
         shutil.rmtree(tmp2, ignore_errors=True)
@@ -545,37 +551,32 @@ def main():
     recall_fields: dict = {}
     try:
         from garmadon_spark.queries.datapipe import (
-            _memo_fetch, emb_ann_recall, emb_ann_retrain,
-            is_anchor_recall_row,
+            _memo_fetch, _widest_recall_rows, emb_ann_recall,
+            emb_ann_retrain,
         )
 
-        for memo, q in (("ann_recall_appended", emb_ann_recall),
-                        ("ann_recall_retrained", emb_ann_retrain)):
-            recall_curve += [
+        # the widest-width selection + anchor handling (incl. the
+        # all-anchor fallback when a cell count collapses to the probe
+        # floor) is the SAME code path the lifecycle gate uses — the
+        # scalars here can never diverge from what the gate floors on
+        widest: dict = {}
+        for memo, stage, q in (
+                ("ann_recall_appended", "appended", emb_ann_recall),
+                ("ann_recall_retrained", "retrained", emb_ann_retrain)):
+            rows = [
                 r.asDict()
                 for r in _memo_fetch(
                     spark, sf_dir, memo,
                     lambda q=q: q(spark, sf_dir),
                 ).collect()
             ]
-        by_stage: dict = {}
-        for r in recall_curve:
-            if is_anchor_recall_row(r["nprobe"], r["cells"]):
-                continue   # all-cells anchor row: 1.0 by construction,
-                # not a floor-relevant scalar (the curve keeps it) —
-                # shared definition with emb_ann_lifecycle_check
-            key = (r["stage"], r["cohort"])
-            cur = by_stage.get(key)
-            if cur is None or r["nprobe"] > cur["nprobe"]:
-                by_stage[key] = r
+            recall_curve += rows
+            widest[stage] = _widest_recall_rows(rows)
         recall_fields = {
-            "recall_app_base": by_stage[("appended", "base")]["recall"],
-            "recall_app_drift": by_stage[
-                ("appended", "drifted")]["recall"],
-            "recall_ret_base": by_stage[
-                ("retrained", "base")]["recall"],
-            "recall_ret_drift": by_stage[
-                ("retrained", "drifted")]["recall"],
+            "recall_app_base": widest["appended"]["base"],
+            "recall_app_drift": widest["appended"]["drifted"],
+            "recall_ret_base": widest["retrained"]["base"],
+            "recall_ret_drift": widest["retrained"]["drifted"],
         }
     except Exception as e:
         print(f"bench error recall_curve: {e}", file=sys.stderr)
@@ -680,13 +681,15 @@ def main():
         if cb and vb:
             ingest[f"ann_pq_{dec}_codes_frac"] = round(cb / vb, 4)
     # verbose PQ-leg fields ride BENCH_FULL only — the printed line has
-    # a hard char budget; the cross-round scalars (percentiles, norms,
-    # byte fraction) stay compact
+    # a hard char budget and must keep room for the per-query timings;
+    # the compact cross-round scalars are the pq percentiles + byte
+    # fraction (pq norms are derivable from calib_jvm_sec on the line)
     full_only = {}
     for k in list(ingest):
         if re.fullmatch(
             r"ann_serve_pq_\w+_(batches|batch_queries|nprobe|cells"
-            r"|first_ms)|ann_pq_\w+_(codes|vectors)_bytes", k,
+            r"|first_ms|p50_norm|p95_norm)"
+            r"|ann_pq_\w+_(codes|vectors)_bytes", k,
         ):
             full_only[k] = ingest.pop(k)
     full = {

@@ -1175,7 +1175,18 @@ def _drop_self_rows(joined: DataFrame, id_col: str) -> DataFrame:
     integer ids; a fractional corpus id never string-equals an integer
     query id, which errs toward keeping the row — the safe side)."""
     dt = dict(joined.dtypes)
-    if dt[id_col] == dt["query_id"]:
+
+    def _is_num(t: str) -> bool:
+        return t in ("tinyint", "smallint", "int", "bigint", "float",
+                     "double") or t.startswith("decimal")
+
+    # numeric-vs-numeric pairs (bigint corpus vs int/double queries)
+    # keep Spark's NUMERIC coercion — 5 == 5.0 excludes correctly where
+    # a string render ('5' vs '5.0') would not; only a string side
+    # needs the cast route
+    if dt[id_col] == dt["query_id"] or (
+        _is_num(dt[id_col]) and _is_num(dt["query_id"])
+    ):
         return joined.filter(F.col(id_col) != F.col("query_id"))
     return joined.filter(
         F.col(id_col).cast("string") != F.col("query_id").cast("string")

@@ -2866,24 +2866,31 @@ def emb_ann_retrain(spark, sf_dir):
                        _recall_df(spark, path, n, stage="retrained"))
 
 
-def _widest_recall_rows(df) -> dict:
+def _widest_recall_rows(rows) -> dict:
     """Per-cohort recall at the widest NON-ANCHOR width of a recall
     curve (the contract width cells/2) — what the lifecycle floors gate
     on.  If an index's cell count collapses to the 4-wide probe floor,
     EVERY measured width is the anchor — fall back to it rather than
     KeyError: a 4-cell index's exact probe is legitimately its widest
-    observable point (r10 advisor)."""
+    observable point (r10 advisor).  Accepts the curve as a DataFrame
+    or as already-collected rows/dicts (bench.py's recall scalars
+    consume the SAME selection + fallback, so no consumer can diverge
+    from the gate)."""
+    if hasattr(rows, "collect"):
+        rows = rows.collect()
+    rows = [r if isinstance(r, dict) else r.asDict() for r in rows]
     out: dict = {}
     anchors: dict = {}
-    for r in df.collect():
-        tgt = (anchors if is_anchor_recall_row(r.nprobe, r.cells)
+    for r in rows:
+        tgt = (anchors
+               if is_anchor_recall_row(r["nprobe"], r["cells"])
                else out)
-        cur = tgt.get(r.cohort)
-        if cur is None or r.nprobe > cur.nprobe:
-            tgt[r.cohort] = r
+        cur = tgt.get(r["cohort"])
+        if cur is None or r["nprobe"] > cur["nprobe"]:
+            tgt[r["cohort"]] = r
     for c, r in anchors.items():
         out.setdefault(c, r)
-    return {c: r.recall for c, r in out.items()}
+    return {c: r["recall"] for c, r in out.items()}
 
 
 def emb_ann_lifecycle_check(spark, sf_dir):

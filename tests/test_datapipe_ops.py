@@ -867,6 +867,27 @@ def test_ann_batch_string_ids_with_exclude_self(spark, embs, tmp_path):
     excl._gs_unpersist()
     assert got == want and len({q for q, *_ in got}) == 3
 
+    # numeric-but-different types (double query ids vs bigint corpus)
+    # must keep NUMERIC coercion: 5.0 == 5 still excludes the self row
+    # (a string render '5.0' != '5' would let it back in at rank 1)
+    dbl_q = int_q.select(
+        F.col("query_id").cast("double").alias("query_id"), "embedding"
+    )
+    num = similarity.ivf_topk_batch(
+        spark, path, dbl_q, k=5, nprobe=4, exclude_self=True
+    )
+    ref = similarity.ivf_topk_batch(
+        spark, path, int_q, k=5, nprobe=4, exclude_self=True
+    )
+    got_num = {(int(r.query_id), r.rank, r.vec_id, r.cosine)
+               for r in num.collect()}
+    want_num = {(r.query_id, r.rank, r.vec_id, r.cosine)
+                for r in ref.collect()}
+    num._gs_unpersist()
+    ref._gs_unpersist()
+    assert got_num == want_num
+    assert all(v != q for q, _rk, v, _c in got_num)  # self rows gone
+
 
 def test_compact_ivf_index_merges_append_fragments(spark, embs, tmp_path):
     """Daily appends fragment the cell directories; compaction rewrites
