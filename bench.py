@@ -364,7 +364,14 @@ def ann_serving_bench(
       serving-contract rerank (4·k exact re-scores from the vectors
       tree) — plus ``ann_pq_*_codes_bytes`` / ``ann_pq_*_vectors_bytes``
       per decade, so the codes tree's scan-size advantage is a measured
-      ratio, not a design claim."""
+      ratio, not a design claim.  Reading the two legs honestly: at
+      these fixture sizes (≤100 MB of vectors) the raw probe is
+      page-cache-resident and the ADC leg PAYS its per-batch LUT build
+      + Arrow UDF pass with no I/O to save, so pq latency sits ABOVE
+      the raw leg — the quantity that scales is ``codes_frac`` (~0.024
+      = 1/41 of the bytes per probed cell), which is what turns a
+      disk-bound billion-vector probe from 4·D·nprobe/K bytes to
+      M·nprobe/K."""
     import numpy as np
 
     from pyspark.sql import functions as F
