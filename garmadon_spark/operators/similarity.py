@@ -1180,14 +1180,20 @@ def _drop_self_rows(joined: DataFrame, id_col: str) -> DataFrame:
         return t in ("tinyint", "smallint", "int", "bigint", "float",
                      "double") or t.startswith("decimal")
 
-    # numeric-vs-numeric pairs (bigint corpus vs int/double queries)
-    # keep Spark's NUMERIC coercion — 5 == 5.0 excludes correctly where
-    # a string render ('5' vs '5.0') would not; only a string side
-    # needs the cast route
-    if dt[id_col] == dt["query_id"] or (
-        _is_num(dt[id_col]) and _is_num(dt["query_id"])
-    ):
+    if dt[id_col] == dt["query_id"]:
         return joined.filter(F.col(id_col) != F.col("query_id"))
+    if _is_num(dt[id_col]) and _is_num(dt["query_id"]):
+        # MIXED numeric widths (bigint corpus vs int/double queries):
+        # 5 == 5.0 must exclude — a string render ('5' vs '5.0') would
+        # not — but Spark's own coercion promotes bigint to DOUBLE,
+        # which collides distinct ids above 2^53 and would DROP a real
+        # neighbor.  decimal(38,9) holds every bigint exactly;
+        # try_cast → null on a (pathological, >1e29) double overflow
+        # and eqNullSafe keeps a row when only one side is null — both
+        # rules err toward KEEPING the candidate.
+        a = F.col(id_col).try_cast("decimal(38,9)")
+        b = F.col("query_id").try_cast("decimal(38,9)")
+        return joined.filter(~a.eqNullSafe(b))
     return joined.filter(
         F.col(id_col).cast("string") != F.col("query_id").cast("string")
     )

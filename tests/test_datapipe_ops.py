@@ -1482,3 +1482,21 @@ def test_stratified_topn_exact_counts_and_determinism(spark):
         df.withColumn("b", F.col("doc_id") % 2),
         "doc_id", ("lang", "b"), n=2, seed=0)
     assert two.count() == 3 * 2 * 2
+
+
+def test_drop_self_rows_numeric_precision(spark):
+    """Mixed numeric id widths compare at full integer precision: under
+    Spark's own bigint→double promotion, 2^53 and 2^53+1 collide and a
+    REAL neighbor would vanish with the self row.  The decimal route
+    must drop exactly the true self matches (5 == 5.0 still excludes)
+    and keep everything else."""
+    df = spark.createDataFrame(
+        [(2 ** 53, float(2 ** 53)),       # true self row — drop
+         (2 ** 53 + 1, float(2 ** 53)),   # distinct neighbor — KEEP
+         (5, 5.0),                        # true self row — drop
+         (6, 5.0)],                       # distinct neighbor — keep
+        "vec_id long, query_id double",
+    )
+    kept = {r.vec_id
+            for r in similarity._drop_self_rows(df, "vec_id").collect()}
+    assert kept == {2 ** 53 + 1, 6}
