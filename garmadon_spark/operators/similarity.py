@@ -2418,6 +2418,117 @@ def sync_ivfpq_codes(
     return int(n)
 
 
+def ivf_index_health(spark, path: str) -> DataFrame:
+    """Operational health report for a persisted IVF / IVF-PQ index —
+    the numbers an operator reads before scheduling maintenance on a
+    large deployment, as ONE summary row:
+
+    - rows / cells / files / bytes per tree and the worst
+      files-per-cell fragmentation (`max_files_per_cell` drifting up
+      under streaming appends is the compact_ivf_index trigger),
+    - cell-population skew (`max_cell_rows` vs `avg_cell_rows` — a hot
+      cell slows EVERY probe that selects it; the re-train knob),
+    - vectors↔codes divergence (`missing_codes`: rows ADC serving
+      cannot see until sync_ivfpq_codes heals them; `orphan_codes`:
+      codes whose vector is gone — both 0 on a healthy index, and both
+      NULL for a plain IVF index with no codes tree),
+    - `unmarked_batches`: published ``b{N}-*`` files whose
+      ``_append_batches`` marker is absent — a crashed maintain-stream
+      batch the next replay will rewrite (compaction already skips
+      these cells; a count that never drains means the checkpoint died
+      with it).
+
+    Driver work is O(files + cells) listing plus cells-bounded
+    aggregates; the divergence counts are two anti-join COUNTS, never
+    collected rows.  Complements (not replaces) the per-run telemetry:
+    this is pull-based introspection of the on-disk artifact itself."""
+    import os as _os
+
+    def _tree(sub: str):
+        root = f"{path}/{sub}"
+        if not _os.path.isdir(root):
+            return None
+        files = 0
+        bts = 0
+        per_cell: dict[str, int] = {}
+        batch_ids: set = set()
+        for entry in _os.listdir(root):
+            cdir = _os.path.join(root, entry)
+            if not (entry.startswith("ivf_cell=") and _os.path.isdir(cdir)):
+                continue
+            n_here = 0
+            for f in _os.listdir(cdir):
+                if not f.endswith(".parquet"):
+                    continue
+                n_here += 1
+                try:
+                    bts += _os.path.getsize(_os.path.join(cdir, f))
+                except OSError:
+                    pass
+                bid = _batch_id_of(f)
+                if bid is not None:
+                    batch_ids.add(bid)
+            files += n_here
+            per_cell[entry] = n_here
+        return {
+            "files": files,
+            "bytes": bts,
+            "max_files_per_cell": max(per_cell.values(), default=0),
+            "batch_ids": batch_ids,
+        }
+
+    vec_t = _tree("vectors")
+    if vec_t is None:
+        raise ValueError(f"no vectors tree under {path} — not an index")
+    code_t = _tree("codes")
+
+    vecs = spark.read.parquet(f"{path}/vectors")
+    cell_rows = [
+        int(r["count"])
+        for r in vecs.groupBy("ivf_cell").count().collect()
+    ]
+    n_vec = sum(cell_rows)
+    done = _done_batch_ids(path)
+    unmarked = {b for t in (vec_t, code_t) if t
+                for b in t["batch_ids"] if b not in done}
+
+    if code_t is not None:
+        codes = spark.read.parquet(f"{path}/codes")
+        n_codes = codes.count()
+        missing = vecs.select("vec_id").join(
+            codes.select("vec_id"), ["vec_id"], "left_anti").count()
+        orphans = codes.select("vec_id").join(
+            vecs.select("vec_id"), ["vec_id"], "left_anti").count()
+    else:
+        n_codes = missing = orphans = None
+
+    cells = spark.read.parquet(f"{path}/centroids").count()
+    row = (
+        int(n_vec), None if n_codes is None else int(n_codes),
+        int(cells), len(cell_rows),
+        int(vec_t["files"]), int(vec_t["bytes"]),
+        int(vec_t["max_files_per_cell"]),
+        None if code_t is None else int(code_t["files"]),
+        None if code_t is None else int(code_t["bytes"]),
+        None if code_t is None else int(code_t["max_files_per_cell"]),
+        int(max(cell_rows, default=0)),
+        round(n_vec / len(cell_rows), 2) if cell_rows else 0.0,
+        None if missing is None else int(missing),
+        None if orphans is None else int(orphans),
+        len(unmarked),
+    )
+    return spark.createDataFrame(
+        [row],
+        "vectors_rows bigint, codes_rows bigint, cells bigint,"
+        " populated_cells int, vector_files int, vector_bytes bigint,"
+        " vector_max_files_per_cell int, code_files int,"
+        " code_bytes bigint, code_max_files_per_cell int,"
+        " max_cell_rows bigint, avg_cell_rows double,"
+        " missing_codes bigint, orphan_codes bigint,"
+        " unmarked_batches int",
+    )
+
+
 def retrain_ivfpq_index(
     spark,
     path: str,

@@ -621,3 +621,67 @@ def test_compact_codes_skips_unmarked_append_then_replay_no_dupes(
               spark.read.parquet(f"{index}/codes")
               .select("vec_id", "ivf_cell").collect()}
     assert vcells == ccells and len(vcells) == n_total
+
+
+def test_ivf_index_health_report(spark, embs, tmp_path):
+    """ivf_index_health reads the on-disk artifact itself: healthy
+    trees report zero divergence, a vectors-without-codes crash window
+    surfaces as missing_codes (and drains after sync_ivfpq_codes), a
+    lost maintain-stream marker surfaces as unmarked_batches, and a
+    plain IVF index carries NULL code-tree columns."""
+    from garmadon_spark.streaming import ann
+
+    n = embs.count()
+    path = str(tmp_path / "idx")
+    similarity.write_ivfpq_index(
+        embs, path, n_centroids=8, m=16, ksub=16, iterations=1,
+        pq_iterations=3, opq=True,
+    )
+    h = similarity.ivf_index_health(spark, path).head()
+    assert h.vectors_rows == h.codes_rows == n
+    assert h.cells == 8 and h.populated_cells <= 8
+    assert h.missing_codes == 0 and h.orphan_codes == 0
+    assert h.unmarked_batches == 0
+    assert h.vector_bytes > h.code_bytes > 0
+    assert h.max_cell_rows >= h.avg_cell_rows > 0
+
+    # divergence window: vectors appended without codes
+    newbie = embs.select(
+        (F.col("vec_id") + n).alias("vec_id"), "embedding", "label"
+    ).limit(30)
+    rotation = similarity.load_opq_rotation(spark, path)
+    prep = similarity._rotate_normalize(
+        newbie.drop("ivf_cell", "ivf_branch"), rotation, "embedding"
+    )
+    similarity.append_to_ivf_index(prep, path)
+    h2 = similarity.ivf_index_health(spark, path).head()
+    assert h2.vectors_rows == n + 30 and h2.missing_codes == 30
+    assert h2.orphan_codes == 0
+    similarity.sync_ivfpq_codes(spark, path)
+    h3 = similarity.ivf_index_health(spark, path).head()
+    assert h3.missing_codes == 0 and h3.codes_rows == n + 30
+
+    # a maintain-stream batch whose marker is lost → unmarked_batches
+    src = str(tmp_path / "newer")
+    embs.select((F.col("vec_id") + 10 * n).alias("vec_id"),
+                "embedding").limit(10).write.parquet(src)
+    q = ann.maintain_ivfpq_index_stream(
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .parquet(src), path, str(tmp_path / "ckpt"),
+    ).start()
+    q.awaitTermination()
+    assert similarity.ivf_index_health(spark, path) \
+        .head().unmarked_batches == 0
+    marker = glob.glob(f"{path}/_append_batches/*.done")[0]
+    os.remove(marker)
+    h4 = similarity.ivf_index_health(spark, path).head()
+    assert h4.unmarked_batches == 1
+    # appends fragment cells: more than one file somewhere by now
+    assert h4.vector_max_files_per_cell > 1
+
+    # plain IVF: no codes tree → NULL code columns, zero unmarked
+    flat = str(tmp_path / "flat")
+    similarity.write_ivf_index(embs, flat, n_centroids=8, iterations=1)
+    hf = similarity.ivf_index_health(spark, flat).head()
+    assert hf.codes_rows is None and hf.missing_codes is None
+    assert hf.code_files is None and hf.unmarked_batches == 0
