@@ -3710,6 +3710,32 @@ SELECT TRUE AS stream_matches_batch, TRUE AS all_queries_served
 """
 
 
+def emb_ivfpq_health(spark, sf_dir):
+    """similarity.ivf_index_health over the IVF-PQ drift fixture,
+    reduced to its corpus-determined columns: after the build + frozen
+    absorb, BOTH trees hold base+drifted rows (2·corpus), with zero
+    vectors↔codes divergence and zero unmarked batches.  Data-bearing
+    oracle (2·COUNT(embeddings)) rather than a constant-true gate —
+    the on-disk artifact's integrity is hash-checked against the
+    corpus it was built from."""
+    path, _n = _ensure_ivfpq_drift_index(spark, sf_dir)
+    return similarity.ivf_index_health(spark, path).select(
+        "vectors_rows", "codes_rows", "missing_codes", "orphan_codes",
+        F.col("unmarked_batches").cast("bigint")
+        .alias("unmarked_batches"),
+    )
+
+
+EMB_IVFPQ_HEALTH_SQL = """
+SELECT CAST(2 * COUNT(*) AS BIGINT) AS vectors_rows,
+       CAST(2 * COUNT(*) AS BIGINT) AS codes_rows,
+       CAST(0 AS BIGINT) AS missing_codes,
+       CAST(0 AS BIGINT) AS orphan_codes,
+       CAST(0 AS BIGINT) AS unmarked_batches
+FROM embeddings
+"""
+
+
 QUERIES = {
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
     "doc_exact_dedup": (doc_exact_dedup, DOC_EXACT_DEDUP_SQL),
@@ -3817,4 +3843,5 @@ QUERIES = {
     "emb_ivfpq_serve_check": (
         emb_ivfpq_serve_check, EMB_IVFPQ_SERVE_CHECK_SQL
     ),
+    "emb_ivfpq_health": (emb_ivfpq_health, EMB_IVFPQ_HEALTH_SQL),
 }
