@@ -276,3 +276,43 @@ def test_ivfpq_probe_prunes_code_partitions(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", scan)
     assert m and "ivf_cell" in m.group(1) and " IN " in m.group(1), scan
     assert probe.count() == 5
+
+
+def test_ivfpq_batch_probe_plan_is_serving_shape(spark, tmp_path):
+    """The BATCHED ADC probe — what serve_ivfpq_stream runs every
+    micro-batch — keeps the serving plan shape end to end: the codes
+    scan partition-prunes to the probed-cell union at planning time,
+    the batch-sized (query, cell) table broadcast-joins the pruned
+    scan, and no SortMergeJoin appears anywhere (the corpus never
+    shuffles).  Pinned for both the pure-ADC and rerank paths — the
+    rerank's vectors lookup must broadcast the shortlist, not shuffle
+    the vectors tree."""
+    from pyspark.sql import functions as F
+
+    from garmadon_spark.operators import similarity
+    from garmadon_spark.session import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "ivfpq")
+    similarity.write_ivfpq_index(
+        embs, path, n_centroids=8, m=16, ksub=16, iterations=1,
+        pq_iterations=2, opq=True,
+    )
+    queries = embs.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for rerank in (0, 20):
+        res = similarity.ivfpq_topk_batch(
+            spark, path, queries, k=5, nprobe=2, rerank=rerank,
+        )
+        plan = _plan(res)
+        scans = [l for l in plan.splitlines()
+                 if "FileScan" in l and ("codes" in l or "vectors" in l)]
+        assert scans, plan
+        for scan in scans:
+            m = re.search(r"PartitionFilters: \[([^\]]*)\]", scan)
+            assert m and "ivf_cell" in m.group(1), scan
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan, rerank
+        assert res.count() == 4 * 5
+        res._gs_unpersist()
