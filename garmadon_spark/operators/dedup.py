@@ -412,6 +412,45 @@ def incremental_minhash(
     Note the persisted union is held for the session (like
     minhash_dedup's shingle cache) — pass ``persist_sigs=False`` for
     one-shot semantics."""
+    inc_sigs = minhash_signatures(
+        new_docs, id_col=id_col, text_col=text_col, n=n,
+        num_hashes=num_hashes,
+    )
+    pairs = _flagged_increment_pairs(
+        inc_sigs, hist_index,
+        new_docs.select(F.col(id_col).alias("doc")),
+        num_hashes=num_hashes, bands=bands, threshold=threshold,
+        persist_sigs=persist_sigs,
+    )
+    return pairs.select("doc_a", "doc_b", "est_jaccard")
+
+
+def _flagged_increment_pairs(
+    inc_sigs: DataFrame,
+    hist_index: DataFrame,
+    anti_ids: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    persist_sigs: bool = True,
+) -> DataFrame:
+    """The banding / bucket-join / estimator core of incremental
+    MinHash over PRECOMPUTED increment signatures — shared by
+    ``incremental_minhash`` (which discards the side flags) and
+    ``admit_increment`` (which routes on them: a new↔history pair is a
+    re-scrape rejection, a new↔new pair an intra-batch edge).  ONE
+    definition so the two callers can never drift on banding, the
+    retry-safety anti-join, or the estimator.
+
+    ``inc_sigs``: (doc, signature) for the increment;
+    ``anti_ids``: one ``doc`` column — index rows colliding with these
+    ids are dropped before the union (failed-batch re-runs would
+    otherwise duplicate signature rows → self-pairs).
+
+    Returns (doc_a, doc_b, est_jaccard, a_new, b_new) with
+    est ≥ threshold.  When ``persist_sigs`` the unioned signature table
+    (feeding three plan branches) is persisted; call the returned
+    frame's ``_gs_unpersist()`` when done (a no-op otherwise)."""
     first = hist_index.select(F.size("signature").alias("k")).first()
     if first is not None and first.k != num_hashes:
         raise ValueError(
@@ -419,21 +458,18 @@ def incremental_minhash(
             f" num_hashes={num_hashes} — est_jaccard would be silently"
             " wrong; rebuild the index or match num_hashes"
         )
-    inc_sigs = minhash_signatures(
-        new_docs, id_col=id_col, text_col=text_col, n=n,
-        num_hashes=num_hashes,
-    ).withColumn("is_new", F.lit(True))
     hist_only = hist_index.join(
-        F.broadcast(new_docs.select(F.col(id_col).alias("doc"))),
-        "doc", "left_anti",
+        F.broadcast(anti_ids), "doc", "left_anti",
     )
     sigs = hist_only.select(
         "doc", "signature", F.lit(False).alias("is_new")
-    ).unionByName(inc_sigs)
+    ).unionByName(inc_sigs.withColumn("is_new", F.lit(True)))
+    handles = []
     if persist_sigs:
         from pyspark import StorageLevel
 
         sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+        handles.append(sigs)
     rows_per_band = num_hashes // bands
     banded = explode_computed(
         sigs, _band_structs(bands, rows_per_band), "bb", ["doc", "is_new"]
@@ -443,7 +479,10 @@ def incremental_minhash(
     cands = (
         bucket_pairs(banded, ["band", "bucket"], "p")
         .filter(F.col("a.is_new") | F.col("b.is_new"))
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .select(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"),
+            F.col("a.is_new").alias("a_new"), F.col("b.is_new").alias("b_new"),
+        )
         .distinct()
     )
     sa = sigs.select(F.col("doc").alias("doc_a"),
@@ -461,13 +500,111 @@ def incremental_minhash(
         )
         / F.lit(num_hashes)
     )
-    return (
+    out = (
         cands.join(sa, "doc_a").join(sb, "doc_b")
         .select(
-            "doc_a", "doc_b", F.round(est, 4).alias("est_jaccard")
+            "doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"),
+            "a_new", "b_new",
         )
         .filter(F.col("est_jaccard") >= threshold)
     )
+    out._gs_unpersist = lambda: [h.unpersist() for h in handles]
+    return out
+
+
+def admit_increment(
+    new_docs: DataFrame,
+    hist_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """ONE near-dup admission round: decide which docs of an increment
+    enter the corpus, given the corpus's persisted signature index —
+    the decision unit ``streaming.corpus.dedup_corpus_stream`` applies
+    per micro-batch, factored out so its batch replay (the parity
+    check) and the stream can never drift.
+
+    Semantics, deterministic and arrival-order-free within the batch:
+
+    1. every new doc whose estimated Jaccard vs ANY indexed doc is
+       ≥ threshold is rejected (reason ``history`` — a re-scrape;
+       identical text ⇒ identical signature ⇒ est 1.0, the recall
+       floor);
+    2. among the remaining new docs, connected components over the
+       new↔new pairs (both endpoints unrejected); each component keeps
+       its min id, the rest are rejected (reason ``intra_batch``) —
+       the same survivor rule as the batch LSH→components pipeline.
+
+    Docs shorter than one n-gram have no signature, so they bypass the
+    gate (always admitted, nothing appended) — the shared
+    ``minhash_signatures`` contract.
+
+    Returns ``(accepted_docs, accepted_sigs, rejected)``:
+    accepted_docs = the increment's surviving rows unchanged;
+    accepted_sigs = (doc, signature) to APPEND to the index —
+    rejected docs contribute nothing, so the index holds survivors
+    only; rejected = (doc, reason).  ``accepted_docs`` carries a
+    ``_gs_unpersist()`` releasing the round's persisted intermediates
+    — call it after the results are materialized."""
+    inc_sigs = minhash_signatures(
+        new_docs, id_col=id_col, text_col=text_col, n=n,
+        num_hashes=num_hashes,
+    )
+    from pyspark import StorageLevel
+
+    inc_sigs = inc_sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = _flagged_increment_pairs(
+        inc_sigs, hist_index,
+        new_docs.select(F.col(id_col).alias("doc")),
+        num_hashes=num_hashes, bands=bands, threshold=threshold,
+        persist_sigs=True,
+    )
+    hist_hits = pairs.filter(~F.col("a_new") | ~F.col("b_new"))
+    rejected_hist = (
+        hist_hits.filter("a_new").select(F.col("doc_a").alias("doc"))
+        .unionByName(
+            hist_hits.filter("b_new").select(F.col("doc_b").alias("doc"))
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    edges = (
+        pairs.filter(F.col("a_new") & F.col("b_new"))
+        .join(rejected_hist.withColumnRenamed("doc", "doc_a"),
+              "doc_a", "left_anti")
+        .join(rejected_hist.withColumnRenamed("doc", "doc_b"),
+              "doc_b", "left_anti")
+        .select("doc_a", "doc_b")
+    )
+    comp = components(edges)
+    rejected_intra = comp.filter(
+        F.col("doc_id") != F.col("component")
+    ).select(F.col("doc_id").alias("doc"))
+    rejected = (
+        rejected_hist.withColumn("reason", F.lit("history"))
+        .unionByName(
+            rejected_intra.withColumn("reason", F.lit("intra_batch"))
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    rej_ids = rejected.select("doc")
+    accepted_docs = new_docs.join(
+        rej_ids.withColumnRenamed("doc", id_col), id_col, "left_anti"
+    )
+    accepted_sigs = inc_sigs.join(rej_ids, "doc", "left_anti")
+    handles = [inc_sigs, rejected_hist, rejected]
+
+    def _unp():
+        pairs._gs_unpersist()
+        for h in handles:
+            h.unpersist()
+
+    accepted_docs._gs_unpersist = _unp
+    return accepted_docs, accepted_sigs, rejected
 
 
 def minhash_dedup(

@@ -3736,6 +3736,278 @@ FROM embeddings
 """
 
 
+# --- streaming near-dup admission gate (r11) --------------------------
+#
+# dedup_corpus_stream CLOSED over engineered increments: batch 1 is a
+# fresh crawl, batch 2 mixes fresh docs with exact re-scrapes of batch-1
+# content under NEW ids — the accepted rows are read from what the gate
+# materialized, never re-decided per refresh.  Reference analogue: the
+# ingest boundary dropping already-seen content before the archive
+# (GarmadonReader's offset-dedup at the consumer, applied here to
+# CONTENT identity).
+
+_ADMIT_B1 = 40          # batch-1 docs: doc_id < _ADMIT_B1
+_ADMIT_FRESH = 20       # batch-2 fresh docs: next _ADMIT_FRESH ids
+_ADMIT_COPIES = 20      # batch-2 re-scrapes of batch-1's tail
+_ADMIT_ID_OFFSET = 100000   # re-scraped copies arrive under new ids
+
+
+def _admit_path(sf_dir: str) -> str:
+    return _index_cache_path(sf_dir, "documents.parquet",
+                             "garmadon_admit_")
+
+
+def _admit_batches(spark, sf_dir):
+    """The two engineered admission increments.  Batch 2's copies are
+    batch-1 docs re-keyed (+_ADMIT_ID_OFFSET) — identical text under a
+    new id, the re-scrape the gate exists to stop (identical signature
+    ⇒ est 1.0 vs the index)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    b1 = d.filter(F.col("doc_id") < _ADMIT_B1)
+    fresh = d.filter(
+        (F.col("doc_id") >= _ADMIT_B1)
+        & (F.col("doc_id") < _ADMIT_B1 + _ADMIT_FRESH)
+    )
+    copies = d.filter(
+        (F.col("doc_id") >= _ADMIT_B1 - _ADMIT_COPIES)
+        & (F.col("doc_id") < _ADMIT_B1)
+    ).withColumn("doc_id", F.col("doc_id") + F.lit(_ADMIT_ID_OFFSET))
+    return b1, fresh.unionByName(copies)
+
+
+def _ensure_admitted(spark, sf_dir):
+    """Materialize dedup_corpus_stream's decisions once per corpus: the
+    two increments written as one file each and drained availableNow
+    with maxFilesPerTrigger=1 — two genuine micro-batches, arrival
+    order pinned by explicit distinct mtimes (the file source orders by
+    modification time).  Returns the fixture root."""
+    import glob
+    import os
+    import shutil
+
+    from garmadon_spark.streaming import corpus as _scorpus
+
+    base = _admit_path(sf_dir)
+    stamp = os.path.join(base, "_OK")
+    want = (f"b1={_ADMIT_B1};f={_ADMIT_FRESH};c={_ADMIT_COPIES};"
+            f"off={_ADMIT_ID_OFFSET};v=2")
+    if os.path.exists(stamp) and open(stamp).read() == want:
+        return base
+    shutil.rmtree(base, ignore_errors=True)
+    b1, b2 = _admit_batches(spark, sf_dir)
+    src = f"{base}/src"
+    b1.coalesce(1).write.mode("append").parquet(src)
+    first = set(glob.glob(f"{src}/part-*.parquet"))
+    b2.coalesce(1).write.mode("append").parquet(src)
+    second = sorted(set(glob.glob(f"{src}/part-*.parquet")) - first)
+    for i, f in enumerate(sorted(first) + second):
+        os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
+    q = _scorpus.dedup_corpus_stream(
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+        f"{base}/index", f"{base}/out", f"{base}/ckpt",
+    ).start()
+    q.awaitTermination()
+    with open(stamp, "w") as fh:
+        fh.write(want)
+    return base
+
+
+def doc_dedup_stream(spark, sf_dir):
+    """Documents the streaming near-dup admission gate ACCEPTED, read
+    from what dedup_corpus_stream materialized (per-batch partitions +
+    the appended signature index) — the ingest-boundary decision log.
+    Rows-only (which near-dups the MinHash estimator catches is
+    engine-defined); ``doc_dedup_stream_check`` gates exact equality
+    with a batch replay of the same decision unit plus the engineered
+    re-scrape floors."""
+    base = _ensure_admitted(spark, sf_dir)
+    return (
+        spark.read.option("basePath", f"{base}/out/accepted")
+        .parquet(f"{base}/out/accepted")
+        .select(F.col("batch").cast("bigint").alias("batch"), "doc_id")
+        .orderBy("batch", "doc_id")
+    )
+
+
+def doc_dedup_rejects(spark, sf_dir):
+    """The admission gate's REJECT log — (batch, doc, reason ∈
+    history | intra_batch), the other half of the decision: a recall
+    pipeline ("why was this document dropped?") reads this, never
+    re-derives it.  Rows-only (which near-dups the estimator catches is
+    engine-defined); ``doc_dedup_stream_check``'s rejects_ok gates
+    exact (doc, reason) equality with the independent replay."""
+    base = _ensure_admitted(spark, sf_dir)
+    return (
+        spark.read.option("basePath", f"{base}/out/rejected")
+        .parquet(f"{base}/out/rejected")
+        .select(F.col("batch").cast("bigint").alias("batch"),
+                "doc", "reason")
+        .orderBy("batch", "doc")
+    )
+
+
+def _replay_admission(ids, sigs, hist_sigs, bands=16, rows_per_band=4,
+                      num_hashes=64, threshold=0.5):
+    """INDEPENDENT driver-side replay of one admission round — pure
+    Python over collected signatures (banding via hashlib.md5 over the
+    same comma-joined band slices, the matching-component estimator,
+    union-find for components) so the gate is checked against a second
+    implementation, not a re-run of the same Spark code.  est values
+    are k/num_hashes with num_hashes a power of two — exactly
+    representable, so the ≥ threshold comparison can never drift from
+    the engine's rounded double.  Returns (accepted_ids, appended_sigs
+    dict, rejected {doc: reason}).  Docs without a signature (shorter
+    than one shingle) bypass the gate, per the shared contract."""
+    import hashlib as _hashlib
+
+    def bandkeys(sig):
+        return [
+            (b, _hashlib.md5(
+                ",".join(str(v) for v in
+                         sig[b * rows_per_band:(b + 1) * rows_per_band])
+                .encode()).hexdigest())
+            for b in range(bands)
+        ]
+
+    def est(sa, sb):
+        return sum(1 for x, y in zip(sa, sb) if x == y) / num_hashes
+
+    buckets: dict = {}
+    for d, s in hist_sigs.items():
+        for bk in bandkeys(s):
+            buckets.setdefault(bk, []).append(("h", d))
+    new_keys = {d: bandkeys(sigs[d]) for d in ids if d in sigs}
+    for d, bks in new_keys.items():
+        for bk in bks:
+            buckets.setdefault(bk, []).append(("n", d))
+    rejected: dict = {}
+    for d, bks in new_keys.items():
+        hist_cands = {hd for bk in bks for kind, hd in buckets[bk]
+                      if kind == "h"}
+        if any(est(sigs[d], hist_sigs[h]) >= threshold
+               for h in hist_cands):
+            rejected[d] = "history"
+    parent = {d: d for d in new_keys if d not in rejected}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for d, bks in new_keys.items():
+        if d in rejected:
+            continue
+        cands = {nd for bk in bks for kind, nd in buckets[bk]
+                 if kind == "n" and nd != d and nd not in rejected}
+        for o in cands:
+            if est(sigs[d], sigs[o]) >= threshold:
+                ra, rb = find(d), find(o)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    comp: dict = {}
+    for d in parent:
+        comp.setdefault(find(d), []).append(d)
+    for members in comp.values():
+        keep = min(members)
+        rejected.update({m: "intra_batch" for m in members if m != keep})
+    accepted = [d for d in ids if d not in rejected]
+    return (accepted, {d: sigs[d] for d in accepted if d in sigs},
+            rejected)
+
+
+def doc_dedup_stream_check(spark, sf_dir):
+    """Exact gate over the admission gate: (1) the streamed decisions
+    equal an INDEPENDENT driver-side replay (_replay_admission — pure
+    Python banding/estimator/union-find over the collected signatures)
+    of the same increments in the same order, so the engine's whole
+    chain (signatures → banding → bucket join → estimator → components
+    → survivor, plus the streaming shell's markers / partition
+    overwrite / history read) is cross-checked against a second
+    implementation — and the REJECT log matches (doc, reason)-exactly;
+    (2) every re-scraped copy of a batch-1 SURVIVOR
+    was rejected (identical signature ⇒ est 1.0 — the recall floor);
+    (3) accepted ⊆ input; (4) the signature index holds exactly the
+    accepted docs' signatures in the right batch partitions.  Driver
+    work is bounded by the fixture (≤ 80 ids × 64-long signatures).
+    n_input / n_copies are data-bearing (counted from the increments,
+    pinned by SQL against the documents table)."""
+    base = _ensure_admitted(spark, sf_dir)
+    b1, b2 = _admit_batches(spark, sf_dir)
+    served = {
+        (int(r.batch), int(r.doc_id))
+        for r in spark.read.option("basePath", f"{base}/out/accepted")
+        .parquet(f"{base}/out/accepted")
+        .select("batch", "doc_id").collect()
+    }
+    served_rej = {
+        (int(r.batch), int(r.doc), r.reason)
+        for r in spark.read.option("basePath", f"{base}/out/rejected")
+        .parquet(f"{base}/out/rejected")
+        .select("batch", "doc", "reason").collect()
+    }
+    both = b1.withColumn("b", F.lit(0)).unionByName(
+        b2.withColumn("b", F.lit(1)))
+    sigs_all = {
+        (int(r.b), int(r.doc)): list(r.signature)
+        for r in dedup.minhash_signatures(
+            both.withColumn(
+                "doc_id", F.struct("b", "doc_id")), id_col="doc_id"
+        ).select(F.col("doc.b").alias("b"), F.col("doc.doc_id")
+                 .alias("doc"), "signature").collect()
+    }
+    ids1 = sorted(int(r.doc_id) for r in b1.select("doc_id").collect())
+    ids2 = sorted(int(r.doc_id) for r in b2.select("doc_id").collect())
+    sig1 = {d: s for (bb, d), s in sigs_all.items() if bb == 0}
+    sig2 = {d: s for (bb, d), s in sigs_all.items() if bb == 1}
+    e1, app1, rej1 = _replay_admission(ids1, sig1, {})
+    e2, app2, rej2 = _replay_admission(ids2, sig2, app1)
+    expected = {(0, d) for d in e1} | {(1, d) for d in e2}
+    expected_rej = ({(0, d, why) for d, why in rej1.items()}
+                    | {(1, d, why) for d, why in rej2.items()})
+    surv_copies = {
+        d + _ADMIT_ID_OFFSET
+        for d in e1 if d >= _ADMIT_B1 - _ADMIT_COPIES
+    }
+    idx = {
+        (int(r.batch), int(r.doc))
+        for r in spark.read.option("basePath", f"{base}/index/sigs")
+        .parquet(f"{base}/index/sigs").select("batch", "doc").collect()
+    }
+    exp_idx = ({(0, d) for d in app1}
+               | {(1, d) for d in app2})
+    return spark.createDataFrame(
+        [(
+            len(ids1) + len(ids2),
+            int(_ADMIT_COPIES),
+            bool(served == expected),
+            bool(served_rej == expected_rej),
+            bool(surv_copies.isdisjoint({d for _b, d in served})),
+            bool({d for _b, d in served} <= set(ids1) | set(ids2)),
+            bool(idx == exp_idx),
+        )],
+        "n_input bigint, n_copies bigint, parity_ok boolean,"
+        " rejects_ok boolean, copies_rejected_ok boolean,"
+        " subset_ok boolean, sigs_ok boolean",
+    )
+
+
+DOC_DEDUP_STREAM_CHECK_SQL = f"""
+SELECT CAST((SELECT COUNT(*) FROM documents
+             WHERE doc_id < {_ADMIT_B1 + _ADMIT_FRESH}) +
+            (SELECT COUNT(*) FROM documents
+             WHERE doc_id >= {_ADMIT_B1 - _ADMIT_COPIES}
+               AND doc_id < {_ADMIT_B1}) AS BIGINT) AS n_input,
+       CAST((SELECT COUNT(*) FROM documents
+             WHERE doc_id >= {_ADMIT_B1 - _ADMIT_COPIES}
+               AND doc_id < {_ADMIT_B1}) AS BIGINT) AS n_copies,
+       TRUE AS parity_ok, TRUE AS rejects_ok,
+       TRUE AS copies_rejected_ok,
+       TRUE AS subset_ok, TRUE AS sigs_ok
+"""
+
+
 QUERIES = {
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
     "doc_exact_dedup": (doc_exact_dedup, DOC_EXACT_DEDUP_SQL),
@@ -3844,4 +4116,9 @@ QUERIES = {
         emb_ivfpq_serve_check, EMB_IVFPQ_SERVE_CHECK_SQL
     ),
     "emb_ivfpq_health": (emb_ivfpq_health, EMB_IVFPQ_HEALTH_SQL),
+    "doc_dedup_stream": (doc_dedup_stream, None),
+    "doc_dedup_rejects": (doc_dedup_rejects, None),
+    "doc_dedup_stream_check": (
+        doc_dedup_stream_check, DOC_DEDUP_STREAM_CHECK_SQL
+    ),
 }

@@ -57,6 +57,151 @@ def clean_corpus_stream(
     return scored.filter(F.col("quality_score") >= min_quality)
 
 
+_ADMIT_RETAIN_MARKERS = 3
+
+
+def dedup_corpus_stream(
+    docs: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+):
+    """Streaming NEAR-dup admission gate: each micro-batch of documents
+    is near-dup'd against the corpus's persisted MinHash signature
+    index (``dedup.admit_increment`` — the shared decision unit, so a
+    batch replay of the same increments is bit-identical); survivors
+    land in ``out_path`` and their signatures are APPENDED to the
+    index, exactly once.  ``clean_corpus_stream`` stops exact
+    re-scrapes with in-stream watermarked state; this gate stops
+    NEAR-duplicates against the WHOLE corpus history — the front door
+    a 100 TB training-data pipeline needs so a re-crawl never re-admits
+    lightly-edited copies the batch tier would have to claw back
+    tomorrow.
+
+    Layout: ``index_path/sigs/batch=N`` (one partition per committed
+    micro-batch, the signature index the batch tier's
+    ``incremental_minhash`` reads directly),
+    ``out_path/accepted/batch=N`` (surviving rows) and
+    ``out_path/rejected/batch=N`` ((doc, reason) — the audit log a
+    recall pipeline needs to answer "why was this dropped", reason ∈
+    history | intra_batch).  Exactly-once without a
+    transaction log: both writes are idempotent per-batch partition
+    overwrites gated by ONE run-scoped marker
+    (``_admit_batches/N.done``) written after both — a crash anywhere
+    in the window replays the batch (Structured Streaming only ever
+    re-runs the LAST uncommitted batch), recomputes the SAME
+    deterministic decisions (content-derived hashing throughout), and
+    overwrites both partitions to the identical state.  The history
+    read partition-prunes ``batch == current`` at planning time, so a
+    crashed first attempt's partial signature files are never opened on
+    replay.  A FRESH checkpoint over another incarnation's admission
+    chain is REFUSED (re-numbered batch ids would overwrite committed
+    signature partitions — the maintain_ann_index_stream rule); markers
+    are pruned to the newest ``_ADMIT_RETAIN_MARKERS`` after each
+    commit (newest survives — all the foreign-chain probe needs).
+
+    Scale shape, stated honestly: per trigger the index side is
+    re-banded for the bucket join — one scan + one shuffle of the
+    SIGNATURE table (K·8 B per corpus doc, ~1-2 % of corpus bytes; the
+    document text is never re-read), the same contract as the batch
+    ``incremental_minhash``.  Right for hourly/daily admission batches;
+    a per-second gate at 10¹⁰ docs would instead materialize the
+    banded form partitioned by (band, bucket-prefix) so each trigger's
+    lookup partition-prunes to the buckets it touches — same decision
+    unit, swap the candidate join.
+
+    Returns the (unstarted, availableNow-triggered) writer."""
+    from garmadon_spark.sinks.rollup import (
+        _checkpoint_run_id,
+        _hadoop_fs,
+        _list_markers,
+        _marker_current,
+        _refuse_foreign_chain,
+        _write_marker,
+    )
+
+    cache: dict = {}
+    sigs_root = f"{index_path}/sigs"
+    marks_root = f"{index_path}/_admit_batches"
+
+    def _admit(batch_df: DataFrame, batch_id: int) -> None:
+        import os as _os
+
+        sess = batch_df.sparkSession
+        if "run" not in cache:
+            cache["run"] = _checkpoint_run_id(sess, checkpoint)
+            _refuse_foreign_chain(
+                sess, marks_root, cache["run"],
+                "resume its original checkpoint, or clear the signature "
+                "index and results before admitting with a new one",
+            )
+        marker = f"{marks_root}/{batch_id}.done"
+        if _marker_current(sess, marker, cache["run"]) or batch_df.isEmpty():
+            return
+        sig_schema = None
+        if _os.path.isdir(sigs_root):
+            from pyspark.sql.types import LongType
+
+            sig_schema = (
+                dedup.minhash_signatures(
+                    batch_df, id_col=id_col, text_col=text_col, n=n,
+                    num_hashes=num_hashes,
+                ).schema.add("batch", LongType())
+            )
+            hist = (
+                sess.read.schema(sig_schema)
+                .option("basePath", sigs_root).parquet(sigs_root)
+                .filter(F.col("batch") != batch_id)
+                .select("doc", "signature")
+            )
+        else:
+            hist = sess.createDataFrame(
+                [],
+                dedup.minhash_signatures(
+                    batch_df, id_col=id_col, text_col=text_col, n=n,
+                    num_hashes=num_hashes,
+                ).schema,
+            )
+        accepted, acc_sigs, rejected = dedup.admit_increment(
+            batch_df, hist, id_col=id_col, text_col=text_col, n=n,
+            num_hashes=num_hashes, bands=bands, threshold=threshold,
+        )
+        try:
+            accepted.write.mode("overwrite").parquet(
+                f"{out_path}/accepted/batch={batch_id}"
+            )
+            rejected.write.mode("overwrite").parquet(
+                f"{out_path}/rejected/batch={batch_id}"
+            )
+            acc_sigs.write.mode("overwrite").parquet(
+                f"{sigs_root}/batch={batch_id}"
+            )
+        finally:
+            accepted._gs_unpersist()
+        _write_marker(sess, marker, cache["run"])
+        marked = []
+        for m in _list_markers(sess, marks_root):
+            stem = m.rsplit("/", 1)[-1][: -len(".done")]
+            if stem.isdigit():
+                marked.append(int(stem))
+        for b in sorted(marked)[:-_ADMIT_RETAIN_MARKERS]:
+            fs, jp = _hadoop_fs(sess, f"{marks_root}/{b}.done")
+            fs.delete(jp, False)
+
+    return (
+        docs.writeStream.foreachBatch(_admit)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+    )
+
+
 def monitor_quality(
     docs: DataFrame,
     ts_col: str = "ts",

@@ -1270,3 +1270,118 @@ def test_ivfpq_serve_stream_picks_up_retrain(spark, tmp_path):
     }
     exp_df._gs_unpersist()
     assert got == exp and len({qq for qq, _ in got}) == 3
+
+
+# --- streaming near-dup admission gate -------------------------------------
+
+def test_dedup_corpus_stream_admits_exactly_once(spark, tmp_path):
+    """The streaming near-dup admission gate: (a) its per-batch
+    decisions equal the shared batch unit (dedup.admit_increment)
+    replayed over the same increments in order — the streaming shell
+    (markers, partition overwrite, pruned history read) must not change
+    a single keep/drop; (b) a crash-window replay (lost checkpoint
+    commit AND lost marker) recomputes the same deterministic decisions
+    and overwrites both partitions to the identical state; (c) a fresh
+    checkpoint over another incarnation's admission chain is refused."""
+    import glob
+    import os
+
+    from garmadon_spark.operators import dedup
+    from garmadon_spark.session import load_table
+    from garmadon_spark.streaming import corpus as scorpus
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    b1 = d.filter(F.col("doc_id") < 30)
+    # batch 2: fresh docs + exact re-scrapes of batch 1 under new ids
+    b2 = d.filter(
+        (F.col("doc_id") >= 30) & (F.col("doc_id") < 45)
+    ).unionByName(
+        d.filter(F.col("doc_id") < 15)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    src = str(tmp_path / "src")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    first = set(glob.glob(f"{src}/part-*.parquet"))
+    b2.coalesce(1).write.mode("append").parquet(src)
+    second = sorted(set(glob.glob(f"{src}/part-*.parquet")) - first)
+    for i, f in enumerate(sorted(first) + second):
+        os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
+    index, out, ckpt = (str(tmp_path / p) for p in ("idx", "out", "ck"))
+
+    def gate(checkpoint):
+        return scorpus.dedup_corpus_stream(
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1").parquet(src),
+            index, out, checkpoint,
+        ).start()
+
+    gate(ckpt).awaitTermination()
+
+    def state():
+        got = {
+            (r.batch, r.doc_id)
+            for r in spark.read.option("basePath", f"{out}/accepted")
+            .parquet(f"{out}/accepted")
+            .select("batch", "doc_id").collect()
+        }
+        rej = {
+            (r.batch, r.doc, r.reason)
+            for r in spark.read.option("basePath", f"{out}/rejected")
+            .parquet(f"{out}/rejected")
+            .select("batch", "doc", "reason").collect()
+        }
+        idx = {
+            (r.batch, r.doc)
+            for r in spark.read.option("basePath", f"{index}/sigs")
+            .parquet(f"{index}/sigs").select("batch", "doc").collect()
+        }
+        return got, rej, idx
+
+    got, rej, idx = state()
+    # (a) stream == sequential batch replay of the shared unit
+    hist0 = spark.createDataFrame([], "doc bigint, signature array<bigint>")
+    a1, s1, r1 = dedup.admit_increment(b1, hist0)
+    e1 = {r.doc_id for r in a1.select("doc_id").collect()}
+    sd1 = {r.doc for r in s1.select("doc").collect()}
+    rej1 = {(r.doc, r.reason) for r in r1.collect()}
+    a2, s2, r2 = dedup.admit_increment(b2, s1)
+    e2 = {r.doc_id for r in a2.select("doc_id").collect()}
+    sd2 = {r.doc for r in s2.select("doc").collect()}
+    rej2 = {(r.doc, r.reason) for r in r2.collect()}
+    a2._gs_unpersist()
+    a1._gs_unpersist()
+    assert got == {(0, x) for x in e1} | {(1, x) for x in e2}
+    assert idx == {(0, x) for x in sd1} | {(1, x) for x in sd2}
+    # the reject log matches the unit (doc, reason)-exactly
+    assert rej == ({(0, d, why) for d, why in rej1}
+                   | {(1, d, why) for d, why in rej2})
+    # every re-scrape of a batch-1 SURVIVOR was rejected as history
+    surv_copies = {x + 1_000_000 for x in e1 if x < 15}
+    assert surv_copies and all(
+        (c, "history") in rej2 for c in surv_copies
+    )
+    assert surv_copies.isdisjoint(e2)
+
+    # (b) crash window: lose the last commit AND the last marker →
+    # replay recomputes and converges to the identical state
+    last = sorted(f for f in os.listdir(f"{ckpt}/commits")
+                  if f.isdigit())[-1]
+    os.remove(f"{ckpt}/commits/{last}")
+    try:
+        os.remove(f"{ckpt}/commits/.{last}.crc")
+    except FileNotFoundError:
+        pass
+    markers = sorted(glob.glob(f"{index}/_admit_batches/*.done"))
+    assert len(markers) == 2
+    os.remove(markers[-1])
+    gate(ckpt).awaitTermination()
+    assert state() == (got, rej, idx)
+
+    # (c) a fresh checkpoint over this admission chain is refused
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    with pytest.raises(StreamingQueryException,
+                       match="different streaming incarnation"):
+        gate(str(tmp_path / "ck_fresh")).awaitTermination()
+    assert state() == (got, rej, idx)
