@@ -1418,6 +1418,56 @@ def semantic_dedup(
 PQ_TRAIN_SAMPLE = 16_384
 
 
+def diverse_sample(
+    embs: DataFrame,
+    n_per_cell: int,
+    n_cells: int = 16,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-balanced (diversity) sampling: partition the embedding
+    space into k-means cells (build_ivf — deterministic first-k-by-id
+    seeding + Lloyd refinement), then keep a fixed per-cell quota
+    chosen by HASH RANK (xxhash64 of the id, id tiebreak).  The
+    curation op that keeps a subset spread across semantic space
+    instead of mirroring the corpus's density — dense topic clusters
+    contribute the same n_per_cell as sparse ones, the
+    cluster-balanced selection curation pipelines use to counter
+    scrape-frequency bias (cf. SemDeDup's cluster framing, Abbas et
+    al. 2023, applied to selection rather than dedup).  Hash-rank
+    selection is content-deterministic: no Math.random, stable across
+    runs/engines/partitionings, and — for a FIXED quantizer — adding
+    vectors to other cells never changes a cell's picks (the trained
+    centroids themselves do move with the corpus; pin them by sampling
+    against a persisted index's centroids when that matters).
+
+    Scale shape: the quota filter is one window over cells — a single
+    shuffle keyed by cell whose reducers stream SORTED runs (rank ≤
+    quota short-circuits); cells are k-means-balanced by construction
+    so the window carries no pathological skew, and at 10⁹+ rows the
+    same plan holds with cells ∝ corpus (the _ivf_cells_for contract).
+    Returns (id, ivf_cell, pick_rank).
+
+    Reference analogue: the reference has no sampling tier; this
+    extends the exact-count stratified sampler (text.py:331) from
+    metadata strata to LEARNED strata."""
+    from pyspark.sql.window import Window
+
+    _cents, assigned = build_ivf(
+        embs, n_centroids=n_cells, iterations=iterations,
+        id_col=id_col, vec_col=vec_col,
+    )
+    w = Window.partitionBy("ivf_cell").orderBy(
+        F.xxhash64(F.col(id_col)), F.col(id_col)
+    )
+    return (
+        assigned.withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= n_per_cell)
+        .select(id_col, "ivf_cell", "pick_rank")
+    )
+
+
 def _kmeans_np(data: "np.ndarray", k: int, iterations: int,
                init: "np.ndarray | None" = None) -> "np.ndarray":
     """Deterministic driver-side Lloyd on a sample: seed = first k rows

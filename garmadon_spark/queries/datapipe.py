@@ -4008,6 +4008,98 @@ SELECT CAST((SELECT COUNT(*) FROM documents
 """
 
 
+# --- cluster-balanced diversity sampling (r11) ------------------------
+
+_DIVERSE_CELLS = 16
+_DIVERSE_QUOTA = 8
+
+
+def emb_diverse_sample(spark, sf_dir):
+    """Cluster-balanced sample of the embedding corpus: k-means cells
+    (deterministic build_ivf seeding), a fixed hash-rank quota per cell
+    — the density-bias-countering subset selection a curation pipeline
+    runs before expensive downstream scoring.  Bounded output
+    (≤ cells·quota rows).  Rows-only (cell geometry is engine-defined);
+    ``emb_diverse_sample_check`` gates quotas, assignment optimality
+    against an independent NumPy argmax, determinism, and cell
+    coverage."""
+    return similarity.diverse_sample(
+        _embs(spark, sf_dir), n_per_cell=_DIVERSE_QUOTA,
+        n_cells=_DIVERSE_CELLS,
+    ).orderBy("ivf_cell", "pick_rank")
+
+
+def emb_diverse_sample_check(spark, sf_dir):
+    """Exact gate over the diversity sampler: (1) per-cell counts equal
+    min(quota, cell population) — no cell over- or under-drawn; (2) for
+    every SAMPLED row, the assigned cell is argmax(dot(v,c)/|c|) over
+    the final centroids, re-verified with an independent driver-side
+    NumPy pass (collected work: ≤ cells·quota vectors + the centroid
+    matrix; 1e-9 slack for near-ties between JVM and BLAS float
+    paths); (3) the op is deterministic (a second full build+draw is
+    set-equal); (4) the sample touches every non-empty cell.
+    n_vectors is data-bearing (pinned by SQL COUNT over embeddings)."""
+    embs = _embs(spark, sf_dir)
+    sample = {
+        (int(r.vec_id), int(r.ivf_cell), int(r.pick_rank))
+        for r in emb_diverse_sample(spark, sf_dir).collect()
+    }
+    cents, assigned = similarity.build_ivf(
+        embs, n_centroids=_DIVERSE_CELLS, iterations=2,
+    )
+    pops = {
+        int(r.ivf_cell): int(r.n)
+        for r in assigned.groupBy("ivf_cell")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    per_cell: dict = {}
+    for _v, c, _r in sample:
+        per_cell[c] = per_cell.get(c, 0) + 1
+    quota_ok = all(
+        per_cell.get(c, 0) == min(_DIVERSE_QUOTA, n)
+        for c, n in pops.items()
+    ) and set(per_cell) <= set(pops)
+    cmat = np.array(cents, dtype="float64")
+    cmat = cmat / np.maximum(
+        np.sqrt((cmat * cmat).sum(axis=1, keepdims=True)), 1e-300
+    )
+    picked_ids = [v for v, _c, _r in sample]
+    vecs = {
+        int(r.vec_id): np.array(list(r.embedding), dtype="float64")
+        for r in embs.filter(F.col("vec_id").isin(picked_ids))
+        .select("vec_id", "embedding").collect()
+    }
+    assign_ok = True
+    for v, c, _r in sample:
+        sims = cmat @ vecs[v]
+        if sims[c] < sims.max() - 1e-9:
+            assign_ok = False
+    again = {
+        (int(r.vec_id), int(r.ivf_cell), int(r.pick_rank))
+        for r in emb_diverse_sample(spark, sf_dir).collect()
+    }
+    n_vectors = embs.count()
+    return spark.createDataFrame(
+        [(
+            int(n_vectors),
+            bool(quota_ok),
+            bool(assign_ok),
+            bool(sample == again),
+            bool({c for _v, c, _r in sample}
+                 == {c for c, n in pops.items() if n > 0}),
+        )],
+        "n_vectors bigint, quota_ok boolean, assign_ok boolean,"
+        " deterministic_ok boolean, spread_ok boolean",
+    )
+
+
+EMB_DIVERSE_SAMPLE_CHECK_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, TRUE AS quota_ok,
+       TRUE AS assign_ok, TRUE AS deterministic_ok, TRUE AS spread_ok
+FROM embeddings
+"""
+
+
 QUERIES = {
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
     "doc_exact_dedup": (doc_exact_dedup, DOC_EXACT_DEDUP_SQL),
@@ -4120,5 +4212,9 @@ QUERIES = {
     "doc_dedup_rejects": (doc_dedup_rejects, None),
     "doc_dedup_stream_check": (
         doc_dedup_stream_check, DOC_DEDUP_STREAM_CHECK_SQL
+    ),
+    "emb_diverse_sample": (emb_diverse_sample, None),
+    "emb_diverse_sample_check": (
+        emb_diverse_sample_check, EMB_DIVERSE_SAMPLE_CHECK_SQL
     ),
 }

@@ -1500,3 +1500,42 @@ def test_drop_self_rows_numeric_precision(spark):
     kept = {r.vec_id
             for r in similarity._drop_self_rows(df, "vec_id").collect()}
     assert kept == {2 ** 53 + 1, 6}
+
+
+def test_diverse_sample_quota_determinism_and_fixed_cell_stability(spark):
+    """Cluster-balanced sampling: per-cell counts are exactly
+    min(quota, cell population); hash-rank picks are deterministic; and
+    with a FIXED quantizer, a cell's picks do not change when vectors
+    land in OTHER cells (the documented stability scope — the windowed
+    rank only sees its own partition)."""
+    from garmadon_spark.session import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    got = similarity.diverse_sample(embs, n_per_cell=5, n_cells=8,
+                                    iterations=1).collect()
+    cents, assigned = similarity.build_ivf(embs, n_centroids=8,
+                                           iterations=1)
+    pops = {r.ivf_cell: r.n for r in assigned.groupBy("ivf_cell")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    per_cell: dict = {}
+    for r in got:
+        per_cell[r.ivf_cell] = per_cell.get(r.ivf_cell, 0) + 1
+        assert 1 <= r.pick_rank <= 5
+    assert per_cell == {c: min(5, n) for c, n in pops.items() if n > 0}
+    again = similarity.diverse_sample(embs, n_per_cell=5, n_cells=8,
+                                      iterations=1).collect()
+    assert {tuple(r) for r in got} == {tuple(r) for r in again}
+    # fixed-quantizer stability: drop one NON-picked cell's vectors,
+    # re-rank over the same assignment — other cells' picks unchanged
+    from pyspark.sql.window import Window
+
+    some_cell = sorted(pops)[0]
+    w = Window.partitionBy("ivf_cell").orderBy(
+        F.xxhash64(F.col("vec_id")), F.col("vec_id"))
+    pruned = (assigned.filter(F.col("ivf_cell") != some_cell)
+              .withColumn("pick_rank", F.row_number().over(w))
+              .filter(F.col("pick_rank") <= 5)
+              .select("vec_id", "ivf_cell", "pick_rank").collect())
+    exp = {tuple(r) for r in got
+           if r.ivf_cell != some_cell}
+    assert {tuple(r) for r in pruned} == exp
