@@ -4008,6 +4008,138 @@ SELECT CAST((SELECT COUNT(*) FROM documents
 """
 
 
+# --- end-to-end curation funnel (r11) ---------------------------------
+
+_FUNNEL_CHUNK = 512
+
+
+def _funnel_tokens(col):
+    return F.size(F.filter(F.split(F.col(col), r"\s+"),
+                           lambda t: t != ""))
+
+
+def doc_curation_funnel(spark, sf_dir):
+    """The whole preprocessing pipeline as ONE stage-by-stage funnel —
+    the operational artifact a curation run publishes ("what did each
+    gate cost us"): input → length+quality gate (the doc_corpus_filter
+    thresholds) → exact dedup (min-id per normalized content hash,
+    applied AMONG quality survivors) → near-dup (MinHash-LSH pairs →
+    components → min-id survivor, the doc_minhash_groups rule) →
+    zero-overlap 512-char chunks.  Each row: (stage, n, n_chars,
+    n_tokens) — n is docs for document stages, chunks for the chunk
+    stage; chars/tokens are conserved exactly by the zero-overlap
+    chunking, which the check gates.  Plan: the gates fuse into the
+    scan; exact dedup is one window shuffle; near-dup is the standard
+    band-bucket shuffle over survivors only; chunking is map-only.
+    Rows-only (the near-dup stage is engine-defined);
+    ``doc_curation_funnel_check`` pins every SQL-expressible stage
+    count by value."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "n_chars")
+
+    def stage(df, name, text_col="text", n_col=None):
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length(text_col)).cast("bigint").alias("n_chars"),
+            F.sum(_funnel_tokens(text_col)).cast("bigint")
+            .alias("n_tokens"),
+        )
+
+    from pyspark.sql import Window
+
+    scored = text.quality_score(docs)
+    qual = scored.filter(
+        (F.col("n_chars") >= 100) & (F.col("quality_score") >= 0.15)
+    ).select("doc_id", "text")
+    w = Window.partitionBy(dedup.content_hash("text"))
+    exact = (
+        qual.withColumn("_keep",
+                        F.col("doc_id") == F.min("doc_id").over(w))
+        .filter("_keep").drop("_keep")
+    )
+    from pyspark import StorageLevel
+
+    exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = dedup.minhash_dedup(exact, persist_shingles=False)
+    comp = dedup.components(pairs)
+    dropped = comp.filter(F.col("doc_id") != F.col("component")) \
+        .select("doc_id")
+    neardup = exact.join(dropped, "doc_id", "left_anti") \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    chunks = corpus.chunk_documents(
+        neardup, chunk_chars=_FUNNEL_CHUNK, overlap=0
+    )
+    out = (
+        stage(docs, "1_input")
+        .unionByName(stage(qual, "2_quality"))
+        .unionByName(stage(exact, "3_exact_dedup"))
+        .unionByName(stage(neardup, "4_near_dup"))
+        .unionByName(stage(chunks, "5_chunks", text_col="chunk_text"))
+        .orderBy("stage")
+    )
+    out._gs_unpersist = lambda: (exact.unpersist(), neardup.unpersist())
+    return out
+
+
+def doc_curation_funnel_check(spark, sf_dir):
+    """Value gate over the funnel: the input / quality / exact-dedup
+    stage numbers (docs, chars, tokens where SQL-expressible) are
+    pinned BY VALUE against the DuckDB replica of the same gates
+    (quality-score replica + windowed min-id survivorship), and the
+    engine-defined stages are gated structurally — the funnel is
+    monotone (input ≥ quality ≥ exact ≥ near-dup ≥ 1 docs) and the
+    zero-overlap chunk stage conserves the near-dup survivors' chars
+    exactly (sum(chunk_len) == survivors' chars — a lost or duplicated
+    window breaks equality).  Driver work: five funnel rows."""
+    f = doc_curation_funnel(spark, sf_dir)
+    rows = {r.stage: r for r in f.collect()}
+    f._gs_unpersist()
+    inp, qual, exact = rows["1_input"], rows["2_quality"], \
+        rows["3_exact_dedup"]
+    nd, ch = rows["4_near_dup"], rows["5_chunks"]
+    monotone = (inp.n >= qual.n >= exact.n >= nd.n >= 1
+                and ch.n >= nd.n)
+    return spark.createDataFrame(
+        [(
+            int(inp.n), int(inp.n_chars), int(inp.n_tokens),
+            int(qual.n), int(exact.n),
+            bool(monotone),
+            bool(ch.n_chars == nd.n_chars),
+        )],
+        "n_input bigint, chars_input bigint, tokens_input bigint,"
+        " n_quality bigint, n_exact bigint, monotone_ok boolean,"
+        " chars_conserved_ok boolean",
+    )
+
+
+DOC_CURATION_FUNNEL_CHECK_SQL = f"""
+WITH q AS ({DOC_QUALITY_SQL}),
+pass AS (
+    SELECT d.doc_id, d.text FROM documents d JOIN q USING (doc_id)
+    WHERE d.n_chars >= 100 AND q.quality_score >= 0.15
+),
+surv AS (
+    SELECT doc_id FROM (
+        SELECT doc_id,
+               doc_id = MIN(doc_id) OVER (
+                   PARTITION BY md5(trim(lower(
+                       regexp_replace(text, '\\s+', ' ', 'g'))))
+               ) AS keep
+        FROM pass
+    ) WHERE keep
+)
+SELECT (SELECT COUNT(*) FROM documents) AS n_input,
+       (SELECT CAST(SUM(length(text)) AS BIGINT) FROM documents)
+           AS chars_input,
+       (SELECT CAST(SUM(len(list_filter(
+                string_split_regex(text, '\\s+'), x -> x <> '')))
+            AS BIGINT) FROM documents) AS tokens_input,
+       (SELECT COUNT(*) FROM pass) AS n_quality,
+       (SELECT COUNT(*) FROM surv) AS n_exact,
+       TRUE AS monotone_ok, TRUE AS chars_conserved_ok
+"""
+
+
 # --- cluster-balanced diversity sampling (r11) ------------------------
 
 _DIVERSE_CELLS = 16
@@ -4216,5 +4348,9 @@ QUERIES = {
     "emb_diverse_sample": (emb_diverse_sample, None),
     "emb_diverse_sample_check": (
         emb_diverse_sample_check, EMB_DIVERSE_SAMPLE_CHECK_SQL
+    ),
+    "doc_curation_funnel": (doc_curation_funnel, None),
+    "doc_curation_funnel_check": (
+        doc_curation_funnel_check, DOC_CURATION_FUNNEL_CHECK_SQL
     ),
 }

@@ -1539,3 +1539,20 @@ def test_diverse_sample_quota_determinism_and_fixed_cell_stability(spark):
     exp = {tuple(r) for r in got
            if r.ivf_cell != some_cell}
     assert {tuple(r) for r in pruned} == exp
+
+
+def test_curation_funnel_monotone_and_conserving(spark):
+    """The end-to-end funnel: five stages, document counts monotone
+    non-increasing through the gates, and the zero-overlap chunk stage
+    conserves the near-dup survivors' characters exactly."""
+    from garmadon_spark.queries import datapipe
+
+    f = datapipe.doc_curation_funnel(spark, "/root/testdata/sf0.001")
+    rows = {r.stage: r for r in f.collect()}
+    f._gs_unpersist()
+    assert set(rows) == {"1_input", "2_quality", "3_exact_dedup",
+                         "4_near_dup", "5_chunks"}
+    assert (rows["1_input"].n >= rows["2_quality"].n
+            >= rows["3_exact_dedup"].n >= rows["4_near_dup"].n >= 1)
+    assert rows["5_chunks"].n_chars == rows["4_near_dup"].n_chars
+    assert rows["5_chunks"].n >= rows["4_near_dup"].n
