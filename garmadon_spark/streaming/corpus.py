@@ -60,6 +60,28 @@ def clean_corpus_stream(
 _ADMIT_RETAIN_MARKERS = 3
 
 
+def _history_sigs(sess, sigs_root: str, sig_schema, batch_id: int):
+    """The admission gate's history read: the whole signature tree
+    EXCEPT the current batch's partition.  The ``batch != current``
+    predicate is a PARTITION filter on the directory layout
+    (``sigs/batch=N``) resolved at planning time with an explicit
+    schema, so a crashed first attempt's partial files under the
+    replayed batch's own partition are never listed into the scan —
+    the replay-correctness mechanism, pinned by
+    tests/test_plan_shapes.py."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    full = StructType(
+        list(sig_schema.fields) + [StructField("batch", LongType())]
+    )
+    return (
+        sess.read.schema(full)
+        .option("basePath", sigs_root).parquet(sigs_root)
+        .filter(F.col("batch") != batch_id)
+        .select("doc", "signature")
+    )
+
+
 def dedup_corpus_stream(
     docs: DataFrame,
     index_path: str,
@@ -144,30 +166,14 @@ def dedup_corpus_stream(
         marker = f"{marks_root}/{batch_id}.done"
         if _marker_current(sess, marker, cache["run"]) or batch_df.isEmpty():
             return
-        sig_schema = None
+        sig_schema = dedup.minhash_signatures(
+            batch_df, id_col=id_col, text_col=text_col, n=n,
+            num_hashes=num_hashes,
+        ).schema
         if _os.path.isdir(sigs_root):
-            from pyspark.sql.types import LongType
-
-            sig_schema = (
-                dedup.minhash_signatures(
-                    batch_df, id_col=id_col, text_col=text_col, n=n,
-                    num_hashes=num_hashes,
-                ).schema.add("batch", LongType())
-            )
-            hist = (
-                sess.read.schema(sig_schema)
-                .option("basePath", sigs_root).parquet(sigs_root)
-                .filter(F.col("batch") != batch_id)
-                .select("doc", "signature")
-            )
+            hist = _history_sigs(sess, sigs_root, sig_schema, batch_id)
         else:
-            hist = sess.createDataFrame(
-                [],
-                dedup.minhash_signatures(
-                    batch_df, id_col=id_col, text_col=text_col, n=n,
-                    num_hashes=num_hashes,
-                ).schema,
-            )
+            hist = sess.createDataFrame([], sig_schema)
         accepted, acc_sigs, rejected = dedup.admit_increment(
             batch_df, hist, id_col=id_col, text_col=text_col, n=n,
             num_hashes=num_hashes, bands=bands, threshold=threshold,

@@ -316,3 +316,29 @@ def test_ivfpq_batch_probe_plan_is_serving_shape(spark, tmp_path):
         assert "SortMergeJoin" not in plan, rerank
         assert res.count() == 4 * 5
         res._gs_unpersist()
+
+
+def test_admission_history_read_prunes_current_batch(spark, tmp_path):
+    """The streaming admission gate's history read excludes the
+    CURRENT batch as a PARTITION filter resolved at planning time —
+    never a post-scan Filter — so a crashed attempt's partial parquet
+    files under the replayed batch's own partition are never opened,
+    and at 10⁹ indexed docs the replay reads zero bytes it doesn't
+    need.  Pins streaming.corpus._history_sigs (the exact production
+    read)."""
+    from garmadon_spark.operators import dedup
+    from garmadon_spark.session import load_table
+    from garmadon_spark.streaming.corpus import _history_sigs
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sigs = dedup.minhash_signatures(docs.limit(20))
+    root = str(tmp_path / "sigs")
+    sigs.write.parquet(f"{root}/batch=0")
+    sigs.write.parquet(f"{root}/batch=1")
+    hist = _history_sigs(spark, root, sigs.schema, 1)
+    plan = _plan(hist)
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", scan)
+    assert m and "batch" in m.group(1), scan
+    # and the data actually excludes batch 1
+    assert hist.count() == 20
