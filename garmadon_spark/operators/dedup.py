@@ -607,6 +607,85 @@ def admit_increment(
     return accepted_docs, accepted_sigs, rejected
 
 
+def compact_sig_index(spark, index_path: str, keep_last: int = 1) -> list:
+    """Fold the admission signature index's per-batch partitions
+    (``dedup_corpus_stream`` writes one ``sigs/batch=N`` directory per
+    micro-batch, forever) into the OLDEST folded partition — the
+    tiny-file compaction the IVF trees get from compact_ivf_index,
+    for the gate's index.  Returns the folded batch ids.
+
+    Safety argument, in order:
+
+    - Candidates are every batch partition EXCEPT the newest
+      ``keep_last`` (≥ 1 enforced).  Structured Streaming only ever
+      re-runs the LAST uncommitted batch, so every candidate is
+      committed and no replay will overwrite or re-exclude it; the
+      running gate only writes the newest partition and its history
+      read (``batch != current``) is unaffected by folding older ids.
+    - Publish order makes every crash window converge: candidates are
+      read (``dropDuplicates(doc)`` — heals any duplicates a previous
+      crashed fold left), staged under ``sigs/_compact_stage`` (an
+      underscore path, invisible to the partition listing), then moved
+      into ``batch=<min>`` under DETERMINISTIC fold-set-keyed names
+      (os.replace — a retried fold overwrites its own files), and only
+      after every staged file is in place are the superseded originals
+      deleted.  A crash mid-publish or mid-delete leaves DUPLICATE
+      rows, never missing ones — and duplicates are harmless to the
+      gate (identical (doc, signature) rows band into the same buckets;
+      candidate pairs are ``distinct()``), then healed by the next
+      fold's dropDuplicates.
+    - ``batch`` keeps a monotone meaning after folding: "admitted no
+      later than" — the folded partition carries the min id.
+
+    A deployment runs this from the maintenance cadence that already
+    compacts the ANN trees; at 10⁹ indexed docs it turns O(batches
+    ever) directories into O(keep_last + 1).  Like compact_ivf_index,
+    schedule it BETWEEN serving triggers: a history scan that listed an
+    original file before the post-publish delete can fail its task on
+    the vanished file (the standard read-after-compact race) — the
+    availableNow gate retries the batch against the folded layout and
+    converges, but serializing avoids the retry entirely."""
+    import os
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (the newest batch can "
+                         "still be replayed by the checkpoint)")
+    sigs = f"{index_path}/sigs"
+    ids = sorted(
+        int(d.split("=", 1)[1]) for d in os.listdir(sigs)
+        if d.startswith("batch=") and d.split("=", 1)[1].isdigit()
+    ) if os.path.isdir(sigs) else []
+    cands = ids[:-keep_last]
+    if len(cands) < 2:
+        return []
+    tgt, top = cands[0], cands[-1]
+    fold = f"fold-{tgt}-{top}"
+    folded = (
+        spark.read.option("basePath", sigs)
+        .parquet(*[f"{sigs}/batch={b}" for b in cands])
+        .dropDuplicates(["doc"])
+        .drop("batch")
+    )
+    stage = f"{sigs}/_compact_stage"
+    shutil.rmtree(stage, ignore_errors=True)
+    folded.write.mode("overwrite").parquet(stage)
+    parts = sorted(f for f in os.listdir(stage)
+                   if f.endswith(".parquet"))
+    os.makedirs(f"{sigs}/batch={tgt}", exist_ok=True)
+    for i, f in enumerate(parts):
+        os.replace(f"{stage}/{f}",
+                   f"{sigs}/batch={tgt}/{fold}-{i}.parquet")
+    # publish complete — now drop the superseded originals
+    for f in os.listdir(f"{sigs}/batch={tgt}"):
+        if f.endswith(".parquet") and not f.startswith(f"{fold}-"):
+            os.remove(f"{sigs}/batch={tgt}/{f}")
+    for b in cands[1:]:
+        shutil.rmtree(f"{sigs}/batch={b}", ignore_errors=True)
+    shutil.rmtree(stage, ignore_errors=True)
+    return cands
+
+
 def minhash_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -1385,3 +1385,93 @@ def test_dedup_corpus_stream_admits_exactly_once(spark, tmp_path):
                        match="different streaming incarnation"):
         gate(str(tmp_path / "ck_fresh")).awaitTermination()
     assert state() == (got, rej, idx)
+
+
+def test_compact_sig_index_preserves_gate_history(spark, tmp_path):
+    """Folding committed signature partitions preserves every admission
+    decision: the folded index holds the same (doc, signature) set
+    under the min folded id; a post-compaction increment re-scraping a
+    FOLDED doc is still rejected as history; and a crashed fold's
+    leftover duplicate rows converge on the next fold
+    (dropDuplicates heal)."""
+    import glob
+    import os
+    import shutil
+
+    from garmadon_spark.operators import dedup
+    from garmadon_spark.session import load_table
+    from garmadon_spark.streaming import corpus as scorpus
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "src")
+    for lo in (0, 15, 30):
+        d.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 15)) \
+            .coalesce(1).write.mode("append").parquet(src)
+    for i, f in enumerate(sorted(glob.glob(f"{src}/part-*.parquet"))):
+        os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
+    index, out, ckpt = (str(tmp_path / p) for p in ("idx", "out", "ck"))
+
+    def gate():
+        return scorpus.dedup_corpus_stream(
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1").parquet(src),
+            index, out, ckpt,
+        ).start()
+
+    gate().awaitTermination()
+
+    def sig_set():
+        return {
+            (r.doc, tuple(r.signature))
+            for r in spark.read.option("basePath", f"{index}/sigs")
+            .parquet(f"{index}/sigs").select("doc", "signature")
+            .collect()
+        }
+
+    def parts():
+        return sorted(
+            int(p.split("=")[1])
+            for p in os.listdir(f"{index}/sigs")
+            if p.startswith("batch=")
+        )
+
+    before = sig_set()
+    assert parts() == [0, 1, 2]
+    assert dedup.compact_sig_index(spark, index) == [0, 1]
+    assert parts() == [0, 2]
+    assert sig_set() == before
+
+    # the gate keeps working against the folded history: batch 4 mixes
+    # re-scrapes of FOLDED docs (new ids) with fresh docs
+    copies = d.filter(F.col("doc_id") < 5).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    fresh = d.filter((F.col("doc_id") >= 45) & (F.col("doc_id") < 50))
+    copies.unionByName(fresh).coalesce(1).write.mode("append") \
+        .parquet(src)
+    newest = max(glob.glob(f"{src}/part-*.parquet"), key=os.path.getmtime)
+    os.utime(newest, (1_000_000_100, 1_000_000_100))
+    gate().awaitTermination()
+    rej = {
+        (r.doc, r.reason)
+        for r in spark.read.option("basePath", f"{out}/rejected")
+        .parquet(f"{out}/rejected")
+        .filter(F.col("batch") == 3).select("doc", "reason").collect()
+    }
+    assert rej == {(x + 1_000_000, "history") for x in range(5)}
+
+    # crashed-fold leftovers (duplicate rows) converge on the next fold
+    tgt = f"{index}/sigs/batch=0"
+    a_file = next(f for f in os.listdir(tgt) if f.endswith(".parquet"))
+    shutil.copy(f"{tgt}/{a_file}", f"{tgt}/fold-0-0-9.parquet")
+    dup = spark.read.option("basePath", f"{index}/sigs") \
+        .parquet(f"{index}/sigs")
+    assert dup.count() > dup.select("doc").distinct().count()
+    assert dedup.compact_sig_index(spark, index) == [0, 2]
+    healed = spark.read.option("basePath", f"{index}/sigs") \
+        .parquet(f"{index}/sigs")
+    assert healed.count() == healed.select("doc").distinct().count()
+    assert {r.doc for r in healed.select("doc").collect()} \
+        == {doc for doc, _s in before} | {x + 45 for x in range(5)}
