@@ -4168,8 +4168,10 @@ def emb_diverse_sample_check(spark, sf_dir):
     the final centroids, re-verified with an independent driver-side
     NumPy pass (collected work: ≤ cells·quota vectors + the centroid
     matrix; 1e-9 slack for near-ties between JVM and BLAS float
-    paths); (3) the op is deterministic (a second full build+draw is
-    set-equal); (4) the sample touches every non-empty cell.
+    paths); (3) the op is deterministic — an independent rebuild of the
+    quantizer plus a window replay of the hash-rank selection
+    reproduces the draw set-exactly; (4) the sample touches every
+    non-empty cell.
     n_vectors is data-bearing (pinned by SQL COUNT over embeddings)."""
     embs = _embs(spark, sf_dir)
     sample = {
@@ -4206,9 +4208,21 @@ def emb_diverse_sample_check(spark, sf_dir):
         sims = cmat @ vecs[v]
         if sims[c] < sims.max() - 1e-9:
             assign_ok = False
+    # determinism: an independent rebuild (this check's own quantizer,
+    # computed above for the population gate) + a window replay of the
+    # hash-rank selection must reproduce the op's draw exactly — one
+    # build cheaper than re-running the op, same end-to-end statement
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("ivf_cell").orderBy(
+        F.xxhash64(F.col("vec_id")), F.col("vec_id")
+    )
     again = {
         (int(r.vec_id), int(r.ivf_cell), int(r.pick_rank))
-        for r in emb_diverse_sample(spark, sf_dir).collect()
+        for r in assigned.withColumn("pick_rank",
+                                     F.row_number().over(w))
+        .filter(F.col("pick_rank") <= _DIVERSE_QUOTA)
+        .select("vec_id", "ivf_cell", "pick_rank").collect()
     }
     n_vectors = embs.count()
     return spark.createDataFrame(
