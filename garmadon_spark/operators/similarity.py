@@ -1212,6 +1212,7 @@ def ivf_topk_batch(
     probe_branches: int | None = None,
     exclude_self: bool = True,
     centroids: tuple | None = None,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a materialized IVF index with a BATCH of query vectors —
     the ANN **serving** path (each micro-batch of a query stream, or an
@@ -1239,6 +1240,19 @@ def ivf_topk_batch(
     ``centroids``: the (fine_rows, coarse_by_id) pair from
     ``load_ivf_centroids`` — pass it to amortize the centroid-table
     read across calls (the streaming server does); None loads it here.
+
+    ``allowed``: FILTERED search — a one-column frame of permitted
+    corpus ids (a metadata predicate evaluated on the source table,
+    e.g. ``embs.filter(label == L).select('vec_id')``), semi-joined
+    into the pruned cell scan BEFORE scoring/ranking, so every one of
+    the k results satisfies the filter — never a post-filtered
+    shortlist that comes back short.  The join is left to the
+    optimizer: a selective predicate broadcasts (AQE sizes it), a loose
+    one shuffles only the candidate rows already pruned to the probed
+    cells.  Filtered recall caveat, stated honestly: nprobe bounds the
+    UNFILTERED neighborhood — a very selective filter wants a larger
+    nprobe (or nprobe = n_cells for exact), the standard trade every
+    IVF system documents.
 
     The query batch (with its probed cells) is persisted so the probe
     UDF runs ONCE — the cell-union collect and the broadcast join both
@@ -1270,6 +1284,11 @@ def ivf_topk_batch(
     vectors = spark.read.parquet(f"{path}/vectors").filter(
         F.col("ivf_cell").isin(probed)
     )
+    if allowed is not None:
+        ids = allowed.select(
+            F.col(allowed.columns[0]).alias(id_col)
+        ).distinct()
+        vectors = vectors.join(ids, id_col, "left_semi")
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(
@@ -2727,6 +2746,7 @@ def ivfpq_topk_batch(
     exclude_self: bool = True,
     queries_in_index_space: bool = False,
     quantizer: tuple | None = None,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a persisted IVF-PQ index with a BATCH of query vectors —
     ivf_topk_batch's plan shape over the M-byte codes tree:
@@ -2755,7 +2775,13 @@ def ivfpq_topk_batch(
     streaming server passes its generation-checked cache here so a
     long-running serve loop reads the quantizer side tables once per
     re-train, not once per micro-batch (the ivf_topk_batch
-    ``centroids=`` contract extended to rotation + codebooks)."""
+    ``centroids=`` contract extended to rotation + codebooks).
+
+    ``allowed``: FILTERED search — the ivf_topk_batch contract: a
+    one-column frame of permitted corpus ids semi-joined into the
+    pruned CODES scan before ADC scoring, so shortlist, rerank, and
+    the final k all satisfy the predicate; same nprobe-vs-selectivity
+    trade documented there."""
     from pyspark.sql import Window
     from pyspark.sql.functions import pandas_udf
 
@@ -2818,6 +2844,12 @@ def ivfpq_topk_batch(
     codes_df = spark.read.parquet(f"{path}/codes").filter(
         F.col("ivf_cell").isin(probed)
     )
+    if allowed is not None:
+        codes_df = codes_df.join(
+            allowed.select(F.col(allowed.columns[0]).alias(id_col))
+            .distinct(),
+            id_col, "left_semi",
+        )
     joined = codes_df.join(F.broadcast(exploded), "ivf_cell")
     if exclude_self:
         # dtype-safe: string/UUID query ids vs bigint vec ids must

@@ -4008,6 +4008,66 @@ SELECT CAST((SELECT COUNT(*) FROM documents
 """
 
 
+# --- filtered vector search (r11) --------------------------------------
+
+_FILT_QUERIES = 4
+_FILT_CACHE: list = []
+
+
+def emb_ann_filtered(spark, sf_dir):
+    """FILTERED vector search over the materialized IVF index: top-k
+    neighbors restricted to a metadata predicate (label % 3 == 0),
+    pushed into the probe as an allowed-ids semi-join BEFORE ranking —
+    every one of the k results satisfies the filter, never a
+    post-filtered shortlist that comes back short (the table-stakes
+    feature of a vector store).  Probed at nprobe = ALL cells, so the
+    result is exact brute-force-filtered top-k and carries a FULL
+    value-hash oracle (the only ANN leg DuckDB can replicate
+    bit-for-bit); the approximate widths reuse the same `allowed`
+    plumbing with recall governed by the documented nprobe trade."""
+    embs = _embs(spark, sf_dir)
+    path = _ensure_ivf_index(spark, sf_dir)
+    cells = _ivf_cells_for(_emb_count(spark, sf_dir))
+    queries = embs.filter(F.col("vec_id") < _FILT_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    allowed = embs.filter(F.col("label") % 3 == 0).select("vec_id")
+    out = similarity.ivf_topk_batch(
+        spark, path, queries, k=_RECALL_K, nprobe=cells,
+        exclude_self=True, allowed=allowed,
+    )
+    while _FILT_CACHE:
+        _FILT_CACHE.pop()()
+    _FILT_CACHE.append(out._gs_unpersist)
+    return out.orderBy("query_id", "rank")
+
+
+EMB_ANN_FILTERED_SQL = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+    WHERE vec_id < {_FILT_QUERIES}
+), pairs AS (
+    SELECT q.query_id, e.vec_id,
+           CAST(unnest(e.embedding) AS DOUBLE) AS x,
+           CAST(unnest(q.qe) AS DOUBLE) AS qx
+    FROM embeddings e, q
+    WHERE e.label % 3 = 0 AND e.vec_id <> q.query_id
+), scored AS (
+    SELECT query_id, vec_id,
+           ROUND(SUM(x * qx) / (sqrt(SUM(x * x)) * sqrt(SUM(qx * qx))),
+                 6) AS cosine
+    FROM pairs GROUP BY query_id, vec_id
+), ranked AS (
+    SELECT query_id, vec_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {_RECALL_K}
+"""
+
+
 # --- end-to-end curation funnel (r11) ---------------------------------
 
 _FUNNEL_CHUNK = 512
@@ -4367,4 +4427,5 @@ QUERIES = {
     "doc_curation_funnel_check": (
         doc_curation_funnel_check, DOC_CURATION_FUNNEL_CHECK_SQL
     ),
+    "emb_ann_filtered": (emb_ann_filtered, EMB_ANN_FILTERED_SQL),
 }

@@ -1556,3 +1556,51 @@ def test_curation_funnel_monotone_and_conserving(spark):
             >= rows["3_exact_dedup"].n >= rows["4_near_dup"].n >= 1)
     assert rows["5_chunks"].n_chars == rows["4_near_dup"].n_chars
     assert rows["5_chunks"].n >= rows["4_near_dup"].n
+
+
+def test_ivf_filtered_probe_restricts_and_stays_pruned(spark, tmp_path):
+    """allowed= on the batched IVF probe: every result satisfies the
+    filter (semi-join BEFORE ranking — k survivors, not a post-filtered
+    shortlist); at nprobe = all cells the filtered result equals
+    brute-force filtered top-k; and the filter does not disturb the
+    probe's planning-time partition pruning."""
+    import re
+
+    from garmadon_spark.session import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "idx")
+    similarity.write_ivf_index(embs, path, n_centroids=8, iterations=1)
+    allowed = embs.filter(F.col("label") % 3 == 0).select("vec_id")
+    allowed_ids = {r.vec_id for r in allowed.collect()}
+    queries = embs.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ivf_topk_batch(
+        spark, path, queries, k=5, nprobe=8, exclude_self=True,
+        allowed=allowed,
+    )
+    rows = out.collect()
+    assert rows and all(r.vec_id in allowed_ids for r in rows)
+    assert len({q for q, *_ in [(r.query_id, r.rank) for r in rows]}) == 2
+    # exactness at full width: equals brute force over the filtered set
+    got = {qid: {r.vec_id for r in rows if r.query_id == qid}
+           for qid in (0, 1)}
+    for qid in (0, 1):
+        qv = [float(x) for x in embs.filter(
+            F.col("vec_id") == qid).head()["embedding"]]
+        bf = similarity.brute_force_topk(
+            embs.filter((F.col("label") % 3 == 0)
+                        & (F.col("vec_id") != qid)),
+            qv, k=5,
+        )
+        assert {r.vec_id for r in bf.collect()} == got[qid]
+    # the allowed semi-join rides ABOVE the pruned scan: partition
+    # pruning still reaches the vectors FileScan
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted")
+    )
+    assert re.search(r"PartitionFilters: \[[^\]]*ivf_cell[^\]]*IN",
+                     plan), plan[:2000]
+    out._gs_unpersist()

@@ -685,3 +685,49 @@ def test_ivf_index_health_report(spark, embs, tmp_path):
     hf = similarity.ivf_index_health(spark, flat).head()
     assert hf.codes_rows is None and hf.missing_codes is None
     assert hf.code_files is None and hf.unmarked_batches == 0
+
+
+def test_ivfpq_filtered_probe_restricts_both_paths(spark, tmp_path):
+    """allowed= on the IVF-PQ probe: pure-ADC and reranked results both
+    contain ONLY permitted ids, the reranked filtered result equals
+    brute-force filtered top-k at full width (ADC shortlist wide enough
+    to be exhaustive), and k survivors are returned — the filter
+    applies before scoring, not as a post-filter."""
+    from garmadon_spark.session import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "pq")
+    similarity.write_ivfpq_index(
+        embs, path, n_centroids=8, m=16, ksub=16, iterations=1,
+        pq_iterations=2, opq=True,
+    )
+    allowed = embs.filter(F.col("label") % 3 == 0).select("vec_id")
+    ok = {r.vec_id for r in allowed.collect()}
+    queries = embs.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    adc = similarity.ivfpq_topk_batch(
+        spark, path, queries, k=5, nprobe=8, exclude_self=True,
+        allowed=allowed,
+    )
+    rows = adc.collect()
+    adc._gs_unpersist()
+    assert rows and all(r.vec_id in ok for r in rows)
+    n = embs.count()
+    rr = similarity.ivfpq_topk_batch(
+        spark, path, queries, k=5, nprobe=8, rerank=n,
+        exclude_self=True, allowed=allowed,
+    )
+    got = {qid: {r.vec_id for r in rr.collect() if r.query_id == qid}
+           for qid in (0, 1)}
+    rr._gs_unpersist()
+    for qid in (0, 1):
+        assert got[qid] <= ok and len(got[qid]) == 5
+        qv = [float(x) for x in embs.filter(
+            F.col("vec_id") == qid).head()["embedding"]]
+        bf = similarity.brute_force_topk(
+            embs.filter((F.col("label") % 3 == 0)
+                        & (F.col("vec_id") != qid)),
+            qv, k=5,
+        )
+        assert {r.vec_id for r in bf.collect()} == got[qid]
