@@ -246,10 +246,18 @@ def serve_ann_stream(
     query_vec_col: str = "embedding",
     exclude_self: bool = False,
     retain_batches: int | None = None,
+    allowed: DataFrame | None = None,
 ):
     """Wire a query-vector stream to the IVF index; returns the
     (unstarted) ``DataStreamWriter``.  Results land in ``out_path`` as
     parquet rows (query_id, vec_id, cosine, rank, batch_id).
+
+    ``allowed``: FILTERED serving — a STATIC one-column frame of
+    permitted corpus ids (the ivf_topk_batch contract), applied to
+    every micro-batch's probe; its plan re-evaluates per trigger, so a
+    table-backed predicate tracks the table.  Per-QUERY predicates are
+    a different feature (group-wise probes) and intentionally out of
+    scope here.
 
     ``exclude_self`` defaults False here (external queries own a
     separate id space); pass True when replaying corpus vectors as
@@ -292,6 +300,7 @@ def serve_ann_stream(
             sess, index_path, batch_df, k=k, nprobe=nprobe,
             query_id_col=query_id_col, query_vec_col=query_vec_col,
             exclude_self=exclude_self, centroids=quantizer,
+            allowed=allowed,
         )
 
     return _serve_probe_loop(
@@ -314,6 +323,7 @@ def serve_ivfpq_stream(
     query_vec_col: str = "embedding",
     exclude_self: bool = False,
     retain_batches: int | None = None,
+    allowed: DataFrame | None = None,
 ):
     """``serve_ann_stream``'s twin over a persisted IVF-PQ index
     (similarity.write_ivfpq_index): each micro-batch of query vectors
@@ -344,8 +354,9 @@ def serve_ivfpq_stream(
     appends and codes compaction touch only ``vectors/``/``codes/`` and
     never trigger a reload.  Everything else — run-scoped marker
     idempotence, per-batch partition overwrite, the mid-swap bounded
-    retry, ``retain_batches`` pruning, availableNow default trigger —
-    is the shared serving loop, identical to ``serve_ann_stream``."""
+    retry, ``retain_batches`` pruning, availableNow default trigger,
+    the static ``allowed`` filter — is the shared serving loop,
+    identical to ``serve_ann_stream``."""
     eff_rerank = 4 * k if rerank is None else rerank
 
     def probe(sess, batch_df: DataFrame, quantizer) -> DataFrame:
@@ -354,6 +365,7 @@ def serve_ivfpq_stream(
             rerank=eff_rerank,
             query_id_col=query_id_col, query_vec_col=query_vec_col,
             exclude_self=exclude_self, quantizer=quantizer,
+            allowed=allowed,
         )
 
     return _serve_probe_loop(

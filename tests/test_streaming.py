@@ -1475,3 +1475,41 @@ def test_compact_sig_index_preserves_gate_history(spark, tmp_path):
     assert healed.count() == healed.select("doc").distinct().count()
     assert {r.doc for r in healed.select("doc").collect()} \
         == {doc for doc, _s in before} | {x + 45 for x in range(5)}
+
+
+def test_serve_ann_stream_filtered(spark, tmp_path):
+    """Filtered serving: a static allowed frame restricts every served
+    micro-batch — results contain only permitted ids and equal the
+    filtered batch probe at identical widths."""
+    from garmadon_spark.operators import similarity
+    from garmadon_spark.session import load_table
+    from garmadon_spark.streaming import ann
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    index = str(tmp_path / "idx")
+    similarity.write_ivf_index(embs, index, n_centroids=8, iterations=1)
+    allowed = embs.filter(F.col("label") % 3 == 0).select("vec_id")
+    ok = {r.vec_id for r in allowed.collect()}
+    src = str(tmp_path / "q")
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    queries.write.parquet(src)
+    out = str(tmp_path / "out")
+    q = ann.serve_ann_stream(
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .parquet(src),
+        index, out, str(tmp_path / "ck"),
+        k=5, nprobe=4, exclude_self=True, allowed=allowed,
+    ).start()
+    q.awaitTermination()
+    served = {(r.query_id, r.rank): r.vec_id
+              for r in spark.read.parquet(out).collect()}
+    assert served and all(v in ok for v in served.values())
+    exp_df = similarity.ivf_topk_batch(
+        spark, index, queries, k=5, nprobe=4, exclude_self=True,
+        allowed=allowed,
+    )
+    exp = {(r.query_id, r.rank): r.vec_id for r in exp_df.collect()}
+    exp_df._gs_unpersist()
+    assert served == exp
