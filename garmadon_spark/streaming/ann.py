@@ -454,6 +454,161 @@ def maintain_ann_index_stream(
     )
 
 
+def admit_embeddings_stream(
+    embs: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    tau: float = 0.95,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Embedding-space streaming ADMISSION gate — the vector twin of
+    the text tier's ``dedup_corpus_stream``: each micro-batch of new
+    embeddings is (1) probed top-1 against the LIVE IVF index (a hit
+    with cosine ≥ tau is a semantic re-scrape → rejected with its
+    matched corpus id and score), (2) near-dup'd WITHIN the batch —
+    candidates blocked by assigned index cell (the corpus's own
+    quantizer as the blocking key, the semantic_dedup philosophy),
+    edges at cosine ≥ tau, connected components, min-id survivor — and
+    (3) survivors ABSORBED into the index through the maintainer's
+    staged-append protocol (assign → stage → deterministic-name
+    publish), so the NEXT batch probes against them.  Accepted rows
+    land in ``out_path/accepted/batch=N``, rejected
+    (doc, reason ∈ history|intra_batch, match_id, cosine) in
+    ``out_path/rejected/batch=N``.
+
+    Exactly-once: ONE run-scoped marker per batch
+    (``_append_batches/N.done`` — this gate IS the index's appender,
+    so it shares the maintainer's marker chain and its
+    foreign-checkpoint refusal), and the batch's own published
+    ``b{N}-*`` vector files are PURGED before the probe — a replay of
+    a crashed attempt therefore probes the exact pre-batch index,
+    recomputes the same deterministic decisions, and re-publishes
+    under the same names (converges; the text gate's
+    current-batch-partition exclusion, expressed in this layout's
+    file-name scheme).
+
+    Gate strictness is the IVF trade, stated honestly: nprobe bounds
+    the history lookup — a re-scrape whose nearest cells aren't probed
+    can slip through; raise nprobe toward n_cells for a strict gate
+    (exact at nprobe = n_cells).  Intra-batch blocking scores the full
+    fine-centroid list per batch (micro-batch-sized work); cells
+    bound the pair blowup the way labels bound semantic_dedup.
+
+    The index must already exist (``write_ivf_index`` on the seed
+    corpus).  Returns the (availableNow-triggered) writer."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from garmadon_spark.operators import dedup as _dedup
+
+    cache: dict = {}
+
+    def _admit(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        if "run" not in cache:
+            cache["run"] = _checkpoint_run_id(sess, checkpoint)
+            _refuse_foreign_chain(
+                sess, f"{index_path}/_append_batches", cache["run"],
+                "resume its original checkpoint, or rebuild the index "
+                "from scratch",
+            )
+        run = cache["run"]
+        marker = f"{index_path}/_append_batches/{batch_id}.done"
+        if _marker_current(sess, marker, run) or batch_df.isEmpty():
+            return
+        # replay correctness: purge THIS batch's published files so the
+        # probe sees the exact pre-batch index
+        for stale in _glob.glob(
+                f"{index_path}/vectors/ivf_cell=*/b{batch_id}-*.parquet"):
+            _os.remove(stale)
+        batch = batch_df.select(id_col, vec_col).persist()
+        top = similarity.ivf_topk_batch(
+            sess, index_path, batch, k=1, nprobe=nprobe,
+            query_id_col=id_col, query_vec_col=vec_col,
+            exclude_self=True,
+        )
+        hist_rej = (
+            top.filter(F.col("cosine") >= tau)
+            .select(F.col("query_id").alias("doc"),
+                    F.lit("history").alias("reason"),
+                    F.col("vec_id").alias("match_id"), "cosine")
+            .persist()
+        )
+        cents = [
+            list(r.centroid)
+            for r in sess.read.parquet(f"{index_path}/centroids")
+            .orderBy("ivf_cell").collect()
+        ]
+        assigned = similarity.assign_cells(
+            batch, cents, vec_col, arrow=True
+        ).select(F.struct(F.col(id_col).alias("doc"),
+                          F.col(vec_col).alias("v")).alias("p"),
+                 "ivf_cell")
+        # round-6 compare, matching the probe leg's rounded cosine, so
+        # an oracle replay can mirror both thresholds identically
+        cands = _dedup.bucket_pairs(assigned, ["ivf_cell"], "p").select(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"),
+            F.round(similarity.cosine(F.col("a.v"), F.col("b.v")), 6)
+            .alias("cos"),
+        ).filter(F.col("cos") >= tau)
+        rej_ids = hist_rej.select("doc")
+        edges = (
+            cands
+            .join(rej_ids.withColumnRenamed("doc", "doc_a"),
+                  "doc_a", "left_anti")
+            .join(rej_ids.withColumnRenamed("doc", "doc_b"),
+                  "doc_b", "left_anti")
+            .select("doc_a", "doc_b")
+        )
+        comp = _dedup.components(edges)
+        intra_rej = comp.filter(
+            F.col("doc_id") != F.col("component")
+        ).select(
+            F.col("doc_id").alias("doc"),
+            F.lit("intra_batch").alias("reason"),
+            F.col("component").alias("match_id"),
+            F.lit(None).cast("double").alias("cosine"),
+        )
+        rejected = hist_rej.unionByName(intra_rej).persist()
+        accepted = batch.join(
+            rejected.select(F.col("doc").alias(id_col)),
+            id_col, "left_anti",
+        )
+        stage = f"{index_path}/incoming/batch={batch_id}"
+        try:
+            accepted.write.mode("overwrite").parquet(
+                f"{out_path}/accepted/batch={batch_id}"
+            )
+            rejected.write.mode("overwrite").parquet(
+                f"{out_path}/rejected/batch={batch_id}"
+            )
+            similarity.append_to_ivf_index(
+                accepted, index_path, id_col=id_col, vec_col=vec_col,
+                stage_dir=stage,
+            )
+            _publish_staged_cells(
+                stage, f"{index_path}/vectors", batch_id
+            )
+        finally:
+            top._gs_unpersist()
+            rejected.unpersist()
+            hist_rej.unpersist()
+            batch.unpersist()
+        _shutil.rmtree(stage, ignore_errors=True)
+        _write_marker(sess, marker, run)
+
+    return (
+        embs.writeStream.foreachBatch(_admit)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+    )
+
+
 def _publish_staged_cells(stage_root: str, live_root: str,
                           batch_id: int) -> None:
     """Publish one staged cell-partitioned tree into its live twin

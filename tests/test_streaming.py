@@ -1513,3 +1513,107 @@ def test_serve_ann_stream_filtered(spark, tmp_path):
     exp = {(r.query_id, r.rank): r.vec_id for r in exp_df.collect()}
     exp_df._gs_unpersist()
     assert served == exp
+
+
+def test_admit_embeddings_stream_gate(spark, tmp_path):
+    """The embedding-space admission gate: semantic re-scrapes of the
+    SEED corpus are rejected against the live index, an intra-batch
+    duplicate pair keeps its min id, batch-2 re-scrapes of batch-1
+    SURVIVORS are rejected (absorb is visible to the next trigger),
+    survivors land in the index exactly once, a crash-window replay
+    converges, and a fresh checkpoint is refused."""
+    import glob
+    import os
+
+    from garmadon_spark.operators import similarity
+    from garmadon_spark.session import load_table
+    from garmadon_spark.streaming import ann
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings") \
+        .select("vec_id", "embedding")
+    index = str(tmp_path / "idx")
+    seed = embs.filter(F.col("vec_id") >= 100)
+    similarity.write_ivf_index(seed, index, n_centroids=8, iterations=1)
+
+    def rekey(src_id, new_id):
+        return embs.filter(F.col("vec_id") == src_id).withColumn(
+            "vec_id", F.lit(new_id).cast("long"))
+
+    b1 = (embs.filter(F.col("vec_id") < 20)
+          .unionByName(rekey(0, 1_000_000))     # intra dup of id 0
+          .unionByName(rekey(101, 1_000_101)))  # semantic re-scrape
+    b2 = (embs.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 40))
+          .unionByName(rekey(5, 2_000_005)))    # re-scrape of a survivor
+    src = str(tmp_path / "src")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    first = set(glob.glob(f"{src}/part-*.parquet"))
+    b2.coalesce(1).write.mode("append").parquet(src)
+    second = sorted(set(glob.glob(f"{src}/part-*.parquet")) - first)
+    for i, f in enumerate(sorted(first) + second):
+        os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def gate(checkpoint):
+        return ann.admit_embeddings_stream(
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1").parquet(src),
+            index, out, checkpoint, tau=0.9999, nprobe=8,
+        ).start()
+
+    gate(ckpt).awaitTermination()
+
+    def state():
+        acc = {
+            (r.batch, r.vec_id)
+            for r in spark.read.option("basePath", f"{out}/accepted")
+            .parquet(f"{out}/accepted").select("batch", "vec_id")
+            .collect()
+        }
+        rej = {
+            (r.batch, r.doc, r.reason, r.match_id)
+            for r in spark.read.option("basePath", f"{out}/rejected")
+            .parquet(f"{out}/rejected")
+            .select("batch", "doc", "reason", "match_id").collect()
+        }
+        vec = spark.read.parquet(f"{index}/vectors")
+        return acc, rej, vec.count(), vec.select("vec_id") \
+            .distinct().count()
+
+    acc, rej, n, nd = state()
+    assert (0, 1_000_101, "history", 101) in rej
+    assert (0, 1_000_000, "intra_batch", 0) in rej
+    assert (1, 2_000_005, "history", 5) in rej
+    # accepted ⊎ rejected covers each batch's ids exactly
+    b1_ids = {r.vec_id for r in b1.collect()}
+    b2_ids = {r.vec_id for r in b2.collect()}
+    assert ({v for b, v in acc if b == 0}
+            | {d for b, d, *_ in rej if b == 0}) == b1_ids
+    assert ({v for b, v in acc if b == 1}
+            | {d for b, d, *_ in rej if b == 1}) == b2_ids
+    # survivors (and only they) were absorbed, exactly once
+    assert n == nd == seed.count() + len(acc)
+    idx_ids = {r.vec_id for r in spark.read.parquet(f"{index}/vectors")
+               .select("vec_id").collect()}
+    assert {v for _b, v in acc} <= idx_ids
+    assert not {d for _b, d, *_ in rej} & idx_ids
+
+    # crash window: lose last commit AND marker → replay converges
+    last = sorted(f for f in os.listdir(f"{ckpt}/commits")
+                  if f.isdigit())[-1]
+    os.remove(f"{ckpt}/commits/{last}")
+    try:
+        os.remove(f"{ckpt}/commits/.{last}.crc")
+    except FileNotFoundError:
+        pass
+    markers = sorted(glob.glob(f"{index}/_append_batches/*.done"))
+    assert len(markers) == 2
+    os.remove(markers[-1])
+    gate(ckpt).awaitTermination()
+    assert state() == (acc, rej, n, nd)
+
+    # fresh checkpoint over this append chain is refused
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    with pytest.raises(StreamingQueryException,
+                       match="different streaming incarnation"):
+        gate(str(tmp_path / "ck_fresh")).awaitTermination()
+    assert state() == (acc, rej, n, nd)
