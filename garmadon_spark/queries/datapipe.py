@@ -4008,6 +4008,227 @@ SELECT CAST((SELECT COUNT(*) FROM documents
 """
 
 
+# --- embedding-space admission gate (r11) -----------------------------
+
+_EADMIT_SEED_LO, _EADMIT_SEED_HI = 100, 500   # bounded seed at every sf
+_EADMIT_B1 = 20          # batch-1 fresh ids: vec_id < _EADMIT_B1
+_EADMIT_B2 = 40          # batch-2 fresh ids: [_EADMIT_B1, _EADMIT_B2)
+_EADMIT_TAU = 0.9999
+_EADMIT_CELLS = 8
+
+
+def _eadmit_path(sf_dir: str) -> str:
+    return _index_cache_path(sf_dir, "embeddings.parquet",
+                             "garmadon_eadmit_")
+
+
+def _eadmit_batches(spark, sf_dir):
+    """Two engineered embedding increments: fresh vectors plus exact
+    re-keyed copies — one semantic re-scrape of the SEED corpus
+    (vec 101), one intra-batch duplicate (vec 0 twice under two ids),
+    and one batch-2 re-scrape of a batch-1 survivor (vec 5)."""
+    e = _embs(spark, sf_dir).select("vec_id", "embedding")
+
+    def rekey(src_id, new_id):
+        return e.filter(F.col("vec_id") == src_id).withColumn(
+            "vec_id", F.lit(new_id).cast("long"))
+
+    b1 = (e.filter(F.col("vec_id") < _EADMIT_B1)
+          .unionByName(rekey(0, 1_000_000))
+          .unionByName(rekey(101, 1_000_101)))
+    b2 = (e.filter((F.col("vec_id") >= _EADMIT_B1)
+                   & (F.col("vec_id") < _EADMIT_B2))
+          .unionByName(rekey(5, 2_000_005)))
+    return b1, b2
+
+
+def _ensure_eadmitted(spark, sf_dir):
+    """Run admit_embeddings_stream once per corpus: seed index over the
+    BOUNDED id range [100, 500) (constant work at every sf — the gate's
+    cost is the serving path, not the corpus), two micro-batches with
+    pinned arrival order, nprobe = all cells (exact gate)."""
+    import glob
+    import os
+    import shutil
+
+    from garmadon_spark.streaming import ann as _ann_stream
+
+    base = _eadmit_path(sf_dir)
+    stamp = os.path.join(base, "_OK")
+    want = (f"seed={_EADMIT_SEED_LO}-{_EADMIT_SEED_HI};"
+            f"b={_EADMIT_B1}/{_EADMIT_B2};tau={_EADMIT_TAU};"
+            f"c={_EADMIT_CELLS};sig={_emb_signature(sf_dir)}")
+    if os.path.exists(stamp) and open(stamp).read() == want:
+        return base
+    shutil.rmtree(base, ignore_errors=True)
+    seed = _embs(spark, sf_dir).select("vec_id", "embedding").filter(
+        (F.col("vec_id") >= _EADMIT_SEED_LO)
+        & (F.col("vec_id") < _EADMIT_SEED_HI)
+    )
+    similarity.write_ivf_index(seed, f"{base}/index",
+                               n_centroids=_EADMIT_CELLS, iterations=1)
+    b1, b2 = _eadmit_batches(spark, sf_dir)
+    src = f"{base}/src"
+    b1.coalesce(1).write.mode("append").parquet(src)
+    first = set(glob.glob(f"{src}/part-*.parquet"))
+    b2.coalesce(1).write.mode("append").parquet(src)
+    second = sorted(set(glob.glob(f"{src}/part-*.parquet")) - first)
+    for i, f in enumerate(sorted(first) + second):
+        os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
+    q = _ann_stream.admit_embeddings_stream(
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+        f"{base}/index", f"{base}/out", f"{base}/ckpt",
+        tau=_EADMIT_TAU, nprobe=_EADMIT_CELLS,
+    ).start()
+    q.awaitTermination()
+    with open(stamp, "w") as fh:
+        fh.write(want)
+    return base
+
+
+def emb_admit_stream(spark, sf_dir):
+    """Embeddings the semantic admission gate ACCEPTED, read from what
+    admit_embeddings_stream materialized — the vector twin of
+    doc_dedup_stream (probe the live index, reject re-scrapes at
+    cosine ≥ tau, absorb survivors so the next batch sees them).
+    Rows-only; ``emb_admit_check`` replays every decision with an
+    independent NumPy implementation."""
+    base = _ensure_eadmitted(spark, sf_dir)
+    return (
+        spark.read.option("basePath", f"{base}/out/accepted")
+        .parquet(f"{base}/out/accepted")
+        .select(F.col("batch").cast("bigint").alias("batch"), "vec_id")
+        .orderBy("batch", "vec_id")
+    )
+
+
+def emb_admit_check(spark, sf_dir):
+    """Exact gate over the semantic admission gate: every decision —
+    history rejections with their matched id, cell-blocked intra-batch
+    survivorship, the accepted sets of both batches, and the absorbed
+    index content — is replayed by an INDEPENDENT driver-side NumPy
+    implementation (argmax cell assignment, round-6 cosine at both
+    thresholds, min-id tie-breaks and union-find, exactly mirroring
+    the engine's documented arithmetic) over the collected seed/batch
+    vectors (bounded: 400 seed + ≤43 batch rows at any sf).
+    n_seed / n_new are data-bearing (pinned by SQL against
+    embeddings)."""
+    base = _ensure_eadmitted(spark, sf_dir)
+    b1, b2 = _eadmit_batches(spark, sf_dir)
+    served_acc = {
+        (int(r.batch), int(r.vec_id))
+        for r in spark.read.option("basePath", f"{base}/out/accepted")
+        .parquet(f"{base}/out/accepted").select("batch", "vec_id")
+        .collect()
+    }
+    served_rej = {
+        (int(r.batch), int(r.doc), r.reason, int(r.match_id))
+        for r in spark.read.option("basePath", f"{base}/out/rejected")
+        .parquet(f"{base}/out/rejected")
+        .select("batch", "doc", "reason", "match_id").collect()
+    }
+    seed = {
+        int(r.vec_id): np.array(list(r.embedding), dtype="float64")
+        for r in _embs(spark, sf_dir)
+        .filter((F.col("vec_id") >= _EADMIT_SEED_LO)
+                & (F.col("vec_id") < _EADMIT_SEED_HI))
+        .select("vec_id", "embedding").collect()
+    }
+    cents = [
+        np.array(list(r.centroid), dtype="float64")
+        for r in spark.read.parquet(f"{base}/index/centroids")
+        .orderBy("ivf_cell").collect()
+    ]
+    cmat = np.array(cents)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    cnorm[cnorm == 0] = 1.0
+
+    def unit(v):
+        n = np.sqrt((v * v).sum())
+        return v / (n if n else 1.0)
+
+    def replay(batch_rows, hist):
+        ids = [int(r.vec_id) for r in batch_rows]
+        vecs = {int(r.vec_id): np.array(list(r.embedding),
+                                        dtype="float64")
+                for r in batch_rows}
+        hids = sorted(hist)
+        hmat = np.array([unit(hist[h]) for h in hids])
+        rej = {}
+        for d in ids:
+            sims = np.round(hmat @ unit(vecs[d]), 6)
+            best = np.lexsort((hids, -sims))[0]
+            if sims[best] >= _EADMIT_TAU:
+                rej[d] = ("history", hids[best])
+        cell = {d: int(np.argmax(cmat @ vecs[d] / cnorm)) for d in ids}
+        parent = {d: d for d in ids if d not in rej}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i, a in enumerate(ids):
+            if a in rej:
+                continue
+            for b in ids[i + 1:]:
+                if b in rej or cell[a] != cell[b]:
+                    continue
+                if np.round(float(unit(vecs[a]) @ unit(vecs[b])),
+                            6) >= _EADMIT_TAU:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        comp: dict = {}
+        for d in parent:
+            comp.setdefault(find(d), []).append(d)
+        for members in comp.values():
+            keep = min(members)
+            for m in members:
+                if m != keep:
+                    rej[m] = ("intra_batch", keep)
+        acc = [d for d in ids if d not in rej]
+        hist.update({d: vecs[d] for d in acc})
+        return acc, rej
+
+    hist = dict(seed)
+    a1, r1 = replay(b1.collect(), hist)
+    a2, r2 = replay(b2.collect(), hist)
+    exp_acc = {(0, d) for d in a1} | {(1, d) for d in a2}
+    exp_rej = ({(0, d, why, m) for d, (why, m) in r1.items()}
+               | {(1, d, why, m) for d, (why, m) in r2.items()})
+    idx_ids = {
+        int(r.vec_id)
+        for r in spark.read.parquet(f"{base}/index/vectors")
+        .select("vec_id").collect()
+    }
+    n_b1 = b1.count()
+    n_b2 = b2.count()
+    return spark.createDataFrame(
+        [(
+            len(seed),
+            int(n_b1 + n_b2),
+            bool(served_acc == exp_acc),
+            bool(served_rej == exp_rej),
+            bool(idx_ids == set(seed) | {d for _b, d in served_acc}),
+        )],
+        "n_seed bigint, n_new bigint, parity_ok boolean,"
+        " rejects_ok boolean, absorb_ok boolean",
+    )
+
+
+EMB_ADMIT_CHECK_SQL = f"""
+SELECT CAST((SELECT COUNT(*) FROM embeddings
+             WHERE vec_id >= {_EADMIT_SEED_LO}
+               AND vec_id < {_EADMIT_SEED_HI}) AS BIGINT) AS n_seed,
+       CAST((SELECT COUNT(*) FROM embeddings
+             WHERE vec_id < {_EADMIT_B2}) + 3 AS BIGINT) AS n_new,
+       TRUE AS parity_ok, TRUE AS rejects_ok, TRUE AS absorb_ok
+"""
+
+
 # --- filtered vector search (r11) --------------------------------------
 
 _FILT_QUERIES = 4
@@ -4428,4 +4649,6 @@ QUERIES = {
         doc_curation_funnel_check, DOC_CURATION_FUNNEL_CHECK_SQL
     ),
     "emb_ann_filtered": (emb_ann_filtered, EMB_ANN_FILTERED_SQL),
+    "emb_admit_stream": (emb_admit_stream, None),
+    "emb_admit_check": (emb_admit_check, EMB_ADMIT_CHECK_SQL),
 }
