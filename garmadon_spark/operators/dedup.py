@@ -500,12 +500,16 @@ def _flagged_increment_pairs(
         )
         / F.lit(num_hashes)
     )
+    # one output row per pair even when the index holds TWO signature
+    # versions of a doc (the window between a same-id re-admission and
+    # the next compaction fold): max-est = "best match across versions"
+    # — deterministic, and a no-op when docs are unique (the common
+    # case; the groupBy is candidate-sized, never index-sized)
     out = (
         cands.join(sa, "doc_a").join(sb, "doc_b")
-        .select(
-            "doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"),
-            "a_new", "b_new",
-        )
+        .groupBy("doc_a", "doc_b", "a_new", "b_new")
+        .agg(F.round(F.max(est), 4).alias("est_jaccard"))
+        .select("doc_a", "doc_b", "est_jaccard", "a_new", "b_new")
         .filter(F.col("est_jaccard") >= threshold)
     )
     out._gs_unpersist = lambda: [h.unpersist() for h in handles]
@@ -542,6 +546,21 @@ def admit_increment(
     Docs shorter than one n-gram have no signature, so they bypass the
     gate (always admitted, nothing appended) — the shared
     ``minhash_signatures`` contract.
+
+    Same-id arrivals, explicitly (r11 advisor ask): the history gate
+    never compares a doc against its OWN prior signature — the
+    anti-join that makes failed-batch replays safe drops same-id index
+    rows for ANY increment — so a cross-batch re-submission under an
+    already-admitted doc_id has REPLACE semantics: it is re-gated
+    against everyone ELSE, and if admitted its fresh signature lands
+    in a newer batch partition.  Until ``compact_sig_index`` folds the
+    index (latest batch wins, deterministically), both versions band —
+    strictly MORE conservative for future increments (candidates match
+    either version; the estimator takes the best-across-versions est),
+    never a gate hole.  Re-scraped CONTENT is what this gate rejects;
+    it is content-keyed (signatures), not id-keyed — id reuse for
+    different content is an upstream id-discipline event the replace
+    semantics make well-defined.
 
     Returns ``(accepted_docs, accepted_sigs, rejected)``:
     accepted_docs = the increment's surviving rows unchanged;
@@ -623,17 +642,23 @@ def compact_sig_index(spark, index_path: str, keep_last: int = 1) -> list:
       running gate only writes the newest partition and its history
       read (``batch != current``) is unaffected by folding older ids.
     - Publish order makes every crash window converge: candidates are
-      read (``dropDuplicates(doc)`` — heals any duplicates a previous
-      crashed fold left), staged under ``sigs/_compact_stage`` (an
-      underscore path, invisible to the partition listing), then moved
-      into ``batch=<min>`` under DETERMINISTIC fold-set-keyed names
-      (os.replace — a retried fold overwrites its own files), and only
-      after every staged file is in place are the superseded originals
-      deleted.  A crash mid-publish or mid-delete leaves DUPLICATE
-      rows, never missing ones — and duplicates are harmless to the
-      gate (identical (doc, signature) rows band into the same buckets;
-      candidate pairs are ``distinct()``), then healed by the next
-      fold's dropDuplicates.
+      read (one row per doc, LATEST batch wins — heals any duplicates
+      a previous crashed fold left AND makes the same-id-means-replace
+      contract deterministic instead of arbitrary-survivor), staged
+      under ``sigs/_compact_stage`` (an underscore path, invisible to
+      the partition listing), then moved into ``batch=<min>`` under
+      DETERMINISTIC fold-set-keyed names (os.replace — a retried fold
+      overwrites its own files), and only after every staged file is
+      in place is everything NOT in the just-published name set
+      deleted.  The exact-set delete (not a name-prefix test) also
+      removes higher-index leftovers of a crashed earlier attempt that
+      staged MORE part files than the retry — a prefix test would let
+      those share the fold prefix forever and permanently duplicate
+      rows (r11 advisor finding).  A crash mid-publish or mid-delete
+      leaves DUPLICATE rows, never missing ones — duplicates are
+      harmless to the gate (identical (doc, signature) rows band into
+      the same buckets; candidate pairs are ``distinct()``), then
+      healed by the next fold.
     - ``batch`` keeps a monotone meaning after folding: "admitted no
       later than" — the folded partition carries the min id.
 
@@ -661,11 +686,15 @@ def compact_sig_index(spark, index_path: str, keep_last: int = 1) -> list:
         return []
     tgt, top = cands[0], cands[-1]
     fold = f"fold-{tgt}-{top}"
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc").orderBy(F.desc("batch"))
     folded = (
         spark.read.option("basePath", sigs)
         .parquet(*[f"{sigs}/batch={b}" for b in cands])
-        .dropDuplicates(["doc"])
-        .drop("batch")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "batch")
     )
     stage = f"{sigs}/_compact_stage"
     shutil.rmtree(stage, ignore_errors=True)
@@ -673,12 +702,16 @@ def compact_sig_index(spark, index_path: str, keep_last: int = 1) -> list:
     parts = sorted(f for f in os.listdir(stage)
                    if f.endswith(".parquet"))
     os.makedirs(f"{sigs}/batch={tgt}", exist_ok=True)
+    published = set()
     for i, f in enumerate(parts):
-        os.replace(f"{stage}/{f}",
-                   f"{sigs}/batch={tgt}/{fold}-{i}.parquet")
-    # publish complete — now drop the superseded originals
+        name = f"{fold}-{i}.parquet"
+        os.replace(f"{stage}/{f}", f"{sigs}/batch={tgt}/{name}")
+        published.add(name)
+    # publish complete — now drop everything NOT just published: the
+    # superseded originals AND any same-prefix leftovers of a crashed
+    # earlier attempt whose part count exceeded this one's
     for f in os.listdir(f"{sigs}/batch={tgt}"):
-        if f.endswith(".parquet") and not f.startswith(f"{fold}-"):
+        if f.endswith(".parquet") and f not in published:
             os.remove(f"{sigs}/batch={tgt}/{f}")
     for b in cands[1:]:
         shutil.rmtree(f"{sigs}/batch={b}", ignore_errors=True)

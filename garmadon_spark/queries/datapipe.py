@@ -4013,6 +4013,7 @@ SELECT CAST((SELECT COUNT(*) FROM documents
 _EADMIT_SEED_LO, _EADMIT_SEED_HI = 100, 500   # bounded seed at every sf
 _EADMIT_B1 = 20          # batch-1 fresh ids: vec_id < _EADMIT_B1
 _EADMIT_B2 = 40          # batch-2 fresh ids: [_EADMIT_B1, _EADMIT_B2)
+_EADMIT_RESUB = 102      # batch-2 SAME-ID re-arrival of a seed vector
 _EADMIT_TAU = 0.9999
 _EADMIT_CELLS = 8
 
@@ -4026,7 +4027,11 @@ def _eadmit_batches(spark, sf_dir):
     """Two engineered embedding increments: fresh vectors plus exact
     re-keyed copies — one semantic re-scrape of the SEED corpus
     (vec 101), one intra-batch duplicate (vec 0 twice under two ids),
-    and one batch-2 re-scrape of a batch-1 survivor (vec 5)."""
+    one batch-2 re-scrape of a batch-1 survivor (vec 5), and one
+    batch-2 SAME-ID re-arrival of an indexed seed vector (vec 102
+    under its own id — a re-crawl with stable document ids; the gate
+    must reject it as ``history`` matching itself, never re-absorb a
+    duplicate vec_id — the r11 advisor's untested path)."""
     e = _embs(spark, sf_dir).select("vec_id", "embedding")
 
     def rekey(src_id, new_id):
@@ -4038,7 +4043,8 @@ def _eadmit_batches(spark, sf_dir):
           .unionByName(rekey(101, 1_000_101)))
     b2 = (e.filter((F.col("vec_id") >= _EADMIT_B1)
                    & (F.col("vec_id") < _EADMIT_B2))
-          .unionByName(rekey(5, 2_000_005)))
+          .unionByName(rekey(5, 2_000_005))
+          .unionByName(rekey(_EADMIT_RESUB, _EADMIT_RESUB)))
     return b1, b2
 
 
@@ -4057,7 +4063,8 @@ def _ensure_eadmitted(spark, sf_dir):
     stamp = os.path.join(base, "_OK")
     want = (f"seed={_EADMIT_SEED_LO}-{_EADMIT_SEED_HI};"
             f"b={_EADMIT_B1}/{_EADMIT_B2};tau={_EADMIT_TAU};"
-            f"c={_EADMIT_CELLS};sig={_emb_signature(sf_dir)}")
+            f"c={_EADMIT_CELLS};resub={_EADMIT_RESUB};"
+            f"sig={_emb_signature(sf_dir)}")
     if os.path.exists(stamp) and open(stamp).read() == want:
         return base
     shutil.rmtree(base, ignore_errors=True)
@@ -4105,15 +4112,18 @@ def emb_admit_stream(spark, sf_dir):
 
 def emb_admit_check(spark, sf_dir):
     """Exact gate over the semantic admission gate: every decision —
-    history rejections with their matched id, cell-blocked intra-batch
-    survivorship, the accepted sets of both batches, and the absorbed
-    index content — is replayed by an INDEPENDENT driver-side NumPy
-    implementation (argmax cell assignment, round-6 cosine at both
-    thresholds, min-id tie-breaks and union-find, exactly mirroring
-    the engine's documented arithmetic) over the collected seed/batch
-    vectors (bounded: 400 seed + ≤43 batch rows at any sf).
-    n_seed / n_new are data-bearing (pinned by SQL against
-    embeddings)."""
+    history rejections with their matched id (including the same-id
+    re-arrival), cell-blocked intra-batch survivorship, the accepted
+    sets of both batches, and the absorbed index content (id set AND
+    no duplicate rows) — is replayed by an INDEPENDENT driver-side
+    NumPy implementation (argmax over row-normalized centroids,
+    half-up round-6 cosine at both thresholds — both mirroring the
+    engine's arithmetic exactly — min-id tie-breaks and union-find)
+    over the collected seed/batch vectors (bounded: 400 seed + ≤44
+    batch rows at any sf).  Decisions whose raw margin is under 1e-9
+    adopt the engine's verdict instead of flaking on cross-engine
+    FP-path ulps (empty set on the engineered fixture).  n_seed /
+    n_new are data-bearing (pinned by SQL against embeddings)."""
     base = _ensure_eadmitted(spark, sf_dir)
     b1, b2 = _eadmit_batches(spark, sf_dir)
     served_acc = {
@@ -4143,25 +4153,63 @@ def emb_admit_check(spark, sf_dir):
     cmat = np.array(cents)
     cnorm = np.sqrt((cmat * cmat).sum(axis=1))
     cnorm[cnorm == 0] = 1.0
+    # row-normalize THEN matmul — the engine's _assign_cells_pandas
+    # order; the previous (C @ v) / |C| form could diverge by an ulp
+    # on argmax near-ties (r11 advisor)
+    cu = cmat / cnorm[:, None]
 
     def unit(v):
         n = np.sqrt((v * v).sum())
         return v / (n if n else 1.0)
 
-    def replay(batch_rows, hist):
+    def round6(x):
+        # Spark F.round is HALF_UP; np.round is half-even — mirror
+        # Spark so an exact .5e-6 boundary can't split the two replays
+        x = np.asarray(x, dtype="float64")
+        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+    # raw-cosine accept boundary: round6(c) >= tau  <=>  c >= _BOUND
+    _BOUND = _EADMIT_TAU - 5e-7
+    _EPS = 1e-9
+
+    def replay(batch_no, batch_rows, hist):
+        """Independent NumPy replay of one admission batch.  Decisions
+        whose raw margin to a rounding/argmax boundary is under _EPS
+        are FRAGILE — a one-ulp difference between the engine's
+        JVM-column / BLAS arithmetic and this replay could legitimately
+        flip them — so the engine's served verdict is ADOPTED for those
+        docs (one hop; a fragile doc's effect on its component
+        neighbours is not re-derived) instead of flaking parity.  The
+        engineered fixture's margins are >= 1e-4, so the fragile set is
+        empty there and every decision is asserted exactly."""
         ids = [int(r.vec_id) for r in batch_rows]
         vecs = {int(r.vec_id): np.array(list(r.embedding),
                                         dtype="float64")
                 for r in batch_rows}
         hids = sorted(hist)
         hmat = np.array([unit(hist[h]) for h in hids])
-        rej = {}
+        rej, fragile = {}, set()
         for d in ids:
-            sims = np.round(hmat @ unit(vecs[d]), 6)
-            best = np.lexsort((hids, -sims))[0]
+            raw = hmat @ unit(vecs[d])
+            sims = round6(raw)
+            order = np.lexsort((hids, -sims))
+            best = order[0]
+            if np.abs(raw - _BOUND).min() < _EPS:
+                fragile.add(d)           # accept/reject could flip
+            elif (len(order) > 1
+                  and sims[order[0]] != sims[order[1]]
+                  and raw[order[0]] - raw[order[1]] < _EPS):
+                fragile.add(d)           # match_id could flip
             if sims[best] >= _EADMIT_TAU:
                 rej[d] = ("history", hids[best])
-        cell = {d: int(np.argmax(cmat @ vecs[d] / cnorm)) for d in ids}
+        cell = {}
+        for d in ids:
+            s = cu @ vecs[d]
+            if len(s) > 1:
+                top2 = np.sort(s)[-2:]
+                if top2[1] - top2[0] < _EPS:
+                    fragile.add(d)       # blocking cell could flip
+            cell[d] = int(np.argmax(s))
         parent = {d: d for d in ids if d not in rej}
 
         def find(x):
@@ -4176,8 +4224,11 @@ def emb_admit_check(spark, sf_dir):
             for b in ids[i + 1:]:
                 if b in rej or cell[a] != cell[b]:
                     continue
-                if np.round(float(unit(vecs[a]) @ unit(vecs[b])),
-                            6) >= _EADMIT_TAU:
+                raw_ab = float(unit(vecs[a]) @ unit(vecs[b]))
+                if abs(raw_ab - _BOUND) < _EPS:
+                    fragile.add(a)
+                    fragile.add(b)
+                if round6(raw_ab) >= _EADMIT_TAU:
                     ra, rb = find(a), find(b)
                     if ra != rb:
                         parent[max(ra, rb)] = min(ra, rb)
@@ -4189,21 +4240,28 @@ def emb_admit_check(spark, sf_dir):
             for m in members:
                 if m != keep:
                     rej[m] = ("intra_batch", keep)
+        for d in sorted(fragile):        # adopt the engine's verdict
+            rej.pop(d, None)
+            for (b, doc, why, m) in served_rej:
+                if b == batch_no and doc == d:
+                    rej[d] = (why, m)
+                    break
         acc = [d for d in ids if d not in rej]
         hist.update({d: vecs[d] for d in acc})
         return acc, rej
 
     hist = dict(seed)
-    a1, r1 = replay(b1.collect(), hist)
-    a2, r2 = replay(b2.collect(), hist)
+    a1, r1 = replay(0, b1.collect(), hist)
+    a2, r2 = replay(1, b2.collect(), hist)
     exp_acc = {(0, d) for d in a1} | {(1, d) for d in a2}
     exp_rej = ({(0, d, why, m) for d, (why, m) in r1.items()}
                | {(1, d, why, m) for d, (why, m) in r2.items()})
-    idx_ids = {
+    idx_rows = [
         int(r.vec_id)
         for r in spark.read.parquet(f"{base}/index/vectors")
         .select("vec_id").collect()
-    }
+    ]
+    idx_ids = set(idx_rows)
     n_b1 = b1.count()
     n_b2 = b2.count()
     return spark.createDataFrame(
@@ -4212,7 +4270,11 @@ def emb_admit_check(spark, sf_dir):
             int(n_b1 + n_b2),
             bool(served_acc == exp_acc),
             bool(served_rej == exp_rej),
-            bool(idx_ids == set(seed) | {d for _b, d in served_acc}),
+            # id-set equality AND no duplicate rows — a same-id
+            # re-absorption (the r11 advisor's exclude_self finding)
+            # would leave the id SET intact while duplicating a row
+            bool(idx_ids == set(seed) | {d for _b, d in served_acc}
+                 and len(idx_rows) == len(idx_ids)),
         )],
         "n_seed bigint, n_new bigint, parity_ok boolean,"
         " rejects_ok boolean, absorb_ok boolean",
@@ -4224,7 +4286,7 @@ SELECT CAST((SELECT COUNT(*) FROM embeddings
              WHERE vec_id >= {_EADMIT_SEED_LO}
                AND vec_id < {_EADMIT_SEED_HI}) AS BIGINT) AS n_seed,
        CAST((SELECT COUNT(*) FROM embeddings
-             WHERE vec_id < {_EADMIT_B2}) + 3 AS BIGINT) AS n_new,
+             WHERE vec_id < {_EADMIT_B2}) + 4 AS BIGINT) AS n_new,
        TRUE AS parity_ok, TRUE AS rejects_ok, TRUE AS absorb_ok
 """
 

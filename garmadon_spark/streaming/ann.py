@@ -497,6 +497,22 @@ def admit_embeddings_stream(
     fine-centroid list per batch (micro-batch-sized work); cells
     bound the pair blowup the way labels bound semantic_dedup.
 
+    Same-id arrivals: the probe runs with ``exclude_self=False`` — an
+    increment that REUSES an already-indexed vec_id (a re-crawl with
+    stable document ids) matches its own history row at cosine 1.0 and
+    is rejected as ``history`` with ``match_id`` = itself, never
+    re-absorbed into a duplicate vec_id.  This is safe on replay
+    because the batch's own published ``b{N}-*`` files are purged
+    before the probe, so no true self rows can exist.
+
+    The quantizer (centroid table) is loaded once per GENERATION, not
+    per trigger — this gate is the index's own appender and appends
+    never move centroids, so the generation (side-table mtimes, the
+    serve loops' ``_quantizer_generation``) is append-stable by
+    construction; it changes only when an offline blue/green re-train
+    swaps the root, which the next trigger picks up like the serve
+    loops do.
+
     The index must already exist (``write_ivf_index`` on the seed
     corpus).  Returns the (availableNow-triggered) writer."""
     import glob as _glob
@@ -525,11 +541,22 @@ def admit_embeddings_stream(
         for stale in _glob.glob(
                 f"{index_path}/vectors/ivf_cell=*/b{batch_id}-*.parquet"):
             _os.remove(stale)
+        gen = _quantizer_generation(index_path, _IVF_GEN_SIDES)
+        if cache.get("gen") != gen:
+            cache["quant"] = similarity.load_ivf_centroids(
+                sess, index_path
+            )
+            cache["gen"] = gen
+        fine_rows, _coarse = cache["quant"]
         batch = batch_df.select(id_col, vec_col).persist()
+        # exclude_self=False: the batch's own b{N} files were purged
+        # above, so no true self rows exist even on replay — and a
+        # same-id re-arrival must match its own history row (cosine
+        # 1.0 ≥ tau → rejected as history), not slip past the gate
         top = similarity.ivf_topk_batch(
             sess, index_path, batch, k=1, nprobe=nprobe,
             query_id_col=id_col, query_vec_col=vec_col,
-            exclude_self=True,
+            exclude_self=False, centroids=cache["quant"],
         )
         hist_rej = (
             top.filter(F.col("cosine") >= tau)
@@ -538,11 +565,10 @@ def admit_embeddings_stream(
                     F.col("vec_id").alias("match_id"), "cosine")
             .persist()
         )
-        cents = [
-            list(r.centroid)
-            for r in sess.read.parquet(f"{index_path}/centroids")
-            .orderBy("ivf_cell").collect()
-        ]
+        # cell order = position: fine_rows sorted by cell id (dense
+        # 0..k-1, the write_ivf_index layout) — same table the probe
+        # used, read once per generation, never per trigger
+        cents = [v for _cell, _branch, v in sorted(fine_rows)]
         assigned = similarity.assign_cells(
             batch, cents, vec_col, arrow=True
         ).select(F.struct(F.col(id_col).alias("doc"),

@@ -1477,6 +1477,96 @@ def test_compact_sig_index_preserves_gate_history(spark, tmp_path):
         == {doc for doc, _s in before} | {x + 45 for x in range(5)}
 
 
+def test_admit_increment_same_id_is_replace(spark):
+    """Pin the documented same-id REPLACE semantics: a cross-batch
+    re-submission under an already-admitted doc_id is never gated
+    against its OWN prior signature (retry safety) — it is re-gated
+    against everyone else, and its fresh signature is what the
+    increment appends.  A near-dup of ANOTHER indexed doc still
+    rejects, same id or not."""
+    from garmadon_spark.operators import dedup
+
+    hist_docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "entirely different content about databases and queries")],
+        "doc_id long, text string",
+    )
+    hist = dedup.minhash_signatures(hist_docs)
+    # doc 1 re-submitted under its own id with NEW content that
+    # near-dups doc 2 → rejected as history (matches doc 2, not itself)
+    resub_near_2 = spark.createDataFrame(
+        [(1, "entirely different content about databases and query")],
+        "doc_id long, text string",
+    )
+    acc, sigs, rej = dedup.admit_increment(resub_near_2, hist)
+    assert {(r.doc, r.reason) for r in rej.collect()} == {(1, "history")}
+    assert acc.count() == 0
+    acc._gs_unpersist()
+    # doc 1 re-submitted with fresh unrelated content → ADMITTED
+    # (replace), and the appended signature is the NEW content's
+    resub_fresh = spark.createDataFrame(
+        [(1, "completely unrelated new prose about mountains and rivers")],
+        "doc_id long, text string",
+    )
+    acc2, sigs2, rej2 = dedup.admit_increment(resub_fresh, hist)
+    assert rej2.count() == 0
+    assert [r.doc_id for r in acc2.collect()] == [1]
+    new_sig = tuple(sigs2.first().signature)
+    old_sig = tuple(hist.filter(F.col("doc") == 1).first().signature)
+    assert new_sig != old_sig
+    acc2._gs_unpersist()
+
+
+def test_compact_sig_index_retry_leftovers_and_latest_wins(
+        spark, tmp_path):
+    """r11 advisor findings: (1) a crashed fold attempt that staged
+    MORE part files than the retry leaves SAME-prefix higher-index
+    leftovers which the old prefix-test delete kept forever,
+    permanently duplicating rows — the exact-set delete removes them;
+    (2) same-doc signature rows across folded batches (the same-id
+    REPLACE window) fold to the LATEST batch's version
+    deterministically, not an arbitrary survivor."""
+    import os
+    import shutil
+
+    from garmadon_spark.operators import dedup
+
+    index = str(tmp_path / "idx")
+
+    def sigs_for(rows):
+        return dedup.minhash_signatures(
+            spark.createDataFrame(rows, "doc_id long, text string"))
+
+    v2_text = "alpha beta gamma delta epsilon REPLACED"
+    batches = [
+        [(0, "alpha beta gamma delta epsilon zeta"),
+         (1, "one two three four five six seven")],
+        [(2, "red green blue yellow purple orange"),
+         (3, "north south east west up down")],
+        [(0, v2_text)],                    # same-id REPLACE of doc 0
+        [(9, "tail batch keeps last")],    # keep_last=1 survivor
+    ]
+    for b, rows in enumerate(batches):
+        sigs_for(rows).coalesce(1).write.parquet(
+            f"{index}/sigs/batch={b}")
+    v2_sig = tuple(sigs_for([(0, v2_text)]).first().signature)
+
+    # a crashed earlier attempt's same-prefix leftover at an index the
+    # retry will not reach (its rows duplicate batch 0's originals)
+    tgt = f"{index}/sigs/batch=0"
+    a_file = next(f for f in os.listdir(tgt) if f.endswith(".parquet"))
+    shutil.copy(f"{tgt}/{a_file}", f"{tgt}/fold-0-2-99.parquet")
+
+    assert dedup.compact_sig_index(spark, index) == [0, 1, 2]
+    assert not os.path.exists(f"{tgt}/fold-0-2-99.parquet")
+    folded = spark.read.option("basePath", f"{index}/sigs") \
+        .parquet(f"{index}/sigs")
+    rows = {r.doc: tuple(r.signature)
+            for r in folded.select("doc", "signature").collect()}
+    assert folded.count() == len(rows) == 5      # 0,1,2,3,9 — no dups
+    assert rows[0] == v2_sig                     # latest batch won
+
+
 def test_serve_ann_stream_filtered(spark, tmp_path):
     """Filtered serving: a static allowed frame restricts every served
     micro-batch — results contain only permitted ids and equal the
@@ -1617,3 +1707,71 @@ def test_admit_embeddings_stream_gate(spark, tmp_path):
                        match="different streaming incarnation"):
         gate(str(tmp_path / "ck_fresh")).awaitTermination()
     assert state() == (acc, rej, n, nd)
+
+
+def test_admit_embeddings_same_id_and_centroid_cache(
+        spark, tmp_path, monkeypatch):
+    """r11 advisor findings: (1) an increment that REUSES an
+    already-indexed vec_id (re-crawl with stable document ids) must be
+    rejected as ``history`` matching itself — never re-absorbed into a
+    duplicate vec_id row; (2) the gate loads the centroid table ONCE
+    per quantizer generation, not per trigger (this gate is the index's
+    own appender, so the generation is append-stable)."""
+    import glob
+    import os
+
+    from garmadon_spark.operators import similarity
+    from garmadon_spark.session import load_table
+    from garmadon_spark.streaming import ann
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings") \
+        .select("vec_id", "embedding")
+    index = str(tmp_path / "idx")
+    seed = embs.filter(F.col("vec_id") >= 100)
+    similarity.write_ivf_index(seed, index, n_centroids=8, iterations=1)
+
+    calls = []
+    real_load = similarity.load_ivf_centroids
+
+    def counting_load(sess, path):
+        calls.append(path)
+        return real_load(sess, path)
+
+    monkeypatch.setattr(similarity, "load_ivf_centroids", counting_load)
+
+    batches = [
+        embs.filter(F.col("vec_id") < 10),
+        # batch 2: same-id re-arrival of indexed seed vec 105
+        embs.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
+        .unionByName(embs.filter(F.col("vec_id") == 105)),
+        embs.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 30)),
+    ]
+    src = str(tmp_path / "src")
+    seen: set = set()
+    for b in batches:
+        b.coalesce(1).write.mode("append").parquet(src)
+        new = sorted(set(glob.glob(f"{src}/part-*.parquet")) - seen)
+        seen.update(new)
+        for f in new:
+            os.utime(f, (1_000_000_000 + len(seen), ) * 2)
+    out = str(tmp_path / "out")
+    q = ann.admit_embeddings_stream(
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+        index, out, str(tmp_path / "ck"), tau=0.9999, nprobe=8,
+    ).start()
+    q.awaitTermination()
+
+    rej = {
+        (r.batch, r.doc, r.reason, r.match_id)
+        for r in spark.read.option("basePath", f"{out}/rejected")
+        .parquet(f"{out}/rejected")
+        .select("batch", "doc", "reason", "match_id").collect()
+    }
+    assert (1, 105, "history", 105) in rej
+    vec = spark.read.parquet(f"{index}/vectors")
+    assert vec.count() == vec.select("vec_id").distinct().count()
+    # 105 stayed a single row under its original seed batch file
+    assert vec.filter(F.col("vec_id") == 105).count() == 1
+    # one centroid read across the 3-trigger run (generation-checked)
+    assert calls == [index]
