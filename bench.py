@@ -12,9 +12,12 @@ whose numbers are each query's full pipeline cost independent of
 declaration order.
 
 A deterministic host calibration (all-JVM Spark job + single-thread
-CPU loop, see ``calibration``) runs before and after the query passes;
-per-query times are reported both raw and normalized by the JVM score
-so cross-round deltas decompose into host drift vs code change.
+CPU loop + 32-process PARALLEL CPU loop, see ``calibration``) runs
+before and after the query passes; per-query times are reported both
+raw and normalized by the parallel score (``value_norm``; the
+jvm-normalized ``value_norm_jvm`` keeps the r1-r11 series
+re-derivable) so cross-round deltas decompose into host drift,
+parallel contention, and code change.
 """
 
 from __future__ import annotations
@@ -33,12 +36,21 @@ from garmadon_spark.queries import all_queries
 from garmadon_spark.session import get_spark
 
 
+def _calib_cpu_loop(_arg=0) -> int:
+    """The fixed integer loop behind both CPU calibration legs —
+    module-level so multiprocessing can pickle it."""
+    acc = 0
+    for i in range(10_000_000):
+        acc = (acc + i * i) % 1_000_003
+    return acc
+
+
 def calibration(spark) -> dict:
     """Deterministic host-calibration scores, fully data-independent.
 
     The r6 judge found a broad ±30 % cross-round drift on byte-identical
     code paths and had to re-time queries by hand to attribute it to the
-    host.  These two scores make that attribution possible from the
+    host.  These scores make that attribution possible from the
     artifact alone:
 
     - ``calib_jvm_sec``: a fixed all-JVM Spark job (range → groupBy →
@@ -48,11 +60,24 @@ def calibration(spark) -> dict:
     - ``calib_cpu_sec``: a single-thread pure-Python integer loop,
       min-of-3.  Tracks raw per-core speed and interpreter overhead —
       the component Arrow/pandas legs depend on.
+    - ``calib_par_sec`` (r11 judge ask): the SAME loop run once on each
+      of ``min(32, cpus)`` worker PROCESSES concurrently (fork pool,
+      one untimed warmup map), min-of-3 wall seconds.  Tracks the
+      host's PARALLEL throughput — the quantity the 32-way query
+      passes actually consume.  r11 showed why the single-thread legs
+      can't stand alone: raw query times drifted +12 % while
+      calib_jvm/calib_cpu moved −15 %/−37 % the OTHER way (a
+      contended host is invisible to a single-thread probe), so the
+      jvm-normalized value_norm swung 171→291 and overstated a
+      regression that wasn't there.
 
-    Cross-round reading: if declared-query times move by roughly the
-    same factor as calib_jvm_sec, the drift is the host; if they move
-    while calibration holds, it's the code.
+    Cross-round reading: query times moving with calib_par_sec = host
+    (parallel contention); moving while calib_par_sec holds = code;
+    calib_par moving while calib_cpu holds = contention specifically
+    (other tenants), both moving together = the machine itself.
     """
+    import multiprocessing as mp
+
     from pyspark.sql import functions as F
 
     jvm = None
@@ -70,13 +95,26 @@ def calibration(spark) -> dict:
     cpu = None
     for _ in range(3):
         t0 = time.time()
-        acc = 0
-        for i in range(10_000_000):
-            acc = (acc + i * i) % 1_000_003
+        acc = _calib_cpu_loop()
         d = time.time() - t0
         cpu = d if cpu is None else min(cpu, d)
     assert acc >= 0  # keep the loop un-eliminable
-    return {"calib_jvm_sec": round(jvm, 3), "calib_cpu_sec": round(cpu, 3)}
+
+    n = min(32, os.cpu_count() or 1)
+    par = None
+    with mp.get_context("fork").Pool(n) as pool:
+        pool.map(_calib_cpu_loop, range(n))  # warmup, un-timed
+        for _ in range(3):
+            t0 = time.time()
+            pool.map(_calib_cpu_loop, range(n))
+            d = time.time() - t0
+            par = d if par is None else min(par, d)
+    return {
+        "calib_jvm_sec": round(jvm, 3),
+        "calib_cpu_sec": round(cpu, 3),
+        "calib_par_sec": round(par, 3),
+        "calib_par_workers": n,
+    }
 
 
 def ingest_bench(spark, sf_dir: str, n_target: int = 500_000) -> dict:
@@ -483,6 +521,30 @@ def ann_serving_bench(
     return out
 
 
+def index_health_bench(spark, sf_dir: str) -> dict:
+    """Round-over-round drift watch on the MAINTAINED sf-fixture IVF-PQ
+    index (r11 judge ask: surface ivf_index_health operationally).  The
+    drift fixture is the index bench already exercises — built once,
+    then absorbed into by the frozen-quantizer append path — so rising
+    fragmentation, cell skew, or vectors↔codes divergence in the
+    maintained artifact shows up in the recorded line, not just when an
+    operator asks."""
+    from garmadon_spark.operators import similarity
+    from garmadon_spark.queries.datapipe import _ensure_ivfpq_drift_index
+
+    path, _n = _ensure_ivfpq_drift_index(spark, sf_dir)
+    r = similarity.ivf_index_health(spark, path).first()
+    skew = (round(r.max_cell_rows / r.avg_cell_rows, 3)
+            if r.avg_cell_rows else None)
+    return {
+        "health_vec_max_files_per_cell": int(r.vector_max_files_per_cell),
+        "health_cell_skew": skew,
+        "health_missing_codes": int(r.missing_codes),
+        "health_orphan_codes": int(r.orphan_codes),
+        "health_unmarked_batches": int(r.unmarked_batches),
+    }
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -628,6 +690,10 @@ def main():
         ingest.update(ann_serving_bench(spark, sf_dir))
     except Exception as e:
         print(f"bench error ann_serving: {e}", file=sys.stderr)
+    try:
+        ingest.update(index_health_bench(spark, sf_dir))
+    except Exception as e:
+        print(f"bench error index_health: {e}", file=sys.stderr)
 
     ingest.update(recall_fields)
 
@@ -640,6 +706,7 @@ def main():
     calib = dict(calib_start)
     calib["calib_jvm_sec_end"] = calib_end.get("calib_jvm_sec")
     calib["calib_cpu_sec_end"] = calib_end.get("calib_cpu_sec")
+    calib["calib_par_sec_end"] = calib_end.get("calib_par_sec")
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     cold_total = round(sum(t for t in cold.values() if t >= 0), 3)
@@ -652,24 +719,29 @@ def main():
     # stdout and parses the final line from that window, so a line that
     # outgrows it records as unparsed (observed BENCH_r02/r03).
     nomemo_total = round(sum(t for t in nomemo.values() if t >= 0), 3)
-    # Calibration-normalized times: raw seconds divided by the JVM
-    # calibration score — dimensionless "calibration units" that are
-    # comparable across rounds even when the host speed shifts.
+    # Calibration-normalized times: raw seconds divided by the PARALLEL
+    # calibration score (r11 judge ask — the queries are 32-way
+    # parallel, so a contended host must normalize against a parallel
+    # probe; the old jvm-normalized figure is kept as value_norm_jvm so
+    # the r1-r11 series stays re-derivable; r12 is year-zero for the
+    # par-normalized series).
     cj = calib.get("calib_jvm_sec") or None
+    cp = calib.get("calib_par_sec") or None
     queries_norm = (
-        {k: round(v / cj, 3) for k, v in timings.items() if v >= 0}
-        if cj else {}
+        {k: round(v / cp, 3) for k, v in timings.items() if v >= 0}
+        if cp else {}
     )
-    value_norm = round(total / cj, 3) if cj else None
-    # serving latency in calibration units (ms / calib_jvm_sec) so the
+    value_norm = round(total / cp, 3) if cp else None
+    value_norm_jvm = round(total / cj, 3) if cj else None
+    # serving latency in calibration units (ms / calib_par_sec) so the
     # number is round-comparable like value_norm
-    if cj:
+    if cp:
         for pre in ("ann_serve", "ann_serve_syn", "ann_serve_syn2",
                     "ann_serve_pq_syn", "ann_serve_pq_syn2"):
             for p in ("p50", "p95"):
                 v = ingest.get(f"{pre}_{p}_ms")
                 if v is not None:
-                    ingest[f"{pre}_{p}_norm"] = round(v / cj, 1)
+                    ingest[f"{pre}_{p}_norm"] = round(v / cp, 1)
     # ivf_assign throughput normalized by the CPU calibration (r10
     # judge ask — five rounds of 3× session swings on the raw figure
     # with the operator untouched): rows per calib-CPU-unit =
@@ -709,6 +781,7 @@ def main():
         "queries_nomemo": nomemo,
         "queries_norm": queries_norm,
         "value_norm": value_norm,
+        "value_norm_jvm": value_norm_jvm,
         "cold_total_sec": cold_total,
         "nomemo_total_sec": nomemo_total,
         "variance": variance,
@@ -741,6 +814,7 @@ def main():
         "cold_total_sec": cold_total,
         "nomemo_total_sec": nomemo_total,
         "value_norm": value_norm,
+        "value_norm_jvm": value_norm_jvm,
         "variance": variance,
         "queries_full": "BENCH_FULL.json",
         "sf": sf,

@@ -354,6 +354,32 @@ def _band_structs(bands: int, rows_per_band: int) -> Column:
     )
 
 
+# hex chars of the band-bucket hash used as the materialized banded
+# index's partition prefix: 16 prefixes × 16 bands = 256 (band, bp)
+# leaf partitions — a single-doc lookup touches 16 of them (1/16 of
+# the tree); a 10¹⁰-doc deployment widens this to 2-3 chars for
+# 1/256-1/4096 pruning at the cost of more directories
+SIG_BP_CHARS = 1
+
+
+def banded_signatures(sigs: DataFrame, bands: int = 16,
+                      rows_per_band: int = 4) -> DataFrame:
+    """The LSH-banded row form of a signature table — (doc, band,
+    bucket, bp), where ``bp`` (the bucket hash's first SIG_BP_CHARS hex
+    chars) is the partition prefix of the MATERIALIZED banded index
+    (``streaming.corpus.dedup_corpus_stream`` maintains one per
+    admission index so each trigger's candidate lookup partition-prunes
+    to the buckets it touches).  ONE definition over ``_band_structs``
+    shared by the on-the-fly banding and the materialized tree, so the
+    two can never hash differently."""
+    return explode_computed(
+        sigs, _band_structs(bands, rows_per_band), "bb", ["doc"]
+    ).select(
+        "doc", "bb.band", "bb.bucket",
+        F.substring("bb.bucket", 1, SIG_BP_CHARS).alias("bp"),
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
 ) -> DataFrame:
@@ -433,6 +459,7 @@ def _flagged_increment_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     persist_sigs: bool = True,
+    hist_banded: DataFrame | None = None,
 ) -> DataFrame:
     """The banding / bucket-join / estimator core of incremental
     MinHash over PRECOMPUTED increment signatures — shared by
@@ -447,10 +474,25 @@ def _flagged_increment_pairs(
     ids are dropped before the union (failed-batch re-runs would
     otherwise duplicate signature rows → self-pairs).
 
+    ``hist_banded``: the MATERIALIZED banded form of the history index
+    (doc, band, bucket, bp — ``banded_signatures`` rows, normally a
+    partitioned parquet read).  When provided, the history side is
+    never re-banded: the increment's banded rows determine the touched
+    (band, bp) partitions, the history read is FILTERED to exactly
+    those (planning-time partition pruning when hist_banded is a
+    (band, bp)-partitioned scan), and history signatures are fetched
+    afterwards for CANDIDATE docs only.  Per-trigger cost drops from
+    scan+shuffle of the whole signature table to a pruned bucket read
+    plus a candidate-bounded signature fetch (one scan, no shuffle of
+    history when the candidate set broadcasts).  When None (default),
+    history is banded on the fly — the batch-API path.
+
     Returns (doc_a, doc_b, est_jaccard, a_new, b_new) with
-    est ≥ threshold.  When ``persist_sigs`` the unioned signature table
-    (feeding three plan branches) is persisted; call the returned
-    frame's ``_gs_unpersist()`` when done (a no-op otherwise)."""
+    est ≥ threshold.  When ``persist_sigs`` the multi-branch
+    intermediates are persisted; call the returned frame's
+    ``_gs_unpersist()`` when done (a no-op otherwise)."""
+    from pyspark import StorageLevel
+
     first = hist_index.select(F.size("signature").alias("k")).first()
     if first is not None and first.k != num_hashes:
         raise ValueError(
@@ -461,21 +503,63 @@ def _flagged_increment_pairs(
     hist_only = hist_index.join(
         F.broadcast(anti_ids), "doc", "left_anti",
     )
-    sigs = hist_only.select(
-        "doc", "signature", F.lit(False).alias("is_new")
-    ).unionByName(inc_sigs.withColumn("is_new", F.lit(True)))
     handles = []
-    if persist_sigs:
-        from pyspark import StorageLevel
 
-        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
-        handles.append(sigs)
+    def _keep(df):
+        if persist_sigs:
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            handles.append(df)
+        return df
+
     rows_per_band = num_hashes // bands
-    banded = explode_computed(
-        sigs, _band_structs(bands, rows_per_band), "bb", ["doc", "is_new"]
-    ).select(
-        F.struct("doc", "is_new").alias("p"), "bb.band", "bb.bucket"
-    )
+    if hist_banded is None:
+        sigs = _keep(
+            hist_only.select(
+                "doc", "signature", F.lit(False).alias("is_new")
+            ).unionByName(inc_sigs.withColumn("is_new", F.lit(True)))
+        )
+        banded = explode_computed(
+            sigs, _band_structs(bands, rows_per_band),
+            "bb", ["doc", "is_new"]
+        ).select(
+            F.struct("doc", "is_new").alias("p"), "bb.band", "bb.bucket"
+        )
+        lookup = sigs
+    else:
+        binc = _keep(
+            banded_signatures(inc_sigs, bands, rows_per_band)
+            .withColumn("is_new", F.lit(True))
+        )
+        # the touched (band, bp) set: ≤ bands × 16^SIG_BP_CHARS values
+        # (256 at the default widths) — an explicit disjunction of
+        # partition-column equalities, so the history read prunes at
+        # planning time like _history_sigs' batch filter
+        touched = sorted(
+            (int(r.band), r.bp)
+            for r in binc.select("band", "bp").distinct().collect()
+        )
+        if touched:
+            import functools
+            import operator
+
+            pred = functools.reduce(operator.or_, [
+                (F.col("band") == b) & (F.col("bp") == p)
+                for b, p in touched
+            ])
+        else:
+            pred = F.lit(False)
+        hb = (
+            hist_banded.filter(pred)
+            .join(F.broadcast(anti_ids), "doc", "left_anti")
+            .select("doc", "band", "bucket",
+                    F.lit(False).alias("is_new"))
+        )
+        banded = hb.unionByName(
+            binc.select("doc", "band", "bucket", "is_new")
+        ).select(
+            F.struct("doc", "is_new").alias("p"), "band", "bucket"
+        )
+        lookup = None  # built below from the candidate set
     cands = (
         bucket_pairs(banded, ["band", "bucket"], "p")
         .filter(F.col("a.is_new") | F.col("b.is_new"))
@@ -485,10 +569,22 @@ def _flagged_increment_pairs(
         )
         .distinct()
     )
-    sa = sigs.select(F.col("doc").alias("doc_a"),
-                     F.col("signature").alias("sig_a"))
-    sb = sigs.select(F.col("doc").alias("doc_b"),
-                     F.col("signature").alias("sig_b"))
+    if hist_banded is not None:
+        cands = _keep(cands)
+        cand_ids = (
+            cands.select(F.col("doc_a").alias("doc"))
+            .unionByName(cands.select(F.col("doc_b").alias("doc")))
+            .distinct()
+        )
+        lookup = _keep(
+            hist_only.join(cand_ids, "doc", "left_semi")
+            .select("doc", "signature")
+            .unionByName(inc_sigs.select("doc", "signature"))
+        )
+    sa = lookup.select(F.col("doc").alias("doc_a"),
+                       F.col("signature").alias("sig_a"))
+    sb = lookup.select(F.col("doc").alias("doc_b"),
+                       F.col("signature").alias("sig_b"))
     est = (
         F.aggregate(
             F.zip_with(
@@ -525,6 +621,7 @@ def admit_increment(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    hist_banded: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """ONE near-dup admission round: decide which docs of an increment
     enter the corpus, given the corpus's persisted signature index —
@@ -562,6 +659,13 @@ def admit_increment(
     different content is an upstream id-discipline event the replace
     semantics make well-defined.
 
+    ``hist_banded``: the materialized banded form of ``hist_index``
+    (``banded_signatures`` rows, normally a (band, bp)-partitioned
+    parquet read) — when provided, the candidate join partition-prunes
+    to the buckets the increment touches instead of re-banding the
+    whole index per call (see ``_flagged_increment_pairs``).  The
+    DECISIONS are identical either way; only the candidate join swaps.
+
     Returns ``(accepted_docs, accepted_sigs, rejected)``:
     accepted_docs = the increment's surviving rows unchanged;
     accepted_sigs = (doc, signature) to APPEND to the index —
@@ -580,7 +684,7 @@ def admit_increment(
         inc_sigs, hist_index,
         new_docs.select(F.col(id_col).alias("doc")),
         num_hashes=num_hashes, bands=bands, threshold=threshold,
-        persist_sigs=True,
+        persist_sigs=True, hist_banded=hist_banded,
     )
     hist_hits = pairs.filter(~F.col("a_new") | ~F.col("b_new"))
     rejected_hist = (
@@ -626,7 +730,45 @@ def admit_increment(
     return accepted_docs, accepted_sigs, rejected
 
 
-def compact_sig_index(spark, index_path: str, keep_last: int = 1) -> list:
+def _rebuild_banded_batch(spark, index_path: str, batch: int,
+                          bands: int) -> None:
+    """(Re)build one ``bands/batch=N`` partition from its committed
+    ``sigs/batch=N`` twin, crash-safe: stage under an underscore path,
+    remove the old dir, rename the stage in.  A crash between the two
+    leaves the twin MISSING — the state ``dedup_corpus_stream``'s
+    self-heal rebuilds on the next trigger — never PARTIAL (a partial
+    twin would silently drop candidates)."""
+    import os
+    import shutil
+
+    part = spark.read.parquet(f"{index_path}/sigs/batch={batch}")
+    row = part.select("signature").first()
+    # an all-rejected batch leaves an EMPTY sigs partition — banding an
+    # empty frame is empty for any width, so the probe just needs to
+    # not crash
+    width = len(row.signature) if row is not None else bands
+    stage = f"{index_path}/bands/_compact_stage"
+    shutil.rmtree(stage, ignore_errors=True)
+    banded_signatures(part, bands, width // bands) \
+        .write.mode("overwrite").partitionBy("band", "bp").parquet(stage)
+    tgt = f"{index_path}/bands/batch={batch}"
+    shutil.rmtree(tgt, ignore_errors=True)
+    os.replace(stage, tgt)
+
+
+def _sig_batch_ids(root: str) -> list:
+    import os
+
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        int(d.split("=", 1)[1]) for d in os.listdir(root)
+        if d.startswith("batch=") and d.split("=", 1)[1].isdigit()
+    )
+
+
+def compact_sig_index(spark, index_path: str, keep_last: int = 1,
+                      bands: int = 16) -> list:
     """Fold the admission signature index's per-batch partitions
     (``dedup_corpus_stream`` writes one ``sigs/batch=N`` directory per
     micro-batch, forever) into the OLDEST folded partition — the
@@ -661,6 +803,14 @@ def compact_sig_index(spark, index_path: str, keep_last: int = 1) -> list:
       healed by the next fold.
     - ``batch`` keeps a monotone meaning after folding: "admitted no
       later than" — the folded partition carries the min id.
+    - The MATERIALIZED BANDED tree (``bands/batch=N`` — the gate's
+      partition-pruned candidate index) is synced after the sigs fold:
+      the fold target's twin is rebuilt from the published fold
+      (stage → swap, so it is only ever missing or complete, never
+      partial) and the folded batches' twins dropped; a crash between
+      sigs fold and bands sync leaves orphan twins whose duplicate
+      rows are harmless (candidates are distinct) and which the next
+      compaction's opening heal removes.
 
     A deployment runs this from the maintenance cadence that already
     compacts the ANN trees; at 10⁹ indexed docs it turns O(batches
@@ -677,10 +827,23 @@ def compact_sig_index(spark, index_path: str, keep_last: int = 1) -> list:
         raise ValueError("keep_last must be >= 1 (the newest batch can "
                          "still be replayed by the checkpoint)")
     sigs = f"{index_path}/sigs"
-    ids = sorted(
-        int(d.split("=", 1)[1]) for d in os.listdir(sigs)
-        if d.startswith("batch=") and d.split("=", 1)[1].isdigit()
-    ) if os.path.isdir(sigs) else []
+    ids = _sig_batch_ids(sigs)
+    # heal a crash between a completed sigs fold and its bands rebuild:
+    # orphan bands/batch=B dirs (no sigs twin) mean the previous fold
+    # published sigs into the oldest partition but died before syncing
+    # the banded tree — rebuild the oldest twin from the folded sigs,
+    # THEN drop the orphans (their docs are covered by the rebuild; a
+    # crash inside this heal re-enters it identically).  ``bands`` must
+    # match the gate's banding width — same contract as num_hashes.
+    bands_root = f"{index_path}/bands"
+    if os.path.isdir(bands_root) and ids:
+        orphans = [b for b in _sig_batch_ids(bands_root)
+                   if b not in set(ids)]
+        if orphans:
+            _rebuild_banded_batch(spark, index_path, ids[0], bands)
+            for b in orphans:
+                shutil.rmtree(f"{bands_root}/batch={b}",
+                              ignore_errors=True)
     cands = ids[:-keep_last]
     if len(cands) < 2:
         return []
@@ -716,6 +879,16 @@ def compact_sig_index(spark, index_path: str, keep_last: int = 1) -> list:
     for b in cands[1:]:
         shutil.rmtree(f"{sigs}/batch={b}", ignore_errors=True)
     shutil.rmtree(stage, ignore_errors=True)
+    # sync the materialized banded tree: rebuild the fold target's twin
+    # from the published fold, then drop the folded batches' twins.  A
+    # crash anywhere in here leaves either a MISSING tgt twin (the
+    # gate's self-heal rebuilds it) or orphan twins (duplicate banded
+    # rows — candidates are distinct(); the heal above removes them on
+    # the next compaction) — never a partial twin, never a lost bucket.
+    if os.path.isdir(bands_root):
+        _rebuild_banded_batch(spark, index_path, tgt, bands)
+        for b in cands[1:]:
+            shutil.rmtree(f"{bands_root}/batch={b}", ignore_errors=True)
     return cands
 
 

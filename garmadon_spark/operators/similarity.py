@@ -1199,6 +1199,35 @@ def _drop_self_rows(joined: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def _allowed_forms(allowed: DataFrame | None, id_col: str):
+    """Normalize the ``allowed`` contract shared by both batch probes.
+
+    - None → no filter;
+    - ONE column → a static permitted-id list, applied to the pruned
+      corpus scan BEFORE the query join (one semi-join for the whole
+      batch);
+    - TWO columns → PER-QUERY predicates: (query_id, corpus_id) pairs
+      — multi-tenant serving, per-user ACLs — applied AFTER the query
+      join as a group-wise semi-join on BOTH keys, so each query's k
+      results satisfy ITS OWN allowlist.  Column order is positional:
+      first = query id, second = corpus id.
+
+    Returns ``(static_ids, per_query_pairs)`` — at most one is
+    non-None."""
+    if allowed is None:
+        return None, None
+    if len(allowed.columns) == 1:
+        ids = allowed.select(
+            F.col(allowed.columns[0]).alias(id_col)
+        ).distinct()
+        return ids, None
+    pairs = allowed.select(
+        F.col(allowed.columns[0]).alias("query_id"),
+        F.col(allowed.columns[1]).alias(id_col),
+    ).distinct()
+    return None, pairs
+
+
 def ivf_topk_batch(
     spark,
     path: str,
@@ -1241,14 +1270,18 @@ def ivf_topk_batch(
     ``load_ivf_centroids`` — pass it to amortize the centroid-table
     read across calls (the streaming server does); None loads it here.
 
-    ``allowed``: FILTERED search — a one-column frame of permitted
-    corpus ids (a metadata predicate evaluated on the source table,
-    e.g. ``embs.filter(label == L).select('vec_id')``), semi-joined
-    into the pruned cell scan BEFORE scoring/ranking, so every one of
-    the k results satisfies the filter — never a post-filtered
-    shortlist that comes back short.  The join is left to the
-    optimizer: a selective predicate broadcasts (AQE sizes it), a loose
-    one shuffles only the candidate rows already pruned to the probed
+    ``allowed``: FILTERED search, two forms (``_allowed_forms``).  A
+    ONE-column frame of permitted corpus ids (a metadata predicate
+    evaluated on the source table, e.g.
+    ``embs.filter(label == L).select('vec_id')``) is semi-joined into
+    the pruned cell scan BEFORE the query join.  A TWO-column frame of
+    (query_id, corpus_id) pairs is PER-QUERY predicates — multi-tenant
+    serving, per-user ACLs — semi-joined on both keys after the query
+    join.  Both apply BEFORE scoring/ranking, so every one of the k
+    results satisfies its filter — never a post-filtered shortlist
+    that comes back short.  The join is left to the optimizer: a
+    selective predicate broadcasts (AQE sizes it), a loose one
+    shuffles only the candidate rows already pruned to the probed
     cells.  Filtered recall caveat, stated honestly: nprobe bounds the
     UNFILTERED neighborhood — a very selective filter wants a larger
     nprobe (or nprobe = n_cells for exact), the standard trade every
@@ -1284,17 +1317,23 @@ def ivf_topk_batch(
     vectors = spark.read.parquet(f"{path}/vectors").filter(
         F.col("ivf_cell").isin(probed)
     )
-    if allowed is not None:
-        ids = allowed.select(
-            F.col(allowed.columns[0]).alias(id_col)
-        ).distinct()
-        vectors = vectors.join(ids, id_col, "left_semi")
+    allowed_ids, allowed_pairs = _allowed_forms(allowed, id_col)
+    if allowed_ids is not None:
+        vectors = vectors.join(allowed_ids, id_col, "left_semi")
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc(id_col)
     )
     joined = vectors.join(F.broadcast(exploded), "ivf_cell")
+    if allowed_pairs is not None:
+        # per-query predicates bind (query, candidate) pairs, so they
+        # can only apply after the query join — still pre-ranking, so
+        # every one of the k results satisfies its query's allowlist;
+        # the candidate side is already cell-pruned, and AQE broadcasts
+        # a small pair table
+        joined = joined.join(allowed_pairs, ["query_id", id_col],
+                             "left_semi")
     if exclude_self:
         # queries drawn from the corpus: drop the query's own row
         # (dtype-safe — string/UUID query ids must not ANSI-cast)
@@ -2779,9 +2818,11 @@ def ivfpq_topk_batch(
 
     ``allowed``: FILTERED search — the ivf_topk_batch contract: a
     one-column frame of permitted corpus ids semi-joined into the
-    pruned CODES scan before ADC scoring, so shortlist, rerank, and
-    the final k all satisfy the predicate; same nprobe-vs-selectivity
-    trade documented there."""
+    pruned CODES scan before ADC scoring, or a two-column
+    (query_id, corpus_id) pair frame for PER-QUERY predicates
+    (group-wise semi-join after the query join) — either way
+    shortlist, rerank, and the final k all satisfy the predicate;
+    same nprobe-vs-selectivity trade documented there."""
     from pyspark.sql import Window
     from pyspark.sql.functions import pandas_udf
 
@@ -2844,13 +2885,16 @@ def ivfpq_topk_batch(
     codes_df = spark.read.parquet(f"{path}/codes").filter(
         F.col("ivf_cell").isin(probed)
     )
-    if allowed is not None:
-        codes_df = codes_df.join(
-            allowed.select(F.col(allowed.columns[0]).alias(id_col))
-            .distinct(),
-            id_col, "left_semi",
-        )
+    allowed_ids, allowed_pairs = _allowed_forms(allowed, id_col)
+    if allowed_ids is not None:
+        codes_df = codes_df.join(allowed_ids, id_col, "left_semi")
     joined = codes_df.join(F.broadcast(exploded), "ivf_cell")
+    if allowed_pairs is not None:
+        # per-query form: group-wise semi-join after the query join,
+        # before ADC scoring — shortlist, rerank, and the final k all
+        # satisfy each query's own allowlist
+        joined = joined.join(allowed_pairs, ["query_id", id_col],
+                             "left_semi")
     if exclude_self:
         # dtype-safe: string/UUID query ids vs bigint vec ids must
         # compare without an ANSI cast (r10 advisor finding)

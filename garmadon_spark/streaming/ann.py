@@ -252,12 +252,14 @@ def serve_ann_stream(
     (unstarted) ``DataStreamWriter``.  Results land in ``out_path`` as
     parquet rows (query_id, vec_id, cosine, rank, batch_id).
 
-    ``allowed``: FILTERED serving — a STATIC one-column frame of
-    permitted corpus ids (the ivf_topk_batch contract), applied to
-    every micro-batch's probe; its plan re-evaluates per trigger, so a
-    table-backed predicate tracks the table.  Per-QUERY predicates are
-    a different feature (group-wise probes) and intentionally out of
-    scope here.
+    ``allowed``: FILTERED serving — the ivf_topk_batch contract,
+    applied to every micro-batch's probe: a one-column frame of
+    permitted corpus ids (static filter), or a two-column
+    (query_id, corpus_id) pair frame for PER-QUERY predicates
+    (multi-tenant serving — each query's k results satisfy its own
+    allowlist).  The plan re-evaluates per trigger, so a table-backed
+    predicate tracks the table; pair rows for query ids not in a batch
+    are simply never matched.
 
     ``exclude_self`` defaults False here (external queries own a
     separate id space); pass True when replaying corpus vectors as

@@ -82,6 +82,66 @@ def _history_sigs(sess, sigs_root: str, sig_schema, batch_id: int):
     )
 
 
+def _banded_schema(sig_schema):
+    """Schema of the materialized banded tree's read: the data columns
+    (doc, bucket) plus the three partition columns (batch / band / bp)
+    in directory order — explicit like _history_sigs', so a replayed
+    batch's partial files never drive schema inference."""
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    doc_f = next(f for f in sig_schema.fields if f.name == "doc")
+    return StructType([
+        doc_f,
+        StructField("bucket", StringType()),
+        StructField("batch", LongType()),
+        StructField("band", IntegerType()),
+        StructField("bp", StringType()),
+    ])
+
+
+def _history_banded(sess, bands_root: str, sig_schema, batch_id: int):
+    """The gate's PRUNED candidate-index read: the materialized banded
+    tree except the current batch — (doc, band, bucket, bp) rows.  The
+    (band, bp) filters `_flagged_increment_pairs` adds on top compose
+    with this scan's partition columns, so each trigger reads ONLY the
+    bucket partitions its increment touches (planning-time pruning) —
+    the per-second-gate upgrade over re-banding the whole signature
+    history per trigger."""
+    return (
+        sess.read.schema(_banded_schema(sig_schema))
+        .option("basePath", bands_root).parquet(bands_root)
+        .filter(F.col("batch") != batch_id)
+        .select("doc", "band", "bucket", "bp")
+    )
+
+
+def _ensure_banded_tree(sess, index_path: str, sig_schema,
+                        bands: int, rows_per_band: int) -> None:
+    """Self-healing invariant: every committed ``sigs/batch=B``
+    partition has its banded twin ``bands/batch=B`` before a pruned
+    candidate read is valid.  Normally a listdir no-op; builds missing
+    twins (idempotent overwrite of DERIVED data) after an upgrade from
+    the pre-banded layout, or after a crash window that left a twin
+    missing (the gate's own crash between its two writes replays the
+    whole batch, so only compaction's stage-swap can leave one)."""
+    import os as _os
+
+    sigs_root = f"{index_path}/sigs"
+    bands_root = f"{index_path}/bands"
+    have = {
+        d for d in _os.listdir(bands_root) if d.startswith("batch=")
+    } if _os.path.isdir(bands_root) else set()
+    for d in sorted(_os.listdir(sigs_root)):
+        if not d.startswith("batch=") or d in have:
+            continue
+        part = sess.read.schema(sig_schema).parquet(f"{sigs_root}/{d}")
+        dedup.banded_signatures(part, bands, rows_per_band) \
+            .write.mode("overwrite").partitionBy("band", "bp") \
+            .parquet(f"{bands_root}/{d}")
+
+
 def dedup_corpus_stream(
     docs: DataFrame,
     index_path: str,
@@ -128,15 +188,26 @@ def dedup_corpus_stream(
     are pruned to the newest ``_ADMIT_RETAIN_MARKERS`` after each
     commit (newest survives — all the foreign-chain probe needs).
 
-    Scale shape, stated honestly: per trigger the index side is
-    re-banded for the bucket join — one scan + one shuffle of the
-    SIGNATURE table (K·8 B per corpus doc, ~1-2 % of corpus bytes; the
-    document text is never re-read), the same contract as the batch
-    ``incremental_minhash``.  Right for hourly/daily admission batches;
-    a per-second gate at 10¹⁰ docs would instead materialize the
-    banded form partitioned by (band, bucket-prefix) so each trigger's
-    lookup partition-prunes to the buckets it touches — same decision
-    unit, swap the candidate join.
+    Scale shape: the gate maintains a MATERIALIZED BANDED INDEX
+    (``index_path/bands/batch=N/band=B/bp=P`` — the r11-named upgrade,
+    now the implementation): each trigger bands only the INCREMENT,
+    collects its touched (band, bucket-prefix) set (≤ bands × 16
+    values), and the history side of the candidate join is a parquet
+    read partition-pruned to exactly those buckets at planning time —
+    the whole signature history is never re-banded or re-shuffled.
+    History SIGNATURES (for the estimator) are then fetched for
+    candidate docs only: one scan of the sigs tree filtered by a
+    candidate-bounded semi-join, no shuffle of history when the
+    candidate set broadcasts (AQE) — the residual full-scan a
+    deployment removes by doc-prefix-partitioning the sigs tree.
+    Decisions are IDENTICAL to the re-banding path (same
+    ``admit_increment`` unit, same ``_band_structs`` hashing — pinned
+    by the independent ``doc_dedup_stream_check`` replay); only the
+    candidate join swapped.  The banded twin is written per batch from
+    the just-committed sigs partition inside the same marker window
+    (replay overwrites both), self-heals after an upgrade from the
+    pre-banded layout (``_ensure_banded_tree``), and is folded
+    alongside sigs by ``compact_sig_index``.
 
     Returns the (unstarted, availableNow-triggered) writer."""
     from garmadon_spark.sinks.rollup import (
@@ -171,12 +242,19 @@ def dedup_corpus_stream(
             num_hashes=num_hashes,
         ).schema
         if _os.path.isdir(sigs_root):
+            _ensure_banded_tree(sess, index_path, sig_schema, bands,
+                                num_hashes // bands)
             hist = _history_sigs(sess, sigs_root, sig_schema, batch_id)
+            hist_banded = _history_banded(
+                sess, f"{index_path}/bands", sig_schema, batch_id
+            )
         else:
             hist = sess.createDataFrame([], sig_schema)
+            hist_banded = None
         accepted, acc_sigs, rejected = dedup.admit_increment(
             batch_df, hist, id_col=id_col, text_col=text_col, n=n,
             num_hashes=num_hashes, bands=bands, threshold=threshold,
+            hist_banded=hist_banded,
         )
         try:
             accepted.write.mode("overwrite").parquet(
@@ -187,6 +265,17 @@ def dedup_corpus_stream(
             )
             acc_sigs.write.mode("overwrite").parquet(
                 f"{sigs_root}/batch={batch_id}"
+            )
+            # the banded twin, derived from the JUST-WRITTEN partition
+            # (read-back, so the two trees can never hold different
+            # bits); overwrite-idempotent inside the same marker window
+            dedup.banded_signatures(
+                sess.read.schema(sig_schema).parquet(
+                    f"{sigs_root}/batch={batch_id}"
+                ),
+                bands, num_hashes // bands,
+            ).write.mode("overwrite").partitionBy("band", "bp").parquet(
+                f"{index_path}/bands/batch={batch_id}"
             )
         finally:
             accepted._gs_unpersist()

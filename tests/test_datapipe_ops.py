@@ -1604,3 +1604,73 @@ def test_ivf_filtered_probe_restricts_and_stays_pruned(spark, tmp_path):
     assert re.search(r"PartitionFilters: \[[^\]]*ivf_cell[^\]]*IN",
                      plan), plan[:2000]
     out._gs_unpersist()
+
+
+def test_ivf_per_query_allowed_pairs(spark, tmp_path):
+    """allowed= as a TWO-column (query_id, vec_id) pair frame — each
+    query's k results satisfy its OWN allowlist (multi-tenant form),
+    exactly brute-force-filtered per query at nprobe = all cells, on
+    BOTH batch probes (raw-vector and IVF-PQ ADC+rerank); partition
+    pruning is undisturbed."""
+    import re
+
+    from garmadon_spark.session import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "idx")
+    similarity.write_ivf_index(embs, path, n_centroids=8, iterations=1)
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # query q sees only label ≡ q (mod 3) — three DISJOINT allowlists
+    pairs = (
+        embs.select("vec_id", (F.col("label") % 3).alias("_m"))
+        .join(F.broadcast(
+            queries.select("query_id",
+                           (F.col("query_id") % 3).alias("_m"))), "_m")
+        .select("query_id", "vec_id")
+    )
+    ok = {q: set() for q in (0, 1, 2)}
+    for r in pairs.collect():
+        ok[r.query_id].add(r.vec_id)
+    out = similarity.ivf_topk_batch(
+        spark, path, queries, k=5, nprobe=8, exclude_self=True,
+        allowed=pairs,
+    )
+    rows = out.collect()
+    got = {q: {r.vec_id for r in rows if r.query_id == q}
+           for q in (0, 1, 2)}
+    for q in (0, 1, 2):
+        assert got[q] and got[q] <= ok[q]
+        qv = [float(x) for x in embs.filter(
+            F.col("vec_id") == q).head()["embedding"]]
+        bf = similarity.brute_force_topk(
+            embs.filter((F.col("label") % 3 == q % 3)
+                        & (F.col("vec_id") != q)),
+            qv, k=5,
+        )
+        assert {r.vec_id for r in bf.collect()} == got[q]
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted")
+    )
+    assert re.search(r"PartitionFilters: \[[^\]]*ivf_cell[^\]]*IN",
+                     plan), plan[:2000]
+    out._gs_unpersist()
+
+    # IVF-PQ twin: ADC shortlist + exact rerank under the same pairs —
+    # with rerank wide enough, the final k equal the exact filtered
+    # top-k per query
+    pq_path = str(tmp_path / "idx_pq")
+    similarity.write_ivfpq_index(
+        embs, pq_path, n_centroids=8, m=8, ksub=16, iterations=1,
+        pq_iterations=2,
+    )
+    out_pq = similarity.ivfpq_topk_batch(
+        spark, pq_path, queries, k=5, nprobe=8, rerank=10_000,
+        exclude_self=True, allowed=pairs,
+    )
+    got_pq = {q: {r.vec_id for r in out_pq.collect() if r.query_id == q}
+              for q in (0, 1, 2)}
+    out_pq._gs_unpersist()
+    assert got_pq == got

@@ -1477,6 +1477,55 @@ def test_compact_sig_index_preserves_gate_history(spark, tmp_path):
         == {doc for doc, _s in before} | {x + 45 for x in range(5)}
 
 
+def test_admit_increment_banded_parity(spark, tmp_path):
+    """The materialized-banded candidate join (hist_banded=) and the
+    on-the-fly re-banding path make IDENTICAL decisions — same
+    accepted ids, same (doc, reason) rejections, same appended
+    signatures — on an increment mixing fresh docs, history
+    re-scrapes, and an intra-batch duplicate group."""
+    from garmadon_spark.operators import dedup
+    from garmadon_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text")
+    hist_docs = docs.filter(F.col("doc_id") < 40)
+    hist = dedup.minhash_signatures(hist_docs)
+    root = str(tmp_path / "idx")
+    dedup.banded_signatures(hist).write.partitionBy("band", "bp") \
+        .parquet(f"{root}/bands/batch=0")
+
+    def rekey(src_id, new_id):
+        return docs.filter(F.col("doc_id") == src_id).withColumn(
+            "doc_id", F.lit(new_id).cast("long"))
+
+    inc = (docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 60))
+           .unionByName(rekey(2, 1_000_002))     # history re-scrape
+           .unionByName(rekey(40, 2_000_001))    # intra group with 40
+           .unionByName(rekey(40, 2_000_002)))
+
+    def decisions(hist_banded):
+        acc, sigs, rej = dedup.admit_increment(
+            inc, hist, hist_banded=hist_banded)
+        got = (
+            {r.doc_id for r in acc.collect()},
+            {(r.doc, r.reason) for r in rej.collect()},
+            {(r.doc, tuple(r.signature)) for r in sigs.collect()},
+        )
+        acc._gs_unpersist()
+        return got
+
+    base = decisions(None)
+    banded = decisions(
+        spark.read.option("basePath", f"{root}/bands")
+        .parquet(f"{root}/bands")
+        .select("doc", "band", "bucket", "bp")
+    )
+    assert banded == base
+    assert (1_000_002, "history") in base[1]
+    assert {(2_000_001, "intra_batch"), (2_000_002, "intra_batch")} \
+        <= base[1]
+
+
 def test_admit_increment_same_id_is_replace(spark):
     """Pin the documented same-id REPLACE semantics: a cross-batch
     re-submission under an already-admitted doc_id is never gated
@@ -1599,6 +1648,53 @@ def test_serve_ann_stream_filtered(spark, tmp_path):
     exp_df = similarity.ivf_topk_batch(
         spark, index, queries, k=5, nprobe=4, exclude_self=True,
         allowed=allowed,
+    )
+    exp = {(r.query_id, r.rank): r.vec_id for r in exp_df.collect()}
+    exp_df._gs_unpersist()
+    assert served == exp
+
+
+def test_serve_ann_stream_per_query_filtered(spark, tmp_path):
+    """Per-query filtered serving: a TWO-column (query_id, vec_id)
+    allowed frame restricts each served query to its OWN allowlist and
+    equals the per-query filtered batch probe at identical widths."""
+    from garmadon_spark.operators import similarity
+    from garmadon_spark.session import load_table
+    from garmadon_spark.streaming import ann
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    index = str(tmp_path / "idx")
+    similarity.write_ivf_index(embs, index, n_centroids=8, iterations=1)
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pairs = (
+        embs.select("vec_id", (F.col("label") % 3).alias("_m"))
+        .join(F.broadcast(
+            queries.select("query_id",
+                           (F.col("query_id") % 3).alias("_m"))), "_m")
+        .select("query_id", "vec_id")
+    )
+    ok: dict = {}
+    for r in pairs.collect():
+        ok.setdefault(r.query_id, set()).add(r.vec_id)
+    src = str(tmp_path / "q")
+    queries.write.parquet(src)
+    out = str(tmp_path / "out")
+    q = ann.serve_ann_stream(
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .parquet(src),
+        index, out, str(tmp_path / "ck"),
+        k=5, nprobe=4, exclude_self=True, allowed=pairs,
+    ).start()
+    q.awaitTermination()
+    served = {(r.query_id, r.rank): r.vec_id
+              for r in spark.read.parquet(out).collect()}
+    assert served
+    assert all(v in ok[qid] for (qid, _rk), v in served.items())
+    exp_df = similarity.ivf_topk_batch(
+        spark, index, queries, k=5, nprobe=4, exclude_self=True,
+        allowed=pairs,
     )
     exp = {(r.query_id, r.rank): r.vec_id for r in exp_df.collect()}
     exp_df._gs_unpersist()
