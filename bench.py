@@ -521,6 +521,84 @@ def ann_serving_bench(
     return out
 
 
+def admit_candidates_bench(
+    spark, n_hist: int = 200_000, n_inc: int = 8,
+    num_hashes: int = 64, bands: int = 16,
+) -> dict:
+    """Per-trigger candidate-generation cost of the streaming near-dup
+    admission gate, measured both ways on the same synthetic history —
+    the evidence behind this round's materialized banded index:
+
+    - ``admit_cands_full_sec``: the pre-r12 shape (re-band the WHOLE
+      signature history and bucket-join it per trigger);
+    - ``admit_cands_banded_sec``: the materialized-banded shape (band
+      only the increment; the history side is a parquet read
+      partition-pruned to the touched (band, bp) partitions).
+
+    History = ``n_hist`` synthetic signatures (64 xxhash64 longs per
+    doc, generated distributed — content never matters for the COST of
+    candidate generation), written once in both layouts; increment =
+    ``n_inc`` fresh docs — the per-SECOND-gate batch size, where an
+    8-doc increment touches ~16·8 of the 4096 (band, bp) partitions
+    (~3 % of the tree) and the pruned read is the whole point.  Larger
+    (hourly) increments touch every partition and the two paths
+    converge — the banded layout is the small-batch lever, which is
+    exactly what this leg records.  min-of-2 per leg; both legs drain
+    the full pair plan through the noop sink."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from garmadon_spark.operators import dedup
+
+    def synth_sigs(lo: int, n: int, salt: int):
+        return spark.range(lo, lo + n).select(
+            F.col("id").alias("doc"),
+            F.array(*[
+                F.xxhash64(F.col("id"), F.lit(salt), F.lit(i))
+                for i in range(num_hashes)
+            ]).alias("signature"),
+        )
+
+    tmp = tempfile.mkdtemp(prefix="garmadon_admit_cands_bench_")
+    try:
+        synth_sigs(0, n_hist, 1).repartition(32).write.parquet(
+            f"{tmp}/sigs/batch=0")
+        hist = spark.read.parquet(f"{tmp}/sigs/batch=0")
+        dedup.banded_signatures(hist, bands, num_hashes // bands) \
+            .repartition("band", "bp") \
+            .write.partitionBy("band", "bp") \
+            .parquet(f"{tmp}/bands/batch=0")
+        inc = synth_sigs(n_hist, n_inc, 2)
+        anti = inc.select("doc")
+        hist_banded = (
+            spark.read.option("basePath", f"{tmp}/bands")
+            .parquet(f"{tmp}/bands")
+            .select("doc", "band", "bucket", "bp")
+        )
+        out = {}
+        for key, hb in (("full", None), ("banded", hist_banded)):
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                pairs = dedup._flagged_increment_pairs(
+                    inc, hist, anti, num_hashes=num_hashes,
+                    bands=bands, persist_sigs=False, hist_banded=hb,
+                )
+                pairs.write.format("noop").mode("overwrite").save()
+                d = time.time() - t0
+                best = d if best is None else min(best, d)
+            out[f"admit_cands_{key}_sec"] = round(best, 3)
+        out["admit_cands_hist_docs"] = n_hist
+        out["admit_cands_speedup"] = round(
+            out["admit_cands_full_sec"]
+            / max(out["admit_cands_banded_sec"], 1e-9), 2)
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def index_health_bench(spark, sf_dir: str) -> dict:
     """Round-over-round drift watch on the MAINTAINED sf-fixture IVF-PQ
     index (r11 judge ask: surface ivf_index_health operationally).  The
@@ -694,6 +772,10 @@ def main():
         ingest.update(index_health_bench(spark, sf_dir))
     except Exception as e:
         print(f"bench error index_health: {e}", file=sys.stderr)
+    try:
+        ingest.update(admit_candidates_bench(spark))
+    except Exception as e:
+        print(f"bench error admit_candidates: {e}", file=sys.stderr)
 
     ingest.update(recall_fields)
 

@@ -355,11 +355,13 @@ def _band_structs(bands: int, rows_per_band: int) -> Column:
 
 
 # hex chars of the band-bucket hash used as the materialized banded
-# index's partition prefix: 16 prefixes × 16 bands = 256 (band, bp)
-# leaf partitions — a single-doc lookup touches 16 of them (1/16 of
-# the tree); a 10¹⁰-doc deployment widens this to 2-3 chars for
-# 1/256-1/4096 pruning at the cost of more directories
-SIG_BP_CHARS = 1
+# index's partition prefix: 2 chars = 256 prefixes × 16 bands = 4096
+# (band, bp) leaf partitions — a single-doc lookup touches 16 of them
+# (1/256 of the tree), an 8-doc per-second-gate batch ~3%.  Writers
+# repartition by (band, bp) first, so each partition gets exactly one
+# file per batch; a 10¹⁰-doc deployment can widen this further at the
+# cost of more directories
+SIG_BP_CHARS = 2
 
 
 def banded_signatures(sigs: DataFrame, bands: int = 16,
@@ -531,20 +533,20 @@ def _flagged_increment_pairs(
             .withColumn("is_new", F.lit(True))
         )
         # the touched (band, bp) set: ≤ bands × 16^SIG_BP_CHARS values
-        # (256 at the default widths) — an explicit disjunction of
-        # partition-column equalities, so the history read prunes at
-        # planning time like _history_sigs' batch filter
-        touched = sorted(
-            (int(r.band), r.bp)
-            for r in binc.select("band", "bp").distinct().collect()
-        )
-        if touched:
+        # — expressed as one (band = b AND bp IN (...)) disjunct per
+        # band (compact: ≤ `bands` terms), all partition-column
+        # predicates, so the history read prunes at planning time like
+        # _history_sigs' batch filter
+        by_band: dict = {}
+        for r in binc.select("band", "bp").distinct().collect():
+            by_band.setdefault(int(r.band), []).append(r.bp)
+        if by_band:
             import functools
             import operator
 
             pred = functools.reduce(operator.or_, [
-                (F.col("band") == b) & (F.col("bp") == p)
-                for b, p in touched
+                (F.col("band") == b) & F.col("bp").isin(sorted(ps))
+                for b, ps in sorted(by_band.items())
             ])
         else:
             pred = F.lit(False)
@@ -750,6 +752,7 @@ def _rebuild_banded_batch(spark, index_path: str, batch: int,
     stage = f"{index_path}/bands/_compact_stage"
     shutil.rmtree(stage, ignore_errors=True)
     banded_signatures(part, bands, width // bands) \
+        .repartition("band", "bp") \
         .write.mode("overwrite").partitionBy("band", "bp").parquet(stage)
     tgt = f"{index_path}/bands/batch={batch}"
     shutil.rmtree(tgt, ignore_errors=True)

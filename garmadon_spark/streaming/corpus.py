@@ -117,29 +117,55 @@ def _history_banded(sess, bands_root: str, sig_schema, batch_id: int):
     )
 
 
-def _ensure_banded_tree(sess, index_path: str, sig_schema,
-                        bands: int, rows_per_band: int) -> None:
+def _ensure_banded_tree(sess, index_path: str, bands: int,
+                        skip_batch: int | None = None) -> None:
     """Self-healing invariant: every committed ``sigs/batch=B``
     partition has its banded twin ``bands/batch=B`` before a pruned
-    candidate read is valid.  Normally a listdir no-op; builds missing
-    twins (idempotent overwrite of DERIVED data) after an upgrade from
-    the pre-banded layout, or after a crash window that left a twin
-    missing (the gate's own crash between its two writes replays the
-    whole batch, so only compaction's stage-swap can leave one)."""
+    candidate read is valid.  Normally a listdir no-op.  Two repair
+    paths, both via the crash-safe stage-swap builder
+    (``dedup._rebuild_banded_batch`` — a twin is only ever MISSING or
+    complete, never partial):
+
+    - missing twins (upgrade from the pre-banded layout; a compaction
+      crash between its sigs fold and bands sync) are backfilled;
+    - a ``_BP_CHARS`` stamp records the tree's bucket-prefix width —
+      if the code's ``SIG_BP_CHARS`` ever differs (a config change
+      between deployments), the WHOLE tree is rebuilt rather than
+      silently pruning against directories that no longer match the
+      predicate (which would MISS candidates — a gate hole, not a
+      perf bug)."""
     import os as _os
+    import shutil as _shutil
 
     sigs_root = f"{index_path}/sigs"
     bands_root = f"{index_path}/bands"
-    have = {
-        d for d in _os.listdir(bands_root) if d.startswith("batch=")
-    } if _os.path.isdir(bands_root) else set()
+    stamp = f"{bands_root}/_BP_CHARS"
+    want = str(dedup.SIG_BP_CHARS)
+    if _os.path.isdir(bands_root):
+        try:
+            got = open(stamp).read()
+        except OSError:
+            got = None
+        if got != want:
+            _shutil.rmtree(bands_root, ignore_errors=True)
+    _os.makedirs(bands_root, exist_ok=True)
+    if not _os.path.exists(stamp):
+        with open(stamp, "w") as fh:
+            fh.write(want)
+    if not _os.path.isdir(sigs_root):
+        return
+    have = {d for d in _os.listdir(bands_root) if d.startswith("batch=")}
     for d in sorted(_os.listdir(sigs_root)):
         if not d.startswith("batch=") or d in have:
             continue
-        part = sess.read.schema(sig_schema).parquet(f"{sigs_root}/{d}")
-        dedup.banded_signatures(part, bands, rows_per_band) \
-            .write.mode("overwrite").partitionBy("band", "bp") \
-            .parquet(f"{bands_root}/{d}")
+        b = int(d.split("=", 1)[1])
+        if b == skip_batch:
+            # the CURRENT batch's partition may hold a crashed
+            # attempt's partial files — never read it here; the gate
+            # rewrites both trees for this batch inside the marker
+            # window anyway
+            continue
+        dedup._rebuild_banded_batch(sess, index_path, b, bands)
 
 
 def dedup_corpus_stream(
@@ -241,9 +267,9 @@ def dedup_corpus_stream(
             batch_df, id_col=id_col, text_col=text_col, n=n,
             num_hashes=num_hashes,
         ).schema
+        _ensure_banded_tree(sess, index_path, bands,
+                            skip_batch=batch_id)
         if _os.path.isdir(sigs_root):
-            _ensure_banded_tree(sess, index_path, sig_schema, bands,
-                                num_hashes // bands)
             hist = _history_sigs(sess, sigs_root, sig_schema, batch_id)
             hist_banded = _history_banded(
                 sess, f"{index_path}/bands", sig_schema, batch_id
@@ -268,15 +294,17 @@ def dedup_corpus_stream(
             )
             # the banded twin, derived from the JUST-WRITTEN partition
             # (read-back, so the two trees can never hold different
-            # bits); overwrite-idempotent inside the same marker window
+            # bits); overwrite-idempotent inside the same marker
+            # window; repartitioned so each touched (band, bp)
+            # partition gets exactly one file per batch
             dedup.banded_signatures(
                 sess.read.schema(sig_schema).parquet(
                     f"{sigs_root}/batch={batch_id}"
                 ),
                 bands, num_hashes // bands,
-            ).write.mode("overwrite").partitionBy("band", "bp").parquet(
-                f"{index_path}/bands/batch={batch_id}"
-            )
+            ).repartition("band", "bp") \
+                .write.mode("overwrite").partitionBy("band", "bp") \
+                .parquet(f"{index_path}/bands/batch={batch_id}")
         finally:
             accepted._gs_unpersist()
         _write_marker(sess, marker, cache["run"])

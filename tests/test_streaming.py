@@ -1477,6 +1477,85 @@ def test_compact_sig_index_preserves_gate_history(spark, tmp_path):
         == {doc for doc, _s in before} | {x + 45 for x in range(5)}
 
 
+def test_banded_tree_self_heals_and_rebuilds_on_width_change(
+        spark, tmp_path):
+    """Upgrade + layout-identity safety for the materialized banded
+    index: (1) an admission index from the PRE-banded layout (sigs
+    tree only) gets its banded twins backfilled on the next trigger,
+    and history re-scrapes are still rejected through the pruned read;
+    (2) a ``_BP_CHARS`` stamp mismatch (bucket-prefix width changed
+    between deployments) forces a FULL tree rebuild instead of
+    silently pruning against directories the predicate no longer
+    matches — which would be missed candidates, a gate hole."""
+    import glob
+    import os
+    import shutil
+
+    from garmadon_spark.operators import dedup
+    from garmadon_spark.session import load_table
+    from garmadon_spark.streaming import corpus as scorpus
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "src")
+    index, out, ckpt = (str(tmp_path / p) for p in ("idx", "out", "ck"))
+    seen: set = set()
+
+    def add_batch(df):
+        df.coalesce(1).write.mode("append").parquet(src)
+        new = sorted(set(glob.glob(f"{src}/part-*.parquet")) - seen)
+        seen.update(new)
+        for f in new:
+            os.utime(f, (1_000_000_000 + len(seen), ) * 2)
+
+    def gate():
+        scorpus.dedup_corpus_stream(
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1").parquet(src),
+            index, out, ckpt,
+        ).start().awaitTermination()
+
+    def rekey(src_id, new_id):
+        return d.filter(F.col("doc_id") == src_id).withColumn(
+            "doc_id", F.lit(new_id).cast("long"))
+
+    def rejected(batch):
+        return {
+            (r.doc, r.reason)
+            for r in spark.read.option("basePath", f"{out}/rejected")
+            .parquet(f"{out}/rejected")
+            .filter(F.col("batch") == batch)
+            .select("doc", "reason").collect()
+        }
+
+    add_batch(d.filter(F.col("doc_id") < 20))
+    gate()
+    # simulate an upgrade from the pre-banded layout
+    shutil.rmtree(f"{index}/bands")
+    add_batch(
+        d.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 25))
+        .unionByName(rekey(3, 1_000_003))
+    )
+    gate()
+    assert rejected(1) == {(1_000_003, "history")}
+    assert os.path.isdir(f"{index}/bands/batch=0")   # backfilled
+    stamp = f"{index}/bands/_BP_CHARS"
+    assert open(stamp).read() == str(dedup.SIG_BP_CHARS)
+
+    # width change: stale stamp → the whole tree rebuilds, and a
+    # re-scrape of a batch-1 doc is still caught afterwards
+    with open(stamp, "w") as fh:
+        fh.write("9")
+    add_batch(
+        d.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 35))
+        .unionByName(rekey(21, 2_000_021))
+    )
+    gate()
+    assert open(stamp).read() == str(dedup.SIG_BP_CHARS)
+    assert rejected(2) == {(2_000_021, "history")}
+
+
 def test_admit_increment_banded_parity(spark, tmp_path):
     """The materialized-banded candidate join (hist_banded=) and the
     on-the-fly re-banding path make IDENTICAL decisions — same
