@@ -408,6 +408,7 @@ def incremental_minhash(
     bands: int = 16,
     threshold: float = 0.5,
     persist_sigs: bool = True,
+    hist_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Tier-3 dedup, incremental form: near-dup an INCREMENT against the
     corpus's PERSISTED signature index — the daily-update workflow where
@@ -439,7 +440,13 @@ def incremental_minhash(
 
     Note the persisted union is held for the session (like
     minhash_dedup's shingle cache) — pass ``persist_sigs=False`` for
-    one-shot semantics."""
+    one-shot semantics.
+
+    ``hist_banded``: when the deployment maintains the materialized
+    banded index (the streaming gate's ``bands/`` tree), pass its read
+    here and the candidate join partition-prunes to the increment's
+    touched buckets instead of re-banding the whole index — same
+    contract as ``admit_increment``."""
     inc_sigs = minhash_signatures(
         new_docs, id_col=id_col, text_col=text_col, n=n,
         num_hashes=num_hashes,
@@ -448,7 +455,7 @@ def incremental_minhash(
         inc_sigs, hist_index,
         new_docs.select(F.col(id_col).alias("doc")),
         num_hashes=num_hashes, bands=bands, threshold=threshold,
-        persist_sigs=persist_sigs,
+        persist_sigs=persist_sigs, hist_banded=hist_banded,
     )
     return pairs.select("doc_a", "doc_b", "est_jaccard")
 
