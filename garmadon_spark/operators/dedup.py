@@ -557,12 +557,12 @@ def _flagged_increment_pairs(
             ])
         else:
             pred = F.lit(False)
-        hb = (
+        hb_src = (
             hist_banded.filter(pred)
             .join(F.broadcast(anti_ids), "doc", "left_anti")
-            .select("doc", "band", "bucket",
-                    F.lit(False).alias("is_new"))
         )
+        hb = hb_src.select("doc", "band", "bucket",
+                           F.lit(False).alias("is_new"))
         banded = hb.unionByName(
             binc.select("doc", "band", "bucket", "is_new")
         ).select(
@@ -585,8 +585,28 @@ def _flagged_increment_pairs(
             .unionByName(cands.select(F.col("doc_b").alias("doc")))
             .distinct()
         )
+        hist_fetch = hist_only
+        if ("batch" in hist_banded.columns
+                and "batch" in hist_index.columns):
+            # BATCH-prune the estimator's signature fetch too: the
+            # pruned banded read knows which batch partitions hold ANY
+            # doc in the touched buckets — a superset of the candidate
+            # docs' batches (safe: never misses), collected as ≤
+            # #batch-dirs literals.  In the high-frequency regime
+            # (thousands of per-second batches between compactions)
+            # this turns the residual full sigs scan into a read of
+            # just the batches that can matter; after a full fold
+            # (one batch) it is a no-op.
+            hit_batches = [
+                int(r.batch)
+                for r in hb_src.select("batch").distinct().collect()
+            ]
+            hist_fetch = hist_only.filter(
+                F.col("batch").isin(hit_batches) if hit_batches
+                else F.lit(False)
+            )
         lookup = _keep(
-            hist_only.join(cand_ids, "doc", "left_semi")
+            hist_fetch.join(cand_ids, "doc", "left_semi")
             .select("doc", "signature")
             .unionByName(inc_sigs.select("doc", "signature"))
         )

@@ -68,7 +68,10 @@ def _history_sigs(sess, sigs_root: str, sig_schema, batch_id: int):
     schema, so a crashed first attempt's partial files under the
     replayed batch's own partition are never listed into the scan —
     the replay-correctness mechanism, pinned by
-    tests/test_plan_shapes.py."""
+    tests/test_plan_shapes.py.  The ``batch`` column rides along so
+    the estimator's signature fetch can partition-prune to the batches
+    the pruned banded read actually hit (see
+    dedup._flagged_increment_pairs)."""
     from pyspark.sql.types import LongType, StructField, StructType
 
     full = StructType(
@@ -78,7 +81,7 @@ def _history_sigs(sess, sigs_root: str, sig_schema, batch_id: int):
         sess.read.schema(full)
         .option("basePath", sigs_root).parquet(sigs_root)
         .filter(F.col("batch") != batch_id)
-        .select("doc", "signature")
+        .select("doc", "signature", "batch")
     )
 
 
@@ -113,7 +116,7 @@ def _history_banded(sess, bands_root: str, sig_schema, batch_id: int):
         sess.read.schema(_banded_schema(sig_schema))
         .option("basePath", bands_root).parquet(bands_root)
         .filter(F.col("batch") != batch_id)
-        .select("doc", "band", "bucket", "bp")
+        .select("doc", "band", "bucket", "bp", "batch")
     )
 
 
@@ -222,10 +225,13 @@ def dedup_corpus_stream(
     read partition-pruned to exactly those buckets at planning time —
     the whole signature history is never re-banded or re-shuffled.
     History SIGNATURES (for the estimator) are then fetched for
-    candidate docs only: one scan of the sigs tree filtered by a
-    candidate-bounded semi-join, no shuffle of history when the
-    candidate set broadcasts (AQE) — the residual full-scan a
-    deployment removes by doc-prefix-partitioning the sigs tree.
+    candidate docs only: the sigs read partition-prunes to the BATCHES
+    the pruned banded read hit (few, in the per-second regime where
+    thousands of batch partitions accumulate between compactions),
+    then a candidate-bounded semi-join — no shuffle of history when
+    the candidate set broadcasts (AQE).  The remaining refinement for
+    a fully point-lookup fetch is doc-prefix-partitioning the sigs
+    tree — named, not built.
     Decisions are IDENTICAL to the re-banding path (same
     ``admit_increment`` unit, same ``_band_structs`` hashing — pinned
     by the independent ``doc_dedup_stream_check`` replay); only the

@@ -357,7 +357,9 @@ def test_banded_candidate_read_prunes_to_touched_buckets(
 
     from garmadon_spark.operators import dedup
     from garmadon_spark.session import load_table
-    from garmadon_spark.streaming.corpus import _history_banded
+    from garmadon_spark.streaming.corpus import (
+        _history_banded, _history_sigs,
+    )
 
     docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
         .select("doc_id", "text")
@@ -374,6 +376,7 @@ def test_banded_candidate_read_prunes_to_touched_buckets(
         hist_docs.filter(F.col("doc_id") == 3)
         .withColumn("doc_id", F.lit(1_000_003).cast("long"))
     )
+    hist = _history_sigs(spark, f"{root}/sigs", sigs.schema, 1)
     hb = _history_banded(spark, f"{root}/bands", sigs.schema, 1)
     # plan pin on the candidate generator itself (admit_increment's
     # persisted intermediates + the RDD-based components step hide the
@@ -381,7 +384,7 @@ def test_banded_candidate_read_prunes_to_touched_buckets(
     # carry band AND bp AND batch as PARTITION filters
     inc_sigs = dedup.minhash_signatures(inc)
     pairs = dedup._flagged_increment_pairs(
-        inc_sigs, sigs, inc.select(F.col("doc_id").alias("doc")),
+        inc_sigs, hist, inc.select(F.col("doc_id").alias("doc")),
         persist_sigs=False, hist_banded=hb,
     )
     # the touched-bucket disjunction is hundreds of chars — raise the
@@ -400,9 +403,18 @@ def test_banded_candidate_read_prunes_to_touched_buckets(
         m = re.search(r"PartitionFilters: \[([^\]]*)\]", scan)
         assert m and "band" in m.group(1) and "bp" in m.group(1), scan
         assert "batch" in m.group(1), scan
+    # the estimator's signature fetch is BATCH-pruned too (to the
+    # batches the pruned banded read hit)
+    sig_scans = [ln for ln in plan.splitlines()
+                 if "FileScan" in ln and "signature:array" in ln
+                 and "/sigs" in ln.split("ReadSchema")[0]]
+    assert sig_scans, plan
+    for scan in sig_scans:
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", scan)
+        assert m and "batch" in m.group(1), scan
     # and the decisions are right: the re-scrape is caught via the
     # pruned candidate read
-    acc, _s, rej = dedup.admit_increment(inc, sigs, hist_banded=hb)
+    acc, _s, rej = dedup.admit_increment(inc, hist, hist_banded=hb)
     assert {(r.doc, r.reason) for r in rej.collect()} \
         == {(1_000_003, "history")}
     acc._gs_unpersist()
