@@ -363,6 +363,104 @@ def _band_structs(bands: int, rows_per_band: int) -> Column:
 # cost of more directories
 SIG_BP_CHARS = 2
 
+# Width of the signature tree's doc-prefix partition column: each
+# ``sigs/batch=N`` partition is subdivided as ``dp=<first SIG_DP_CHARS
+# hex chars of md5(doc)>``, so the admission gate's estimator fetch
+# prunes to the candidate docs' prefixes at PLANNING time — a
+# point-lookup read that covers EVERY signature version of a candidate
+# doc regardless of which batch holds it (the property the r12
+# batch-prune lacked: a candidate's other same-id version could live in
+# a batch the touched buckets never hit, silently shrinking the
+# max-across-versions estimate).  2 hex chars = 256 subdirs per batch.
+# Stamped in the tree (``sigs/_DP_CHARS``) — ``ensure_sigs_layout``
+# rewrites on mismatch, mirroring the bands tree's ``_BP_CHARS``.
+SIG_DP_CHARS = 2
+
+
+def doc_prefix(col) -> Column:
+    """The signature tree's doc-prefix partition value — first
+    ``SIG_DP_CHARS`` hex chars of md5(doc id as string).  ONE
+    definition shared by the index writer, the layout migration, and
+    the estimator fetch's pruning predicate, so the three can never
+    hash differently (the banded tree's ``banded_signatures`` rule)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring(F.md5(c.cast("string")), 1, SIG_DP_CHARS)
+
+
+def ensure_sigs_layout(spark, index_path: str,
+                       skip_batch: int | None = None) -> None:
+    """Self-healing layout invariant for the admission signature tree:
+    every committed ``sigs/batch=B`` partition is subdivided by the
+    doc-prefix column (``dp=XX`` — see ``doc_prefix``) before a
+    dp-pruned estimator fetch is valid.  Normally a listdir no-op.
+
+    - a ``_DP_CHARS`` stamp records the tree's prefix width; a
+      mismatch (config change between deployments) rewrites EVERY
+      batch partition — pruning against stale-width directories would
+      fetch the wrong prefixes and MISS candidate signatures (a gate
+      hole, not a perf bug) — the bands tree's ``_BP_CHARS`` rule;
+    - flat pre-dp partitions (upgrade from the r12 layout) are
+      rewritten in place.
+
+    Unlike the bands tree, sigs is PRIMARY data — never dropped, only
+    rewritten, with a crash-safe three-step swap per batch: stage the
+    rewrite under ``sigs/_dp_stage`` (underscore — invisible to the
+    partition listing), move the original to ``sigs/_dp_old_B``, move
+    the stage in, drop the backup.  Every crash window converges on
+    re-entry: a backup WITH its batch dir present means the swap
+    completed (drop the backup); a backup WITHOUT one means the crash
+    hit between the two moves (restore it, re-migrate).  ``skip_batch``
+    excludes the stream's current batch — its partition may hold a
+    crashed attempt's partial files and is wholly overwritten inside
+    the marker window anyway."""
+    import os
+    import shutil
+
+    sigs = f"{index_path}/sigs"
+    if not os.path.isdir(sigs):
+        return
+    # heal a crashed earlier migration first
+    for d in sorted(os.listdir(sigs)):
+        if not d.startswith("_dp_old_"):
+            continue
+        b = d[len("_dp_old_"):]
+        tgt = f"{sigs}/batch={b}"
+        if os.path.isdir(tgt):
+            shutil.rmtree(f"{sigs}/{d}", ignore_errors=True)
+        else:
+            os.replace(f"{sigs}/{d}", tgt)
+    stamp = f"{sigs}/_DP_CHARS"
+    want = str(SIG_DP_CHARS)
+    try:
+        got = open(stamp).read()
+    except OSError:
+        got = None
+    width_ok = got == want
+    stage = f"{sigs}/_dp_stage"
+    for b in _sig_batch_ids(sigs):
+        if b == skip_batch:
+            continue
+        tgt = f"{sigs}/batch={b}"
+        entries = os.listdir(tgt)
+        has_dp = any(e.startswith("dp=") for e in entries)
+        has_flat = any(e.endswith(".parquet") for e in entries)
+        if (has_dp and width_ok and not has_flat) \
+                or not (has_dp or has_flat):  # empty partition conforms
+            continue
+        df = spark.read.parquet(tgt).select("doc", "signature")
+        shutil.rmtree(stage, ignore_errors=True)
+        df.withColumn("dp", doc_prefix("doc")).repartition("dp") \
+            .write.mode("overwrite").partitionBy("dp").parquet(stage)
+        backup = f"{sigs}/_dp_old_{b}"
+        shutil.rmtree(backup, ignore_errors=True)
+        os.replace(tgt, backup)
+        os.replace(stage, tgt)
+        shutil.rmtree(backup, ignore_errors=True)
+    shutil.rmtree(stage, ignore_errors=True)
+    if not width_ok:
+        with open(stamp, "w") as fh:
+            fh.write(want)
+
 
 def banded_signatures(sigs: DataFrame, bands: int = 16,
                       rows_per_band: int = 4) -> DataFrame:
@@ -446,7 +544,13 @@ def incremental_minhash(
     banded index (the streaming gate's ``bands/`` tree), pass its read
     here and the candidate join partition-prunes to the increment's
     touched buckets instead of re-banding the whole index — same
-    contract as ``admit_increment``."""
+    contract as ``admit_increment``.  Read the tree with an EXPLICIT
+    schema (``streaming.corpus._banded_schema`` /
+    ``_history_banded``): partition-type inference over directory
+    names can type ``bp`` numeric when every listed prefix is
+    digit-only hex, and the string-prefix pruning predicate would
+    silently match nothing — the candidate join refuses non-string
+    dtypes for exactly that reason."""
     inc_sigs = minhash_signatures(
         new_docs, id_col=id_col, text_col=text_col, n=n,
         num_hashes=num_hashes,
@@ -490,11 +594,16 @@ def _flagged_increment_pairs(
     (band, bp) partitions, the history read is FILTERED to exactly
     those (planning-time partition pruning when hist_banded is a
     (band, bp)-partitioned scan), and history signatures are fetched
-    afterwards for CANDIDATE docs only.  Per-trigger cost drops from
-    scan+shuffle of the whole signature table to a pruned bucket read
-    plus a candidate-bounded signature fetch (one scan, no shuffle of
-    history when the candidate set broadcasts).  When None (default),
-    history is banded on the fly — the batch-API path.
+    afterwards for CANDIDATE docs only — when ``hist_index`` carries a
+    ``dp`` column (the doc-prefix-partitioned tree ``ensure_sigs_layout``
+    maintains), that fetch additionally prunes to the candidate docs'
+    dp partitions at planning time, a point lookup that covers every
+    signature version of each candidate whatever batch holds it.
+    Per-trigger cost drops from scan+shuffle of the whole signature
+    table to a pruned bucket read plus a prefix-pruned,
+    candidate-bounded signature fetch (one scan, no shuffle of history
+    when the candidate set broadcasts).  When None (default), history
+    is banded on the fly — the batch-API path.
 
     Returns (doc_a, doc_b, est_jaccard, a_new, b_new) with
     est ≥ threshold.  When ``persist_sigs`` the multi-branch
@@ -509,6 +618,23 @@ def _flagged_increment_pairs(
             f" num_hashes={num_hashes} — est_jaccard would be silently"
             " wrong; rebuild the index or match num_hashes"
         )
+    if hist_banded is not None:
+        # a banded tree read WITHOUT an explicit schema can infer the
+        # bp partition column numeric when every listed directory
+        # happens to be digit-only hex — the isin(string-prefix)
+        # pruning predicate then matches NOTHING and candidates are
+        # silently dropped (a gate hole).  Refuse rather than miss;
+        # streaming callers get the right dtypes from
+        # streaming.corpus._banded_schema.
+        dt = dict(hist_banded.dtypes)
+        if dt.get("bp") != "string" or dt.get("band") not in (
+                "int", "bigint", "smallint", "tinyint"):
+            raise TypeError(
+                "hist_banded must carry band as an integer column and"
+                " bp as a STRING column — read the banded tree with an"
+                " explicit schema (streaming.corpus._banded_schema);"
+                f" got band={dt.get('band')}, bp={dt.get('bp')}"
+            )
     hist_only = hist_index.join(
         F.broadcast(anti_ids), "doc", "left_anti",
     )
@@ -586,24 +712,27 @@ def _flagged_increment_pairs(
             .distinct()
         )
         hist_fetch = hist_only
-        if ("batch" in hist_banded.columns
-                and "batch" in hist_index.columns):
-            # BATCH-prune the estimator's signature fetch too: the
-            # pruned banded read knows which batch partitions hold ANY
-            # doc in the touched buckets — a superset of the candidate
-            # docs' batches (safe: never misses), collected as ≤
-            # #batch-dirs literals.  In the high-frequency regime
-            # (thousands of per-second batches between compactions)
-            # this turns the residual full sigs scan into a read of
-            # just the batches that can matter; after a full fold
-            # (one batch) it is a no-op.
-            hit_batches = [
-                int(r.batch)
-                for r in hb_src.select("batch").distinct().collect()
-            ]
+        if "dp" in hist_index.columns:
+            # DOC-PREFIX-prune the estimator's signature fetch: the
+            # candidate ids determine their dp partitions directly
+            # (dp is doc-derived), collected as ≤ min(#candidates,
+            # 16^SIG_DP_CHARS) literals — all partition-column
+            # predicates, so the sigs read prunes to the candidate
+            # docs' subdirectories at planning time: a point lookup
+            # instead of a history scan.  VERSION-COMPLETE by
+            # construction: every signature version of a candidate doc
+            # shares its dp whatever batch holds it, so the
+            # max-across-versions estimate sees them all (the r12
+            # batch-prune's hole: a same-id re-admission's other
+            # version could sit in a batch the touched buckets never
+            # hit, and the pruned path could admit what the re-banding
+            # path rejects — this prune replaced it).
+            dps = sorted({
+                r.dp for r in cand_ids.select(
+                    doc_prefix("doc").alias("dp")).distinct().collect()
+            })
             hist_fetch = hist_only.filter(
-                F.col("batch").isin(hit_batches) if hit_batches
-                else F.lit(False)
+                F.col("dp").isin(dps) if dps else F.lit(False)
             )
         lookup = _keep(
             hist_fetch.join(cand_ids, "doc", "left_semi")
@@ -770,11 +899,20 @@ def _rebuild_banded_batch(spark, index_path: str, batch: int,
     import os
     import shutil
 
-    part = spark.read.parquet(f"{index_path}/sigs/batch={batch}")
+    src = f"{index_path}/sigs/batch={batch}"
+    # an all-rejected batch leaves an EMPTY sigs partition — under the
+    # dp layout that is a directory with NO parquet files (partitionBy
+    # writes none for zero rows), which schema inference can't read;
+    # its twin is simply an empty directory (the banded read's explicit
+    # schema treats it as zero rows)
+    if not any(f.endswith(".parquet")
+               for _r, _d, fs in os.walk(src) for f in fs):
+        tgt = f"{index_path}/bands/batch={batch}"
+        shutil.rmtree(tgt, ignore_errors=True)
+        os.makedirs(tgt)
+        return
+    part = spark.read.parquet(src)
     row = part.select("signature").first()
-    # an all-rejected batch leaves an EMPTY sigs partition — banding an
-    # empty frame is empty for any width, so the probe just needs to
-    # not crash
     width = len(row.signature) if row is not None else bands
     stage = f"{index_path}/bands/_compact_stage"
     shutil.rmtree(stage, ignore_errors=True)
@@ -795,6 +933,39 @@ def _sig_batch_ids(root: str) -> list:
         int(d.split("=", 1)[1]) for d in os.listdir(root)
         if d.startswith("batch=") and d.split("=", 1)[1].isdigit()
     )
+
+
+def _bands_stamps_ok(bands_root: str, bands: int) -> bool:
+    """True iff the banded tree's layout stamps match the caller's
+    parameters: ``_BP_CHARS`` (bucket-prefix width, r12) and ``_BANDS``
+    (band count, r13 — the advisor's finding: bands determines the
+    bucket hashing, so a maintenance job compacting with a mismatched
+    count would rebuild the fold-target twin with WRONG bucketing and
+    the pruned candidate read would silently miss its docs).  The
+    signature width needs no stamp: every rebuild derives
+    rows_per_band from the sigs data itself."""
+    import os
+
+    if not os.path.isdir(bands_root):
+        return False
+    for name, want in (("_BP_CHARS", str(SIG_BP_CHARS)),
+                       ("_BANDS", str(bands))):
+        try:
+            if open(os.path.join(bands_root, name)).read() != want:
+                return False
+        except OSError:
+            return False
+    return True
+
+
+def _write_bands_stamps(bands_root: str, bands: int) -> None:
+    import os
+
+    os.makedirs(bands_root, exist_ok=True)
+    for name, want in (("_BP_CHARS", str(SIG_BP_CHARS)),
+                       ("_BANDS", str(bands))):
+        with open(os.path.join(bands_root, name), "w") as fh:
+            fh.write(want)
 
 
 def compact_sig_index(spark, index_path: str, keep_last: int = 1,
@@ -857,6 +1028,10 @@ def compact_sig_index(spark, index_path: str, keep_last: int = 1,
         raise ValueError("keep_last must be >= 1 (the newest batch can "
                          "still be replayed by the checkpoint)")
     sigs = f"{index_path}/sigs"
+    # layout first: the fold's multi-partition read needs every batch
+    # at the SAME directory depth (dp-subdivided), and a width change
+    # must rewrite before anything prunes against the tree
+    ensure_sigs_layout(spark, index_path)
     ids = _sig_batch_ids(sigs)
     # heal a crash between a completed sigs fold and its bands rebuild:
     # orphan bands/batch=B dirs (no sigs twin) mean the previous fold
@@ -866,6 +1041,15 @@ def compact_sig_index(spark, index_path: str, keep_last: int = 1,
     # crash inside this heal re-enters it identically).  ``bands`` must
     # match the gate's banding width — same contract as num_hashes.
     bands_root = f"{index_path}/bands"
+    # layout-identity gate (r12 advisor finding): a fold invoked with a
+    # band count that differs from the tree's bucketing would rebuild
+    # the fold-target twin with WRONG bucket hashes — the pruned
+    # candidate read would then silently miss its docs.  Detect via the
+    # stamps and drop the (derived) tree instead; it is rebuilt whole
+    # below / by the stream's self-heal.
+    if os.path.isdir(bands_root) and not _bands_stamps_ok(
+            bands_root, bands):
+        shutil.rmtree(bands_root, ignore_errors=True)
     if os.path.isdir(bands_root) and ids:
         orphans = [b for b in _sig_batch_ids(bands_root)
                    if b not in set(ids)]
@@ -882,30 +1066,59 @@ def compact_sig_index(spark, index_path: str, keep_last: int = 1,
     from pyspark.sql import Window
 
     w = Window.partitionBy("doc").orderBy(F.desc("batch"))
-    folded = (
-        spark.read.option("basePath", sigs)
-        .parquet(*[f"{sigs}/batch={b}" for b in cands])
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "batch")
-    )
     stage = f"{sigs}/_compact_stage"
-    shutil.rmtree(stage, ignore_errors=True)
-    folded.write.mode("overwrite").parquet(stage)
-    parts = sorted(f for f in os.listdir(stage)
-                   if f.endswith(".parquet"))
-    os.makedirs(f"{sigs}/batch={tgt}", exist_ok=True)
-    published = set()
-    for i, f in enumerate(parts):
-        name = f"{fold}-{i}.parquet"
-        os.replace(f"{stage}/{f}", f"{sigs}/batch={tgt}/{name}")
-        published.add(name)
+    tgt_dir = f"{sigs}/batch={tgt}"
+    os.makedirs(tgt_dir, exist_ok=True)
+    published = set()  # dp-relative paths "dp=XX/fold-a-b-i.parquet"
+    # all-rejected batches leave FILE-LESS partitions under the dp
+    # layout; schema inference needs at least one real file, and a fold
+    # of nothing publishes nothing (the delete below then empties tgt)
+    nonempty = [b for b in cands if any(
+        f.endswith(".parquet")
+        for _r, _d, fs in os.walk(f"{sigs}/batch={b}") for f in fs)]
+    if nonempty:
+        folded = (
+            spark.read.option("basePath", sigs)
+            .parquet(*[f"{sigs}/batch={b}" for b in nonempty])
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("doc", "signature")
+            # re-derive dp rather than trust the discovered partition
+            # column: an all-digit-hex directory listing would have
+            # inferred it numeric and partitionBy would write dp=12
+            # for dp=0x12 — doc_prefix is the one definition
+            .withColumn("dp", doc_prefix("doc"))
+        )
+        shutil.rmtree(stage, ignore_errors=True)
+        folded.repartition("dp").write.mode("overwrite") \
+            .partitionBy("dp").parquet(stage)
+        for dpd in sorted(d for d in os.listdir(stage)
+                          if d.startswith("dp=")):
+            parts = sorted(f for f in os.listdir(f"{stage}/{dpd}")
+                           if f.endswith(".parquet"))
+            os.makedirs(f"{tgt_dir}/{dpd}", exist_ok=True)
+            for i, f in enumerate(parts):
+                name = f"{fold}-{i}.parquet"
+                os.replace(f"{stage}/{dpd}/{f}",
+                           f"{tgt_dir}/{dpd}/{name}")
+                published.add(f"{dpd}/{name}")
     # publish complete — now drop everything NOT just published: the
     # superseded originals AND any same-prefix leftovers of a crashed
-    # earlier attempt whose part count exceeded this one's
-    for f in os.listdir(f"{sigs}/batch={tgt}"):
-        if f.endswith(".parquet") and f not in published:
-            os.remove(f"{sigs}/batch={tgt}/{f}")
+    # earlier attempt whose part count exceeded this one's.  The walk
+    # is recursive so stale flat files (pre-dp layout) and whole dp
+    # subdirs a retry didn't reproduce are covered too.
+    for root_, _dirs, files in os.walk(tgt_dir):
+        rel_root = os.path.relpath(root_, tgt_dir)
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            rel = f if rel_root == "." else f"{rel_root}/{f}"
+            if rel not in published:
+                os.remove(os.path.join(root_, f))
+    for d in os.listdir(tgt_dir):
+        p = os.path.join(tgt_dir, d)
+        if d.startswith("dp=") and os.path.isdir(p) and not os.listdir(p):
+            os.rmdir(p)
     for b in cands[1:]:
         shutil.rmtree(f"{sigs}/batch={b}", ignore_errors=True)
     shutil.rmtree(stage, ignore_errors=True)
@@ -919,7 +1132,72 @@ def compact_sig_index(spark, index_path: str, keep_last: int = 1,
         _rebuild_banded_batch(spark, index_path, tgt, bands)
         for b in cands[1:]:
             shutil.rmtree(f"{bands_root}/batch={b}", ignore_errors=True)
+    else:
+        # the stamp gate above dropped a mismatched tree (or none ever
+        # existed): rebuild EVERY remaining twin here so the
+        # maintenance job leaves a complete pruned index behind rather
+        # than deferring to the stream's next-trigger self-heal
+        _write_bands_stamps(bands_root, bands)
+        for b in _sig_batch_ids(sigs):
+            _rebuild_banded_batch(spark, index_path, b, bands)
     return cands
+
+
+def sig_index_health(spark, index_path: str, bands: int = 16):
+    """One-row health report for the admission signature index — the
+    drift watch the IVF/IVF-PQ trees got in r11/r12 (ivf_index_health),
+    for the gate's trees.  Everything is O(directory listings) except
+    ``duplicate_docs`` (one column-pruned scan of the doc column):
+
+    - ``sig_batches`` / ``batches_since_fold``: per-trigger partitions
+      accumulated, and how many a ``compact_sig_index`` run would fold
+      (rising count = the maintenance cadence is falling behind);
+    - ``duplicate_docs``: docs holding >1 signature row — the same-id
+      REPLACE window plus any crashed-fold leftovers; nonzero is
+      expected between re-admissions and the next fold, monotone growth
+      is not;
+    - ``banded_missing`` / ``banded_orphans``: sigs partitions without
+      a banded twin (the pruned candidate read falls back to self-heal
+      next trigger) and twins without a sigs partition (harmless
+      duplicates the next compaction removes);
+    - ``stamps_ok``: the bands tree's layout stamps (_BP_CHARS /
+      _BANDS) and the sigs tree's _DP_CHARS all match this build —
+      False means the next maintenance pass will rewrite."""
+    import os
+
+    sigs = f"{index_path}/sigs"
+    bands_root = f"{index_path}/bands"
+    sig_ids = _sig_batch_ids(sigs)
+    band_ids = _sig_batch_ids(bands_root)
+    oldest_folded = bool(sig_ids) and any(
+        f.startswith("fold-")
+        for _r, _d, fs in os.walk(f"{sigs}/batch={sig_ids[0]}")
+        for f in fs
+    )
+    since_fold = (len(sig_ids) - 1 if oldest_folded else len(sig_ids))
+    try:
+        dp_ok = open(f"{sigs}/_DP_CHARS").read() == str(SIG_DP_CHARS)
+    except OSError:
+        dp_ok = False
+    dups = 0
+    if any(f.endswith(".parquet")
+           for _r, _d, fs in os.walk(sigs) for f in fs):
+        dups = (
+            spark.read.option("basePath", sigs).parquet(sigs)
+            .groupBy("doc").count().filter(F.col("count") > 1).count()
+        )
+    return spark.createDataFrame(
+        [(
+            len(sig_ids),
+            int(since_fold),
+            int(dups),
+            len(set(sig_ids) - set(band_ids)),
+            len(set(band_ids) - set(sig_ids)),
+            bool(dp_ok and _bands_stamps_ok(bands_root, bands)),
+        )],
+        "sig_batches int, batches_since_fold int, duplicate_docs int,"
+        " banded_missing int, banded_orphans int, stamps_ok boolean",
+    )
 
 
 def minhash_dedup(

@@ -68,20 +68,27 @@ def _history_sigs(sess, sigs_root: str, sig_schema, batch_id: int):
     schema, so a crashed first attempt's partial files under the
     replayed batch's own partition are never listed into the scan —
     the replay-correctness mechanism, pinned by
-    tests/test_plan_shapes.py.  The ``batch`` column rides along so
-    the estimator's signature fetch can partition-prune to the batches
-    the pruned banded read actually hit (see
-    dedup._flagged_increment_pairs)."""
-    from pyspark.sql.types import LongType, StructField, StructType
+    tests/test_plan_shapes.py.  The ``dp`` doc-prefix partition column
+    (``sigs/batch=N/dp=XX`` — dedup.ensure_sigs_layout's layout) rides
+    along so the estimator's signature fetch partition-prunes to the
+    CANDIDATE docs' prefixes at planning time — a point lookup that
+    covers every signature version of a candidate doc whatever batch
+    holds it (see dedup._flagged_increment_pairs); ``batch`` rides for
+    the current-batch exclusion and the check queries."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
 
     full = StructType(
-        list(sig_schema.fields) + [StructField("batch", LongType())]
+        list(sig_schema.fields)
+        + [StructField("batch", LongType()),
+           StructField("dp", StringType())]
     )
     return (
         sess.read.schema(full)
         .option("basePath", sigs_root).parquet(sigs_root)
         .filter(F.col("batch") != batch_id)
-        .select("doc", "signature", "batch")
+        .select("doc", "signature", "batch", "dp")
     )
 
 
@@ -131,30 +138,23 @@ def _ensure_banded_tree(sess, index_path: str, bands: int,
 
     - missing twins (upgrade from the pre-banded layout; a compaction
       crash between its sigs fold and bands sync) are backfilled;
-    - a ``_BP_CHARS`` stamp records the tree's bucket-prefix width —
-      if the code's ``SIG_BP_CHARS`` ever differs (a config change
-      between deployments), the WHOLE tree is rebuilt rather than
-      silently pruning against directories that no longer match the
-      predicate (which would MISS candidates — a gate hole, not a
-      perf bug)."""
+    - layout stamps record the tree's identity — ``_BP_CHARS`` (the
+      bucket-prefix width) and ``_BANDS`` (the band count, which
+      determines the bucket hashing itself): if either differs from
+      this build's parameters (a config change between deployments),
+      the WHOLE tree is rebuilt rather than silently pruning against
+      directories that no longer match the predicate (which would MISS
+      candidates — a gate hole, not a perf bug)."""
     import os as _os
     import shutil as _shutil
 
     sigs_root = f"{index_path}/sigs"
     bands_root = f"{index_path}/bands"
-    stamp = f"{bands_root}/_BP_CHARS"
-    want = str(dedup.SIG_BP_CHARS)
-    if _os.path.isdir(bands_root):
-        try:
-            got = open(stamp).read()
-        except OSError:
-            got = None
-        if got != want:
-            _shutil.rmtree(bands_root, ignore_errors=True)
-    _os.makedirs(bands_root, exist_ok=True)
-    if not _os.path.exists(stamp):
-        with open(stamp, "w") as fh:
-            fh.write(want)
+    if _os.path.isdir(bands_root) \
+            and not dedup._bands_stamps_ok(bands_root, bands):
+        _shutil.rmtree(bands_root, ignore_errors=True)
+    if not _os.path.isdir(bands_root):
+        dedup._write_bands_stamps(bands_root, bands)
     if not _os.path.isdir(sigs_root):
         return
     have = {d for d in _os.listdir(bands_root) if d.startswith("batch=")}
@@ -225,13 +225,15 @@ def dedup_corpus_stream(
     read partition-pruned to exactly those buckets at planning time —
     the whole signature history is never re-banded or re-shuffled.
     History SIGNATURES (for the estimator) are then fetched for
-    candidate docs only: the sigs read partition-prunes to the BATCHES
-    the pruned banded read hit (few, in the per-second regime where
-    thousands of batch partitions accumulate between compactions),
-    then a candidate-bounded semi-join — no shuffle of history when
-    the candidate set broadcasts (AQE).  The remaining refinement for
-    a fully point-lookup fetch is doc-prefix-partitioning the sigs
-    tree — named, not built.
+    candidate docs only: the sigs tree is doc-prefix-partitioned
+    (``sigs/batch=N/dp=XX`` — dedup.ensure_sigs_layout, stamp-guarded
+    like the banded tree), so the fetch partition-prunes to the
+    candidate docs' prefixes at planning time — a point lookup, and
+    VERSION-COMPLETE: every signature version of a candidate shares
+    its dp whatever batch holds it (the r12 batch-prune could miss a
+    same-id re-admission's other version; this replaced it) — then a
+    candidate-bounded semi-join, no shuffle of history when the
+    candidate set broadcasts (AQE).
     Decisions are IDENTICAL to the re-banding path (same
     ``admit_increment`` unit, same ``_band_structs`` hashing — pinned
     by the independent ``doc_dedup_stream_check`` replay); only the
@@ -273,6 +275,20 @@ def dedup_corpus_stream(
             batch_df, id_col=id_col, text_col=text_col, n=n,
             num_hashes=num_hashes,
         ).schema
+        # a replayed batch's partitions (marker absent ⇒ uncommitted,
+        # and Structured Streaming only ever re-runs the LAST
+        # uncommitted batch) are about to be rewritten wholesale —
+        # drop them now so neither the layout migration nor the
+        # history read's partition discovery ever sees their partial
+        # or pre-upgrade files
+        import shutil as _shutil
+
+        _shutil.rmtree(f"{sigs_root}/batch={batch_id}",
+                       ignore_errors=True)
+        _shutil.rmtree(f"{index_path}/bands/batch={batch_id}",
+                       ignore_errors=True)
+        dedup.ensure_sigs_layout(sess, index_path,
+                                 skip_batch=batch_id)
         _ensure_banded_tree(sess, index_path, bands,
                             skip_batch=batch_id)
         if _os.path.isdir(sigs_root):
@@ -295,9 +311,18 @@ def dedup_corpus_stream(
             rejected.write.mode("overwrite").parquet(
                 f"{out_path}/rejected/batch={batch_id}"
             )
-            acc_sigs.write.mode("overwrite").parquet(
-                f"{sigs_root}/batch={batch_id}"
-            )
+            # doc-prefix-partitioned (sigs/batch=N/dp=XX) so the NEXT
+            # trigger's estimator fetch point-looks-up candidate docs'
+            # prefixes instead of scanning history — static overwrite
+            # truncates the whole batch dir first, so replays stay
+            # idempotent under the subdivided layout too
+            acc_sigs.withColumn("dp", dedup.doc_prefix("doc")) \
+                .repartition("dp") \
+                .write.mode("overwrite") \
+                .option("partitionOverwriteMode", "static") \
+                .partitionBy("dp").parquet(
+                    f"{sigs_root}/batch={batch_id}"
+                )
             # the banded twin, derived from the JUST-WRITTEN partition
             # (read-back, so the two trees can never hold different
             # bits); overwrite-idempotent inside the same marker

@@ -333,8 +333,9 @@ def test_admission_history_read_prunes_current_batch(spark, tmp_path):
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
     sigs = dedup.minhash_signatures(docs.limit(20))
     root = str(tmp_path / "sigs")
-    sigs.write.parquet(f"{root}/batch=0")
-    sigs.write.parquet(f"{root}/batch=1")
+    for b in (0, 1):
+        sigs.withColumn("dp", dedup.doc_prefix("doc")) \
+            .write.partitionBy("dp").parquet(f"{root}/batch={b}")
     hist = _history_sigs(spark, root, sigs.schema, 1)
     plan = _plan(hist)
     scan = next(l for l in plan.splitlines() if "FileScan" in l)
@@ -366,7 +367,8 @@ def test_banded_candidate_read_prunes_to_touched_buckets(
     hist_docs = docs.filter(F.col("doc_id") < 30)
     sigs = dedup.minhash_signatures(hist_docs)
     root = str(tmp_path / "idx")
-    sigs.write.parquet(f"{root}/sigs/batch=0")
+    sigs.withColumn("dp", dedup.doc_prefix("doc")) \
+        .write.partitionBy("dp").parquet(f"{root}/sigs/batch=0")
     dedup.banded_signatures(sigs).write.partitionBy("band", "bp") \
         .parquet(f"{root}/bands/batch=0")
 
@@ -403,8 +405,10 @@ def test_banded_candidate_read_prunes_to_touched_buckets(
         m = re.search(r"PartitionFilters: \[([^\]]*)\]", scan)
         assert m and "band" in m.group(1) and "bp" in m.group(1), scan
         assert "batch" in m.group(1), scan
-    # the estimator's signature fetch is BATCH-pruned too (to the
-    # batches the pruned banded read hit)
+    # the estimator's signature fetch is DOC-PREFIX-pruned (to the
+    # candidate docs' dp partitions — a point lookup covering every
+    # signature version of each candidate, r13) on top of the
+    # current-batch exclusion
     sig_scans = [ln for ln in plan.splitlines()
                  if "FileScan" in ln and "signature:array" in ln
                  and "/sigs" in ln.split("ReadSchema")[0]]
@@ -412,6 +416,7 @@ def test_banded_candidate_read_prunes_to_touched_buckets(
     for scan in sig_scans:
         m = re.search(r"PartitionFilters: \[([^\]]*)\]", scan)
         assert m and "batch" in m.group(1), scan
+        assert "dp" in m.group(1), scan
     # and the decisions are right: the re-scrape is caught via the
     # pruned candidate read
     acc, _s, rej = dedup.admit_increment(inc, hist, hist_banded=hb)

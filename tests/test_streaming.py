@@ -1463,9 +1463,12 @@ def test_compact_sig_index_preserves_gate_history(spark, tmp_path):
     assert rej == {(x + 1_000_000, "history") for x in range(5)}
 
     # crashed-fold leftovers (duplicate rows) converge on the next fold
+    # — planted inside a dp subdir, where the r13 layout puts files
     tgt = f"{index}/sigs/batch=0"
-    a_file = next(f for f in os.listdir(tgt) if f.endswith(".parquet"))
-    shutil.copy(f"{tgt}/{a_file}", f"{tgt}/fold-0-0-9.parquet")
+    dpd = next(e for e in sorted(os.listdir(tgt)) if e.startswith("dp="))
+    a_file = next(f for f in os.listdir(f"{tgt}/{dpd}")
+                  if f.endswith(".parquet"))
+    shutil.copy(f"{tgt}/{dpd}/{a_file}", f"{tgt}/{dpd}/fold-0-0-9.parquet")
     dup = spark.read.option("basePath", f"{index}/sigs") \
         .parquet(f"{index}/sigs")
     assert dup.count() > dup.select("doc").distinct().count()
