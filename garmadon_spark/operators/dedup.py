@@ -53,6 +53,48 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+# Width of the exact-dedup hash index's partition prefix: the index is
+# laid out as ``hp=<first HASH_HP_CHARS hex chars of content_hash>``
+# (256 partitions at 2 chars), so an increment's anti-join prunes the
+# index read to the prefixes the increment actually hashes to — the
+# same point-lookup upgrade the near-dup signature tree got (dp=) —
+# instead of scanning (even a bucketed) 10¹⁰-row index per small batch.
+HASH_HP_CHARS = 2
+
+
+def hash_prefix(col) -> Column:
+    """The hash index's partition value — first ``HASH_HP_CHARS`` hex
+    chars of a content_hash column.  ONE definition shared by the index
+    writer and the pruning predicate (the ``doc_prefix`` rule)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring(c, 1, HASH_HP_CHARS)
+
+
+def write_hash_index(df: DataFrame, path: str,
+                     mode: str = "append") -> None:
+    """Append accepted content hashes to the hp-partitioned exact-dedup
+    index (``path/hp=XX``).  ``df`` carries a ``content_hash`` column;
+    dedup within the written batch only (the read side tolerates
+    cross-batch duplicates — membership, not counts)."""
+    df.select("content_hash") \
+        .withColumn("hp", hash_prefix("content_hash")) \
+        .repartition("hp") \
+        .write.mode(mode).partitionBy("hp").parquet(path)
+
+
+def read_hash_index(spark, path: str) -> DataFrame:
+    """The exact-dedup index's production read: EXPLICIT schema so the
+    hp partition column can never be inferred numeric from digit-only
+    hex directory names (which would silently defeat the string-prefix
+    pruning predicate — the banded-tree rule)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    return spark.read.schema(StructType([
+        StructField("content_hash", StringType()),
+        StructField("hp", StringType()),
+    ])).option("basePath", path).parquet(path)
+
+
 def incremental_exact_dedup(
     new_docs: DataFrame,
     seen_index: DataFrame,
@@ -63,15 +105,26 @@ def incremental_exact_dedup(
     workflow: dedup an INCREMENT (today's crawl) against the accepted
     corpus's persisted hash index without touching historical text.
 
-    ``seen_index`` carries one ``content_hash`` column (the index a
+    ``seen_index`` carries a ``content_hash`` column (the index a
     deployment maintains as a table, appended after every accepted
     batch).  Two steps, each one bounded shuffle: (1) self-dedup the
     increment (groupBy hash, keep min id — uniform 128-bit key);
-    (2) anti-join survivors against the index.  At 100 TB the index
-    side is a table bucketed on content_hash, so the anti-join is a
-    zero-Exchange sort-merge join (sinks/archive.py::write_bucketed
-    layout); re-running a failed batch is idempotent because both
-    steps are deterministic.
+    (2) anti-join survivors against the index.
+
+    When ``seen_index`` additionally carries the ``hp`` partition
+    column (the ``write_hash_index`` layout, read via
+    ``read_hash_index``), the anti-join's index side is first FILTERED
+    to the increment's hash prefixes — collected as
+    ≤ min(#increment hashes, 16^HASH_HP_CHARS) partition-predicate
+    literals, so the read prunes at planning time: per-increment cost
+    is O(increment-sized point lookups), never an index scan.  Without
+    ``hp`` the fallback at 100 TB is a table bucketed on content_hash
+    (zero-Exchange sort-merge anti-join via
+    sinks/archive.py::write_bucketed) — co-located, but still a scan
+    of every bucket.  Results are identical either way (the prefix
+    filter is a superset of every possible match by construction);
+    re-running a failed batch is idempotent because both steps are
+    deterministic.
 
     Returns the accepted increment rows: (id_col, content_hash)."""
     inc = new_docs.select(
@@ -80,9 +133,26 @@ def incremental_exact_dedup(
     survivors = inc.groupBy("content_hash").agg(
         F.min(id_col).alias(id_col)
     )
-    return survivors.join(
-        seen_index.select("content_hash"), "content_hash", "left_anti"
+    index = seen_index
+    handles = []
+    if "hp" in seen_index.columns:
+        from pyspark import StorageLevel
+
+        survivors = survivors.persist(StorageLevel.MEMORY_AND_DISK)
+        handles.append(survivors)
+        hps = sorted({
+            r.hp for r in survivors.select(
+                hash_prefix("content_hash").alias("hp"))
+            .distinct().collect()
+        })
+        index = seen_index.filter(
+            F.col("hp").isin(hps) if hps else F.lit(False)
+        )
+    out = survivors.join(
+        index.select("content_hash"), "content_hash", "left_anti"
     ).select(id_col, "content_hash")
+    out._gs_unpersist = lambda: [h.unpersist() for h in handles]
+    return out
 
 
 def tokens(col: str = "text") -> Column:
@@ -1317,14 +1387,102 @@ def simhash_candidates(fps: DataFrame, chunk_bits: int = 14,
     )
 
 
+# Bits of a chunk value used as the materialized SimHash chunk index's
+# partition prefix (cp = the chunk value's HIGH byte as 2 hex chars):
+# n_chunks × 256 leaf partitions (1024 at the defaults) — an
+# increment's candidate lookup touches ≤ n_chunks × 256 of them and
+# usually far fewer, the simhash twin of the minhash bands/bp layout.
+SIMHASH_CP_BITS = 8
+
+
+def _simhash_layout(chunk_bits: int, n_chunks: int) -> str:
+    return f"bits={chunk_bits};chunks={n_chunks};cp={SIMHASH_CP_BITS}"
+
+
+def chunked_fingerprints(fps: DataFrame, chunk_bits: int = 14,
+                         n_chunks: int = 4) -> DataFrame:
+    """The chunk-index row form of a SimHash table — (doc, simhash,
+    chunk, val, cp), where ``cp`` (the chunk value's high SIMHASH_CP_BITS
+    bits, 2 hex chars) is the partition prefix of the MATERIALIZED
+    index.  ONE definition over ``_chunk_explode`` shared by the
+    on-the-fly chunking and the materialized tree, so the two can never
+    split a fingerprint differently (the ``banded_signatures`` rule)."""
+    ch = _chunk_explode(fps, chunk_bits, n_chunks, ["doc", "simhash"])
+    shift = max(chunk_bits - SIMHASH_CP_BITS, 0)
+    return ch.select(
+        F.col("p.doc").alias("doc"),
+        F.col("p.simhash").alias("simhash"),
+        "chunk", "val",
+        F.lpad(F.hex(F.shiftright(F.col("val"), shift)), 2, "0")
+        .alias("cp"),
+    )
+
+
+def write_simhash_index(fps: DataFrame, path: str,
+                        chunk_bits: int = 14, n_chunks: int = 4,
+                        mode: str = "append") -> None:
+    """Append a batch of fingerprints to the materialized SimHash chunk
+    index (``path/chunk=C/cp=XX``).  A ``_LAYOUT`` stamp records
+    (chunk_bits, n_chunks, prefix width): appending with mismatched
+    parameters would chunk new rows differently from the tree and the
+    pruned candidate read would silently MISS them — refused instead
+    (the _BANDS/_DP_CHARS identity rule)."""
+    import os
+
+    stamp = os.path.join(path, "_LAYOUT")
+    want = _simhash_layout(chunk_bits, n_chunks)
+    if mode == "append" and os.path.exists(stamp) \
+            and open(stamp).read() != want:
+        raise ValueError(
+            f"simhash index at {path} has layout {open(stamp).read()!r},"
+            f" writer wants {want!r} — rebuild the index or match the"
+            " parameters (appending would silently drop candidates)"
+        )
+    chunked_fingerprints(fps, chunk_bits, n_chunks) \
+        .repartition("chunk", "cp") \
+        .write.mode(mode).partitionBy("chunk", "cp").parquet(path)
+    with open(stamp, "w") as fh:
+        fh.write(want)
+
+
+def read_simhash_index(spark, path: str, chunk_bits: int = 14,
+                       n_chunks: int = 4,
+                       doc_type: str = "bigint") -> DataFrame:
+    """The chunk index's production read: EXPLICIT schema (digit-only
+    hex cp directories would otherwise infer numeric and defeat the
+    string-prefix pruning predicate) + a ``_LAYOUT`` identity check —
+    reading with mismatched parameters would prune against directories
+    the predicate no longer matches (missed candidates, a gate hole)."""
+    import os
+
+    stamp = os.path.join(path, "_LAYOUT")
+    want = _simhash_layout(chunk_bits, n_chunks)
+    try:
+        got = open(stamp).read()
+    except OSError:
+        got = None
+    if got != want:
+        raise ValueError(
+            f"simhash index at {path} has layout {got!r}, reader wants"
+            f" {want!r} — rebuild the index or match the parameters"
+        )
+    return (
+        spark.read.schema(
+            f"doc {doc_type}, simhash bigint, chunk int, val bigint,"
+            " cp string"
+        ).option("basePath", path).parquet(path)
+    )
+
+
 def incremental_simhash(
     new_docs: DataFrame,
-    hist_fps: DataFrame,
+    hist_fps: DataFrame | None,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
     chunk_bits: int = 14,
     n_chunks: int = 4,
+    hist_chunked: DataFrame | None = None,
 ) -> DataFrame:
     """Tier-4 dedup, incremental form: fingerprint the INCREMENT and
     match it against the corpus's stored SimHash table — the cheapest
@@ -1337,20 +1495,80 @@ def incremental_simhash(
     ``hist_fps`` is (doc, simhash) — what ``simhash`` emits and a
     deployment appends per accepted batch.  Retry-safe: docs already in
     the index are dropped from the INDEX side before the union, so a
-    failed-batch re-run cannot pair a doc with itself."""
+    failed-batch re-run cannot pair a doc with itself.
+
+    ``hist_chunked``: the MATERIALIZED chunk index
+    (``chunked_fingerprints`` rows — ``write_simhash_index`` layout,
+    read via ``read_simhash_index``).  When provided the history side
+    is never re-chunked or re-shuffled: the increment's chunk rows
+    determine the touched (chunk, cp) partitions — collected as ≤
+    n_chunks × 2^SIMHASH_CP_BITS partition-predicate literals — and the
+    history read prunes to exactly those at planning time.  The chunk
+    rows carry the fingerprint itself, so Hamming verification needs no
+    second fetch; per-increment cost is O(increment + collisions),
+    never O(history).  Results are identical to the re-chunking path (a
+    pair requires a shared (chunk, val) bucket, and every history row
+    in a touched bucket is in a touched partition by construction).
+    ``hist_fps`` may be None in this mode.  Call the returned frame's
+    ``_gs_unpersist()`` when done (no-op on the re-chunking path)."""
     inc = simhash(new_docs, id_col, text_col).withColumn(
         "is_new", F.lit(True)
     )
-    hist_only = hist_fps.join(
-        F.broadcast(new_docs.select(F.col(id_col).alias("doc"))),
-        "doc", "left_anti",
-    )
-    fps = hist_only.select(
-        "doc", "simhash", F.lit(False).alias("is_new")
-    ).unionByName(inc)
-    chunks = _chunk_explode(fps, chunk_bits, n_chunks,
-                            ["doc", "simhash", "is_new"])
-    return (
+    anti = new_docs.select(F.col(id_col).alias("doc"))
+    handles = []
+    if hist_chunked is None:
+        if hist_fps is None:
+            raise ValueError("pass hist_fps, or hist_chunked for the "
+                             "pruned path")
+        hist_only = hist_fps.join(F.broadcast(anti), "doc", "left_anti")
+        fps = hist_only.select(
+            "doc", "simhash", F.lit(False).alias("is_new")
+        ).unionByName(inc)
+        chunks = _chunk_explode(fps, chunk_bits, n_chunks,
+                                ["doc", "simhash", "is_new"])
+    else:
+        dt = dict(hist_chunked.dtypes)
+        if dt.get("cp") != "string" or dt.get("chunk") not in (
+                "int", "bigint", "smallint", "tinyint"):
+            raise TypeError(
+                "hist_chunked must carry chunk as an integer column and"
+                " cp as a STRING column — read the index via"
+                " read_simhash_index (explicit schema); got"
+                f" chunk={dt.get('chunk')}, cp={dt.get('cp')}"
+            )
+        from pyspark import StorageLevel
+
+        incc = chunked_fingerprints(
+            inc.select("doc", "simhash"), chunk_bits, n_chunks
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        handles.append(incc)
+        by_chunk: dict = {}
+        for r in incc.select("chunk", "cp").distinct().collect():
+            by_chunk.setdefault(int(r.chunk), []).append(r.cp)
+        if by_chunk:
+            import functools
+            import operator
+
+            pred = functools.reduce(operator.or_, [
+                (F.col("chunk") == c) & F.col("cp").isin(sorted(ps))
+                for c, ps in sorted(by_chunk.items())
+            ])
+        else:
+            pred = F.lit(False)
+        hist_side = (
+            hist_chunked.filter(pred)
+            .join(F.broadcast(anti), "doc", "left_anti")
+            .select("doc", "simhash", "chunk", "val",
+                    F.lit(False).alias("is_new"))
+        )
+        chunks = hist_side.unionByName(
+            incc.select("doc", "simhash", "chunk", "val",
+                        F.lit(True).alias("is_new"))
+        ).select(
+            "chunk", "val",
+            F.struct("doc", "simhash", "is_new").alias("p"),
+        )
+    out = (
         bucket_pairs(chunks, ["chunk", "val"], "p")
         .filter(F.col("a.is_new") | F.col("b.is_new"))
         .select(
@@ -1363,6 +1581,8 @@ def incremental_simhash(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+    out._gs_unpersist = lambda: [h.unpersist() for h in handles]
+    return out
 
 
 def components(

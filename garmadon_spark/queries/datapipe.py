@@ -203,6 +203,188 @@ WHERE NOT EXISTS (
 """
 
 
+def _hash_index_path(sf_dir: str) -> str:
+    return _index_cache_path(sf_dir, "documents.parquet",
+                             "garmadon_hashidx_")
+
+
+def _ensure_hash_index(spark, sf_dir):
+    """Materialize the hp-prefix-partitioned exact-dedup hash index
+    (dedup.write_hash_index layout) once per corpus: the historical
+    docs' normalized content hashes under ``index/hp=XX`` — what a
+    deployment appends to after every accepted batch.  Stamp-keyed on
+    the prefix width so a HASH_HP_CHARS change rebuilds."""
+    import os
+    import shutil
+
+    base = _hash_index_path(sf_dir)
+    stamp = os.path.join(base, "_OK")
+    want = f"hp={dedup.HASH_HP_CHARS};v=1"
+    if os.path.exists(stamp) and open(stamp).read() == want:
+        return base
+    shutil.rmtree(base, ignore_errors=True)
+    hist = _docs(spark, sf_dir).filter(F.col("doc_id") % 5 != 0).select(
+        dedup.content_hash("text").alias("content_hash")
+    ).distinct()
+    dedup.write_hash_index(hist, os.path.join(base, "index"),
+                           mode="overwrite")
+    with open(stamp, "w") as fh:
+        fh.write(want)
+    return base
+
+
+_SIMHASH_INC_COPIES = 10          # engineered re-scrapes in the increment
+_SIMHASH_INC_OFFSET = 10**12      # re-scrapes arrive under new ids
+
+
+def _simhash_index_path(sf_dir: str) -> str:
+    return _index_cache_path(sf_dir, "documents.parquet",
+                             "garmadon_shidx_")
+
+
+def _ensure_simhash_index(spark, sf_dir):
+    """Materialize the chunk-partitioned SimHash index
+    (dedup.write_simhash_index layout) once per corpus: the historical
+    docs' fingerprints under ``index/chunk=C/cp=XX`` — what a
+    deployment appends to after every accepted batch."""
+    import os
+    import shutil
+
+    base = _simhash_index_path(sf_dir)
+    stamp = os.path.join(base, "_OK")
+    want = f"v=1;{dedup._simhash_layout(14, 4)}"
+    if os.path.exists(stamp) and open(stamp).read() == want:
+        return base
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    hist = _docs(spark, sf_dir).filter(F.col("doc_id") % 5 != 0)
+    dedup.write_simhash_index(
+        dedup.simhash(hist), os.path.join(base, "index"),
+        mode="overwrite",
+    )
+    with open(stamp, "w") as fh:
+        fh.write(want)
+    return base
+
+
+def _simhash_increment(spark, sf_dir):
+    """Today's crawl for the simhash tier: the %5 == 0 docs plus
+    engineered exact re-scrapes of historical docs under fresh ids —
+    the recall rows the check floors on (identical normalized text ⇒
+    identical fingerprint ⇒ Hamming 0)."""
+    docs = _docs(spark, sf_dir)
+    fresh = docs.filter(F.col("doc_id") % 5 == 0)
+    copies = (
+        docs.filter(F.col("doc_id") % 5 != 0)
+        .orderBy("doc_id").limit(_SIMHASH_INC_COPIES)
+        .withColumn("doc_id",
+                    F.col("doc_id") + F.lit(_SIMHASH_INC_OFFSET))
+    )
+    return fresh.unionByName(copies)
+
+
+def doc_simhash_incremental(spark, sf_dir):
+    """Incremental SimHash near-dup pass through the MATERIALIZED
+    chunk index (r13): the increment is fingerprinted and chunked; the
+    history side is a parquet read partition-pruned to the touched
+    (chunk, value-prefix) partitions at planning time — the stored
+    fingerprint table is never re-chunked or re-shuffled, the tier-4
+    twin of the minhash gate's banded index.  Rows-only (fingerprints
+    are engine-defined); ``doc_simhash_incremental_check`` gates
+    pruned↔re-chunking parity, the exact-re-scrape recall floor, and a
+    driver-side Hamming recompute."""
+    def _build():
+        base = _ensure_simhash_index(spark, sf_dir)
+        return _memo_store(
+            spark, sf_dir, "simhash_incremental",
+            dedup.incremental_simhash(
+                _simhash_increment(spark, sf_dir), None,
+                hist_chunked=dedup.read_simhash_index(
+                    spark, f"{base}/index"),
+            ),
+        )
+
+    return _memo_fetch(spark, sf_dir, "simhash_incremental", _build)
+
+
+def doc_simhash_incremental_check(spark, sf_dir):
+    """Exact gate over the pruned incremental simhash: (1) the pruned
+    path's pairs equal the re-chunking path's EXACTLY (same history,
+    no index); (2) every engineered re-scrape pairs with its source at
+    Hamming 0 (identical normalized text ⇒ identical fingerprint — the
+    recall floor); (3) Hamming re-verified driver-side from the stored
+    fingerprints for every emitted pair (bounded: pairs are
+    bucket-capped by the pigeonhole width).  n_increment is
+    data-bearing (COUNT(%5==0) + the copy constant, pinned by SQL)."""
+    inc = _simhash_increment(spark, sf_dir)
+    pruned = {
+        (int(r.doc_a), int(r.doc_b), int(r.hamming))
+        for r in doc_simhash_incremental(spark, sf_dir).collect()
+    }
+    hist = _docs(spark, sf_dir).filter(F.col("doc_id") % 5 != 0)
+    rechunk_df = dedup.incremental_simhash(inc, dedup.simhash(hist))
+    rechunk = {
+        (int(r.doc_a), int(r.doc_b), int(r.hamming))
+        for r in rechunk_df.collect()
+    }
+    src_ids = [
+        int(r.doc_id) for r in hist.orderBy("doc_id")
+        .limit(_SIMHASH_INC_COPIES).select("doc_id").collect()
+    ]
+    zero_pairs = {(a, b) for a, b, h in pruned if h == 0}
+    recall_ok = all(
+        (s, s + _SIMHASH_INC_OFFSET) in zero_pairs
+        or (s + _SIMHASH_INC_OFFSET, s) in zero_pairs
+        for s in src_ids
+    )
+    # driver-side Hamming recompute over every emitted pair
+    pair_docs = {d for a, b, _h in pruned for d in (a, b)}
+    fps = {
+        int(r.doc): int(r.simhash)
+        for r in dedup.simhash(
+            hist.unionByName(inc)
+        ).filter(F.col("doc").isin(sorted(pair_docs))).collect()
+    }
+    hamming_ok = all(
+        bin(fps[a] ^ fps[b]).count("1") == h for a, b, h in pruned
+    )
+    n_inc = inc.count()
+    return spark.createDataFrame(
+        [(
+            int(n_inc),
+            bool(pruned == rechunk),
+            bool(recall_ok and src_ids),
+            bool(hamming_ok),
+            bool(len(pruned) > 0),
+        )],
+        "n_increment bigint, parity_ok boolean, recall_ok boolean,"
+        " hamming_ok boolean, nonempty boolean",
+    )
+
+
+DOC_SIMHASH_INCREMENTAL_CHECK_SQL = f"""
+SELECT CAST(COUNT(*) + {_SIMHASH_INC_COPIES} AS BIGINT) AS n_increment,
+       TRUE AS parity_ok, TRUE AS recall_ok, TRUE AS hamming_ok,
+       TRUE AS nonempty
+FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def doc_incremental_dedup_pruned(spark, sf_dir):
+    """doc_incremental_dedup through the PRUNED on-disk index path
+    (r13): the persisted hash index is hp-prefix-partitioned and the
+    anti-join's index read prunes to the increment's hash prefixes at
+    planning time — O(increment) point lookups instead of an index
+    scan, the exact-dedup twin of the near-dup gate's dp-pruned fetch.
+    Shares doc_incremental_dedup's oracle: identical results are the
+    proof the pruned read misses nothing."""
+    docs = _docs(spark, sf_dir)
+    increment = docs.filter(F.col("doc_id") % 5 == 0)
+    base = _ensure_hash_index(spark, sf_dir)
+    index = dedup.read_hash_index(spark, f"{base}/index")
+    return dedup.incremental_exact_dedup(increment, index)
+
+
 # --- text statistics ------------------------------------------------------
 
 def doc_token_stats(spark, sf_dir):
@@ -4787,5 +4969,12 @@ QUERIES = {
     "emb_admit_check": (emb_admit_check, EMB_ADMIT_CHECK_SQL),
     "emb_ann_filtered_per_query": (
         emb_ann_filtered_per_query, EMB_ANN_FILTERED_PER_QUERY_SQL
+    ),
+    "doc_incremental_dedup_pruned": (
+        doc_incremental_dedup_pruned, DOC_INCREMENTAL_DEDUP_SQL
+    ),
+    "doc_simhash_incremental": (doc_simhash_incremental, None),
+    "doc_simhash_incremental_check": (
+        doc_simhash_incremental_check, DOC_SIMHASH_INCREMENTAL_CHECK_SQL
     ),
 }

@@ -345,6 +345,56 @@ def test_admission_history_read_prunes_current_batch(spark, tmp_path):
     assert hist.count() == 20
 
 
+def test_hash_index_antijoin_prunes_to_increment_prefixes(
+        spark, tmp_path):
+    """The exact-dedup incremental path over the hp-partitioned hash
+    index (r13): the anti-join's index side is a parquet read
+    partition-pruned at PLANNING time to the increment's hash
+    prefixes — O(increment) point lookups, never an index scan — and
+    the results equal the unpruned path exactly."""
+    from pyspark.sql import functions as F
+
+    from garmadon_spark.operators import dedup
+    from garmadon_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text")
+    hist = docs.filter(F.col("doc_id") % 5 != 0)
+    inc = docs.filter(F.col("doc_id") % 5 == 0).limit(10)
+    idx_path = str(tmp_path / "hashidx")
+    dedup.write_hash_index(
+        hist.select(dedup.content_hash("text").alias("content_hash"))
+        .distinct(),
+        idx_path, mode="overwrite",
+    )
+    index = dedup.read_hash_index(spark, idx_path)
+    pruned = dedup.incremental_exact_dedup(inc, index)
+    # raise the scan-metadata truncation so the path + the prefix
+    # disjunction are visible to the assertions (the banded test's rule)
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "100000")
+    try:
+        plan = _plan(pruned)
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    scans = [ln for ln in plan.splitlines()
+             if "FileScan" in ln and "hashidx" in ln]
+    assert scans, plan
+    for scan in scans:
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", scan)
+        assert m and "hp" in m.group(1), scan
+    got = {(r.doc_id, r.content_hash) for r in pruned.collect()}
+    pruned._gs_unpersist()
+    base = dedup.incremental_exact_dedup(
+        inc, index.select("content_hash"))
+    exp = {(r.doc_id, r.content_hash) for r in base.collect()}
+    assert got == exp and exp
+    # empty increment: the prefix predicate degenerates safely
+    empty = dedup.incremental_exact_dedup(inc.limit(0), index)
+    assert empty.count() == 0
+    empty._gs_unpersist()
+
+
 def test_banded_candidate_read_prunes_to_touched_buckets(
         spark, tmp_path):
     """The materialized banded index (r11 judge's named upgrade): the
