@@ -136,14 +136,27 @@ def incremental_exact_dedup(
     index = seen_index
     handles = []
     if "hp" in seen_index.columns:
+        if dict(seen_index.dtypes).get("hp") != "string":
+            # digit-only hex directory names can make inference type hp
+            # numeric; isin(string-prefixes) would then silently match
+            # nothing and SEEN documents would be re-admitted — refuse
+            # rather than miss (read the index via read_hash_index)
+            raise TypeError(
+                "seen_index.hp must be a STRING column — read the hash"
+                " index with read_hash_index (explicit schema); got"
+                f" hp={dict(seen_index.dtypes).get('hp')}"
+            )
         from pyspark import StorageLevel
 
         survivors = survivors.persist(StorageLevel.MEMORY_AND_DISK)
         handles.append(survivors)
+        # a NULL text row hashes to NULL → NULL prefix; drop it from
+        # the literals (None is unsortable, and a null hash can never
+        # match an index row through the equi-anti-join anyway)
         hps = sorted({
             r.hp for r in survivors.select(
                 hash_prefix("content_hash").alias("hp"))
-            .distinct().collect()
+            .distinct().collect() if r.hp is not None
         })
         index = seen_index.filter(
             F.col("hp").isin(hps) if hps else F.lit(False)
@@ -464,13 +477,17 @@ def ensure_sigs_layout(spark, index_path: str,
     doc-prefix column (``dp=XX`` — see ``doc_prefix``) before a
     dp-pruned estimator fetch is valid.  Normally a listdir no-op.
 
-    - a ``_DP_CHARS`` stamp records the tree's prefix width; a
-      mismatch (config change between deployments) rewrites EVERY
-      batch partition — pruning against stale-width directories would
-      fetch the wrong prefixes and MISS candidate signatures (a gate
-      hole, not a perf bug) — the bands tree's ``_BP_CHARS`` rule;
+    - conformity is read off directory NAMES (a dp value carries its
+      width; the hash function is code-fixed): partitions whose dp
+      width differs from ``SIG_DP_CHARS`` (config change between
+      deployments) are rewritten — pruning against stale-width
+      directories would fetch the wrong prefixes and MISS candidate
+      signatures (a gate hole, not a perf bug);
     - flat pre-dp partitions (upgrade from the r12 layout) are
-      rewritten in place.
+      rewritten in place;
+    - a ``_DP_CHARS`` stamp, written once the whole tree conforms, is
+      the per-trigger fast path: stamped trees skip the per-batch scan
+      entirely (one root listing per trigger, not O(#batches)).
 
     Unlike the bands tree, sigs is PRIMARY data — never dropped, only
     rewritten, with a crash-safe three-step swap per batch: stage the
@@ -505,17 +522,27 @@ def ensure_sigs_layout(spark, index_path: str,
         got = open(stamp).read()
     except OSError:
         got = None
-    width_ok = got == want
+    if got == want:
+        # post-migration fast path (the per-second-trigger case): a
+        # stamped tree only ever gains dp-partitioned batches from the
+        # current writer, so the per-batch scan is a no-op — skip it
+        # (one root listing per trigger, not O(#batches))
+        return
     stage = f"{sigs}/_dp_stage"
     for b in _sig_batch_ids(sigs):
         if b == skip_batch:
             continue
         tgt = f"{sigs}/batch={b}"
         entries = os.listdir(tgt)
-        has_dp = any(e.startswith("dp=") for e in entries)
+        dp_dirs = [e for e in entries if e.startswith("dp=")]
         has_flat = any(e.endswith(".parquet") for e in entries)
-        if (has_dp and width_ok and not has_flat) \
-                or not (has_dp or has_flat):  # empty partition conforms
+        # conformity is read off the directory NAMES: dp values carry
+        # their width, and the hash function is code-fixed — so a tree
+        # written at the current width never needs a rewrite just
+        # because the stamp is missing (fresh trees are stamped below
+        # for free), and a stale stamp never forces a spurious one
+        if not has_flat and all(
+                len(e) == len("dp=") + SIG_DP_CHARS for e in dp_dirs):
             continue
         df = spark.read.parquet(tgt).select("doc", "signature")
         shutil.rmtree(stage, ignore_errors=True)
@@ -527,9 +554,8 @@ def ensure_sigs_layout(spark, index_path: str,
         os.replace(stage, tgt)
         shutil.rmtree(backup, ignore_errors=True)
     shutil.rmtree(stage, ignore_errors=True)
-    if not width_ok:
-        with open(stamp, "w") as fh:
-            fh.write(want)
+    with open(stamp, "w") as fh:
+        fh.write(want)
 
 
 def banded_signatures(sigs: DataFrame, bands: int = 16,
@@ -782,6 +808,20 @@ def _flagged_increment_pairs(
             .distinct()
         )
         hist_fetch = hist_only
+        if "dp" in hist_index.columns \
+                and dict(hist_index.dtypes).get("dp") != "string":
+            # same trap as bp above: a numeric-inferred dp partition
+            # column makes the isin(string-prefixes) prune match
+            # NOTHING — candidate signatures silently vanish from the
+            # estimator and near-dups get admitted.  Refuse instead
+            # (streaming callers get string dp from _history_sigs'
+            # explicit schema).
+            raise TypeError(
+                "hist_index.dp must be a STRING column — read the sigs"
+                " tree with an explicit schema"
+                " (streaming.corpus._history_sigs); got"
+                f" dp={dict(hist_index.dtypes).get('dp')}"
+            )
         if "dp" in hist_index.columns:
             # DOC-PREFIX-prune the estimator's signature fetch: the
             # candidate ids determine their dp partitions directly
@@ -800,6 +840,7 @@ def _flagged_increment_pairs(
             dps = sorted({
                 r.dp for r in cand_ids.select(
                     doc_prefix("doc").alias("dp")).distinct().collect()
+                if r.dp is not None
             })
             hist_fetch = hist_only.filter(
                 F.col("dp").isin(dps) if dps else F.lit(False)
@@ -1239,22 +1280,46 @@ def sig_index_health(spark, index_path: str, bands: int = 16):
     bands_root = f"{index_path}/bands"
     sig_ids = _sig_batch_ids(sigs)
     band_ids = _sig_batch_ids(bands_root)
+
+    def _committed_parquet(d):
+        # only files a Spark read would list: skip underscore/dot
+        # dirs (_temporary of a crashed write, _dp_stage, …)
+        out = []
+        for r, dns, fs in os.walk(d):
+            dns[:] = [x for x in dns if not x.startswith(("_", "."))]
+            out += [f for f in fs
+                    if f.endswith(".parquet")
+                    and not f.startswith(("_", "."))]
+        return out
+
     oldest_folded = bool(sig_ids) and any(
         f.startswith("fold-")
-        for _r, _d, fs in os.walk(f"{sigs}/batch={sig_ids[0]}")
-        for f in fs
+        for f in _committed_parquet(f"{sigs}/batch={sig_ids[0]}")
     )
     since_fold = (len(sig_ids) - 1 if oldest_folded else len(sig_ids))
     try:
         dp_ok = open(f"{sigs}/_DP_CHARS").read() == str(SIG_DP_CHARS)
     except OSError:
         dp_ok = False
+    # duplicate-doc scan: per-batch reads unioned, so a mixed
+    # flat/dp-depth tree (crashed mid-migration) or a batch whose only
+    # files sit under _temporary never feeds schema inference a state
+    # it can't parse — this probe must WORK on exactly the drifted
+    # trees it exists to diagnose
+    frames = [
+        spark.read.parquet(f"{sigs}/batch={b}").select("doc")
+        for b in sig_ids
+        if _committed_parquet(f"{sigs}/batch={b}")
+    ]
     dups = 0
-    if any(f.endswith(".parquet")
-           for _r, _d, fs in os.walk(sigs) for f in fs):
+    if frames:
+        import functools
+
+        alldocs = functools.reduce(
+            lambda a, b: a.unionByName(b), frames)
         dups = (
-            spark.read.option("basePath", sigs).parquet(sigs)
-            .groupBy("doc").count().filter(F.col("count") > 1).count()
+            alldocs.groupBy("doc").count()
+            .filter(F.col("count") > 1).count()
         )
     return spark.createDataFrame(
         [(

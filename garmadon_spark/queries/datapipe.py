@@ -295,16 +295,21 @@ def doc_simhash_incremental(spark, sf_dir):
     driver-side Hamming recompute."""
     def _build():
         base = _ensure_simhash_index(spark, sf_dir)
-        return _memo_store(
-            spark, sf_dir, "simhash_incremental",
-            dedup.incremental_simhash(
-                _simhash_increment(spark, sf_dir), None,
-                hist_chunked=dedup.read_simhash_index(
-                    spark, f"{base}/index"),
-            ),
+        out = dedup.incremental_simhash(
+            _simhash_increment(spark, sf_dir), None,
+            hist_chunked=dedup.read_simhash_index(
+                spark, f"{base}/index"),
         )
+        # one persisted chunk frame at a time (the _FILT_CACHE rule)
+        while _SIMHASH_INC_CACHE:
+            _SIMHASH_INC_CACHE.pop()()
+        _SIMHASH_INC_CACHE.append(out._gs_unpersist)
+        return _memo_store(spark, sf_dir, "simhash_incremental", out)
 
     return _memo_fetch(spark, sf_dir, "simhash_incremental", _build)
+
+
+_SIMHASH_INC_CACHE: list = []
 
 
 def doc_simhash_incremental_check(spark, sf_dir):
@@ -382,7 +387,17 @@ def doc_incremental_dedup_pruned(spark, sf_dir):
     increment = docs.filter(F.col("doc_id") % 5 == 0)
     base = _ensure_hash_index(spark, sf_dir)
     index = dedup.read_hash_index(spark, f"{base}/index")
-    return dedup.incremental_exact_dedup(increment, index)
+    out = dedup.incremental_exact_dedup(increment, index)
+    # one persisted survivors frame at a time (the _FILT_CACHE rule):
+    # release the previous call's handle instead of leaking one per
+    # bench pass
+    while _PRUNED_EXACT_CACHE:
+        _PRUNED_EXACT_CACHE.pop()()
+    _PRUNED_EXACT_CACHE.append(out._gs_unpersist)
+    return out
+
+
+_PRUNED_EXACT_CACHE: list = []
 
 
 # --- text statistics ------------------------------------------------------

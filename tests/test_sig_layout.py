@@ -94,19 +94,110 @@ def test_ensure_sigs_layout_migrates_flat_tree(spark, tmp_path):
     assert _tree_files() == snapshot
 
 
-def test_ensure_sigs_layout_width_change_rewrites(spark, tmp_path):
-    """A stale _DP_CHARS stamp (prefix-width config change) rewrites
-    EVERY batch partition — pruning against stale-width directories
-    would miss candidate signatures."""
+def test_ensure_sigs_layout_width_change_rewrites(
+        spark, tmp_path, monkeypatch):
+    """A prefix-width config change (directory names narrower than the
+    build's SIG_DP_CHARS) rewrites EVERY batch partition — pruning
+    against stale-width directories would miss candidate signatures.
+    Width is read off the directory NAMES, not the stamp."""
     root = str(tmp_path / "idx")
+    monkeypatch.setattr(dedup, "SIG_DP_CHARS", 1)
     _write_index(spark, root, {0: [(1, [1, 2, 3, 4])]})
-    with open(f"{root}/sigs/_DP_CHARS", "w") as fh:
-        fh.write("9")
+    monkeypatch.undo()
     before = _sig_rows(spark, root)
     dedup.ensure_sigs_layout(spark, root)
     assert open(f"{root}/sigs/_DP_CHARS").read() \
         == str(dedup.SIG_DP_CHARS)
+    for e in os.listdir(f"{root}/sigs/batch=0"):
+        if e.startswith("dp="):
+            assert len(e) == len("dp=") + dedup.SIG_DP_CHARS, e
     assert _sig_rows(spark, root) == before
+
+
+def test_ensure_sigs_layout_missing_stamp_no_spurious_rewrite(
+        spark, tmp_path):
+    """A fresh dp-layout tree with no stamp yet (the writer created it
+    before the first maintenance pass) must NOT be rewritten — width
+    conformity is visible in the directory names; the pass just stamps
+    it (reviewer finding r13)."""
+    root = str(tmp_path / "idx")
+    _write_index(spark, root, {0: [(1, [1, 2, 3, 4])]})
+    os.remove(f"{root}/sigs/_DP_CHARS")
+
+    def _tree_files():
+        return sorted(
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(f"{root}/sigs") for f in fs
+            if f.endswith(".parquet")
+        )
+
+    snapshot = _tree_files()
+    dedup.ensure_sigs_layout(spark, root)
+    assert _tree_files() == snapshot          # no rewrite
+    assert open(f"{root}/sigs/_DP_CHARS").read() \
+        == str(dedup.SIG_DP_CHARS)            # stamped for the fast path
+
+
+def test_hist_sigs_dp_dtype_guard(spark):
+    """A numeric-inferred dp column on the estimator fetch's index side
+    would silently prune candidate signatures to nothing — refused
+    (reviewer finding r13, the bp guard's twin)."""
+    inc = spark.createDataFrame([(1, [1, 2, 3, 4])], SIG_DDL)
+    hist = spark.createDataFrame(
+        [(2, [5, 6, 7, 8], 12)], SIG_DDL + ", dp int")
+    hb = spark.createDataFrame(
+        [(2, 0, "ab12", "ab")],
+        "doc long, band int, bucket string, bp string",
+    )
+    with pytest.raises(TypeError, match="_history_sigs"):
+        dedup._flagged_increment_pairs(
+            inc, hist, inc.select("doc"), num_hashes=4, bands=2,
+            persist_sigs=False, hist_banded=hb,
+        )
+
+
+def test_incremental_exact_dedup_hp_guard_and_null_text(spark):
+    """(1) A numeric-inferred hp column on the hash index is refused —
+    the prefix prune would silently re-admit seen documents; (2) a NULL
+    text row in the increment must not crash the literal collection and
+    is admitted (a null hash can never match the index) — both reviewer
+    findings r13."""
+    bad = spark.createDataFrame([("abc", 7)],
+                                "content_hash string, hp int")
+    inc = spark.createDataFrame([(1, "alpha beta")],
+                                "doc_id long, text string")
+    with pytest.raises(TypeError, match="read_hash_index"):
+        dedup.incremental_exact_dedup(inc, bad)
+    idx = spark.createDataFrame(
+        [("ffff", "ff")], "content_hash string, hp string")
+    mixed = spark.createDataFrame(
+        [(1, "alpha beta"), (2, None)], "doc_id long, text string")
+    out = dedup.incremental_exact_dedup(mixed, idx)
+    assert {r.doc_id for r in out.collect()} == {1, 2}
+    out._gs_unpersist()
+
+
+def test_sig_index_health_survives_drifted_trees(spark, tmp_path):
+    """The health probe must WORK on the broken states it diagnoses: a
+    batch whose only files sit under _temporary (crashed write) and a
+    mixed flat/dp-depth tree (crashed mid-migration) — neither may
+    crash schema inference (reviewer finding r13)."""
+    root = str(tmp_path / "idx")
+    _write_index(spark, root, {0: [(1, [1, 2, 3, 4])]})
+    # crashed write: batch 1 has only _temporary files
+    df = spark.createDataFrame([(9, [9, 9, 9, 9])], SIG_DDL)
+    os.makedirs(f"{root}/sigs/batch=1/_temporary", exist_ok=True)
+    df.coalesce(1).write.parquet(f"{root}/sigs/_scratch")
+    src = next(f for f in os.listdir(f"{root}/sigs/_scratch")
+               if f.endswith(".parquet"))
+    os.replace(f"{root}/sigs/_scratch/{src}",
+               f"{root}/sigs/batch=1/_temporary/{src}")
+    shutil.rmtree(f"{root}/sigs/_scratch")
+    # crashed migration: batch 2 is flat while batch 0 is dp-subdivided
+    df.coalesce(1).write.parquet(f"{root}/sigs/batch=2")
+    r = dedup.sig_index_health(spark, root, bands=2).first()
+    assert r.sig_batches == 3
+    assert r.duplicate_docs == 0    # doc 9's only COMMITTED row: batch 2
 
 
 def test_ensure_sigs_layout_crash_heal(spark, tmp_path):
