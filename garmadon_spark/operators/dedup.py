@@ -95,6 +95,114 @@ def read_hash_index(spark, path: str) -> DataFrame:
     ])).option("basePath", path).parquet(path)
 
 
+def _compact_prefix_tree(spark, path: str, schema_ddl: str,
+                         part_cols: list[str],
+                         dedup_cols: list[str]) -> int:
+    """Fold an append-only prefix-partitioned index tree (the hash
+    index's ``hp=XX`` dirs, the SimHash chunk index's ``chunk=C/cp=XX``
+    dirs) — per-append tiny files become one file per partition, and
+    exact-duplicate rows from retried appends are dropped.
+
+    Concurrent-append safe by construction: the fold reads an EXPLICIT
+    file listing taken up front and, after publishing, deletes exactly
+    that listed set — an append landing anywhere in the window is
+    neither read nor deleted and simply rides into the next fold.
+    Crash anywhere leaves DUPLICATE rows only (published fold + not-yet
+    -deleted originals), never missing ones — duplicates are harmless
+    to membership/pair semantics and the next fold removes them.
+    Returns the number of input files folded (0 = nothing to do)."""
+    import os
+
+    inputs = []
+    for r, dns, fs in os.walk(path):
+        dns[:] = [d for d in dns if not d.startswith(("_", "."))]
+        inputs += [
+            os.path.join(r, f) for f in fs
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+    if not inputs:
+        return 0
+    folded = (
+        spark.read.schema(schema_ddl).option("basePath", path)
+        .parquet(*inputs)
+        .dropDuplicates(dedup_cols)
+    )
+    stage = os.path.join(path, "_compact_stage")
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)
+    folded.repartition(*part_cols).write.mode("overwrite") \
+        .partitionBy(*part_cols).parquet(stage)
+    # publish under attempt-unique names: a crashed attempt's outputs
+    # are ordinary inputs to the NEXT fold (read, folded, deleted), so
+    # uniqueness is all that's needed — no deterministic-name protocol
+    tag = os.urandom(8).hex()
+    i = 0
+    for r, dns, fs in os.walk(stage):
+        dns[:] = [d for d in dns if not d.startswith(("_", "."))]
+        for f in sorted(fs):
+            if not f.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(r, stage)
+            tgt_dir = path if rel == "." else os.path.join(path, rel)
+            os.makedirs(tgt_dir, exist_ok=True)
+            os.replace(os.path.join(r, f),
+                       os.path.join(tgt_dir, f"fold-{tag}-{i}.parquet"))
+            i += 1
+    for f in inputs:
+        try:
+            os.remove(f)
+        except FileNotFoundError:
+            pass
+    shutil.rmtree(stage, ignore_errors=True)
+    return len(inputs)
+
+
+def compact_hash_index(spark, path: str) -> int:
+    """Fold the exact-dedup hash index's per-append files — one file
+    per ``hp=XX`` partition, duplicate hashes (retried appends)
+    dropped.  Membership semantics make every crash window converge:
+    duplicates are harmless and the next fold heals them.  Returns the
+    number of input files folded."""
+    return _compact_prefix_tree(
+        spark, path, "content_hash string, hp string",
+        ["hp"], ["content_hash"],
+    )
+
+
+def compact_simhash_index(spark, path: str, chunk_bits: int = 14,
+                          n_chunks: int = 4,
+                          doc_type: str = "bigint") -> int:
+    """Fold the SimHash chunk index's per-append files — one file per
+    ``chunk=C/cp=XX`` partition, exact-duplicate rows (retried appends)
+    dropped.  A doc re-appended with a DIFFERENT fingerprint keeps both
+    versions: the tree carries no arrival order to pick a winner, and
+    extra versions only ADD candidates (conservative, never a gate
+    hole).  Verifies the ``_LAYOUT`` stamp first — folding a tree at
+    the wrong parameters would re-bucket it.  Returns the number of
+    input files folded."""
+    import os
+
+    stamp = os.path.join(path, "_LAYOUT")
+    want = _simhash_layout(chunk_bits, n_chunks)
+    try:
+        got = open(stamp).read()
+    except OSError:
+        got = None
+    if got != want:
+        raise ValueError(
+            f"simhash index at {path} has layout {got!r}, compactor"
+            f" wants {want!r} — rebuild the index or match the"
+            " parameters"
+        )
+    return _compact_prefix_tree(
+        spark, path,
+        f"doc {doc_type}, simhash bigint, chunk int, val bigint,"
+        " cp string",
+        ["chunk", "cp"], ["doc", "simhash", "chunk", "val"],
+    )
+
+
 def incremental_exact_dedup(
     new_docs: DataFrame,
     seen_index: DataFrame,

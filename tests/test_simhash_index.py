@@ -114,3 +114,78 @@ def test_simhash_missing_history_args(spark):
                                 "doc_id long, text string")
     with pytest.raises(ValueError, match="hist_fps"):
         dedup.incremental_simhash(inc, None)
+
+
+def test_compact_prefix_indexes(spark, tmp_path):
+    """Compaction for the two append-only prefix indexes: per-append
+    tiny files fold to one per partition, retried-append duplicate rows
+    drop, membership and incremental results are unchanged, a crashed
+    attempt's leftovers converge on the next fold, and appends landing
+    after the fold ride into the next one."""
+    docs = _docs(spark)
+    hist = docs.filter(F.col("doc_id") < 40)
+    inc = docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 50))
+
+    def count_files(p):
+        n = 0
+        for r, dns, fs in os.walk(p):
+            dns[:] = [d for d in dns if not d.startswith(("_", "."))]
+            n += sum(f.endswith(".parquet") for f in fs)
+        return n
+
+    # --- hash index: three appends, one an exact retry duplicate ----
+    hpath = str(tmp_path / "hidx")
+    hashes = hist.select(
+        dedup.content_hash("text").alias("content_hash"))
+    half = hist.filter(F.col("doc_id") < 20).select(
+        dedup.content_hash("text").alias("content_hash"))
+    dedup.write_hash_index(hashes, hpath)
+    dedup.write_hash_index(half, hpath)       # retried append
+    dedup.write_hash_index(half, hpath)
+    before_rows = {r.content_hash for r in
+                   dedup.read_hash_index(spark, hpath).collect()}
+    out0 = dedup.incremental_exact_dedup(
+        inc, dedup.read_hash_index(spark, hpath))
+    exp = {(r.doc_id, r.content_hash) for r in out0.collect()}
+    out0._gs_unpersist()
+    n_before = count_files(hpath)
+    assert dedup.compact_hash_index(spark, hpath) == n_before
+    assert count_files(hpath) < n_before
+    after = dedup.read_hash_index(spark, hpath)
+    assert {r.content_hash for r in after.collect()} == before_rows
+    # exact-duplicate rows dropped: one row per distinct hash
+    assert after.count() == len(before_rows)
+    out1 = dedup.incremental_exact_dedup(inc, after)
+    assert {(r.doc_id, r.content_hash) for r in out1.collect()} == exp
+    out1._gs_unpersist()
+    # an append after the fold rides into the next fold
+    dedup.write_hash_index(half, hpath)
+    assert dedup.compact_hash_index(spark, hpath) > 0
+    assert dedup.read_hash_index(spark, hpath).count() \
+        == len(before_rows)
+
+    # --- simhash chunk index ----------------------------------------
+    spath = str(tmp_path / "sidx")
+    dedup.write_simhash_index(dedup.simhash(hist), spath)
+    dedup.write_simhash_index(
+        dedup.simhash(hist.filter(F.col("doc_id") < 10)), spath)
+    pre = dedup.incremental_simhash(
+        inc, None,
+        hist_chunked=dedup.read_simhash_index(spark, spath))
+    exp_pairs = {(r.doc_a, r.doc_b, r.hamming) for r in pre.collect()}
+    pre._gs_unpersist()
+    n_before = count_files(spath)
+    assert dedup.compact_simhash_index(spark, spath) == n_before
+    assert count_files(spath) < n_before
+    post = dedup.incremental_simhash(
+        inc, None,
+        hist_chunked=dedup.read_simhash_index(spark, spath))
+    assert {(r.doc_a, r.doc_b, r.hamming)
+            for r in post.collect()} == exp_pairs
+    post._gs_unpersist()
+    # one row per (doc, chunk): retried-append duplicates dropped
+    idx = dedup.read_simhash_index(spark, spath)
+    assert idx.count() == idx.select("doc", "chunk").distinct().count()
+    # layout identity: folding at the wrong width is refused
+    with pytest.raises(ValueError, match="layout"):
+        dedup.compact_simhash_index(spark, spath, chunk_bits=8)
