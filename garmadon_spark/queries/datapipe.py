@@ -233,6 +233,171 @@ def _ensure_hash_index(spark, sf_dir):
     return base
 
 
+def _minhash_pruned_index_path(sf_dir: str) -> str:
+    return _index_cache_path(sf_dir, "documents.parquet",
+                             "garmadon_mhidx_")
+
+
+def _ensure_minhash_pruned_index(spark, sf_dir):
+    """Materialize doc_minhash_incremental's signature index in the
+    PRUNED on-disk layouts once per corpus: the sigs table
+    doc-prefix-partitioned (``sigs/dp=XX`` — the estimator fetch's
+    point-lookup axis) and its banded twin (``bands/band=B/bp=P`` —
+    the candidate join's partition-pruned axis), both from the SAME
+    rows the unpruned query reads."""
+    import os
+    import shutil
+
+    base = _minhash_pruned_index_path(sf_dir)
+    stamp = os.path.join(base, "_OK")
+    want = (f"v=1;h=64;b=32;dp={dedup.SIG_DP_CHARS};"
+            f"bp={dedup.SIG_BP_CHARS}")
+    if os.path.exists(stamp) and open(stamp).read() == want:
+        return base
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    index = spark.read.parquet(_ensure_sig_index(spark, sf_dir))
+    # one-shot full-tree build is a FIXTURE artifact (a deployment
+    # appends per accepted batch and never pays it): the 32×256-leaf
+    # banded write is bounded by file-commit overhead, so spread it
+    # over 256 writer tasks and commit task-side (v2) — the _OK stamp
+    # is the crash guard here, not the committer
+    hc = spark.sparkContext._jsc.hadoopConfiguration()
+    key = "mapreduce.fileoutputcommitter.algorithm.version"
+    old = hc.get(key)
+    hc.set(key, "2")
+    try:
+        index.withColumn("dp", dedup.doc_prefix("doc")) \
+            .repartition("dp").write.mode("overwrite") \
+            .partitionBy("dp").parquet(f"{base}/sigs")
+        dedup.banded_signatures(index, 32, 2) \
+            .repartition(256, "band", "bp").write.mode("overwrite") \
+            .partitionBy("band", "bp").parquet(f"{base}/bands")
+    finally:
+        if old is not None:
+            hc.set(key, old)
+        else:
+            hc.unset(key)
+    with open(stamp, "w") as fh:
+        fh.write(want)
+    return base
+
+
+_MINHASH_PRUNED_COPIES = 10
+
+
+def _minhash_pruned_increment(spark, sf_dir):
+    """The HIGH-FREQUENCY increment shape the pruned layouts exist
+    for: a small fresh sample (~0.5 % of docs — a per-minute trigger,
+    not the daily %5 batch, which touches every partition and would
+    measure listing overhead instead of pruning) plus engineered exact
+    re-scrapes of history docs under fresh ids — the guaranteed
+    est=1.0 recall rows the check floors on."""
+    docs = _docs(spark, sf_dir)
+    fresh = docs.filter(F.col("doc_id") % 199 == 0)
+    copies = (
+        docs.filter(F.col("doc_id") % 5 != 0)
+        .orderBy("doc_id").limit(_MINHASH_PRUNED_COPIES)
+        .withColumn("doc_id",
+                    F.col("doc_id") + F.lit(_SIMHASH_INC_OFFSET))
+    )
+    return fresh.unionByName(copies)
+
+
+def doc_minhash_incremental_pruned(spark, sf_dir):
+    """Incremental MinHash through BOTH pruned on-disk layouts (r13):
+    the candidate join partition-prunes the materialized banded index
+    to the increment's touched (band, bucket-prefix) partitions, and
+    the estimator's signature fetch point-looks-up candidate docs' dp
+    prefixes — the batch-API twin of the streaming gate's plan shape,
+    with history never re-banded or re-scanned.  The increment is the
+    small-trigger shape the layout targets (see
+    ``_minhash_pruned_increment``).  Rows-only;
+    ``doc_minhash_incremental_pruned_check`` gates exact pair parity
+    with the unpruned path on the SAME increment plus the re-scrape
+    recall floor."""
+    def _build():
+        inc = _minhash_pruned_increment(spark, sf_dir)
+        base = _ensure_minhash_pruned_index(spark, sf_dir)
+        sigs = (
+            spark.read
+            .schema("doc bigint, signature array<bigint>, dp string")
+            .option("basePath", f"{base}/sigs")
+            .parquet(f"{base}/sigs")
+        )
+        hb = (
+            spark.read
+            .schema("doc bigint, bucket string, band int, bp string")
+            .option("basePath", f"{base}/bands")
+            .parquet(f"{base}/bands")
+        )
+        out = dedup.incremental_minhash(
+            inc, sigs, n=2, num_hashes=64, bands=32, threshold=0.3,
+            hist_banded=hb,
+        )
+        return _memo_store(
+            spark, sf_dir, "minhash_incr_pairs_pruned", out)
+
+    return _memo_fetch(
+        spark, sf_dir, "minhash_incr_pairs_pruned", _build)
+
+
+def doc_minhash_incremental_pruned_check(spark, sf_dir):
+    """Exact gate over the pruned batch path: (1) the pruned-layout
+    pair table equals the unpruned path's EXACTLY on the SAME
+    increment — same (doc_a, doc_b) pairs, same est_jaccard to the
+    last rounded digit (both paths share the banding and estimator
+    definitions; only the reads differ) — via distributed anti-joins
+    both ways, no driver-side pair collection; (2) the recall floor:
+    every engineered re-scrape pairs with its source at est exactly
+    1.0 (identical text ⇒ identical signature ⇒ all bands collide).
+    n_increment is data-bearing (pinned by SQL)."""
+    inc = _minhash_pruned_increment(spark, sf_dir)
+    pruned = _memo_fetch(
+        spark, sf_dir, "minhash_incr_pairs_pruned",
+        lambda: doc_minhash_incremental_pruned(spark, sf_dir),
+    ).select("doc_a", "doc_b", "est_jaccard")
+    index = spark.read.parquet(_ensure_sig_index(spark, sf_dir))
+    base = dedup.incremental_minhash(
+        inc, index, n=2, num_hashes=64, bands=32, threshold=0.3,
+    ).select("doc_a", "doc_b", "est_jaccard")
+    cols = ["doc_a", "doc_b", "est_jaccard"]
+    only_p = pruned.join(base, cols, "left_anti").count()
+    only_b = base.join(pruned, cols, "left_anti").count()
+    srcs = {
+        int(r.doc_id)
+        for r in _docs(spark, sf_dir).filter(F.col("doc_id") % 5 != 0)
+        .orderBy("doc_id").limit(_MINHASH_PRUNED_COPIES)
+        .select("doc_id").collect()
+    }
+    exact = {
+        (int(r.doc_a), int(r.doc_b))
+        for r in pruned.filter(F.col("est_jaccard") == 1.0).collect()
+    }
+    recall_ok = all(
+        (s, s + _SIMHASH_INC_OFFSET) in exact
+        or (s + _SIMHASH_INC_OFFSET, s) in exact
+        for s in srcs
+    )
+    n_inc = inc.count()
+    return spark.createDataFrame(
+        [(
+            int(n_inc),
+            bool(only_p == 0 and only_b == 0),
+            bool(recall_ok and srcs),
+        )],
+        "n_increment bigint, parity_ok boolean, recall_ok boolean",
+    )
+
+
+DOC_MINHASH_INCREMENTAL_PRUNED_CHECK_SQL = f"""
+SELECT CAST(COUNT(*) + {_MINHASH_PRUNED_COPIES} AS BIGINT)
+           AS n_increment,
+       TRUE AS parity_ok, TRUE AS recall_ok
+FROM documents WHERE doc_id % 199 = 0
+"""
+
+
 _SIMHASH_INC_COPIES = 10          # engineered re-scrapes in the increment
 _SIMHASH_INC_OFFSET = 10**12      # re-scrapes arrive under new ids
 
@@ -4991,5 +5156,12 @@ QUERIES = {
     "doc_simhash_incremental": (doc_simhash_incremental, None),
     "doc_simhash_incremental_check": (
         doc_simhash_incremental_check, DOC_SIMHASH_INCREMENTAL_CHECK_SQL
+    ),
+    "doc_minhash_incremental_pruned": (
+        doc_minhash_incremental_pruned, None
+    ),
+    "doc_minhash_incremental_pruned_check": (
+        doc_minhash_incremental_pruned_check,
+        DOC_MINHASH_INCREMENTAL_PRUNED_CHECK_SQL
     ),
 }
