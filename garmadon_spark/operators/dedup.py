@@ -70,25 +70,100 @@ def hash_prefix(col) -> Column:
     return F.substring(c, 1, HASH_HP_CHARS)
 
 
+def _hash_layout() -> str:
+    return f"hp={HASH_HP_CHARS}"
+
+
+def _stamp_layout_before_write(path: str, want: str,
+                               mode: str) -> None:
+    """The prefix-tree identity protocol shared by the hash and SimHash
+    index writers.  Invariant: committed DATA is never newer than its
+    ``_LAYOUT`` stamp — a stamp with no data is harmless (the next
+    append adopts it), data with no stamp is a gate hole (a later
+    append at different parameters would stamp its own layout over
+    mixed rows and the pruned read would silently miss candidates).
+    So: verify an existing stamp against ``want`` (refuse a mismatch),
+    and otherwise write the stamp BEFORE any data lands.  ``overwrite``
+    truncates the tree ourselves first (equivalent to Spark's
+    overwrite for these append-only layouts) so the stamp-first order
+    holds there too."""
+    import os
+    import shutil
+
+    stamp = os.path.join(path, "_LAYOUT")
+    if mode == "overwrite":
+        shutil.rmtree(path, ignore_errors=True)
+    elif os.path.exists(stamp):
+        got = open(stamp).read()
+        if got != want:
+            raise ValueError(
+                f"index at {path} has layout {got!r}, writer wants"
+                f" {want!r} — rebuild the index or match the"
+                " parameters (appending would silently drop"
+                " candidates)"
+            )
+        return
+    if mode != "overwrite" and os.path.isdir(path) and any(
+        not d.startswith(("_", ".")) for d in os.listdir(path)
+    ):
+        # data with no stamp can only be a pre-stamp-era crash (or a
+        # hand-deleted stamp): its chunking parameters are UNKNOWABLE,
+        # so adopting this writer's layout over it could mix chunkings
+        # the pruned read silently misses — refuse, don't guess
+        raise ValueError(
+            f"index at {path} holds data but no _LAYOUT stamp —"
+            " refusing to append (unknowable layout); rebuild the"
+            " index with mode='overwrite'"
+        )
+    os.makedirs(path, exist_ok=True)
+    with open(stamp, "w") as fh:
+        fh.write(want)
+
+
+def _check_layout_stamp(path: str, want: str, who: str) -> None:
+    import os
+
+    stamp = os.path.join(path, "_LAYOUT")
+    try:
+        got = open(stamp).read()
+    except OSError:
+        got = None
+    if got != want:
+        raise ValueError(
+            f"index at {path} has layout {got!r}, {who} wants"
+            f" {want!r} — rebuild the index or match the parameters"
+        )
+
+
 def write_hash_index(df: DataFrame, path: str,
                      mode: str = "append") -> None:
     """Append accepted content hashes to the hp-partitioned exact-dedup
     index (``path/hp=XX``).  ``df`` carries a ``content_hash`` column;
     dedup within the written batch only (the read side tolerates
-    cross-batch duplicates — membership, not counts)."""
+    cross-batch duplicates — membership, not counts).  A ``_LAYOUT``
+    stamp (``hp=<width>``) records the prefix width BEFORE data lands:
+    a HASH_HP_CHARS change between deployments would otherwise make
+    ``incremental_exact_dedup``'s isin(new-width prefixes) match zero
+    stored partitions and silently re-admit SEEN documents — refused
+    instead (the _DP_CHARS/_BANDS identity rule)."""
+    _stamp_layout_before_write(path, _hash_layout(), mode)
     df.select("content_hash") \
         .withColumn("hp", hash_prefix("content_hash")) \
         .repartition("hp") \
-        .write.mode(mode).partitionBy("hp").parquet(path)
+        .write.mode("append").partitionBy("hp").parquet(path)
 
 
 def read_hash_index(spark, path: str) -> DataFrame:
     """The exact-dedup index's production read: EXPLICIT schema so the
     hp partition column can never be inferred numeric from digit-only
     hex directory names (which would silently defeat the string-prefix
-    pruning predicate — the banded-tree rule)."""
+    pruning predicate — the banded-tree rule) + a ``_LAYOUT`` width
+    check, so a tree written at a different HASH_HP_CHARS is refused
+    rather than pruned against mismatched directories (missed seen
+    docs — a gate hole)."""
     from pyspark.sql.types import StringType, StructField, StructType
 
+    _check_layout_stamp(path, _hash_layout(), "reader")
     return spark.read.schema(StructType([
         StructField("content_hash", StringType()),
         StructField("hp", StringType()),
@@ -97,7 +172,8 @@ def read_hash_index(spark, path: str) -> DataFrame:
 
 def _compact_prefix_tree(spark, path: str, schema_ddl: str,
                          part_cols: list[str],
-                         dedup_cols: list[str]) -> int:
+                         dedup_cols: list[str],
+                         rederive=None) -> int:
     """Fold an append-only prefix-partitioned index tree (the hash
     index's ``hp=XX`` dirs, the SimHash chunk index's ``chunk=C/cp=XX``
     dirs) — per-append tiny files become one file per partition, and
@@ -110,7 +186,12 @@ def _compact_prefix_tree(spark, path: str, schema_ddl: str,
     Crash anywhere leaves DUPLICATE rows only (published fold + not-yet
     -deleted originals), never missing ones — duplicates are harmless
     to membership/pair semantics and the next fold removes them.
-    Returns the number of input files folded (0 = nothing to do)."""
+    ``rederive``, when given, recomputes the prefix partition columns
+    from the data columns (the ``compact_sig_index``-re-derives-dp
+    rule): a row carried under a stale-width prefix directory is
+    re-homed instead of preserved, so the fold converges the tree to
+    the CURRENT layout.  Returns the number of input files folded
+    (0 = nothing to do)."""
     import os
 
     inputs = []
@@ -127,6 +208,8 @@ def _compact_prefix_tree(spark, path: str, schema_ddl: str,
         .parquet(*inputs)
         .dropDuplicates(dedup_cols)
     )
+    if rederive is not None:
+        folded = rederive(folded)
     stage = os.path.join(path, "_compact_stage")
     import shutil
 
@@ -150,11 +233,27 @@ def _compact_prefix_tree(spark, path: str, schema_ddl: str,
                        os.path.join(tgt_dir, f"fold-{tag}-{i}.parquet"))
             i += 1
     for f in inputs:
-        try:
-            os.remove(f)
-        except FileNotFoundError:
-            pass
+        for victim in (f, os.path.join(  # local-FS checksum sidecar
+                os.path.dirname(f), f".{os.path.basename(f)}.crc")):
+            try:
+                os.remove(victim)
+            except FileNotFoundError:
+                pass
     shutil.rmtree(stage, ignore_errors=True)
+    # prune partition dirs the fold emptied (a re-derived prefix moved
+    # every row out, or all rows were duplicates) — dead dirs are pure
+    # listing overhead.  rmdir only ever removes a truly-empty dir, so
+    # a concurrent append's committed (non-empty) partition survives.
+    for r, dns, fs in os.walk(path, topdown=False):
+        if r == path:
+            continue
+        tail = os.path.basename(r)
+        if tail.startswith(("_", ".")):
+            continue
+        try:
+            os.rmdir(r)
+        except OSError:
+            pass
     return len(inputs)
 
 
@@ -162,11 +261,19 @@ def compact_hash_index(spark, path: str) -> int:
     """Fold the exact-dedup hash index's per-append files — one file
     per ``hp=XX`` partition, duplicate hashes (retried appends)
     dropped.  Membership semantics make every crash window converge:
-    duplicates are harmless and the next fold heals them.  Returns the
-    number of input files folded."""
+    duplicates are harmless and the next fold heals them.  Verifies
+    the ``_LAYOUT`` width stamp first (folding a mismatched-width tree
+    would cement the wrong directories) and RE-DERIVES hp from the
+    content hash rather than preserving stored values, so the fold
+    converges any stale-prefix rows to the current layout (the
+    compact_sig_index-re-derives-dp rule).  Returns the number of
+    input files folded."""
+    _check_layout_stamp(path, _hash_layout(), "compactor")
     return _compact_prefix_tree(
         spark, path, "content_hash string, hp string",
         ["hp"], ["content_hash"],
+        rederive=lambda df: df.withColumn(
+            "hp", hash_prefix("content_hash")),
     )
 
 
@@ -179,27 +286,22 @@ def compact_simhash_index(spark, path: str, chunk_bits: int = 14,
     versions: the tree carries no arrival order to pick a winner, and
     extra versions only ADD candidates (conservative, never a gate
     hole).  Verifies the ``_LAYOUT`` stamp first — folding a tree at
-    the wrong parameters would re-bucket it.  Returns the number of
-    input files folded."""
-    import os
-
-    stamp = os.path.join(path, "_LAYOUT")
-    want = _simhash_layout(chunk_bits, n_chunks)
-    try:
-        got = open(stamp).read()
-    except OSError:
-        got = None
-    if got != want:
-        raise ValueError(
-            f"simhash index at {path} has layout {got!r}, compactor"
-            f" wants {want!r} — rebuild the index or match the"
-            " parameters"
-        )
+    the wrong parameters would re-bucket it — and RE-DERIVES cp from
+    the chunk value rather than preserving stored directory values
+    (the compact_hash_index rule).  Returns the number of input files
+    folded."""
+    _check_layout_stamp(path, _simhash_layout(chunk_bits, n_chunks),
+                        "compactor")
+    shift = max(chunk_bits - SIMHASH_CP_BITS, 0)
     return _compact_prefix_tree(
         spark, path,
         f"doc {doc_type}, simhash bigint, chunk int, val bigint,"
         " cp string",
         ["chunk", "cp"], ["doc", "simhash", "chunk", "val"],
+        rederive=lambda df: df.withColumn(
+            "cp",
+            F.lpad(F.hex(F.shiftright(F.col("val"), shift)), 2, "0"),
+        ),
     )
 
 
@@ -765,7 +867,12 @@ def incremental_minhash(
         num_hashes=num_hashes, bands=bands, threshold=threshold,
         persist_sigs=persist_sigs, hist_banded=hist_banded,
     )
-    return pairs.select("doc_a", "doc_b", "est_jaccard")
+    out = pairs.select("doc_a", "doc_b", "est_jaccard")
+    # the select is a plain projection: propagate the release handle
+    # so callers can free the persist_sigs intermediates (dropping it
+    # here would leak MEMORY_AND_DISK frames per call — r13 advisor)
+    out._gs_unpersist = pairs._gs_unpersist
+    return out
 
 
 def _flagged_increment_pairs(
@@ -1599,23 +1706,16 @@ def write_simhash_index(fps: DataFrame, path: str,
     (chunk_bits, n_chunks, prefix width): appending with mismatched
     parameters would chunk new rows differently from the tree and the
     pruned candidate read would silently MISS them — refused instead
-    (the _BANDS/_DP_CHARS identity rule)."""
-    import os
-
-    stamp = os.path.join(path, "_LAYOUT")
-    want = _simhash_layout(chunk_bits, n_chunks)
-    if mode == "append" and os.path.exists(stamp) \
-            and open(stamp).read() != want:
-        raise ValueError(
-            f"simhash index at {path} has layout {open(stamp).read()!r},"
-            f" writer wants {want!r} — rebuild the index or match the"
-            " parameters (appending would silently drop candidates)"
-        )
+    (the _BANDS/_DP_CHARS identity rule).  The stamp lands BEFORE the
+    data in both modes (``_stamp_layout_before_write``): a crash
+    between a data append and a late stamp would leave committed rows
+    a later different-parameter append could stamp over — mixed
+    chunking the pruned read silently misses."""
+    _stamp_layout_before_write(
+        path, _simhash_layout(chunk_bits, n_chunks), mode)
     chunked_fingerprints(fps, chunk_bits, n_chunks) \
         .repartition("chunk", "cp") \
-        .write.mode(mode).partitionBy("chunk", "cp").parquet(path)
-    with open(stamp, "w") as fh:
-        fh.write(want)
+        .write.mode("append").partitionBy("chunk", "cp").parquet(path)
 
 
 def read_simhash_index(spark, path: str, chunk_bits: int = 14,
@@ -1626,19 +1726,8 @@ def read_simhash_index(spark, path: str, chunk_bits: int = 14,
     string-prefix pruning predicate) + a ``_LAYOUT`` identity check —
     reading with mismatched parameters would prune against directories
     the predicate no longer matches (missed candidates, a gate hole)."""
-    import os
-
-    stamp = os.path.join(path, "_LAYOUT")
-    want = _simhash_layout(chunk_bits, n_chunks)
-    try:
-        got = open(stamp).read()
-    except OSError:
-        got = None
-    if got != want:
-        raise ValueError(
-            f"simhash index at {path} has layout {got!r}, reader wants"
-            f" {want!r} — rebuild the index or match the parameters"
-        )
+    _check_layout_stamp(path, _simhash_layout(chunk_bits, n_chunks),
+                        "reader")
     return (
         spark.read.schema(
             f"doc {doc_type}, simhash bigint, chunk int, val bigint,"

@@ -219,7 +219,7 @@ def _ensure_hash_index(spark, sf_dir):
 
     base = _hash_index_path(sf_dir)
     stamp = os.path.join(base, "_OK")
-    want = f"hp={dedup.HASH_HP_CHARS};v=1"
+    want = f"hp={dedup.HASH_HP_CHARS};v=2"  # v2: _LAYOUT-stamped tree
     if os.path.exists(stamp) and open(stamp).read() == want:
         return base
     shutil.rmtree(base, ignore_errors=True)
@@ -335,11 +335,20 @@ def doc_minhash_incremental_pruned(spark, sf_dir):
             inc, sigs, n=2, num_hashes=64, bands=32, threshold=0.3,
             hist_banded=hb,
         )
+        # one set of persisted intermediates at a time (the
+        # _PRUNED_EXACT_CACHE rule): release the previous pass's
+        # handles instead of leaking MEMORY_AND_DISK frames per call
+        while _MINHASH_PRUNED_CACHE:
+            _MINHASH_PRUNED_CACHE.pop()()
+        _MINHASH_PRUNED_CACHE.append(out._gs_unpersist)
         return _memo_store(
             spark, sf_dir, "minhash_incr_pairs_pruned", out)
 
     return _memo_fetch(
         spark, sf_dir, "minhash_incr_pairs_pruned", _build)
+
+
+_MINHASH_PRUNED_CACHE: list = []
 
 
 def doc_minhash_incremental_pruned_check(spark, sf_dir):
@@ -360,10 +369,11 @@ def doc_minhash_incremental_pruned_check(spark, sf_dir):
     index = spark.read.parquet(_ensure_sig_index(spark, sf_dir))
     base = dedup.incremental_minhash(
         inc, index, n=2, num_hashes=64, bands=32, threshold=0.3,
-    ).select("doc_a", "doc_b", "est_jaccard")
+    )
     cols = ["doc_a", "doc_b", "est_jaccard"]
     only_p = pruned.join(base, cols, "left_anti").count()
     only_b = base.join(pruned, cols, "left_anti").count()
+    base._gs_unpersist()  # parity counts are materialized — release
     srcs = {
         int(r.doc_id)
         for r in _docs(spark, sf_dir).filter(F.col("doc_id") % 5 != 0)
@@ -918,12 +928,19 @@ def doc_minhash_incremental(spark, sf_dir):
     docs = _fanout(spark, _docs(spark, sf_dir))
     inc = docs.filter(F.col("doc_id") % 5 == 0)
     index = spark.read.parquet(_ensure_sig_index(spark, sf_dir))
-    return _memo_store(
-        spark, sf_dir, "minhash_incr_pairs",
-        dedup.incremental_minhash(
-            inc, index, n=2, num_hashes=64, bands=32, threshold=0.3
-        ),
+    out = dedup.incremental_minhash(
+        inc, index, n=2, num_hashes=64, bands=32, threshold=0.3
     )
+    # one set of persisted intermediates at a time (the
+    # _PRUNED_EXACT_CACHE rule — the propagated handle finally makes
+    # the unpruned path releasable too)
+    while _MINHASH_INCR_CACHE:
+        _MINHASH_INCR_CACHE.pop()()
+    _MINHASH_INCR_CACHE.append(out._gs_unpersist)
+    return _memo_store(spark, sf_dir, "minhash_incr_pairs", out)
+
+
+_MINHASH_INCR_CACHE: list = []
 
 
 def doc_minhash_incremental_check(spark, sf_dir):

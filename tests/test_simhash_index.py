@@ -189,3 +189,99 @@ def test_compact_prefix_indexes(spark, tmp_path):
     # layout identity: folding at the wrong width is refused
     with pytest.raises(ValueError, match="layout"):
         dedup.compact_simhash_index(spark, spath, chunk_bits=8)
+
+
+def test_hash_index_layout_stamp(spark, tmp_path):
+    """The hp tree's _LAYOUT width stamp (r13 advisor): a HASH_HP_CHARS
+    change between deployments must REFUSE at the writer, reader, and
+    compactor — a silent width mismatch makes the pruned anti-join's
+    isin(new-width prefixes) match zero partitions and re-admits SEEN
+    documents."""
+    docs = _docs(spark).filter(F.col("doc_id") < 10)
+    hashes = docs.select(dedup.content_hash("text").alias("content_hash"))
+    path = str(tmp_path / "hidx")
+    dedup.write_hash_index(hashes, path)
+    stamp = os.path.join(path, "_LAYOUT")
+    assert open(stamp).read() == f"hp={dedup.HASH_HP_CHARS}"
+    # a tree stamped at another width: every entry point refuses
+    with open(stamp, "w") as fh:
+        fh.write("hp=3")
+    with pytest.raises(ValueError, match="layout"):
+        dedup.write_hash_index(hashes, path)
+    with pytest.raises(ValueError, match="layout"):
+        dedup.read_hash_index(spark, path)
+    with pytest.raises(ValueError, match="layout"):
+        dedup.compact_hash_index(spark, path)
+    # overwrite rebuilds from scratch and re-stamps
+    dedup.write_hash_index(hashes, path, mode="overwrite")
+    assert open(stamp).read() == f"hp={dedup.HASH_HP_CHARS}"
+    assert dedup.read_hash_index(spark, path).count() == hashes.count()
+
+
+def test_unstamped_nonempty_tree_refused(spark, tmp_path):
+    """Data with no stamp = unknowable layout (a pre-stamp-era crash):
+    appending would stamp this writer's layout over possibly
+    differently-parameterized rows — refused for both prefix trees."""
+    docs = _docs(spark).filter(F.col("doc_id") < 10)
+    hashes = docs.select(dedup.content_hash("text").alias("content_hash"))
+    hpath = str(tmp_path / "hidx")
+    dedup.write_hash_index(hashes, hpath)
+    os.remove(os.path.join(hpath, "_LAYOUT"))
+    with pytest.raises(ValueError, match="no _LAYOUT"):
+        dedup.write_hash_index(hashes, hpath)
+    spath = str(tmp_path / "sidx")
+    dedup.write_simhash_index(dedup.simhash(docs), spath)
+    os.remove(os.path.join(spath, "_LAYOUT"))
+    with pytest.raises(ValueError, match="no _LAYOUT"):
+        dedup.write_simhash_index(dedup.simhash(docs), spath)
+    # stamp-before-data: on a FRESH tree the stamp is what commits
+    # first, so the crash window (stamp, no data) is harmless — an
+    # append adopts it
+    fresh = str(tmp_path / "fresh")
+    os.makedirs(fresh)
+    with open(os.path.join(fresh, "_LAYOUT"), "w") as fh:
+        fh.write(dedup._simhash_layout(14, 4))
+    dedup.write_simhash_index(dedup.simhash(docs), fresh)
+    assert dedup.read_simhash_index(spark, fresh).count() > 0
+
+
+def test_compactors_rederive_prefixes(spark, tmp_path):
+    """The fold recomputes hp/cp from the DATA columns (the
+    compact_sig_index-re-derives-dp rule): rows mis-homed under a wrong
+    prefix directory (a stale-width append, a buggy external writer)
+    are invisible to the pruned read — one fold re-homes them and the
+    pruned lookup finds them again."""
+    docs = _docs(spark)
+    hist = docs.filter(F.col("doc_id") < 20)
+    hpath = str(tmp_path / "hidx")
+    hashes = hist.select(dedup.content_hash("text").alias("content_hash"))
+    dedup.write_hash_index(hashes, hpath)
+    # mis-home every row: append the same hashes under hp='zz' (no
+    # real hash prefix — planning-time pruning can never select it)
+    hashes.withColumn("hp", F.lit("zz")).write.mode("append") \
+        .partitionBy("hp").parquet(hpath)
+    assert os.path.isdir(os.path.join(hpath, "hp=zz"))
+    dedup.compact_hash_index(spark, hpath)
+    assert not os.path.isdir(os.path.join(hpath, "hp=zz"))
+    folded = dedup.read_hash_index(spark, hpath)
+    assert folded.filter(
+        F.col("hp") != dedup.hash_prefix("content_hash")).count() == 0
+    # and the pruned anti-join still sees every seen doc
+    out = dedup.incremental_exact_dedup(hist, folded)
+    assert out.count() == 0
+    out._gs_unpersist()
+
+    spath = str(tmp_path / "sidx")
+    dedup.write_simhash_index(dedup.simhash(hist), spath)
+    ch = dedup.chunked_fingerprints(dedup.simhash(hist))
+    ch.withColumn("cp", F.lit("zz")).write.mode("append") \
+        .partitionBy("chunk", "cp").parquet(spath)
+    dedup.compact_simhash_index(spark, spath)
+    idx = dedup.read_simhash_index(spark, spath)
+    assert idx.filter(F.col("cp") == "zz").count() == 0
+    # every re-homed row prunable again: re-scrapes hit at Hamming 0
+    inc = hist.withColumn("doc_id", F.col("doc_id") + 10**9)
+    pairs = dedup.incremental_simhash(inc, None, hist_chunked=idx)
+    n_zero = pairs.filter(F.col("hamming") == 0).count()
+    assert n_zero >= hist.count()
+    pairs._gs_unpersist()

@@ -1953,3 +1953,179 @@ def test_admit_embeddings_same_id_and_centroid_cache(
     assert vec.filter(F.col("vec_id") == 105).count() == 1
     # one centroid read across the 3-trigger run (generation-checked)
     assert calls == [index]
+
+
+def test_exact_dedup_stream_exactly_once(spark, tmp_path):
+    """The streaming EXACT-dedup admission gate (r14): (a) per-batch
+    decisions equal the shared batch unit (incremental_exact_dedup)
+    replayed sequentially — the streaming shell (markers, partition
+    overwrite, pruned hp history read) must not change a single
+    keep/drop, and the reject log carries (doc, reason)-exact
+    attributions; (b) a crash-window replay (lost checkpoint commit AND
+    lost marker) recomputes the same deterministic decisions and
+    overwrites both partitions to the identical state; (c) a fresh
+    checkpoint over another incarnation's chain is refused."""
+    import glob
+    import os
+
+    from garmadon_spark.operators import dedup
+    from garmadon_spark.session import load_table
+    from garmadon_spark.streaming import corpus as scorpus
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    b1 = d.filter(F.col("doc_id") < 30)
+    # batch 2: fresh docs + exact re-scrapes of batch 1 under new ids
+    # + an intra-batch duplicate (one fresh doc arriving twice)
+    b2 = (
+        d.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 45))
+        .unionByName(
+            d.filter(F.col("doc_id") < 15)
+            .withColumn("doc_id", F.col("doc_id") + 1_000_000))
+        .unionByName(
+            d.filter(F.col("doc_id") == 30)
+            .withColumn("doc_id", F.col("doc_id") + 2_000_000))
+    )
+    src = str(tmp_path / "src")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    first = set(glob.glob(f"{src}/part-*.parquet"))
+    b2.coalesce(1).write.mode("append").parquet(src)
+    second = sorted(set(glob.glob(f"{src}/part-*.parquet")) - first)
+    for i, f in enumerate(sorted(first) + second):
+        os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
+    index, out, ckpt = (str(tmp_path / p) for p in ("idx", "out", "ck"))
+
+    def gate(checkpoint):
+        return scorpus.exact_dedup_stream(
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1").parquet(src),
+            index, out, checkpoint,
+        ).start()
+
+    gate(ckpt).awaitTermination()
+
+    def state():
+        got = {
+            (r.batch, r.doc_id, r.content_hash)
+            for r in spark.read.option("basePath", f"{out}/accepted")
+            .parquet(f"{out}/accepted").collect()
+        }
+        rej = {
+            (r.batch, r.doc, r.reason)
+            for r in spark.read.option("basePath", f"{out}/rejected")
+            .parquet(f"{out}/rejected").collect()
+        }
+        idx = {
+            (r.batch, r.content_hash)
+            for r in spark.read
+            .schema("content_hash string, batch long, hp string")
+            .option("basePath", f"{index}/hashes")
+            .parquet(f"{index}/hashes")
+            .select("batch", "content_hash").collect()
+        }
+        return got, rej, idx
+
+    got, rej, idx = state()
+    # (a) stream == sequential replay of the shared batch unit
+    hist0 = spark.createDataFrame([], "content_hash string")
+    a1 = dedup.incremental_exact_dedup(b1, hist0)
+    e1 = {(r.doc_id, r.content_hash) for r in a1.collect()}
+    a1._gs_unpersist()
+    a2 = dedup.incremental_exact_dedup(
+        b2, spark.createDataFrame(
+            [(h,) for _d, h in sorted(e1)], "content_hash string"))
+    e2 = {(r.doc_id, r.content_hash) for r in a2.collect()}
+    a2._gs_unpersist()
+    assert got == ({(0, i, h) for i, h in e1}
+                   | {(1, i, h) for i, h in e2})
+    assert idx == ({(0, h) for _i, h in e1} | {(1, h) for _i, h in e2})
+    # reject reasons: every re-scrape of a batch-1 doc is 'history';
+    # the intra-batch copy of doc 30 is 'intra_batch' (30 wins by min
+    # id); everything in b2 is accounted accepted-or-rejected
+    e1h = {h for _i, h in e1}
+    exp_rej = set()
+    for r in b2.select(
+            "doc_id", dedup.content_hash("text").alias("h")).collect():
+        if r.h in e1h:
+            exp_rej.add((1, r.doc_id, "history"))
+        elif (r.doc_id, r.h) not in e2:
+            exp_rej.add((1, r.doc_id, "intra_batch"))
+    exp_rej |= {
+        (0, r.doc_id, "intra_batch")
+        for r in b1.select(
+            "doc_id", dedup.content_hash("text").alias("h")).collect()
+        if (r.doc_id, r.h) not in e1
+    }
+    assert rej == exp_rej
+    assert (1, 2_000_030, "intra_batch") in rej
+    copies = {i + 1_000_000 for i in range(15)}
+    assert all((1, c, "history") in rej for c in copies)
+
+    # (b) crash window: lose the last commit AND the last marker →
+    # replay recomputes and converges to the identical state
+    last = sorted(f for f in os.listdir(f"{ckpt}/commits")
+                  if f.isdigit())[-1]
+    os.remove(f"{ckpt}/commits/{last}")
+    try:
+        os.remove(f"{ckpt}/commits/.{last}.crc")
+    except FileNotFoundError:
+        pass
+    markers = sorted(glob.glob(f"{index}/_exact_batches/*.done"))
+    assert len(markers) == 2
+    os.remove(markers[-1])
+    gate(ckpt).awaitTermination()
+    assert state() == (got, rej, idx)
+
+    # (c) a fresh checkpoint over this chain is refused
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    with pytest.raises(StreamingQueryException,
+                       match="different streaming incarnation"):
+        gate(str(tmp_path / "ck_fresh")).awaitTermination()
+    assert state() == (got, rej, idx)
+
+
+def test_exact_dedup_stream_prunes_history_read(spark, tmp_path):
+    """The gate's history read carries hp PartitionFilters at planning
+    time (the point-lookup contract) and a width-changed deployment is
+    refused by the _LAYOUT stamp."""
+    import glob
+    import os
+
+    from garmadon_spark.operators import dedup
+    from garmadon_spark.session import load_table
+    from garmadon_spark.streaming import corpus as scorpus
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text")
+    b1 = d.filter(F.col("doc_id") < 30)
+    src = str(tmp_path / "src")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    index, out, ckpt = (str(tmp_path / p) for p in ("idx", "out", "ck"))
+    scorpus.exact_dedup_stream(
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+        index, out, ckpt,
+    ).start().awaitTermination()
+    assert open(f"{index}/hashes/_LAYOUT").read() \
+        == dedup._hash_layout()
+    # the maintained tree IS readable through the production pruned
+    # path: batch column filtered out, hp rides for pruning
+    hist = scorpus._history_hashes(spark, f"{index}/hashes", 999)
+    inc = d.filter(F.col("doc_id") < 5)
+    outp = dedup.incremental_exact_dedup(inc, hist)
+    assert outp.count() == 0          # all seen
+    plan = outp._jdf.queryExecution().executedPlan().toString()
+    outp._gs_unpersist()
+    assert "PartitionFilters" in plan
+    # width change between deployments → the next trigger refuses
+    with open(f"{index}/hashes/_LAYOUT", "w") as fh:
+        fh.write("hp=4")
+    b1.limit(5).coalesce(1).write.mode("append").parquet(src)
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    with pytest.raises(StreamingQueryException, match="layout"):
+        scorpus.exact_dedup_stream(
+            spark.readStream.schema(b1.schema)
+            .option("maxFilesPerTrigger", "1").parquet(src),
+            index, out, ckpt,
+        ).start().awaitTermination()
