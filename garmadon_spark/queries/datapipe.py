@@ -5040,6 +5040,242 @@ FROM embeddings
 """
 
 
+# --- streaming exact-dedup admission gate (r14) -----------------------
+#
+# exact_dedup_stream CLOSED over engineered increments, the exact-tier
+# twin of the doc_dedup_stream fixture: batch 1 is a fresh crawl,
+# batch 2 mixes fresh docs with exact re-scrapes of batch-1 content
+# under NEW ids plus one intra-batch duplicate.  Unlike the near-dup
+# gate, every decision here is SQL-expressible (min-id per normalized
+# hash, anti history), so doc_exact_stream gets a FULL value-hash
+# oracle, not a rows-only check.
+
+_EXACT_B1 = 40           # batch-1 docs: doc_id < _EXACT_B1
+_EXACT_FRESH = 20        # batch-2 fresh docs: next _EXACT_FRESH ids
+_EXACT_COPIES = 20       # batch-2 re-scrapes of batch-1's tail
+_EXACT_OFF = 1_000_000   # re-scraped copies arrive under new ids
+
+
+def _exact_stream_path(sf_dir: str) -> str:
+    return _index_cache_path(sf_dir, "documents.parquet",
+                             "garmadon_exstr_")
+
+
+def _exact_stream_batches(spark, sf_dir):
+    """The two engineered exact-gate increments.  Batch 2's copies are
+    batch-1 docs re-keyed (+_EXACT_OFF) — identical text under a new
+    id, the re-scrape the gate exists to stop — plus ONE intra-batch
+    duplicate (the first fresh doc arriving twice, +2·_EXACT_OFF) so
+    the reject log's second reason is exercised."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    b1 = d.filter(F.col("doc_id") < _EXACT_B1)
+    fresh = d.filter(
+        (F.col("doc_id") >= _EXACT_B1)
+        & (F.col("doc_id") < _EXACT_B1 + _EXACT_FRESH)
+    )
+    copies = d.filter(
+        (F.col("doc_id") >= _EXACT_B1 - _EXACT_COPIES)
+        & (F.col("doc_id") < _EXACT_B1)
+    ).withColumn("doc_id", F.col("doc_id") + F.lit(_EXACT_OFF))
+    intra = d.filter(F.col("doc_id") == _EXACT_B1).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(2 * _EXACT_OFF))
+    return b1, fresh.unionByName(copies).unionByName(intra)
+
+
+def _ensure_exact_streamed(spark, sf_dir):
+    """Run exact_dedup_stream once per corpus: the two increments
+    written as one file each and drained availableNow with
+    maxFilesPerTrigger=1 — two genuine micro-batches, arrival order
+    pinned by explicit distinct mtimes."""
+    import glob
+    import os
+    import shutil
+
+    from garmadon_spark.streaming import corpus as _scorpus
+
+    base = _exact_stream_path(sf_dir)
+    stamp = os.path.join(base, "_OK")
+    want = (f"b1={_EXACT_B1};f={_EXACT_FRESH};c={_EXACT_COPIES};"
+            f"off={_EXACT_OFF};hp={dedup.HASH_HP_CHARS};v=1")
+    if os.path.exists(stamp) and open(stamp).read() == want:
+        return base
+    shutil.rmtree(base, ignore_errors=True)
+    b1, b2 = _exact_stream_batches(spark, sf_dir)
+    src = f"{base}/src"
+    b1.coalesce(1).write.mode("append").parquet(src)
+    first = set(glob.glob(f"{src}/part-*.parquet"))
+    b2.coalesce(1).write.mode("append").parquet(src)
+    second = sorted(set(glob.glob(f"{src}/part-*.parquet")) - first)
+    for i, f in enumerate(sorted(first) + second):
+        os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
+    q = _scorpus.exact_dedup_stream(
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+        f"{base}/index", f"{base}/out", f"{base}/ckpt",
+    ).start()
+    q.awaitTermination()
+    with open(stamp, "w") as fh:
+        fh.write(want)
+    return base
+
+
+def doc_exact_stream(spark, sf_dir):
+    """Documents the streaming EXACT-dedup gate ACCEPTED, read from
+    what exact_dedup_stream materialized (per-batch partitions + the
+    appended hp hash index) — the exact-tier twin of doc_dedup_stream.
+    FULLY hash-oracled: min-id-per-normalized-hash within each batch,
+    anti-joined against the committed history, is plain SQL."""
+    base = _ensure_exact_streamed(spark, sf_dir)
+    return (
+        spark.read.option("basePath", f"{base}/out/accepted")
+        .parquet(f"{base}/out/accepted")
+        .select(F.col("batch").cast("bigint").alias("batch"),
+                "doc_id", "content_hash")
+        .orderBy("batch", "doc_id")
+    )
+
+
+_EXACT_NORM_H = (
+    "md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))))"
+)
+
+DOC_EXACT_STREAM_SQL = f"""
+WITH h AS (
+    SELECT doc_id, {_EXACT_NORM_H} AS content_hash FROM documents
+), b1 AS (
+    SELECT doc_id, content_hash FROM h WHERE doc_id < {_EXACT_B1}
+), b2 AS (
+    SELECT doc_id, content_hash FROM h
+    WHERE doc_id >= {_EXACT_B1}
+      AND doc_id < {_EXACT_B1 + _EXACT_FRESH}
+    UNION ALL
+    SELECT doc_id + {_EXACT_OFF}, content_hash FROM h
+    WHERE doc_id >= {_EXACT_B1 - _EXACT_COPIES}
+      AND doc_id < {_EXACT_B1}
+    UNION ALL
+    SELECT doc_id + {2 * _EXACT_OFF}, content_hash FROM h
+    WHERE doc_id = {_EXACT_B1}
+), acc1 AS (
+    SELECT MIN(doc_id) AS doc_id, content_hash
+    FROM b1 GROUP BY content_hash
+), acc2 AS (
+    SELECT MIN(doc_id) AS doc_id, content_hash
+    FROM b2
+    WHERE content_hash NOT IN (SELECT content_hash FROM acc1)
+    GROUP BY content_hash
+)
+SELECT CAST(0 AS BIGINT) AS batch, doc_id, content_hash FROM acc1
+UNION ALL
+SELECT CAST(1 AS BIGINT) AS batch, doc_id, content_hash FROM acc2
+ORDER BY batch, doc_id
+"""
+
+
+def doc_exact_stream_check(spark, sf_dir):
+    """Independent-replay gate over the streaming exact-dedup shell:
+    (1) the streamed accept/reject decisions equal a pure-Python
+    replay (dict/set min-id bookkeeping over the collected normalized
+    hashes — a second implementation of the decision rule, not a
+    re-run of the Spark code) of the same increments in order, reject
+    REASONS included; (2) every re-scrape of a batch-1 survivor was
+    rejected as ``history`` and the engineered intra-batch duplicate
+    as ``intra_batch``; (3) the hp index tree holds exactly the
+    accepted hashes in the right batch partitions, every row homed
+    under its true hash prefix, with the width stamp intact.  Driver
+    work is bounded by the fixture (≤ ~80 rows).  n_input / n_copies
+    are data-bearing (pinned by SQL against the documents table)."""
+    import os
+
+    base = _ensure_exact_streamed(spark, sf_dir)
+    b1, b2 = _exact_stream_batches(spark, sf_dir)
+    rows1 = [(int(r.doc_id), r.h) for r in b1.select(
+        "doc_id", dedup.content_hash("text").alias("h")).collect()]
+    rows2 = [(int(r.doc_id), r.h) for r in b2.select(
+        "doc_id", dedup.content_hash("text").alias("h")).collect()]
+    seen: set = set()
+    exp_acc: set = set()
+    exp_rej: set = set()
+    exp_idx: set = set()
+    for bno, rows in ((0, rows1), (1, rows2)):
+        winners: dict = {}
+        for i, h in rows:
+            if h in seen:
+                exp_rej.add((bno, i, "history"))
+            elif h not in winners or i < winners[h]:
+                winners[h] = i
+        for i, h in rows:
+            if h not in seen and winners.get(h) != i:
+                exp_rej.add((bno, i, "intra_batch"))
+        exp_acc |= {(bno, i, h) for h, i in winners.items()}
+        exp_idx |= {(bno, h) for h in winners}
+        seen |= set(winners)
+    served = {
+        (int(r.batch), int(r.doc_id), r.content_hash)
+        for r in spark.read.option("basePath", f"{base}/out/accepted")
+        .parquet(f"{base}/out/accepted").collect()
+    }
+    served_rej = {
+        (int(r.batch), int(r.doc), r.reason)
+        for r in spark.read.option("basePath", f"{base}/out/rejected")
+        .parquet(f"{base}/out/rejected").collect()
+    }
+    idx_rows = spark.read \
+        .schema("content_hash string, batch long, hp string") \
+        .option("basePath", f"{base}/index/hashes") \
+        .parquet(f"{base}/index/hashes").collect()
+    idx = {(int(r.batch), r.content_hash) for r in idx_rows}
+    homed_ok = all(
+        r.hp == r.content_hash[: dedup.HASH_HP_CHARS]
+        for r in idx_rows
+    )
+    stamp_ok = False
+    try:
+        stamp_ok = (open(os.path.join(base, "index", "hashes",
+                                      "_LAYOUT")).read()
+                    == dedup._hash_layout())
+    except OSError:
+        pass
+    surv1 = {i for b, i, _h in exp_acc
+             if b == 0 and i >= _EXACT_B1 - _EXACT_COPIES}
+    copies_rejected_ok = bool(surv1) and all(
+        (1, i + _EXACT_OFF, "history") in served_rej for i in surv1
+    )
+    intra_ok = ((1, _EXACT_B1 + 2 * _EXACT_OFF, "intra_batch")
+                in served_rej
+                or (1, _EXACT_B1 + 2 * _EXACT_OFF, "history")
+                in served_rej)
+    return spark.createDataFrame(
+        [(
+            len(rows1) + len(rows2),
+            int(_EXACT_COPIES),
+            bool(served == exp_acc),
+            bool(served_rej == exp_rej),
+            bool(copies_rejected_ok),
+            bool(intra_ok),
+            bool(idx == exp_idx and homed_ok),
+            bool(stamp_ok),
+        )],
+        "n_input bigint, n_copies bigint, parity_ok boolean,"
+        " rejects_ok boolean, copies_rejected_ok boolean,"
+        " intra_ok boolean, index_ok boolean, stamp_ok boolean",
+    )
+
+
+DOC_EXACT_STREAM_CHECK_SQL = f"""
+SELECT CAST((SELECT COUNT(*) FROM documents
+             WHERE doc_id < {_EXACT_B1 + _EXACT_FRESH}) +
+            (SELECT COUNT(*) FROM documents
+             WHERE doc_id >= {_EXACT_B1 - _EXACT_COPIES}
+               AND doc_id < {_EXACT_B1}) +
+            (SELECT COUNT(*) FROM documents
+             WHERE doc_id = {_EXACT_B1}) AS BIGINT) AS n_input,
+       CAST({_EXACT_COPIES} AS BIGINT) AS n_copies,
+       TRUE AS parity_ok, TRUE AS rejects_ok,
+       TRUE AS copies_rejected_ok, TRUE AS intra_ok,
+       TRUE AS index_ok, TRUE AS stamp_ok
+"""
+
+
 QUERIES = {
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
     "doc_exact_dedup": (doc_exact_dedup, DOC_EXACT_DEDUP_SQL),
@@ -5180,5 +5416,9 @@ QUERIES = {
     "doc_minhash_incremental_pruned_check": (
         doc_minhash_incremental_pruned_check,
         DOC_MINHASH_INCREMENTAL_PRUNED_CHECK_SQL
+    ),
+    "doc_exact_stream": (doc_exact_stream, DOC_EXACT_STREAM_SQL),
+    "doc_exact_stream_check": (
+        doc_exact_stream_check, DOC_EXACT_STREAM_CHECK_SQL
     ),
 }
