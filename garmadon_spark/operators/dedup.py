@@ -305,6 +305,57 @@ def compact_simhash_index(spark, path: str, chunk_bits: int = 14,
     )
 
 
+def prefix_tree_health(spark, path: str, schema_ddl: str,
+                       dedup_cols: list[str],
+                       expected_layout: str) -> DataFrame:
+    """Drift watch for an append-only prefix-partitioned index tree
+    (the hash index's ``hp=XX`` / ``batch=N/hp=XX`` dirs, the SimHash
+    chunk index's ``chunk=C/cp=XX`` dirs) — the hp/cp twin of
+    ``sig_index_health``: per-append files accumulating between folds,
+    exact-duplicate rows pending compaction (retried appends, crashed
+    folds), and layout-stamp identity.  Works on exactly the broken
+    trees it diagnoses: the read uses an explicit schema (never
+    inference over drifted directory names) and a missing or
+    mismatched stamp reports ``stamp_ok = false`` instead of raising.
+    One os.walk + two bounded counting jobs; no shuffle beyond the
+    distinct."""
+    import os
+
+    per: dict = {}
+    n_files = 0
+    for r, dns, fs in os.walk(path):
+        dns[:] = [d for d in dns if not d.startswith(("_", "."))]
+        pf = sum(
+            f.endswith(".parquet") and not f.startswith(("_", "."))
+            for f in fs
+        )
+        if pf:
+            per[r] = pf
+            n_files += pf
+    stamp_ok = False
+    try:
+        stamp_ok = (
+            open(os.path.join(path, "_LAYOUT")).read()
+            == expected_layout
+        )
+    except OSError:
+        pass
+    dup = 0
+    if n_files:
+        df = spark.read.schema(schema_ddl) \
+            .option("basePath", path).parquet(path)
+        dup = df.count() - df.dropDuplicates(dedup_cols).count()
+    return spark.createDataFrame(
+        [(
+            int(n_files), len(per),
+            int(max(per.values())) if per else 0,
+            int(dup), bool(stamp_ok),
+        )],
+        "n_files int, n_partitions int, max_files_per_partition int,"
+        " dup_rows bigint, stamp_ok boolean",
+    )
+
+
 def incremental_exact_dedup(
     new_docs: DataFrame,
     seen_index: DataFrame,
@@ -1604,24 +1655,32 @@ def simhash(
 ) -> DataFrame:
     """Tier 4: SimHash fingerprint — per-bit majority vote over token
     hashes, computed with array expressions (explode → per-bit ±1 sums →
-    reassemble).  Stays JVM-side; one shuffle on doc."""
+    reassemble).  Stays JVM-side; one shuffle on doc.
+
+    The 56 vote aggregates and the 56-term reassembly are built as
+    JVM-parsed ``F.expr`` strings, not per-operator Column calls: the
+    Column form cost ~600 py4j round trips (~2 s of DRIVER time per
+    invocation — more than the job's execution at small increments);
+    one SQL string per vote parses JVM-side for ~60 calls total.
+    Expression semantics (and therefore every stored fingerprint) are
+    bit-identical to the Column form."""
     ex = explode_computed(
         docs, tokens(text_col), "t", [F.col(id_col).alias("doc")]
     ).withColumn("h", _hash64(F.col("t")))
+    nb = min(bits, 56)
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"b_{i}")
-        for i in range(min(bits, 56))
+        F.expr(f"sum(CASE WHEN (shiftright(h, {i}) & 1) = 1"
+               " THEN 1 ELSE -1 END)").alias(f"b_{i}")
+        for i in range(nb)
     ]
     agg = ex.groupBy("doc").agg(*votes)
-    fp = None
-    for i in range(min(bits, 56)):
-        bit = F.when(F.col(f"b_{i}") > 0, F.lit(1)).otherwise(F.lit(0))
-        term = (bit * F.lit(1 << i)).cast("long")
-        fp = term if fp is None else fp + term
-    return agg.select("doc", fp.alias("simhash"))
+    fp_sql = " + ".join(
+        f"(CASE WHEN b_{i} > 0 THEN CAST({1 << i} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)"
+        for i in range(nb)
+    )
+    return agg.select(
+        "doc", F.expr(fp_sql).cast("long").alias("simhash"))
 
 
 def _chunk_explode(fps: DataFrame, chunk_bits: int, n_chunks: int,

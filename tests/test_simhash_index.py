@@ -285,3 +285,57 @@ def test_compactors_rederive_prefixes(spark, tmp_path):
     n_zero = pairs.filter(F.col("hamming") == 0).count()
     assert n_zero >= hist.count()
     pairs._gs_unpersist()
+
+
+def test_prefix_tree_health_survives_drifted_trees(spark, tmp_path):
+    """The hp/cp drift watch reports on exactly the broken trees it
+    diagnoses: per-append file pileup, retried-append duplicate rows,
+    missing/mismatched stamps — without raising — and goes clean after
+    a fold."""
+    docs = _docs(spark).filter(F.col("doc_id") < 20)
+    hashes = docs.select(dedup.content_hash("text").alias("content_hash"))
+    hpath = str(tmp_path / "hidx")
+    dedup.write_hash_index(hashes, hpath)
+    dedup.write_hash_index(hashes, hpath)      # retried append
+    r = dedup.prefix_tree_health(
+        spark, hpath, "content_hash string, hp string",
+        ["content_hash"], dedup._hash_layout(),
+    ).first()
+    assert r.stamp_ok and r.dup_rows == hashes.count()
+    assert r.max_files_per_partition >= 2
+    dedup.compact_hash_index(spark, hpath)
+    r = dedup.prefix_tree_health(
+        spark, hpath, "content_hash string, hp string",
+        ["content_hash"], dedup._hash_layout(),
+    ).first()
+    assert r.dup_rows == 0 and r.max_files_per_partition == 1
+    # a hand-broken stamp: reported, not raised
+    os.remove(os.path.join(hpath, "_LAYOUT"))
+    r = dedup.prefix_tree_health(
+        spark, hpath, "content_hash string, hp string",
+        ["content_hash"], dedup._hash_layout(),
+    ).first()
+    assert not r.stamp_ok and r.n_files > 0
+
+    spath = str(tmp_path / "sidx")
+    dedup.write_simhash_index(dedup.simhash(docs), spath)
+    dedup.write_simhash_index(
+        dedup.simhash(docs.filter(F.col("doc_id") < 10)), spath)
+    ddl = ("doc bigint, simhash bigint, chunk int, val bigint,"
+           " cp string")
+    cols = ["doc", "simhash", "chunk", "val"]
+    r = dedup.prefix_tree_health(
+        spark, spath, ddl, cols, dedup._simhash_layout(14, 4)).first()
+    assert r.stamp_ok and r.dup_rows > 0
+    dedup.compact_simhash_index(spark, spath)
+    r = dedup.prefix_tree_health(
+        spark, spath, ddl, cols, dedup._simhash_layout(14, 4)).first()
+    assert r.stamp_ok and r.dup_rows == 0
+    # wrong-parameter expectation → stamp mismatch reported
+    r = dedup.prefix_tree_health(
+        spark, spath, ddl, cols, dedup._simhash_layout(8, 8)).first()
+    assert not r.stamp_ok
+    # an empty/unborn tree: all zeros, no raise
+    r = dedup.prefix_tree_health(
+        spark, str(tmp_path / "nope"), ddl, cols, "x").first()
+    assert r.n_files == 0 and r.dup_rows == 0 and not r.stamp_ok
