@@ -189,6 +189,13 @@ def exact_dedup_stream(
         accepted = dedup.incremental_exact_dedup(
             batch_df, hist, id_col=id_col, text_col=text_col,
         )
+        release = accepted._gs_unpersist
+        # the accepted frame feeds four actions (two result writes,
+        # the index append, and the reject derivation) — persist it so
+        # the pruned anti-join runs once per trigger, not four times
+        from pyspark import StorageLevel
+
+        accepted = accepted.persist(StorageLevel.MEMORY_AND_DISK)
         inc = batch_df.select(
             F.col(id_col),
             dedup.content_hash(text_col).alias("content_hash"),
@@ -227,7 +234,8 @@ def exact_dedup_stream(
                     f"{hashes_root}/batch={batch_id}"
                 )
         finally:
-            accepted._gs_unpersist()
+            accepted.unpersist()
+            release()
         _write_marker(sess, marker, cache["run"])
         marked = []
         for m in _list_markers(sess, marks_root):
