@@ -277,6 +277,102 @@ def compact_hash_index(spark, path: str) -> int:
     )
 
 
+def compact_exact_index(spark, index_path: str,
+                        keep_last: int = 1) -> list:
+    """Fold ``exact_dedup_stream``'s per-batch hash partitions
+    (``hashes/batch=N/hp=XX`` — one directory set per committed
+    micro-batch, forever) into the OLDEST candidate partition — the
+    exact-tier twin of ``compact_sig_index``, without the banded-twin
+    bookkeeping (membership has no versions: ``dropDuplicates`` on the
+    hash IS the merge).
+
+    Safety argument, in compact_sig_index's order: candidates exclude
+    the newest ``keep_last`` (≥ 1 enforced — Structured Streaming only
+    ever re-runs the LAST uncommitted batch, so every candidate is
+    committed and replay-safe, and the running gate's
+    ``batch != current`` history read is unaffected by folding older
+    ids).  Candidates are read with an explicit schema, deduped,
+    hp-RE-DERIVED (the compact_hash_index rule), staged under an
+    underscore path, published into ``batch=<min>`` under
+    DETERMINISTIC fold-set-keyed names (os.replace — a retried fold
+    overwrites its own files), and only then is everything NOT in the
+    just-published name set deleted (exact-set, not prefix — the r11
+    advisor rule).  A crash anywhere leaves DUPLICATE rows only —
+    harmless to membership — healed by the next fold.  ``batch``
+    keeps its monotone "admitted no later than" meaning.  Verifies
+    the ``_LAYOUT`` width stamp first.  Returns the folded batch ids.
+    Schedule between triggers like compact_sig_index (the standard
+    read-after-compact race note applies)."""
+    import os
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (the newest batch can "
+                         "still be replayed by the checkpoint)")
+    hashes = f"{index_path}/hashes"
+    _check_layout_stamp(hashes, _hash_layout(), "compactor")
+    ids = _sig_batch_ids(hashes)
+    cands = ids[:-keep_last]
+    if len(cands) < 2:
+        return []
+    tgt, top = cands[0], cands[-1]
+    fold = f"fold-{tgt}-{top}"
+    stage = f"{hashes}/_compact_stage"
+    tgt_dir = f"{hashes}/batch={tgt}"
+    os.makedirs(tgt_dir, exist_ok=True)
+    shutil.rmtree(stage, ignore_errors=True)
+    published = set()
+    # all-rejected batches leave file-less partitions; a fold of
+    # nothing publishes nothing and the exact-set delete empties tgt
+    nonempty = [b for b in cands if any(
+        f.endswith(".parquet")
+        for _r, _d, fs in os.walk(f"{hashes}/batch={b}") for f in fs)]
+    if nonempty:
+        folded = (
+            spark.read
+            .schema("content_hash string, batch long, hp string")
+            .option("basePath", hashes)
+            .parquet(*[f"{hashes}/batch={b}" for b in nonempty])
+            .dropDuplicates(["content_hash"])
+            .withColumn("hp", hash_prefix("content_hash"))
+            .select("content_hash", "hp")
+        )
+        folded.repartition("hp").write.mode("overwrite") \
+            .partitionBy("hp").parquet(stage)
+        for hpd in sorted(os.listdir(stage)):
+            if not hpd.startswith("hp="):
+                continue
+            parts = sorted(f for f in os.listdir(f"{stage}/{hpd}")
+                           if f.endswith(".parquet"))
+            os.makedirs(f"{tgt_dir}/{hpd}", exist_ok=True)
+            for i, f in enumerate(parts):
+                name = f"{fold}-{i}.parquet"
+                os.replace(f"{stage}/{hpd}/{f}",
+                           f"{tgt_dir}/{hpd}/{name}")
+                published.add(f"{hpd}/{name}")
+    for root_, _dirs, files in os.walk(tgt_dir):
+        rel_root = os.path.relpath(root_, tgt_dir)
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            rel = f if rel_root == "." else f"{rel_root}/{f}"
+            if rel not in published:
+                os.remove(os.path.join(root_, f))
+                try:
+                    os.remove(os.path.join(root_, f".{f}.crc"))
+                except FileNotFoundError:
+                    pass
+    for d in os.listdir(tgt_dir):
+        p = os.path.join(tgt_dir, d)
+        if d.startswith("hp=") and os.path.isdir(p) \
+                and not os.listdir(p):
+            os.rmdir(p)
+    for b in cands[1:]:
+        shutil.rmtree(f"{hashes}/batch={b}", ignore_errors=True)
+    shutil.rmtree(stage, ignore_errors=True)
+    return cands
+
+
 def compact_simhash_index(spark, path: str, chunk_bits: int = 14,
                           n_chunks: int = 4,
                           doc_type: str = "bigint") -> int:

@@ -2129,3 +2129,76 @@ def test_exact_dedup_stream_prunes_history_read(spark, tmp_path):
             .option("maxFilesPerTrigger", "1").parquet(src),
             index, out, ckpt,
         ).start().awaitTermination()
+
+
+def test_compact_exact_index_preserves_gate_history(spark, tmp_path):
+    """Folding the exact gate's committed batch partitions must not
+    change a single future decision: three drained batches fold (minus
+    keep_last) into batch=<min>, membership is identical, duplicate
+    rows heal, and the next incremental pass against the folded tree
+    returns exactly what the unfolded tree returned.  A retried fold
+    (crash simulated by re-running over leftovers) converges."""
+    import glob
+    import os
+
+    from garmadon_spark.operators import dedup
+    from garmadon_spark.session import load_table
+    from garmadon_spark.streaming import corpus as scorpus
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text")
+    batches = [
+        d.filter(F.col("doc_id") < 20),
+        d.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 35)),
+        d.filter((F.col("doc_id") >= 35) & (F.col("doc_id") < 50)),
+    ]
+    src = str(tmp_path / "src")
+    seen = set()
+    for b in batches:
+        b.coalesce(1).write.mode("append").parquet(src)
+    for i, f in enumerate(sorted(glob.glob(f"{src}/part-*.parquet"))):
+        os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
+    index, out, ckpt = (str(tmp_path / p) for p in ("idx", "out", "ck"))
+    scorpus.exact_dedup_stream(
+        spark.readStream.schema(batches[0].schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+        index, out, ckpt,
+    ).start().awaitTermination()
+
+    def tree():
+        return {
+            (int(r.batch), r.content_hash)
+            for r in spark.read
+            .schema("content_hash string, batch long, hp string")
+            .option("basePath", f"{index}/hashes")
+            .parquet(f"{index}/hashes").collect()
+        }
+
+    before = tree()
+    assert {b for b, _h in before} == {0, 1, 2}
+    inc = d.filter(F.col("doc_id") < 60)
+    pre = dedup.incremental_exact_dedup(
+        inc, scorpus._history_hashes(spark, f"{index}/hashes", 999))
+    pre_set = {(r.doc_id, r.content_hash) for r in pre.collect()}
+    pre._gs_unpersist()
+    folded = dedup.compact_exact_index(spark, index, keep_last=1)
+    assert folded == [0, 1]
+    after = tree()
+    assert {b for b, _h in after} == {0, 2}
+    assert {h for _b, h in after} == {h for _b, h in before}
+    assert len(after) == len(before)          # no duplicate rows
+    post = dedup.incremental_exact_dedup(
+        inc, scorpus._history_hashes(spark, f"{index}/hashes", 999))
+    post_set = {(r.doc_id, r.content_hash) for r in post.collect()}
+    post._gs_unpersist()
+    assert post_set == pre_set
+    # idempotent retry: nothing left to fold at keep_last=1
+    assert dedup.compact_exact_index(spark, index, keep_last=1) == []
+    assert tree() == after
+    # width-stamp gate
+    with open(f"{index}/hashes/_LAYOUT", "w") as fh:
+        fh.write("hp=9")
+    with pytest.raises(ValueError, match="layout"):
+        dedup.compact_exact_index(spark, index)
+    with pytest.raises(ValueError, match="keep_last"):
+        dedup.compact_exact_index(spark, index, keep_last=0)
