@@ -714,6 +714,7 @@ def prefix_health_bench(spark, sf_dir: str) -> dict:
         "content_hash string, batch long, hp string",
         ["content_hash"], dedup._hash_layout(),
     ).first()
+    hp_batches = len(dedup._sig_batch_ids(f"{base}/index/hashes"))
     sbase = _ensure_simhash_index(spark, sf_dir)
     c = dedup.prefix_tree_health(
         spark, f"{sbase}/index",
@@ -723,6 +724,7 @@ def prefix_health_bench(spark, sf_dir: str) -> dict:
     ).first()
     return {
         "hp_health_files": int(h.n_files),
+        "hp_health_batches": hp_batches,
         "hp_health_max_per_part": int(h.max_files_per_partition),
         "hp_health_dup_rows": int(h.dup_rows),
         "hp_health_stamp_ok": int(bool(h.stamp_ok)),
@@ -764,7 +766,7 @@ COMPACT_BASE_PRIORITY = [
     "sig_health_batches", "sig_health_batches_since_fold",
     "sig_health_dup_docs", "sig_health_banded_missing",
     "sig_health_banded_orphans", "sig_health_stamps_ok",
-    "hp_health_files", "hp_health_max_per_part",
+    "hp_health_files", "hp_health_batches", "hp_health_max_per_part",
     "hp_health_dup_rows", "hp_health_stamp_ok",
     "cp_health_files", "cp_health_max_per_part",
     "cp_health_dup_rows", "cp_health_stamp_ok",

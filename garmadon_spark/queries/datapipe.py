@@ -511,8 +511,15 @@ def doc_simhash_incremental_check(spark, sf_dir):
     (never read from the index under test).  ONE fingerprint job
     total — the simhash expression is heavy enough (~2 s per job at
     sf0.1, whatever the row count) that job count, not data size,
-    was the check's cost.  n_increment is data-bearing
-    (COUNT(%5==0) + the copy constant, pinned by SQL)."""
+    was the check's cost.  EVERYTHING the gate fingerprints is
+    size-capped so its cost is ~constant at every scale (a constant
+    FRACTION — or "all pair-adjacent docs", 82k at the 100× replica —
+    made the gate grow with the corpus, the exact failure the r13
+    trim targeted): the random-slice moduli are data-derived
+    (~364 + ~110 docs) and the dual-checked pairs are a deterministic
+    every-k-th slice of the sorted pair table (~1500; ALL pairs at
+    bench sf).  n_increment is data-bearing (COUNT(%5==0) + the copy
+    constant, pinned by SQL)."""
     par = spark.sparkContext.defaultParallelism
     pruned = {
         (int(r.doc_a), int(r.doc_b), int(r.hamming))
@@ -520,14 +527,37 @@ def doc_simhash_incremental_check(spark, sf_dir):
     }
     docs = _docs(spark, sf_dir)
     hist = docs.filter(F.col("doc_id") % 5 != 0)
-    pair_docs = {d for a, b, _h in pruned for d in (a, b)}
+    cnt = {
+        bool(r.k): int(r.n)
+        for r in docs.groupBy((F.col("doc_id") % 5 == 0).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_fresh = cnt.get(True, 0)
+    n_hist_total = cnt.get(False, 0)
+    # ~364 history docs / ~110 fresh docs at any sf (== the r13 % 11
+    # and % 45 slices at sf0.1; fmod stays a multiple of 5 so it
+    # selects within the fresh ids)
+    hmod = max(11, round(n_hist_total / 364))
+    fmod = 5 * max(9, round(n_fresh / 550))
+    # the dual-checked pair set is ALSO bounded: the replica sweeps
+    # showed the pair table itself grows with the corpus (120k pairs
+    # at the 100× replica — varied increment/history splits surface
+    # most planted near-dups), so "every pair-adjacent doc" would
+    # fingerprint 82k docs.  A deterministic every-k-th slice of the
+    # sorted pair list (~1500 pairs; ALL pairs at bench sf, where
+    # k == 1) keeps the audit constant-size; the random doc slices
+    # still catch systematic misses, and the recall floor reads the
+    # full pair table directly (no fingerprints needed)
+    k_pairs = max(1, len(pruned) // 1500)
+    sampled_pairs = sorted(pruned)[::k_pairs]
+    spair_docs = {d for a, b, _h in sampled_pairs for d in (a, b)}
     pair_hist = sorted(
-        d for d in pair_docs
+        d for d in spair_docs
         if d % 5 != 0 and d < _SIMHASH_INC_OFFSET
     )
-    pair_inc = sorted(pair_docs - set(pair_hist))
+    pair_inc = sorted(spair_docs - set(pair_hist))
     hist_sample = hist.filter(
-        (F.col("doc_id") % 11 == 3)
+        (F.col("doc_id") % hmod == 3)
         | F.col("doc_id").isin(pair_hist)
     )
     copies = (
@@ -536,7 +566,7 @@ def doc_simhash_incremental_check(spark, sf_dir):
                     F.col("doc_id") + F.lit(_SIMHASH_INC_OFFSET))
     )
     fresh_sample = docs.filter(
-        (F.col("doc_id") % 45 == 0)
+        (F.col("doc_id") % fmod == 0)
         | ((F.col("doc_id") % 5 == 0)
            & F.col("doc_id").isin(pair_inc))
     )
@@ -575,14 +605,19 @@ def doc_simhash_incremental_check(spark, sf_dir):
         or (s + _SIMHASH_INC_OFFSET, s) in zero_pairs
         for s in src_ids
     )
-    n_inc = docs.filter(F.col("doc_id") % 5 == 0).count() \
-        + _SIMHASH_INC_COPIES
+    n_inc = n_fresh + _SIMHASH_INC_COPIES
+    # parity over the fingerprinted universe: the replay sees exactly
+    # the docs in fps, so the pruned side restricts to pairs whose
+    # members are both covered (== ALL pairs at bench sf, where every
+    # pair is sampled) — exact set equality both directions within it
+    pruned_r = {(a, b, h) for a, b, h in pruned
+                if a in fps and b in fps}
     return spark.createDataFrame(
         [(
             int(n_inc),
-            bool(pruned == replay),
+            bool(pruned_r == replay),
             bool(recall_ok and src_ids),
-            bool(all(d in fps for d in pair_docs)),
+            bool(all(d in fps for d in spair_docs)),
             bool(len(pruned) > 0),
         )],
         "n_increment bigint, parity_ok boolean, recall_ok boolean,"
