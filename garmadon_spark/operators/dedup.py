@@ -1361,6 +1361,115 @@ def admit_increment(
     return accepted_docs, accepted_sigs, rejected
 
 
+def admit_increment_simhash(
+    new_docs: DataFrame,
+    hist_chunked: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    chunk_bits: int = 14,
+    n_chunks: int = 4,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """ONE SimHash admission round — the tier-4 twin of
+    ``admit_increment``, factored out so the streaming gate
+    (``streaming.corpus.simhash_dedup_stream``) and its batch replay
+    can never drift.  Semantics mirror the MinHash unit with Hamming
+    distance in place of the Jaccard estimate:
+
+    1. every new doc within ``max_hamming`` of ANY indexed doc is
+       rejected (reason ``history`` — identical normalized text ⇒
+       identical fingerprint ⇒ Hamming 0, the recall floor);
+    2. among the remaining new docs, connected components over the
+       new↔new pairs; each component keeps its min id, the rest are
+       rejected (``intra_batch``).
+
+    Docs with no tokens have no fingerprint and bypass the gate
+    (admitted with a null ``simhash``, nothing appended).  Same-id
+    re-submissions have REPLACE semantics exactly as in
+    ``admit_increment`` (the retry-safety anti-join drops same-id
+    index rows; extra fingerprint versions in the tree only ADD
+    candidates until the next fold).
+
+    ``hist_chunked``: the persisted chunk index read
+    (``read_simhash_index`` / the stream's ``_history_chunks``) —
+    candidates come from planning-time-pruned (chunk, cp) partitions,
+    O(increment + collisions), never O(history).
+
+    Returns ``(accepted, acc_fps, rejected)``: accepted = (id_col,
+    simhash — null for fingerprint-less docs); acc_fps = (doc,
+    simhash) to APPEND to the index (survivors only, fingerprint-less
+    docs excluded); rejected = (doc, reason).  ``accepted`` carries
+    ``_gs_unpersist()`` releasing the round's persisted intermediates
+    — call it after the results are materialized."""
+    from pyspark import StorageLevel
+
+    fps = simhash(new_docs, id_col, text_col) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = incremental_simhash(
+        new_docs, None, id_col=id_col, text_col=text_col,
+        max_hamming=max_hamming, chunk_bits=chunk_bits,
+        n_chunks=n_chunks, hist_chunked=hist_chunked, new_fps=fps,
+    )
+    inc_ids = fps.select("doc")
+    flagged = (
+        pairs
+        .join(F.broadcast(inc_ids.select(
+            F.col("doc").alias("doc_a"),
+            F.lit(True).alias("a_new"))), "doc_a", "left")
+        .join(F.broadcast(inc_ids.select(
+            F.col("doc").alias("doc_b"),
+            F.lit(True).alias("b_new"))), "doc_b", "left")
+        .fillna(False, ["a_new", "b_new"])
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    hist_hits = flagged.filter(~F.col("a_new") | ~F.col("b_new"))
+    rejected_hist = (
+        hist_hits.filter("a_new").select(F.col("doc_a").alias("doc"))
+        .unionByName(
+            hist_hits.filter("b_new").select(F.col("doc_b").alias("doc"))
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    edges = (
+        flagged.filter(F.col("a_new") & F.col("b_new"))
+        .join(rejected_hist.withColumnRenamed("doc", "doc_a"),
+              "doc_a", "left_anti")
+        .join(rejected_hist.withColumnRenamed("doc", "doc_b"),
+              "doc_b", "left_anti")
+        .select("doc_a", "doc_b")
+    )
+    comp = components(edges)
+    rejected_intra = comp.filter(
+        F.col("doc_id") != F.col("component")
+    ).select(F.col("doc_id").alias("doc"))
+    rejected = (
+        rejected_hist.withColumn("reason", F.lit("history"))
+        .unionByName(
+            rejected_intra.withColumn("reason", F.lit("intra_batch"))
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    rej_ids = rejected.select("doc")
+    accepted = (
+        new_docs.select(F.col(id_col))
+        .join(rej_ids.withColumnRenamed("doc", id_col),
+              id_col, "left_anti")
+        .join(fps.select(F.col("doc").alias(id_col), "simhash"),
+              id_col, "left")
+    )
+    acc_fps = fps.join(rej_ids, "doc", "left_anti")
+    handles = [fps, flagged, rejected]
+
+    def _unp():
+        pairs._gs_unpersist()
+        for h in handles:
+            h.unpersist()
+
+    accepted._gs_unpersist = _unp
+    return accepted, acc_fps, rejected
+
+
 def _rebuild_banded_batch(spark, index_path: str, batch: int,
                           bands: int) -> None:
     """(Re)build one ``bands/batch=N`` partition from its committed
@@ -1900,6 +2009,7 @@ def incremental_simhash(
     chunk_bits: int = 14,
     n_chunks: int = 4,
     hist_chunked: DataFrame | None = None,
+    new_fps: DataFrame | None = None,
 ) -> DataFrame:
     """Tier-4 dedup, incremental form: fingerprint the INCREMENT and
     match it against the corpus's stored SimHash table — the cheapest
@@ -1927,11 +2037,23 @@ def incremental_simhash(
     pair requires a shared (chunk, val) bucket, and every history row
     in a touched bucket is in a touched partition by construction).
     ``hist_fps`` may be None in this mode.  Call the returned frame's
-    ``_gs_unpersist()`` when done (no-op on the re-chunking path)."""
-    inc = simhash(new_docs, id_col, text_col).withColumn(
-        "is_new", F.lit(True)
+    ``_gs_unpersist()`` when done (no-op on the re-chunking path).
+
+    ``new_fps``: precomputed (doc, simhash) for the increment — the
+    streaming gate fingerprints its batch once and reuses it for the
+    candidate pass AND the index append, so pass it here to skip the
+    internal ``simhash(new_docs)`` (fingerprints are pure functions
+    of text, so results are identical; ``new_docs`` is then only the
+    id source for the retry-safety anti-join and may be the same
+    frame the fps were computed from)."""
+    inc = (
+        new_fps.select("doc", "simhash") if new_fps is not None
+        else simhash(new_docs, id_col, text_col)
+    ).withColumn("is_new", F.lit(True))
+    anti = (
+        new_fps.select("doc") if new_fps is not None
+        else new_docs.select(F.col(id_col).alias("doc"))
     )
-    anti = new_docs.select(F.col(id_col).alias("doc"))
     handles = []
     if hist_chunked is None:
         if hist_fps is None:

@@ -5359,6 +5359,231 @@ SELECT CAST((SELECT COUNT(*) FROM documents
 """
 
 
+# --- streaming simhash admission gate (r14) ---------------------------
+#
+# simhash_dedup_stream CLOSED over the same engineered increments the
+# exact gate uses (fresh crawl, then fresh + exact re-scrapes + one
+# intra-batch duplicate) — the tier-4 member of the three-family gate
+# symmetry.  Decisions are Hamming-based over engine-defined
+# fingerprints, so the builder is rows-only and the _check replays
+# every decision with an independent pure-Python implementation.
+
+
+def _simhash_stream_path(sf_dir: str) -> str:
+    return _index_cache_path(sf_dir, "documents.parquet",
+                             "garmadon_simstr_")
+
+
+def _ensure_simhash_streamed(spark, sf_dir):
+    """Run simhash_dedup_stream once per corpus over the exact gate's
+    engineered increments (same batch shapes, distinct cache)."""
+    import glob
+    import os
+    import shutil
+
+    from garmadon_spark.streaming import corpus as _scorpus
+
+    base = _simhash_stream_path(sf_dir)
+    stamp = os.path.join(base, "_OK")
+    want = (f"b1={_EXACT_B1};f={_EXACT_FRESH};c={_EXACT_COPIES};"
+            f"off={_EXACT_OFF};l={dedup._simhash_layout(14, 4)};v=1")
+    if os.path.exists(stamp) and open(stamp).read() == want:
+        return base
+    shutil.rmtree(base, ignore_errors=True)
+    b1, b2 = _exact_stream_batches(spark, sf_dir)
+    src = f"{base}/src"
+    b1.coalesce(1).write.mode("append").parquet(src)
+    first = set(glob.glob(f"{src}/part-*.parquet"))
+    b2.coalesce(1).write.mode("append").parquet(src)
+    second = sorted(set(glob.glob(f"{src}/part-*.parquet")) - first)
+    for i, f in enumerate(sorted(first) + second):
+        os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
+    q = _scorpus.simhash_dedup_stream(
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+        f"{base}/index", f"{base}/out", f"{base}/ckpt",
+    ).start()
+    q.awaitTermination()
+    with open(stamp, "w") as fh:
+        fh.write(want)
+    return base
+
+
+def doc_simhash_stream(spark, sf_dir):
+    """Documents the streaming SIMHASH admission gate ACCEPTED, read
+    from what simhash_dedup_stream materialized — the tier-4 twin of
+    doc_dedup_stream / doc_exact_stream.  Rows-only (which near-dups
+    the Hamming gate catches is engine-defined);
+    ``doc_simhash_stream_check`` replays every decision
+    independently."""
+    base = _ensure_simhash_streamed(spark, sf_dir)
+    return (
+        spark.read.option("basePath", f"{base}/out/accepted")
+        .parquet(f"{base}/out/accepted")
+        .select(F.col("batch").cast("bigint").alias("batch"),
+                "doc_id", "simhash")
+        .orderBy("batch", "doc_id")
+    )
+
+
+def _replay_simhash_admission(ids, fps, hist_fps, max_hamming=3):
+    """INDEPENDENT driver-side replay of one SimHash admission round —
+    pure Python chunk-bucketing + ``bin(a^b).count`` Hamming +
+    union-find, the tier-4 twin of ``_replay_admission``, so the gate
+    is checked against a second implementation, not a re-run of the
+    Spark code.  Docs without a fingerprint bypass the gate.  Returns
+    (accepted_ids, appended {doc: fp}, rejected {doc: reason})."""
+    def chunks(s):
+        return [(c, (s >> (c * 14)) & 0x3FFF) for c in range(4)]
+
+    buckets: dict = {}
+    for d, s in hist_fps.items():
+        for ck in chunks(s):
+            buckets.setdefault(ck, []).append(("h", d))
+    new_fps = {d: fps[d] for d in ids if d in fps}
+    for d, s in new_fps.items():
+        for ck in chunks(s):
+            buckets.setdefault(ck, []).append(("n", d))
+    rejected: dict = {}
+    for d, s in new_fps.items():
+        cands = {hd for ck in chunks(s) for kind, hd in buckets[ck]
+                 if kind == "h"}
+        if any(bin(s ^ hist_fps[h]).count("1") <= max_hamming
+               for h in cands):
+            rejected[d] = "history"
+    parent = {d: d for d in new_fps if d not in rejected}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for d, s in new_fps.items():
+        if d in rejected:
+            continue
+        cands = {nd for ck in chunks(s) for kind, nd in buckets[ck]
+                 if kind == "n" and nd != d and nd not in rejected}
+        for o in cands:
+            if bin(s ^ new_fps[o]).count("1") <= max_hamming:
+                ra, rb = find(d), find(o)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    comp: dict = {}
+    for d in parent:
+        comp.setdefault(find(d), []).append(d)
+    for members in comp.values():
+        keep = min(members)
+        rejected.update({m: "intra_batch" for m in members
+                         if m != keep})
+    accepted = [d for d in ids if d not in rejected]
+    return (accepted,
+            {d: new_fps[d] for d in accepted if d in new_fps},
+            rejected)
+
+
+def doc_simhash_stream_check(spark, sf_dir):
+    """Independent-replay gate over the streaming SimHash shell: (1)
+    the streamed accept/reject decisions equal
+    ``_replay_simhash_admission`` run over the same increments in
+    order — fingerprints collected from ONE bounded Spark job (the
+    fixture is ≤ ~81 docs), every decision (reasons included)
+    recomputed in pure Python; (2) every re-scrape of a batch-1
+    survivor was rejected ``history`` (identical text ⇒ identical
+    fingerprint ⇒ Hamming 0 — the recall floor) and the engineered
+    intra-batch duplicate fell to the gate; (3) the chunk-index tree
+    holds exactly the accepted docs' self-consistent 4-chunk groups in
+    the right batch partitions with the layout stamp intact.
+    n_input / n_copies are data-bearing (pinned by SQL)."""
+    import os
+
+    base = _ensure_simhash_streamed(spark, sf_dir)
+    b1, b2 = _exact_stream_batches(spark, sf_dir)
+    both = b1.withColumn("b", F.lit(0)).unionByName(
+        b2.withColumn("b", F.lit(1)))
+    fps_all = {
+        (int(r.b), int(r.doc)): int(r.simhash)
+        for r in dedup.simhash(
+            both.withColumn("doc_id", F.struct("b", "doc_id"))
+        ).select(F.col("doc.b").alias("b"),
+                 F.col("doc.doc_id").alias("doc"),
+                 "simhash").collect()
+    }
+    ids1 = sorted(int(r.doc_id) for r in b1.select("doc_id").collect())
+    ids2 = sorted(int(r.doc_id) for r in b2.select("doc_id").collect())
+    fp1 = {d: s for (bb, d), s in fps_all.items() if bb == 0}
+    fp2 = {d: s for (bb, d), s in fps_all.items() if bb == 1}
+    e1, app1, rej1 = _replay_simhash_admission(ids1, fp1, {})
+    e2, app2, rej2 = _replay_simhash_admission(ids2, fp2, app1)
+    expected = {(0, d) for d in e1} | {(1, d) for d in e2}
+    expected_rej = ({(0, d, w) for d, w in rej1.items()}
+                    | {(1, d, w) for d, w in rej2.items()})
+    served = {
+        (int(r.batch), int(r.doc_id))
+        for r in spark.read.option("basePath", f"{base}/out/accepted")
+        .parquet(f"{base}/out/accepted")
+        .select("batch", "doc_id").collect()
+    }
+    served_rej = {
+        (int(r.batch), int(r.doc), r.reason)
+        for r in spark.read.option("basePath", f"{base}/out/rejected")
+        .parquet(f"{base}/out/rejected").collect()
+    }
+    idx_rows = spark.read \
+        .schema("doc bigint, simhash bigint, batch long, chunk int,"
+                " val bigint, cp string") \
+        .option("basePath", f"{base}/index/chunks") \
+        .parquet(f"{base}/index/chunks").collect()
+    exp_idx = set()
+    for bno, app in ((0, app1), (1, app2)):
+        for d, s in app.items():
+            for c in range(4):
+                exp_idx.add((bno, d, s, c, (s >> (c * 14)) & 0x3FFF))
+    idx = {(int(r.batch), int(r.doc), int(r.simhash), int(r.chunk),
+            int(r.val)) for r in idx_rows}
+    stamp_ok = False
+    try:
+        stamp_ok = (
+            open(os.path.join(base, "index", "chunks",
+                              "_LAYOUT")).read()
+            == dedup._simhash_layout(14, 4))
+    except OSError:
+        pass
+    surv1 = {d for d in e1 if d >= _EXACT_B1 - _EXACT_COPIES}
+    copies_rejected_ok = bool(surv1) and all(
+        (1, d + _EXACT_OFF, "history") in served_rej for d in surv1
+    )
+    return spark.createDataFrame(
+        [(
+            len(ids1) + len(ids2),
+            int(_EXACT_COPIES),
+            bool(served == expected),
+            bool(served_rej == expected_rej),
+            bool(copies_rejected_ok),
+            bool(idx == exp_idx),
+            bool(stamp_ok),
+        )],
+        "n_input bigint, n_copies bigint, parity_ok boolean,"
+        " rejects_ok boolean, copies_rejected_ok boolean,"
+        " index_ok boolean, stamp_ok boolean",
+    )
+
+
+DOC_SIMHASH_STREAM_CHECK_SQL = f"""
+SELECT CAST((SELECT COUNT(*) FROM documents
+             WHERE doc_id < {_EXACT_B1 + _EXACT_FRESH}) +
+            (SELECT COUNT(*) FROM documents
+             WHERE doc_id >= {_EXACT_B1 - _EXACT_COPIES}
+               AND doc_id < {_EXACT_B1}) +
+            (SELECT COUNT(*) FROM documents
+             WHERE doc_id = {_EXACT_B1}) AS BIGINT) AS n_input,
+       CAST({_EXACT_COPIES} AS BIGINT) AS n_copies,
+       TRUE AS parity_ok, TRUE AS rejects_ok,
+       TRUE AS copies_rejected_ok, TRUE AS index_ok,
+       TRUE AS stamp_ok
+"""
+
+
 # --- prefix-index compaction lifecycle (r14) --------------------------
 
 # Fixture bounds: deliberately SMALL — the query proves fold
@@ -5719,5 +5944,9 @@ QUERIES = {
     ),
     "doc_index_compaction": (
         doc_index_compaction, DOC_INDEX_COMPACTION_SQL
+    ),
+    "doc_simhash_stream": (doc_simhash_stream, None),
+    "doc_simhash_stream_check": (
+        doc_simhash_stream_check, DOC_SIMHASH_STREAM_CHECK_SQL
     ),
 }

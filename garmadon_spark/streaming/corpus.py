@@ -254,6 +254,160 @@ def exact_dedup_stream(
     )
 
 
+def _history_chunks(sess, chunks_root: str, batch_id: int):
+    """The SimHash gate's history read: every committed batch's chunk
+    rows EXCEPT the current batch's partition — the tier-4 twin of
+    ``_history_hashes``.  Explicit schema (digit-only hex cp
+    directories must never infer numeric) + planning-time ``batch !=
+    current`` partition filter; (chunk, cp) ride along so
+    ``incremental_simhash`` prunes the candidate read to the
+    increment's touched chunk-value prefixes."""
+    return (
+        sess.read
+        .schema("doc bigint, simhash bigint, batch long, chunk int,"
+                " val bigint, cp string")
+        .option("basePath", chunks_root).parquet(chunks_root)
+        .filter(F.col("batch") != batch_id)
+        .select("doc", "simhash", "chunk", "val", "cp")
+    )
+
+
+def simhash_dedup_stream(
+    docs: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    chunk_bits: int = 14,
+    n_chunks: int = 4,
+):
+    """Streaming SIMHASH near-dup admission gate — the tier-4 member
+    of the three-family gate symmetry (``dedup_corpus_stream`` =
+    MinHash/banded, ``exact_dedup_stream`` = exact/hp, this = SimHash/
+    chunk-pigeonhole): each micro-batch is fingerprinted ONCE, matched
+    against the corpus's persisted chunk index at Hamming ≤
+    ``max_hamming`` (``dedup.admit_increment_simhash`` — the shared
+    decision unit, so a batch replay of the same increments is
+    bit-identical; candidates from planning-time-pruned (chunk, cp)
+    partitions), survivors land in ``out_path`` and their
+    chunk rows are APPENDED to the index, exactly once.  Cheapest of
+    the three gates per historical doc (8 bytes of fingerprint, no
+    text, no shingle sets) — the right front door when near-dup means
+    "lightly edited" rather than "overlapping shingles".
+
+    Decision semantics mirror the minhash gate: a new doc pairing with
+    HISTORY at ≤ max_hamming is rejected ``history`` (all copies of
+    it); survivors pairing among THEMSELVES form components
+    (``dedup.components`` — distributed min-label propagation) and
+    every non-minimum member is rejected ``intra_batch``.  Docs too
+    short to fingerprint (no tokens) bypass the gate, per the shared
+    contract.
+
+    Layout: ``index_path/chunks/batch=N/chunk=C/cp=XX`` with the
+    ``_LAYOUT`` identity stamp at the tree root, written BEFORE first
+    data; a chunking-parameter change between deployments is refused.
+    ``out_path/accepted/batch=N`` holds (id, simhash) rows;
+    ``out_path/rejected/batch=N`` the (doc, reason) audit log.
+    Exactly-once is the shared marker protocol
+    (``_simhash_batches/N.done``, replay partition-drop up front,
+    foreign-chain refusal, markers pruned to
+    ``_ADMIT_RETAIN_MARKERS``).
+
+    Scale shape: per trigger the history side is a partition-pruned
+    read (batch filter × ≤ n_chunks·256 (chunk, cp) literals) —
+    O(increment + collisions), never O(history); the only shuffles
+    are the increment's fingerprint groupBy, the bucket join over
+    pruned candidates, and label-sized component rounds.
+
+    Returns the (unstarted, availableNow-triggered) writer."""
+    from garmadon_spark.operators.dedup import (
+        _simhash_layout,
+        _stamp_layout_before_write,
+        chunked_fingerprints,
+    )
+    from garmadon_spark.sinks.rollup import (
+        _checkpoint_run_id,
+        _hadoop_fs,
+        _list_markers,
+        _marker_current,
+        _refuse_foreign_chain,
+        _write_marker,
+    )
+
+    cache: dict = {}
+    chunks_root = f"{index_path}/chunks"
+    marks_root = f"{index_path}/_simhash_batches"
+
+    def _gate(batch_df: DataFrame, batch_id: int) -> None:
+        import os as _os
+        import shutil as _shutil
+
+        sess = batch_df.sparkSession
+        if "run" not in cache:
+            cache["run"] = _checkpoint_run_id(sess, checkpoint)
+            _refuse_foreign_chain(
+                sess, marks_root, cache["run"],
+                "resume its original checkpoint, or clear the chunk "
+                "index and results before admitting with a new one",
+            )
+        marker = f"{marks_root}/{batch_id}.done"
+        if _marker_current(sess, marker, cache["run"]) or batch_df.isEmpty():
+            return
+        _shutil.rmtree(f"{chunks_root}/batch={batch_id}",
+                       ignore_errors=True)
+        _stamp_layout_before_write(
+            chunks_root, _simhash_layout(chunk_bits, n_chunks),
+            "append")
+        if any(d.startswith("batch=")
+               for d in _os.listdir(chunks_root)):
+            hist = _history_chunks(sess, chunks_root, batch_id)
+        else:
+            hist = sess.createDataFrame(
+                [], "doc bigint, simhash bigint, chunk int,"
+                    " val bigint, cp string")
+        accepted, acc_fps, rejected = dedup.admit_increment_simhash(
+            batch_df, hist, id_col=id_col, text_col=text_col,
+            max_hamming=max_hamming, chunk_bits=chunk_bits,
+            n_chunks=n_chunks,
+        )
+        try:
+            accepted.write.mode("overwrite").parquet(
+                f"{out_path}/accepted/batch={batch_id}"
+            )
+            rejected.write.mode("overwrite").parquet(
+                f"{out_path}/rejected/batch={batch_id}"
+            )
+            # index append: the accepted docs' chunk rows, derived
+            # from the SAME fingerprints that made the decisions
+            chunked_fingerprints(acc_fps, chunk_bits, n_chunks) \
+                .repartition("chunk", "cp") \
+                .write.mode("overwrite") \
+                .option("partitionOverwriteMode", "static") \
+                .partitionBy("chunk", "cp").parquet(
+                    f"{chunks_root}/batch={batch_id}"
+                )
+        finally:
+            accepted._gs_unpersist()
+        _write_marker(sess, marker, cache["run"])
+        marked = []
+        for m in _list_markers(sess, marks_root):
+            stem = m.rsplit("/", 1)[-1][: -len(".done")]
+            if stem.isdigit():
+                marked.append(int(stem))
+        for b in sorted(marked)[:-_ADMIT_RETAIN_MARKERS]:
+            fs, jp = _hadoop_fs(sess, f"{marks_root}/{b}.done")
+            fs.delete(jp, False)
+
+    return (
+        docs.writeStream.foreachBatch(_gate)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+    )
+
+
 def _history_sigs(sess, sigs_root: str, sig_schema, batch_id: int):
     """The admission gate's history read: the whole signature tree
     EXCEPT the current batch's partition.  The ``batch != current``

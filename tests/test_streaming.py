@@ -2202,3 +2202,135 @@ def test_compact_exact_index_preserves_gate_history(spark, tmp_path):
         dedup.compact_exact_index(spark, index)
     with pytest.raises(ValueError, match="keep_last"):
         dedup.compact_exact_index(spark, index, keep_last=0)
+
+
+def test_simhash_dedup_stream_admits_exactly_once(spark, tmp_path):
+    """The streaming SimHash admission gate: (a) per-batch decisions
+    equal the shared batch unit (admit_increment_simhash) replayed
+    sequentially over the same increments — the streaming shell
+    (markers, partition overwrite, pruned chunk-index read) must not
+    change a single keep/drop, reject REASONS included; (b) a
+    crash-window replay (lost checkpoint commit AND lost marker)
+    converges to the identical state; (c) a fresh checkpoint over
+    another incarnation's chain is refused."""
+    import glob
+    import os
+
+    from garmadon_spark.operators import dedup
+    from garmadon_spark.session import load_table
+    from garmadon_spark.streaming import corpus as scorpus
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text")
+    b1 = d.filter(F.col("doc_id") < 30)
+    b2 = (
+        d.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 45))
+        .unionByName(
+            d.filter(F.col("doc_id") < 15)
+            .withColumn("doc_id", F.col("doc_id") + 1_000_000))
+        .unionByName(
+            d.filter(F.col("doc_id") == 30)
+            .withColumn("doc_id", F.col("doc_id") + 2_000_000))
+    )
+    src = str(tmp_path / "src")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    first = set(glob.glob(f"{src}/part-*.parquet"))
+    b2.coalesce(1).write.mode("append").parquet(src)
+    second = sorted(set(glob.glob(f"{src}/part-*.parquet")) - first)
+    for i, f in enumerate(sorted(first) + second):
+        os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
+    index, out, ckpt = (str(tmp_path / p) for p in ("idx", "out", "ck"))
+
+    def gate(checkpoint):
+        return scorpus.simhash_dedup_stream(
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1").parquet(src),
+            index, out, checkpoint,
+        ).start()
+
+    gate(ckpt).awaitTermination()
+
+    def state():
+        got = {
+            (r.batch, r.doc_id, r.simhash)
+            for r in spark.read.option("basePath", f"{out}/accepted")
+            .parquet(f"{out}/accepted").collect()
+        }
+        rej = {
+            (r.batch, r.doc, r.reason)
+            for r in spark.read.option("basePath", f"{out}/rejected")
+            .parquet(f"{out}/rejected").collect()
+        }
+        idx = {
+            (r.batch, r.doc, r.simhash, r.chunk, r.val)
+            for r in spark.read
+            .schema("doc bigint, simhash bigint, batch long,"
+                    " chunk int, val bigint, cp string")
+            .option("basePath", f"{index}/chunks")
+            .parquet(f"{index}/chunks").collect()
+        }
+        return got, rej, idx
+
+    got, rej, idx = state()
+    # (a) stream == sequential replay of the shared batch unit
+    empty = spark.createDataFrame(
+        [], "doc bigint, simhash bigint, chunk int, val bigint,"
+            " cp string")
+    a1, f1, r1 = dedup.admit_increment_simhash(b1, empty)
+    e1 = {(r.doc_id, r.simhash) for r in a1.collect()}
+    fp1 = [(int(r.doc), int(r.simhash)) for r in f1.collect()]
+    rej1 = {(r.doc, r.reason) for r in r1.collect()}
+    a1._gs_unpersist()
+    hist2 = dedup.chunked_fingerprints(
+        spark.createDataFrame(fp1, "doc bigint, simhash bigint"))
+    a2, f2, r2 = dedup.admit_increment_simhash(b2, hist2)
+    e2 = {(r.doc_id, r.simhash) for r in a2.collect()}
+    fp2 = [(int(r.doc), int(r.simhash)) for r in f2.collect()]
+    rej2 = {(r.doc, r.reason) for r in r2.collect()}
+    a2._gs_unpersist()
+    assert got == ({(0, i, s) for i, s in e1}
+                   | {(1, i, s) for i, s in e2})
+    assert rej == ({(0, i, w) for i, w in rej1}
+                   | {(1, i, w) for i, w in rej2})
+    # the index holds exactly the accepted docs' chunk rows per batch
+    exp_idx = set()
+    for bno, fpl in ((0, fp1), (1, fp2)):
+        for doc, s in fpl:
+            for c in range(4):
+                exp_idx.add((bno, doc, s, c, (s >> (c * 14)) & 0x3FFF))
+    assert idx == exp_idx
+    # recall floor: every re-scrape of a batch-1 SURVIVOR rejected
+    surv_copies = {i + 1_000_000 for i, _s in e1 if i < 15}
+    assert surv_copies and all(
+        (1, c, "history") in rej for c in surv_copies)
+    assert surv_copies.isdisjoint({i for _b, i, _s in got})
+
+    # (b) crash window: lose the last commit AND marker → replay
+    # converges to the identical state
+    last = sorted(f for f in os.listdir(f"{ckpt}/commits")
+                  if f.isdigit())[-1]
+    os.remove(f"{ckpt}/commits/{last}")
+    try:
+        os.remove(f"{ckpt}/commits/.{last}.crc")
+    except FileNotFoundError:
+        pass
+    markers = sorted(glob.glob(f"{index}/_simhash_batches/*.done"))
+    assert len(markers) == 2
+    os.remove(markers[-1])
+    gate(ckpt).awaitTermination()
+    assert state() == (got, rej, idx)
+
+    # (c) fresh checkpoint over this chain is refused; a chunking
+    # parameter change is refused by the layout stamp
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    with pytest.raises(StreamingQueryException,
+                       match="different streaming incarnation"):
+        gate(str(tmp_path / "ck_fresh")).awaitTermination()
+    assert state() == (got, rej, idx)
+    b1.limit(3).coalesce(1).write.mode("append").parquet(src)
+    with pytest.raises(StreamingQueryException, match="layout"):
+        scorpus.simhash_dedup_stream(
+            spark.readStream.schema(b1.schema)
+            .option("maxFilesPerTrigger", "1").parquet(src),
+            index, out, ckpt, chunk_bits=8, n_chunks=8,
+        ).start().awaitTermination()
