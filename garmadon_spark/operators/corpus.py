@@ -331,9 +331,15 @@ def dsir_log_ratios(
         log_ratio[b] = ln p̂_target[b] − ln p̂_raw[b]
 
     Plan: two explode→count aggregates (map-side combined; the shuffle
-    key space is ``buckets``, never tokens), two O(1) total collects,
-    one bucket-keyed join.  The result is model-sized — broadcast it."""
-    def bucket_counts(df: DataFrame) -> DataFrame:
+    key space is ``buckets``, never tokens), each run ONCE and collected
+    — the counts are model-sized (≤ ``buckets`` integer rows), so they
+    come back as literal tables instead of live subtrees (r14: the
+    previous shape evaluated each full explode→count TWICE — once for
+    its total's ``.first()`` and again inside the ratio join).  Totals
+    are exact integer sums driver-side; the log-ratio arithmetic stays
+    a JVM expression over the literal counts, so results are
+    bit-identical.  The result is model-sized — broadcast it."""
+    def bucket_counts(df: DataFrame) -> list:
         return (
             df.select(
                 F.explode(dsir_gram_buckets(text_col, buckets))
@@ -341,15 +347,23 @@ def dsir_log_ratios(
             )
             .groupBy("bkt")
             .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
         )
 
-    tc = bucket_counts(target)
-    rc = bucket_counts(raw)
-    t_total = tc.agg(F.sum("c")).first()[0] or 0
-    q_total = rc.agg(F.sum("c")).first()[0] or 0
+    spark = raw.sparkSession
+    tc_rows = bucket_counts(target)
+    rc_rows = bucket_counts(raw)
+    t_total = sum(r.c for r in tc_rows)
+    q_total = sum(r.c for r in rc_rows)
+    tc = spark.createDataFrame(
+        [(int(r.bkt), int(r.c)) for r in tc_rows], "bkt long, ct long"
+    )
+    rc = spark.createDataFrame(
+        [(int(r.bkt), int(r.c)) for r in rc_rows], "bkt long, c long"
+    )
     s = float(smoothing)
     return (
-        rc.join(tc.withColumnRenamed("c", "ct"), "bkt", "left")
+        rc.join(tc, "bkt", "left")
         .select(
             "bkt",
             (

@@ -2154,22 +2154,27 @@ def components(
     across rounds grows the logical plan ~3× per round — exponential
     ANALYSIS time by round 3 (measured 1 s → 20 s/round).
     ``localCheckpoint`` truncates the lineage to a materialized leaf
-    each round, keeping planning cost constant.  On a cluster with
+    each round, keeping planning cost constant.  The checkpoints are
+    LAZY (r14): the round's convergence ``count`` is the action that
+    materializes them, so each round is exactly one job instead of an
+    eager-checkpoint job plus the count (and the edge/label seeds ride
+    round 1's job) — same dataflow, half the job-scheduling overhead,
+    which is what dominates label-sized rounds.  On a cluster with
     executor churn, swap for a reliable checkpoint (or write the label
-    table between rounds) — same dataflow."""
+    table between rounds)."""
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         nbr = edges.join(
@@ -2190,7 +2195,7 @@ def components(
                 F.col("new_comp"),
                 (F.col("new_comp") != F.col("comp")).alias("_changed"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.filter(F.col("_changed")).count()
         labels = new_labels.select(

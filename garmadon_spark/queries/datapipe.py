@@ -33,6 +33,26 @@ def _embs(spark, sf_dir):
     return load_table(spark, sf_dir, "embeddings")
 
 
+def _overlap(*thunks):
+    """Run independent Spark actions concurrently from a small driver
+    thread pool (optimization guide §2.6: actions are only sequential
+    because driver code calls them sequentially; overlapping lets the
+    next job's tasks back-fill executors freed by the current job's
+    tail).  Used by the fixture/telemetry queries whose cost is a
+    handful of INDEPENDENT small jobs — probe widths, lifecycle
+    stages, per-tree folds — where job-scheduling latency, not
+    compute, dominates.  Results return in thunk order; the first
+    exception propagates (after all threads finish, so no orphaned
+    jobs)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futs = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futs]
+
+
 def _fanout(spark, df):
     """Round-robin repartition to the session's parallelism.
 
@@ -3276,16 +3296,21 @@ def _recall_df(spark, path, n_base, stage):
         .filter(F.col("vec_id").isin(qids))
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
-    got: dict = {}
-    for np_ in widths + [cells]:
-        if np_ in got:
-            continue
+    def probe(np_):
         res = similarity.ivf_topk_batch(
             spark, path, queries, k=_RECALL_K, nprobe=np_,
             centroids=(fine_rows, coarse),
         )
-        got[np_] = {(r.query_id, r.vec_id) for r in res.collect()}
+        out = {(r.query_id, r.vec_id) for r in res.collect()}
         res._gs_unpersist()
+        return out
+
+    # the per-width probes are independent read-only jobs over the same
+    # index — overlap them (§2.6) instead of paying 3-4 sequential
+    # job-latency rounds
+    uniq = sorted(set(widths + [cells]))
+    got = dict(zip(uniq, _overlap(*(
+        lambda np_=np_: probe(np_) for np_ in uniq))))
     rows = []
     for cohort, pred in (("base", lambda q: q < n_base),
                          ("drifted", lambda q: q >= n_base)):
@@ -3832,25 +3857,35 @@ def _ivfpq_recall_df(spark, path, n_base, stage, k=10):
         .filter(F.col("vec_id").isin(qids))
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
-    exact_df = similarity.ivf_topk_batch(
-        spark, path, queries, k=k, nprobe=cells
-    )
-    exact = {(r.query_id, r.vec_id) for r in exact_df.collect()}
-    exact_df._gs_unpersist()
-    # the rerank budget scales with the corpus at a fixed 0.1 %
-    # fraction, floored at the 4·k serving constant: with a FIXED
-    # shortlist, ADC recall@k decays as the corpus grows (measured
-    # 0.575 drifted at the 100× replica with rerank 40 vs 0.9 at 400),
-    # so a fixed floor is only meaningful at fixed (probe-fraction,
-    # rerank-fraction).  The shortlist join stays shortlist-sized.
-    n_total = spark.read.parquet(f"{path}/vectors").count()
-    rerank = max(_IVFPQ_RERANK * k, n_total // 1000)
-    serve_df = similarity.ivfpq_topk_batch(
-        spark, path, queries, k=k, nprobe=nprobe,
-        rerank=rerank, queries_in_index_space=True,
-    )
-    got = {(r.query_id, r.vec_id) for r in serve_df.collect()}
-    serve_df._gs_unpersist()
+    def exact_probe():
+        exact_df = similarity.ivf_topk_batch(
+            spark, path, queries, k=k, nprobe=cells
+        )
+        out = {(r.query_id, r.vec_id) for r in exact_df.collect()}
+        exact_df._gs_unpersist()
+        return out
+
+    def serve_probe():
+        # the rerank budget scales with the corpus at a fixed 0.1 %
+        # fraction, floored at the 4·k serving constant: with a FIXED
+        # shortlist, ADC recall@k decays as the corpus grows (measured
+        # 0.575 drifted at the 100× replica with rerank 40 vs 0.9 at
+        # 400), so a fixed floor is only meaningful at fixed
+        # (probe-fraction, rerank-fraction).  The shortlist join stays
+        # shortlist-sized.
+        n_total = spark.read.parquet(f"{path}/vectors").count()
+        rerank = max(_IVFPQ_RERANK * k, n_total // 1000)
+        serve_df = similarity.ivfpq_topk_batch(
+            spark, path, queries, k=k, nprobe=nprobe,
+            rerank=rerank, queries_in_index_space=True,
+        )
+        out = {(r.query_id, r.vec_id) for r in serve_df.collect()}
+        serve_df._gs_unpersist()
+        return out
+
+    # the exact side and the ADC serving side are independent read-only
+    # probe jobs over the same frozen index — overlap them (§2.6)
+    exact, got = _overlap(exact_probe, serve_probe)
     rows = []
     for cohort, pred in (("base", lambda q: q < n_base),
                          ("drifted", lambda q: q >= n_base)):
@@ -3874,11 +3909,15 @@ def emb_ivfpq_retrain(spark, sf_dir):
     ``emb_ivfpq_lifecycle_check``."""
     dpath, n = _ensure_ivfpq_drift_index(spark, sf_dir)
     rpath, _n, _k2 = _ensure_ivfpq_retrained_index(spark, sf_dir)
+    # the two stages probe two INDEPENDENT frozen indexes — overlap
+    # their telemetry jobs (§2.6; the ensure calls above stay
+    # sequential, retrained copies from drift)
+    app, ret = _overlap(
+        lambda: _ivfpq_recall_df(spark, dpath, n, stage="appended"),
+        lambda: _ivfpq_recall_df(spark, rpath, n, stage="retrained"),
+    )
     return _memo_store(
-        spark, sf_dir, "ivfpq_recall",
-        _ivfpq_recall_df(spark, dpath, n, stage="appended").unionByName(
-            _ivfpq_recall_df(spark, rpath, n, stage="retrained")
-        ),
+        spark, sf_dir, "ivfpq_recall", app.unionByName(ret),
     )
 
 
@@ -4945,7 +4984,19 @@ def doc_curation_funnel(spark, sf_dir):
         .orderBy("stage")
     )
     out._gs_unpersist = lambda: (exact.unpersist(), neardup.unpersist())
-    return out
+    # publish the (5-row) funnel for the check's reuse (r14, the
+    # emb_diverse_sample precedent): the builder always recomputes —
+    # its benched cost stays the pipeline's honest cost — and the
+    # memo-off bench pass still times the check's full pipeline.  One
+    # set of persisted stage frames at a time (the _MINHASH_INCR_CACHE
+    # rule).
+    while _FUNNEL_CACHE:
+        _FUNNEL_CACHE.pop()()
+    _FUNNEL_CACHE.append(out._gs_unpersist)
+    return _memo_store(spark, sf_dir, "curation_funnel", out)
+
+
+_FUNNEL_CACHE: list = []
 
 
 def doc_curation_funnel_check(spark, sf_dir):
@@ -4958,9 +5009,9 @@ def doc_curation_funnel_check(spark, sf_dir):
     zero-overlap chunk stage conserves the near-dup survivors' chars
     exactly (sum(chunk_len) == survivors' chars — a lost or duplicated
     window breaks equality).  Driver work: five funnel rows."""
-    f = doc_curation_funnel(spark, sf_dir)
+    f = _memo_fetch(spark, sf_dir, "curation_funnel",
+                    lambda: doc_curation_funnel(spark, sf_dir))
     rows = {r.stage: r for r in f.collect()}
-    f._gs_unpersist()
     inp, qual, exact = rows["1_input"], rows["2_quality"], \
         rows["3_exact_dedup"]
     nd, ch = rows["4_near_dup"], rows["5_chunks"]
@@ -5665,113 +5716,83 @@ def doc_index_compaction(spark, sf_dir):
     old = hc.get(key)
     hc.set(key, "2")
     try:
-        # --- hash tree: two appends, the second a retry duplicate ---
-        hpath = f"{base}/hash"
+        # the collects both legs' expectations derive from, up front
         src_rows = [(int(r.doc_id), r.h) for r in hist.select(
             "doc_id", dedup.content_hash("text").alias("h")).collect()]
         src_hashes = {h for _i, h in src_rows}
-        hashes = hist.select(dedup.content_hash("text")
-                             .alias("content_hash"))
-        dedup.write_hash_index(hashes, hpath)
-        simulate_retry_append(hpath)
-        h_files_before = count_files(hpath)
-        h_folded = dedup.compact_hash_index(spark, hpath)
-        # tree audit by COLLECT, not count jobs — the folded tree is
-        # ≤ |hist| rows; duplicate detection, hp-homing, and
-        # loss-detection (folded rows == SOURCE hash set) are Python
-        # set math over one bounded read
-        h_rows = [(r.content_hash, r.hp) for r in
-                  dedup.read_hash_index(spark, hpath).collect()]
-        # the post-fold PRUNED anti-join, gated against a pure-Python
-        # expectation (min-id per hash among the increment, hash not
-        # in the source set)
         inc_rows = [(int(r.doc_id), r.h) for r in inc.select(
             "doc_id", dedup.content_hash("text").alias("h")).collect()]
-        win: dict = {}
-        for i, h in inc_rows:
-            if h not in src_hashes and (h not in win or i < win[h]):
-                win[h] = i
-        expected = {(i, h) for h, i in win.items()}
-        post = dedup.incremental_exact_dedup(
-            inc, dedup.read_hash_index(spark, hpath))
-        post_set = {(int(r.doc_id), r.content_hash)
-                    for r in post.collect()}
-        post._gs_unpersist()
-        hash_ok = bool(
-            h_folded == h_files_before
-            and count_files(hpath) < h_files_before
-            and post_set == expected
-            and {h for h, _hp in h_rows} == src_hashes
-            and len(h_rows) == len(set(h_rows))
-            and all(hp == h[: dedup.HASH_HP_CHARS]
-                    for h, hp in h_rows)
-            and stamp_ok(hpath, dedup._hash_layout())
-        )
 
-        # --- simhash tree: same protocol, re-scrapes force pairs ----
-        spath = f"{base}/simhash"
-        dedup.write_simhash_index(dedup.simhash(hist), spath)
-        simulate_retry_append(spath)
-        s_files_before = count_files(spath)
-        s_folded = dedup.compact_simhash_index(spark, spath)
-        s_rows = [(int(r.doc), int(r.simhash), int(r.chunk),
-                   int(r.val))
-                  for r in dedup.read_simhash_index(spark, spath)
-                  .collect()]
-        # post-fold PRUNED candidate pass over the engineered
-        # re-scrapes, gated against a pure-Python pigeonhole replay
-        # from the folded tree's own rows (copies share their source's
-        # fingerprint — identical text): bucket by (chunk, val), pair,
-        # ≥1 new member, Hamming ≤ 3
-        post = dedup.incremental_simhash(
-            rescrape, None,
-            hist_chunked=dedup.read_simhash_index(spark, spath))
-        post_pairs = {(int(r.doc_a), int(r.doc_b), int(r.hamming))
-                      for r in post.collect()}
-        post._gs_unpersist()
-        fps_tree = {d: s for d, s, _c, _v in s_rows}
-        half_ids = {d for d in fps_tree if d < _CMP_HIST // 2}
-        all_fp = dict(fps_tree)
-        all_fp.update({d + 10**9: fps_tree[d] for d in half_ids})
-        buckets: dict = {}
-        for d, s in all_fp.items():
-            for c in range(4):
-                buckets.setdefault((c, (s >> (c * 14)) & 0x3FFF),
-                                   []).append(d)
-        exp_pairs = set()
-        for members in buckets.values():
-            ms = sorted(set(members))
-            for i, a in enumerate(ms):
-                for b in ms[i + 1:]:
-                    if a < 10**9 and b < 10**9:
-                        continue  # settled hist–hist pair
-                    hd = bin(all_fp[a] ^ all_fp[b]).count("1")
-                    if hd <= 3:
-                        exp_pairs.add((a, b, hd))
-        # loss detection without a pre-read: every history doc must
-        # hold exactly one duplicate-free, self-consistent 4-chunk
-        # group (val_i == (simhash >> 14·i) & mask), and nothing else
-        by_doc: dict = {}
-        for d, s, c, v in s_rows:
-            by_doc.setdefault(d, set()).add((s, c, v))
-        structure_ok = (
-            set(by_doc) == {i for i, _h in src_rows}
-            and len(s_rows) == len(set(s_rows))
-            and all(
-                len(g) == 4
-                and len({s for s, _c, _v in g}) == 1
-                and all(v == (s >> (c * 14)) & 0x3FFF
-                        for s, c, v in g)
-                for g in by_doc.values()
+        def hash_leg():
+            # --- hash tree: two appends, the second a retry dup ---
+            hpath = f"{base}/hash"
+            hashes = hist.select(dedup.content_hash("text")
+                                 .alias("content_hash"))
+            dedup.write_hash_index(hashes, hpath)
+            simulate_retry_append(hpath)
+            h_files_before = count_files(hpath)
+            h_folded = dedup.compact_hash_index(spark, hpath)
+            # tree audit by COLLECT, not count jobs — the folded tree
+            # is ≤ |hist| rows; duplicate detection, hp-homing, and
+            # loss-detection (folded rows == SOURCE hash set) are
+            # Python set math over one bounded read
+            h_rows = [(r.content_hash, r.hp) for r in
+                      dedup.read_hash_index(spark, hpath).collect()]
+            # the post-fold PRUNED anti-join, gated against a
+            # pure-Python expectation (min-id per hash among the
+            # increment, hash not in the source set)
+            win: dict = {}
+            for i, h in inc_rows:
+                if h not in src_hashes and (h not in win
+                                            or i < win[h]):
+                    win[h] = i
+            expected = {(i, h) for h, i in win.items()}
+            post = dedup.incremental_exact_dedup(
+                inc, dedup.read_hash_index(spark, hpath))
+            post_set = {(int(r.doc_id), r.content_hash)
+                        for r in post.collect()}
+            post._gs_unpersist()
+            return bool(
+                h_folded == h_files_before
+                and count_files(hpath) < h_files_before
+                and post_set == expected
+                and {h for h, _hp in h_rows} == src_hashes
+                and len(h_rows) == len(set(h_rows))
+                and all(hp == h[: dedup.HASH_HP_CHARS]
+                        for h, hp in h_rows)
+                and stamp_ok(hpath, dedup._hash_layout())
             )
-        )
-        sim_ok = bool(
-            s_folded == s_files_before
-            and count_files(spath) < s_files_before
-            and post_pairs == exp_pairs and post_pairs
-            and structure_ok
-            and stamp_ok(spath, dedup._simhash_layout(14, 4))
-        )
+
+        def sim_leg():
+            # --- simhash tree: same protocol, re-scrapes force
+            # pairs ----
+            spath = f"{base}/simhash"
+            dedup.write_simhash_index(dedup.simhash(hist), spath)
+            simulate_retry_append(spath)
+            s_files_before = count_files(spath)
+            s_folded = dedup.compact_simhash_index(spark, spath)
+            s_rows = [(int(r.doc), int(r.simhash), int(r.chunk),
+                       int(r.val))
+                      for r in dedup.read_simhash_index(spark, spath)
+                      .collect()]
+            # post-fold PRUNED candidate pass over the engineered
+            # re-scrapes, gated against a pure-Python pigeonhole
+            # replay from the folded tree's own rows (copies share
+            # their source's fingerprint — identical text): bucket by
+            # (chunk, val), pair, ≥1 new member, Hamming ≤ 3
+            post = dedup.incremental_simhash(
+                rescrape, None,
+                hist_chunked=dedup.read_simhash_index(spark, spath))
+            post_pairs = {(int(r.doc_a), int(r.doc_b), int(r.hamming))
+                          for r in post.collect()}
+            post._gs_unpersist()
+            return _sim_leg_verdict(s_folded, s_files_before, spath,
+                                    s_rows, post_pairs, src_rows,
+                                    count_files, stamp_ok)
+
+        # the two trees live under disjoint roots and share no Spark
+        # state — overlap their append→fold→audit legs (§2.6)
+        hash_ok, sim_ok = _overlap(hash_leg, sim_leg)
         n_hist = len(src_rows)
         n_inc = len(inc_rows)
     finally:
@@ -5784,6 +5805,56 @@ def doc_index_compaction(spark, sf_dir):
         [(int(n_hist), int(n_inc), hash_ok, sim_ok)],
         "n_hist bigint, n_inc bigint, hash_compaction_ok boolean,"
         " simhash_compaction_ok boolean",
+    )
+
+
+def _sim_leg_verdict(s_folded, s_files_before, spath, s_rows,
+                     post_pairs, src_rows, count_files, stamp_ok):
+    """Pure-Python replay + structural audit for the simhash leg of
+    ``doc_index_compaction`` (split out so the leg closure stays
+    readable)."""
+    fps_tree = {d: s for d, s, _c, _v in s_rows}
+    half_ids = {d for d in fps_tree if d < _CMP_HIST // 2}
+    all_fp = dict(fps_tree)
+    all_fp.update({d + 10**9: fps_tree[d] for d in half_ids})
+    buckets: dict = {}
+    for d, s in all_fp.items():
+        for c in range(4):
+            buckets.setdefault((c, (s >> (c * 14)) & 0x3FFF),
+                               []).append(d)
+    exp_pairs = set()
+    for members in buckets.values():
+        ms = sorted(set(members))
+        for i, a in enumerate(ms):
+            for b in ms[i + 1:]:
+                if a < 10**9 and b < 10**9:
+                    continue  # settled hist–hist pair
+                hd = bin(all_fp[a] ^ all_fp[b]).count("1")
+                if hd <= 3:
+                    exp_pairs.add((a, b, hd))
+    # loss detection without a pre-read: every history doc must
+    # hold exactly one duplicate-free, self-consistent 4-chunk
+    # group (val_i == (simhash >> 14·i) & mask), and nothing else
+    by_doc: dict = {}
+    for d, s, c, v in s_rows:
+        by_doc.setdefault(d, set()).add((s, c, v))
+    structure_ok = (
+        set(by_doc) == {i for i, _h in src_rows}
+        and len(s_rows) == len(set(s_rows))
+        and all(
+            len(g) == 4
+            and len({s for s, _c, _v in g}) == 1
+            and all(v == (s >> (c * 14)) & 0x3FFF
+                    for s, c, v in g)
+            for g in by_doc.values()
+        )
+    )
+    return bool(
+        s_folded == s_files_before
+        and count_files(spath) < s_files_before
+        and post_pairs == exp_pairs and post_pairs
+        and structure_ok
+        and stamp_ok(spath, dedup._simhash_layout(14, 4))
     )
 
 
