@@ -42,8 +42,21 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _vec_sql(vec) -> str:
+    """A literal double-array as ONE SQL string.  ``repr`` emits the
+    shortest round-trip form of each component and Java's parseDouble
+    maps that form back to the identical IEEE double, so the parsed
+    Literal is bit-equal to what ``F.lit(float(x))`` built — but one
+    ``F.expr`` replaces dim py4j round trips (the simhash F.expr
+    lesson applied to the vector tier: building a 64-dim literal
+    vector as Columns cost ~70 driver round trips per vector, ~1000
+    per 16-centroid assignment — measured ~1.8 s of pure driver time
+    per build_ivf iteration at dim 64)."""
+    return "array(" + ",".join(f"{float(x)!r}D" for x in vec) + ")"
+
+
 def _lit_vec(vec) -> Column:
-    return F.array(*[F.lit(float(x)) for x in vec])
+    return F.expr(_vec_sql(vec))
 
 
 def brute_force_topk(
@@ -95,12 +108,19 @@ def assign_cells(df: DataFrame, centroids: list, vec_col: str = "embedding",
     if (not arrow
             and len(centroids[0]) <= PANDAS_ASSIGN_DIM
             and len(centroids) <= EXPR_ASSIGN_MAX_CELLS):
+        # the whole K-dot score array as ONE parsed SQL expression —
+        # tree-identical to the Column form (same zip_with/aggregate
+        # fold, same literal doubles via _vec_sql), but ~K·dim fewer
+        # py4j round trips of driver time per call (r14)
+        dots = ",".join(
+            "aggregate(zip_with(`%s`, %s, (x, y) ->"
+            " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            " CAST(0.0D AS DOUBLE), (acc, v) -> acc + v) / %rD"
+            % (vec_col, _vec_sql(c), _py_norm(c))
+            for c in centroids
+        )
         scored = df.select(
-            "*",
-            F.array(
-                *[_dot(F.col(vec_col), _lit_vec(c)) / F.lit(_py_norm(c))
-                  for c in centroids]
-            ).alias("_sims"),
+            "*", F.expr(f"array({dots})").alias("_sims")
         )
         best = F.expr(
             "array_position(_sims, array_max(_sims))"
@@ -137,13 +157,14 @@ def _cell_sums(assigned: DataFrame, vec_col: str, dim: int) -> DataFrame:
     elementwise zip_with fold) — never `dim` separate agg expressions.
     """
     if dim <= PANDAS_ASSIGN_DIM:
+        # dim sum-aggregates as ONE parsed SQL expression (same
+        # GetArrayItem/Cast/Sum tree as the Column form, minus the
+        # ~dim py4j round trips of driver time — r14)
+        sums = ",".join(
+            f"sum(CAST(`{vec_col}`[{i}] AS DOUBLE))" for i in range(dim)
+        )
         return assigned.groupBy("ivf_cell").agg(
-            F.array(
-                *[
-                    F.sum(F.col(vec_col)[i].cast("double")).alias(f"s{i}")
-                    for i in range(dim)
-                ]
-            ).alias("vsum"),
+            F.expr(f"array({sums})").alias("vsum"),
             F.count(F.lit(1)).alias("n"),
         )
 

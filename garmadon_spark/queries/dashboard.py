@@ -442,14 +442,27 @@ def ev_cardinality_approx_check(spark, sf_dir):
     """HLL++ error-bound self-check: |estimate − exact| ≤ 5·rsd·exact
     (5σ of the configured relative standard deviation — a correct sketch
     essentially never trips it).  Exact bound → constant-true oracle."""
-    est = F.approx_count_distinct("user_id", rsd=0.01)
-    exact = F.count_distinct("user_id")
-    return (
-        _events(spark, sf_dir)
-        .groupBy("event_type")
-        .agg(
-            (F.abs(est - exact) <= exact * F.lit(0.05)).alias("within_bound")
-        )
+    # The single-aggregate form (approx + exact count_distinct in one
+    # agg) plans as a partial approx_count_distinct keyed by
+    # (event_type, user_id) — the distinct-rewrite groups by the
+    # distinct key first, so every (type, user) group carries a 2^14-
+    # register HLL buffer at rsd 0.01 (~50 k sketches of 16 KiB at
+    # sf0.1; measured 2.3 s).  Splitting the legs keeps the sketch
+    # per-TYPE (5 sketches, map-side combined) and the exact leg a
+    # plain two-level distinct count; both legs see the same rows, and
+    # HLL++ is insertion-order- and partitioning-independent, so the
+    # estimate (hence the boolean) is unchanged (r14; 2.3 s → ~0.7 s).
+    base = _events(spark, sf_dir).select("event_type", "user_id")
+    appx = base.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("_est")
+    )
+    exact = base.distinct().groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("_exact")
+    )
+    return appx.join(exact, "event_type").select(
+        "event_type",
+        (F.abs(F.col("_est") - F.col("_exact"))
+         <= F.col("_exact") * F.lit(0.05)).alias("within_bound"),
     )
 
 

@@ -2346,17 +2346,28 @@ def emb_ann_batch_check(spark, sf_dir, n_queries: int = 5, k: int = 10):
     path = _ensure_ivf_index(spark, sf_dir)
     # must match emb_ann_batch's width exactly — the parity contract
     nprobe = _serving_nprobe(_ivf_cells_for(_emb_count(spark, sf_dir)))
-    ok = True
-    for qid in range(n_queries):
-        qrow = embs.filter(F.col("vec_id") == qid).select("embedding").head()
+    # ONE bounded collect for the query vectors (was one filter+head
+    # job per query), and the n_queries single-query probes — the
+    # parity contract's per-query path, unchanged — overlap as
+    # independent read-only jobs (§2.6; r14: 4.7 s → ~1.5 s)
+    qvecs = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in embs.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding").collect()
+    }
+
+    def one(qid):
         single = similarity.ivf_topk_from_index(
-            spark, path, [float(x) for x in qrow[0]], k=k, nprobe=nprobe,
+            spark, path, qvecs[qid], k=k, nprobe=nprobe,
             exclude_ids=[qid],
         ).collect()
-        want = [(i + 1, r.vec_id, round(float(r.cosine), 6))
+        return [(i + 1, r.vec_id, round(float(r.cosine), 6))
                 for i, r in enumerate(single)]
-        if sorted(got.get(qid, [])) != want:
-            ok = False
+
+    wants = _overlap(*(lambda q=q: one(q) for q in range(n_queries)))
+    ok = all(
+        sorted(got.get(q, [])) == want for q, want in enumerate(wants)
+    )
     return spark.createDataFrame(
         [(n_queries, bool(ok))], "n_queries int, batch_parity boolean"
     )
@@ -5109,11 +5120,30 @@ def emb_diverse_sample_check(spark, sf_dir):
     cents, assigned = similarity.build_ivf(
         embs, n_centroids=_DIVERSE_CELLS, iterations=2,
     )
-    pops = {
-        int(r.ivf_cell): int(r.n)
-        for r in assigned.groupBy("ivf_cell")
-        .agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+    # the rebuilt assignment feeds two consumers (population gate +
+    # window replay) — materialize it once instead of re-scoring the
+    # corpus per action, and run the three independent bounded
+    # collects (populations, sampled vectors, replay) as overlapped
+    # jobs (§2.6; r14)
+    assigned = assigned.persist()
+    picked_ids = [v for v, _c, _r in sample]
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("ivf_cell").orderBy(
+        F.xxhash64(F.col("vec_id")), F.col("vec_id")
+    )
+    pop_rows, vec_rows, again_rows = _overlap(
+        lambda: assigned.groupBy("ivf_cell")
+        .agg(F.count(F.lit(1)).alias("n")).collect(),
+        lambda: embs.filter(F.col("vec_id").isin(picked_ids))
+        .select("vec_id", "embedding").collect(),
+        lambda: assigned.withColumn(
+            "pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= _DIVERSE_QUOTA)
+        .select("vec_id", "ivf_cell", "pick_rank").collect(),
+    )
+    assigned.unpersist()
+    pops = {int(r.ivf_cell): int(r.n) for r in pop_rows}
     per_cell: dict = {}
     for _v, c, _r in sample:
         per_cell[c] = per_cell.get(c, 0) + 1
@@ -5125,11 +5155,9 @@ def emb_diverse_sample_check(spark, sf_dir):
     cmat = cmat / np.maximum(
         np.sqrt((cmat * cmat).sum(axis=1, keepdims=True)), 1e-300
     )
-    picked_ids = [v for v, _c, _r in sample]
     vecs = {
         int(r.vec_id): np.array(list(r.embedding), dtype="float64")
-        for r in embs.filter(F.col("vec_id").isin(picked_ids))
-        .select("vec_id", "embedding").collect()
+        for r in vec_rows
     }
     assign_ok = True
     for v, c, _r in sample:
@@ -5140,19 +5168,12 @@ def emb_diverse_sample_check(spark, sf_dir):
     # computed above for the population gate) + a window replay of the
     # hash-rank selection must reproduce the op's draw exactly — one
     # build cheaper than re-running the op, same end-to-end statement
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("ivf_cell").orderBy(
-        F.xxhash64(F.col("vec_id")), F.col("vec_id")
-    )
+    # (the replay rows were collected in the overlapped round above)
     again = {
         (int(r.vec_id), int(r.ivf_cell), int(r.pick_rank))
-        for r in assigned.withColumn("pick_rank",
-                                     F.row_number().over(w))
-        .filter(F.col("pick_rank") <= _DIVERSE_QUOTA)
-        .select("vec_id", "ivf_cell", "pick_rank").collect()
+        for r in again_rows
     }
-    n_vectors = embs.count()
+    n_vectors = _emb_count(spark, sf_dir)
     return spark.createDataFrame(
         [(
             int(n_vectors),
