@@ -21,8 +21,8 @@ Four tiers, each a different cost/recall point at 100 TB:
 All hashing is content-derived, so results are deterministic across
 engines and runs — no Math.random, no seed state.  MinHash component i
 hashes each shingle with xxhash64 seeded by i — K independent hash
-functions, NOT K affine transforms of one base hash (see _minhash_mins
-for why the affine family is broken).
+functions, NOT K affine transforms of one base hash (see
+_minhash_sig_expr for why the affine family is broken).
 """
 
 from __future__ import annotations
@@ -725,10 +725,10 @@ def containment_pairs(
     )
 
 
-def _minhash_mins(shingle_col: str, num_hashes: int) -> list:
-    """The K min-aggregate expressions of a MinHash signature: component
-    i is min over shingles of an INDEPENDENT 64-bit hash (xxhash64
-    seeded by i).
+def _minhash_sig_expr(shingle_col: str, num_hashes: int) -> Column:
+    """The MinHash signature as ONE array-of-min-aggregates expression:
+    component i is min over shingles of an INDEPENDENT 64-bit hash
+    (xxhash64 seeded by i).
 
     Independence matters and the cheap-looking alternative is broken:
     affine transforms ``(h·(2i+1)+cᵢ) mod M`` of ONE base hash are
@@ -740,11 +740,17 @@ def _minhash_mins(shingle_col: str, num_hashes: int) -> list:
     0.51 vs mean exact 0.04 over the emitted pairs.  Per-component
     seeded hashing restores P(match) = J (audited unbiased after the
     change); exact-verify paths were never wrong — they only paid for
-    the inflated candidate set."""
-    return [
-        F.min(F.xxhash64(F.col(shingle_col), F.lit(i))).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
+    the inflated candidate set.
+
+    Assembled as a single parsed SQL string rather than K
+    ``F.min(F.xxhash64(...))`` Column calls: aggregate semantics and
+    hash values identical, but one py4j round trip instead of ~5·K
+    (~1.6 s of driver time per signature build at K=64 — the simhash
+    F.expr lesson, r14)."""
+    mins = ",".join(
+        f"min(xxhash64(`{shingle_col}`, {i}))" for i in range(num_hashes)
+    )
+    return F.expr(f"array({mins})")
 
 
 def minhash_signatures(
@@ -762,9 +768,8 @@ def minhash_signatures(
     ex = explode_computed(
         docs, shingles(text_col, n), "s", [F.col(id_col).alias("doc")]
     )
-    sig = ex.groupBy("doc").agg(*_minhash_mins("s", num_hashes))
-    return sig.select(
-        "doc", F.array(*[f"mh_{i}" for i in range(num_hashes)]).alias("signature")
+    return ex.groupBy("doc").agg(
+        _minhash_sig_expr("s", num_hashes).alias("signature")
     )
 
 
@@ -1835,9 +1840,8 @@ def minhash_dedup(
     if persist_shingles:
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     ex = explode_computed(sh, F.col("sh"), "s", ["doc"])
-    sigs = ex.groupBy("doc").agg(*_minhash_mins("s", num_hashes)).select(
-        "doc",
-        F.array(*[f"mh_{i}" for i in range(num_hashes)]).alias("signature"),
+    sigs = ex.groupBy("doc").agg(
+        _minhash_sig_expr("s", num_hashes).alias("signature")
     )
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
     a = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
