@@ -1849,13 +1849,17 @@ def minhash_dedup(
     joined = cands.join(a, "doc_a").join(b, "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
+    out = (
         joined.select(
             "doc_a", "doc_b",
             F.round(inter / union, 4).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    # callers that want one-shot semantics can release the shingle
+    # cache through the standard handle (a no-op when not persisted)
+    out._gs_unpersist = sh.unpersist if persist_shingles else (lambda: None)
+    return out
 
 
 def simhash(

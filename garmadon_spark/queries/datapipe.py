@@ -115,6 +115,9 @@ def purge_result_memo() -> None:
     _RESULT_MEMO.clear()
     if sid is not None:
         _RESULT_MEMO["_sid"] = sid
+    # the quantizer side-table memo follows the same discipline: the
+    # memo-off pass must pay the full index side-table load per query
+    _QUANT_MEMO.clear()
 
 
 def _memo_store(spark, sf_dir, name, df):
@@ -391,25 +394,33 @@ def doc_minhash_incremental_pruned_check(spark, sf_dir):
         inc, index, n=2, num_hashes=64, bands=32, threshold=0.3,
     )
     cols = ["doc_a", "doc_b", "est_jaccard"]
+    # the first anti-join materializes base's persisted intermediates;
+    # the remaining four actions are independent bounded jobs over
+    # frozen/persisted inputs — overlap them (§2.6) instead of paying
+    # four sequential job-latency rounds
     only_p = pruned.join(base, cols, "left_anti").count()
-    only_b = base.join(pruned, cols, "left_anti").count()
+    only_b, srcs, exact, n_inc = _overlap(
+        lambda: base.join(pruned, cols, "left_anti").count(),
+        lambda: {
+            int(r.doc_id)
+            for r in _docs(spark, sf_dir)
+            .filter(F.col("doc_id") % 5 != 0)
+            .orderBy("doc_id").limit(_MINHASH_PRUNED_COPIES)
+            .select("doc_id").collect()
+        },
+        lambda: {
+            (int(r.doc_a), int(r.doc_b))
+            for r in pruned.filter(F.col("est_jaccard") == 1.0)
+            .collect()
+        },
+        lambda: inc.count(),
+    )
     base._gs_unpersist()  # parity counts are materialized — release
-    srcs = {
-        int(r.doc_id)
-        for r in _docs(spark, sf_dir).filter(F.col("doc_id") % 5 != 0)
-        .orderBy("doc_id").limit(_MINHASH_PRUNED_COPIES)
-        .select("doc_id").collect()
-    }
-    exact = {
-        (int(r.doc_a), int(r.doc_b))
-        for r in pruned.filter(F.col("est_jaccard") == 1.0).collect()
-    }
     recall_ok = all(
         (s, s + _SIMHASH_INC_OFFSET) in exact
         or (s + _SIMHASH_INC_OFFSET, s) in exact
         for s in srcs
     )
-    n_inc = inc.count()
     return spark.createDataFrame(
         [(
             int(n_inc),
@@ -3777,6 +3788,37 @@ _PQ_FIT_ITERS = 3
 _OPQ_FIT_ITERS = 6
 
 
+_QUANT_MEMO: dict = {}
+
+
+def _ivfpq_quantizer(spark, path):
+    """Session memo of ``load_ivfpq_quantizer`` keyed on the index's
+    ``_OK`` stamp — the blue/green generation identity (a rebuild
+    writes a NEW stamp string, so a stale quantizer can never serve;
+    the streaming server's generation-checked cache applied to the
+    batch checks).  Centroid-sized metadata (k·d + m·ksub·dsub + d²
+    doubles), never data-sized; ``purge_quantizer_memo`` (wired into
+    the bench's memo-off purge) drops it so the memo-off pass still
+    pays the full side-table load."""
+    import os
+
+    try:
+        with open(os.path.join(path, "_OK")) as fh:
+            stamp = fh.read()
+    except OSError:
+        stamp = None
+    key = (id(spark), path, stamp)
+    if key not in _QUANT_MEMO:
+        if len(_QUANT_MEMO) > 8:
+            _QUANT_MEMO.clear()
+        _QUANT_MEMO[key] = similarity.load_ivfpq_quantizer(spark, path)
+    return _QUANT_MEMO[key]
+
+
+def purge_quantizer_memo() -> None:
+    _QUANT_MEMO.clear()
+
+
 def _ivfpq_drift_path(sf_dir: str) -> str:
     return _index_cache_path(sf_dir, "embeddings.parquet",
                              "garmadon_ivfpqdrift_")
@@ -3859,7 +3901,13 @@ def _ivfpq_recall_df(spark, path, n_base, stage, k=10):
     2·_IVFPQ_DRIFT_QUERIES queries ride two Arrow-planned jobs, never
     a per-query driver loop.  Queries are rows read back from the
     index, so they are already in its (rotated) space."""
-    cells = spark.read.parquet(f"{path}/centroids").count()
+    # ONE (generation-memoized) quantizer load shared by both probe
+    # sides: loading per probe cost 3-4 redundant side-table collects
+    # per stage, and the cell count is len(fine_rows) by construction —
+    # guide §1.2, don't run a job for a number already on the driver
+    quant = _ivfpq_quantizer(spark, path)
+    fine_rows, coarse_by_id = quant[0], quant[1]
+    cells = len(fine_rows)
     nprobe = max(4, cells // 2)
     qids = (list(range(_IVFPQ_DRIFT_QUERIES))
             + [n_base + i for i in range(_IVFPQ_DRIFT_QUERIES)])
@@ -3870,7 +3918,8 @@ def _ivfpq_recall_df(spark, path, n_base, stage, k=10):
     )
     def exact_probe():
         exact_df = similarity.ivf_topk_batch(
-            spark, path, queries, k=k, nprobe=cells
+            spark, path, queries, k=k, nprobe=cells,
+            centroids=(fine_rows, coarse_by_id),
         )
         out = {(r.query_id, r.vec_id) for r in exact_df.collect()}
         exact_df._gs_unpersist()
@@ -3889,6 +3938,7 @@ def _ivfpq_recall_df(spark, path, n_base, stage, k=10):
         serve_df = similarity.ivfpq_topk_batch(
             spark, path, queries, k=k, nprobe=nprobe,
             rerank=rerank, queries_in_index_space=True,
+            quantizer=quant,
         )
         out = {(r.query_id, r.vec_id) for r in serve_df.collect()}
         serve_df._gs_unpersist()
@@ -3965,10 +4015,16 @@ def emb_ivfpq_lifecycle_check(spark, sf_dir):
         ).collect()
     }
     rpath, _n, k2 = _ensure_ivfpq_retrained_index(spark, sf_dir)
-    cells = spark.read.parquet(f"{rpath}/centroids").count()
-    n_vec = spark.read.parquet(f"{rpath}/vectors").count()
-    n_codes = spark.read.parquet(f"{rpath}/codes").count()
-    R = np.asarray(similarity.load_opq_rotation(spark, rpath))
+    # quantizer from the generation memo (cells = len(fine_rows),
+    # rotation from the same stack); the two data-tree counts are
+    # independent read-only jobs — overlap them (§2.6)
+    quant = _ivfpq_quantizer(spark, rpath)
+    cells = len(quant[0])
+    n_vec, n_codes = _overlap(
+        lambda: spark.read.parquet(f"{rpath}/vectors").count(),
+        lambda: spark.read.parquet(f"{rpath}/codes").count(),
+    )
+    R = np.asarray(quant[3])
     ortho = float(np.max(np.abs(R @ R.T - np.eye(len(R)))))
     return spark.createDataFrame(
         [(
@@ -4146,7 +4202,10 @@ def _ensure_ivfpq_served(spark, sf_dir):
     from garmadon_spark.streaming import ann as _ann_stream
 
     ipath, _n = _ensure_ivfpq_drift_index(spark, sf_dir)
-    cells = spark.read.parquet(f"{ipath}/centroids").count()
+    # cell count from the generation-memoized quantizer — every serve/
+    # check call was paying a count job for a number already implied by
+    # the index stamp (guide §1.2)
+    cells = len(_ivfpq_quantizer(spark, ipath)[0])
     nprobe = _serving_nprobe(cells)
     base = _ivfpq_serve_path(sf_dir)
     stamp = os.path.join(base, "_OK")
@@ -4198,16 +4257,27 @@ def emb_ivfpq_serve_check(spark, sf_dir):
     served.  Driver work is 2·queries·k rows.  Deterministic for a
     fixed corpus → constant-true oracle."""
     out, ipath, queries, nprobe = _ensure_ivfpq_served(spark, sf_dir)
-    served = {(r.query_id, r.rank, r.vec_id, r.cosine)
-              for r in spark.read.parquet(out)
-              .select("query_id", "rank", "vec_id", "cosine").collect()}
-    exp_df = similarity.ivfpq_topk_batch(
-        spark, ipath, queries, k=_RECALL_K, nprobe=nprobe,
-        rerank=_IVFPQ_RERANK * _RECALL_K, exclude_self=True,
-    )
-    want = {(r.query_id, r.rank, r.vec_id, r.cosine)
-            for r in exp_df.collect()}
-    exp_df._gs_unpersist()
+
+    def _served():
+        return {(r.query_id, r.rank, r.vec_id, r.cosine)
+                for r in spark.read.parquet(out)
+                .select("query_id", "rank", "vec_id", "cosine")
+                .collect()}
+
+    def _batch():
+        exp_df = similarity.ivfpq_topk_batch(
+            spark, ipath, queries, k=_RECALL_K, nprobe=nprobe,
+            rerank=_IVFPQ_RERANK * _RECALL_K, exclude_self=True,
+            quantizer=_ivfpq_quantizer(spark, ipath),
+        )
+        got = {(r.query_id, r.rank, r.vec_id, r.cosine)
+               for r in exp_df.collect()}
+        exp_df._gs_unpersist()
+        return got
+
+    # the served-partition read and the batch re-probe are independent
+    # read-only jobs over frozen trees — overlap them (§2.6)
+    served, want = _overlap(_served, _batch)
     return spark.createDataFrame(
         [(
             bool(served == want),
@@ -4447,30 +4517,45 @@ def doc_dedup_stream_check(spark, sf_dir):
     pinned by SQL against the documents table)."""
     base = _ensure_admitted(spark, sf_dir)
     b1, b2 = _admit_batches(spark, sf_dir)
-    served = {
-        (int(r.batch), int(r.doc_id))
-        for r in spark.read.option("basePath", f"{base}/out/accepted")
-        .parquet(f"{base}/out/accepted")
-        .select("batch", "doc_id").collect()
-    }
-    served_rej = {
-        (int(r.batch), int(r.doc), r.reason)
-        for r in spark.read.option("basePath", f"{base}/out/rejected")
-        .parquet(f"{base}/out/rejected")
-        .select("batch", "doc", "reason").collect()
-    }
     both = b1.withColumn("b", F.lit(0)).unionByName(
         b2.withColumn("b", F.lit(1)))
-    sigs_all = {
-        (int(r.b), int(r.doc)): list(r.signature)
-        for r in dedup.minhash_signatures(
-            both.withColumn(
-                "doc_id", F.struct("b", "doc_id")), id_col="doc_id"
-        ).select(F.col("doc.b").alias("b"), F.col("doc.doc_id")
-                 .alias("doc"), "signature").collect()
-    }
-    ids1 = sorted(int(r.doc_id) for r in b1.select("doc_id").collect())
-    ids2 = sorted(int(r.doc_id) for r in b2.select("doc_id").collect())
+    # six independent bounded collects over frozen fixture trees /
+    # engineered increments — overlap them (§2.6) instead of paying
+    # six sequential job-latency rounds
+    served, served_rej, sigs_all, ids1, ids2, idx = _overlap(
+        lambda: {
+            (int(r.batch), int(r.doc_id))
+            for r in spark.read
+            .option("basePath", f"{base}/out/accepted")
+            .parquet(f"{base}/out/accepted")
+            .select("batch", "doc_id").collect()
+        },
+        lambda: {
+            (int(r.batch), int(r.doc), r.reason)
+            for r in spark.read
+            .option("basePath", f"{base}/out/rejected")
+            .parquet(f"{base}/out/rejected")
+            .select("batch", "doc", "reason").collect()
+        },
+        lambda: {
+            (int(r.b), int(r.doc)): list(r.signature)
+            for r in dedup.minhash_signatures(
+                both.withColumn(
+                    "doc_id", F.struct("b", "doc_id")), id_col="doc_id"
+            ).select(F.col("doc.b").alias("b"), F.col("doc.doc_id")
+                     .alias("doc"), "signature").collect()
+        },
+        lambda: sorted(int(r.doc_id)
+                       for r in b1.select("doc_id").collect()),
+        lambda: sorted(int(r.doc_id)
+                       for r in b2.select("doc_id").collect()),
+        lambda: {
+            (int(r.batch), int(r.doc))
+            for r in spark.read.option("basePath", f"{base}/index/sigs")
+            .parquet(f"{base}/index/sigs").select("batch", "doc")
+            .collect()
+        },
+    )
     sig1 = {d: s for (bb, d), s in sigs_all.items() if bb == 0}
     sig2 = {d: s for (bb, d), s in sigs_all.items() if bb == 1}
     e1, app1, rej1 = _replay_admission(ids1, sig1, {})
@@ -4481,11 +4566,6 @@ def doc_dedup_stream_check(spark, sf_dir):
     surv_copies = {
         d + _ADMIT_ID_OFFSET
         for d in e1 if d >= _ADMIT_B1 - _ADMIT_COPIES
-    }
-    idx = {
-        (int(r.batch), int(r.doc))
-        for r in spark.read.option("basePath", f"{base}/index/sigs")
-        .parquet(f"{base}/index/sigs").select("batch", "doc").collect()
     }
     exp_idx = ({(0, d) for d in app1}
                | {(1, d) for d in app2})
@@ -4965,9 +5045,8 @@ def doc_curation_funnel(spark, sf_dir):
     from pyspark.sql import Window
 
     scored = text.quality_score(docs)
-    qual = scored.filter(
-        (F.col("n_chars") >= 100) & (F.col("quality_score") >= 0.15)
-    ).select("doc_id", "text")
+    qcond = (F.col("n_chars") >= 100) & (F.col("quality_score") >= 0.15)
+    qual = scored.filter(qcond).select("doc_id", "text")
     w = Window.partitionBy(dedup.content_hash("text"))
     exact = (
         qual.withColumn("_keep",
@@ -4977,7 +5056,10 @@ def doc_curation_funnel(spark, sf_dir):
     from pyspark import StorageLevel
 
     exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
-    pairs = dedup.minhash_dedup(exact, persist_shingles=False)
+    # persist_shingles: the survivor shingle table feeds three plan
+    # branches inside the pair stage (guide §5 — reused AND expensive
+    # to recompute); the handle rides the funnel's release hook
+    pairs = dedup.minhash_dedup(exact, persist_shingles=True)
     comp = dedup.components(pairs)
     dropped = comp.filter(F.col("doc_id") != F.col("component")) \
         .select("doc_id")
@@ -4986,15 +5068,49 @@ def doc_curation_funnel(spark, sf_dir):
     chunks = corpus.chunk_documents(
         neardup, chunk_chars=_FUNNEL_CHUNK, overlap=0
     )
+    # stages 1+2 share ONE scan (guide §2.4 — the two legs were
+    # separate subtrees, re-reading and re-scoring the corpus): a
+    # single aggregate computes the input sums and the
+    # quality-conditional sums, exploded into the two stage rows.
+    # Conditional sums over the gated rows equal the filtered legs'
+    # sums exactly (integer arithmetic over the same rows).
+    first_two = (
+        scored.agg(
+            F.count(F.lit(1)).alias("n_1"),
+            F.sum(F.length("text")).cast("bigint").alias("c_1"),
+            F.sum(_funnel_tokens("text")).cast("bigint").alias("t_1"),
+            F.coalesce(F.sum(F.when(qcond, 1)), F.lit(0))
+            .cast("bigint").alias("n_2"),
+            F.sum(F.when(qcond, F.length("text"))).cast("bigint")
+            .alias("c_2"),
+            F.sum(F.when(qcond, _funnel_tokens("text"))).cast("bigint")
+            .alias("t_2"),
+        )
+        .select(F.explode(F.array(
+            F.struct(
+                F.lit("1_input").alias("stage"),
+                F.col("n_1").alias("n"),
+                F.col("c_1").alias("n_chars"),
+                F.col("t_1").alias("n_tokens"),
+            ),
+            F.struct(
+                F.lit("2_quality").alias("stage"),
+                F.col("n_2").alias("n"),
+                F.col("c_2").alias("n_chars"),
+                F.col("t_2").alias("n_tokens"),
+            ),
+        )).alias("s"))
+        .select("s.stage", "s.n", "s.n_chars", "s.n_tokens")
+    )
     out = (
-        stage(docs, "1_input")
-        .unionByName(stage(qual, "2_quality"))
+        first_two
         .unionByName(stage(exact, "3_exact_dedup"))
         .unionByName(stage(neardup, "4_near_dup"))
         .unionByName(stage(chunks, "5_chunks", text_col="chunk_text"))
         .orderBy("stage")
     )
-    out._gs_unpersist = lambda: (exact.unpersist(), neardup.unpersist())
+    out._gs_unpersist = lambda: (exact.unpersist(), neardup.unpersist(),
+                                 pairs._gs_unpersist())
     # publish the (5-row) funnel for the check's reuse (r14, the
     # emb_diverse_sample precedent): the builder always recomputes —
     # its benched cost stays the pipeline's honest cost — and the
@@ -5343,10 +5459,30 @@ def doc_exact_stream_check(spark, sf_dir):
 
     base = _ensure_exact_streamed(spark, sf_dir)
     b1, b2 = _exact_stream_batches(spark, sf_dir)
-    rows1 = [(int(r.doc_id), r.h) for r in b1.select(
-        "doc_id", dedup.content_hash("text").alias("h")).collect()]
-    rows2 = [(int(r.doc_id), r.h) for r in b2.select(
-        "doc_id", dedup.content_hash("text").alias("h")).collect()]
+    # five independent bounded collects over frozen fixture trees /
+    # engineered increments — overlap them (§2.6)
+    rows1, rows2, served, served_rej, idx_rows = _overlap(
+        lambda: [(int(r.doc_id), r.h) for r in b1.select(
+            "doc_id", dedup.content_hash("text").alias("h")).collect()],
+        lambda: [(int(r.doc_id), r.h) for r in b2.select(
+            "doc_id", dedup.content_hash("text").alias("h")).collect()],
+        lambda: {
+            (int(r.batch), int(r.doc_id), r.content_hash)
+            for r in spark.read
+            .option("basePath", f"{base}/out/accepted")
+            .parquet(f"{base}/out/accepted").collect()
+        },
+        lambda: {
+            (int(r.batch), int(r.doc), r.reason)
+            for r in spark.read
+            .option("basePath", f"{base}/out/rejected")
+            .parquet(f"{base}/out/rejected").collect()
+        },
+        lambda: spark.read
+        .schema("content_hash string, batch long, hp string")
+        .option("basePath", f"{base}/index/hashes")
+        .parquet(f"{base}/index/hashes").collect(),
+    )
     seen: set = set()
     exp_acc: set = set()
     exp_rej: set = set()
@@ -5364,20 +5500,6 @@ def doc_exact_stream_check(spark, sf_dir):
         exp_acc |= {(bno, i, h) for h, i in winners.items()}
         exp_idx |= {(bno, h) for h in winners}
         seen |= set(winners)
-    served = {
-        (int(r.batch), int(r.doc_id), r.content_hash)
-        for r in spark.read.option("basePath", f"{base}/out/accepted")
-        .parquet(f"{base}/out/accepted").collect()
-    }
-    served_rej = {
-        (int(r.batch), int(r.doc), r.reason)
-        for r in spark.read.option("basePath", f"{base}/out/rejected")
-        .parquet(f"{base}/out/rejected").collect()
-    }
-    idx_rows = spark.read \
-        .schema("content_hash string, batch long, hp string") \
-        .option("basePath", f"{base}/index/hashes") \
-        .parquet(f"{base}/index/hashes").collect()
     idx = {(int(r.batch), r.content_hash) for r in idx_rows}
     homed_ok = all(
         r.hp == r.content_hash[: dedup.HASH_HP_CHARS]
@@ -5573,16 +5695,41 @@ def doc_simhash_stream_check(spark, sf_dir):
     b1, b2 = _exact_stream_batches(spark, sf_dir)
     both = b1.withColumn("b", F.lit(0)).unionByName(
         b2.withColumn("b", F.lit(1)))
-    fps_all = {
-        (int(r.b), int(r.doc)): int(r.simhash)
-        for r in dedup.simhash(
-            both.withColumn("doc_id", F.struct("b", "doc_id"))
-        ).select(F.col("doc.b").alias("b"),
-                 F.col("doc.doc_id").alias("doc"),
-                 "simhash").collect()
-    }
-    ids1 = sorted(int(r.doc_id) for r in b1.select("doc_id").collect())
-    ids2 = sorted(int(r.doc_id) for r in b2.select("doc_id").collect())
+    # six independent bounded collects over frozen fixture trees /
+    # engineered increments — overlap them (§2.6) instead of paying
+    # six sequential job-latency rounds
+    fps_all, ids1, ids2, served, served_rej, idx_rows = _overlap(
+        lambda: {
+            (int(r.b), int(r.doc)): int(r.simhash)
+            for r in dedup.simhash(
+                both.withColumn("doc_id", F.struct("b", "doc_id"))
+            ).select(F.col("doc.b").alias("b"),
+                     F.col("doc.doc_id").alias("doc"),
+                     "simhash").collect()
+        },
+        lambda: sorted(int(r.doc_id)
+                       for r in b1.select("doc_id").collect()),
+        lambda: sorted(int(r.doc_id)
+                       for r in b2.select("doc_id").collect()),
+        lambda: {
+            (int(r.batch), int(r.doc_id))
+            for r in spark.read
+            .option("basePath", f"{base}/out/accepted")
+            .parquet(f"{base}/out/accepted")
+            .select("batch", "doc_id").collect()
+        },
+        lambda: {
+            (int(r.batch), int(r.doc), r.reason)
+            for r in spark.read
+            .option("basePath", f"{base}/out/rejected")
+            .parquet(f"{base}/out/rejected").collect()
+        },
+        lambda: spark.read
+        .schema("doc bigint, simhash bigint, batch long, chunk int,"
+                " val bigint, cp string")
+        .option("basePath", f"{base}/index/chunks")
+        .parquet(f"{base}/index/chunks").collect(),
+    )
     fp1 = {d: s for (bb, d), s in fps_all.items() if bb == 0}
     fp2 = {d: s for (bb, d), s in fps_all.items() if bb == 1}
     e1, app1, rej1 = _replay_simhash_admission(ids1, fp1, {})
@@ -5590,22 +5737,6 @@ def doc_simhash_stream_check(spark, sf_dir):
     expected = {(0, d) for d in e1} | {(1, d) for d in e2}
     expected_rej = ({(0, d, w) for d, w in rej1.items()}
                     | {(1, d, w) for d, w in rej2.items()})
-    served = {
-        (int(r.batch), int(r.doc_id))
-        for r in spark.read.option("basePath", f"{base}/out/accepted")
-        .parquet(f"{base}/out/accepted")
-        .select("batch", "doc_id").collect()
-    }
-    served_rej = {
-        (int(r.batch), int(r.doc), r.reason)
-        for r in spark.read.option("basePath", f"{base}/out/rejected")
-        .parquet(f"{base}/out/rejected").collect()
-    }
-    idx_rows = spark.read \
-        .schema("doc bigint, simhash bigint, batch long, chunk int,"
-                " val bigint, cp string") \
-        .option("basePath", f"{base}/index/chunks") \
-        .parquet(f"{base}/index/chunks").collect()
     exp_idx = set()
     for bno, app in ((0, app1), (1, app2)):
         for d, s in app.items():
