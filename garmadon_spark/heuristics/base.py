@@ -48,31 +48,23 @@ def assemble_results(
     agg = (
         per_container.groupBy("application_id", "attempt_id")
         .agg(
-            F.max("severity").alias("severity"),
-            F.count(F.lit(1)).alias("n_containers"),
-            F.map_from_entries(
-                F.sort_array(
-                    F.collect_list(F.struct("container_id", "detail"))
-                )
-            ).alias("container_details"),
+            F.expr("max(severity)").alias("severity"),
+            F.expr("count(1)").alias("n_containers"),
+            F.expr("map_from_entries(sort_array(collect_list("
+                   "struct(container_id, detail))))")
+            .alias("container_details"),
         )
     )
-    return agg.select(
+    return agg.selectExpr(
         "application_id",
         "attempt_id",
-        F.lit(heuristic).alias("heuristic"),
+        f"'{heuristic}' as heuristic",
         "severity",
-        F.col("severity").alias("score"),
-        F.when(
-            F.col("n_containers") <= MAX_CONTAINERS_PER_HEURISTIC,
-            F.col("container_details"),
-        )
-        .otherwise(
-            F.create_map(
-                F.lit("Containers"), F.col("n_containers").cast("string")
-            )
-        )
-        .alias("details"),
+        "severity as score",
+        f"case when n_containers <= {MAX_CONTAINERS_PER_HEURISTIC}"
+        " then container_details"
+        " else map('Containers', cast(n_containers as string))"
+        " end as details",
     )
 
 
@@ -85,29 +77,21 @@ def assemble_results_by_heuristic(verdicts: DataFrame) -> DataFrame:
     agg = (
         verdicts.groupBy("application_id", "attempt_id", "heuristic")
         .agg(
-            F.max("severity").alias("severity"),
-            F.count(F.lit(1)).alias("n_containers"),
-            F.map_from_entries(
-                F.sort_array(
-                    F.collect_list(F.struct("container_id", "detail"))
-                )
-            ).alias("container_details"),
+            F.expr("max(severity)").alias("severity"),
+            F.expr("count(1)").alias("n_containers"),
+            F.expr("map_from_entries(sort_array(collect_list("
+                   "struct(container_id, detail))))")
+            .alias("container_details"),
         )
     )
-    return agg.select(
+    return agg.selectExpr(
         "application_id",
         "attempt_id",
         "heuristic",
         "severity",
-        F.col("severity").alias("score"),
-        F.when(
-            F.col("n_containers") <= MAX_CONTAINERS_PER_HEURISTIC,
-            F.col("container_details"),
-        )
-        .otherwise(
-            F.create_map(
-                F.lit("Containers"), F.col("n_containers").cast("string")
-            )
-        )
-        .alias("details"),
+        "severity as score",
+        f"case when n_containers <= {MAX_CONTAINERS_PER_HEURISTIC}"
+        " then container_details"
+        " else map('Containers', cast(n_containers as string))"
+        " end as details",
     )

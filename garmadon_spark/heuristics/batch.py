@@ -258,32 +258,27 @@ def gc_cause(gc_events: DataFrame) -> DataFrame:
     result.  > 10 containers → summed counts as two details
     (GCCause.java:44-52)."""
     counted = (
-        gc_events.filter(
-            F.col("cause").isin("Metadata GC Threshold", "Ergonomics")
-        )
+        gc_events.filter("cause in ('Metadata GC Threshold', 'Ergonomics')")
         .groupBy(*_KEY)
         .agg(
-            F.sum(F.when(F.col("cause") == "Metadata GC Threshold", 1)
-                  .otherwise(0)).alias("metadata_threshold"),
-            F.sum(F.when(F.col("cause") == "Ergonomics", 1)
-                  .otherwise(0)).alias("ergonomics"),
+            F.expr("sum(case when cause = 'Metadata GC Threshold' then 1"
+                   " else 0 end)").alias("metadata_threshold"),
+            F.expr("sum(case when cause = 'Ergonomics' then 1 else 0 end)")
+            .alias("ergonomics"),
         )
     )
-    per_c = counted.select(
+    per_c = counted.selectExpr(
         *_KEY,
-        F.lit(Severity.MODERATE).alias("severity"),
-        F.concat(
-            F.lit("Metadata GC Threshold: "),
-            F.col("metadata_threshold").cast("string"),
-            F.lit(", Ergonomics: "), F.col("ergonomics").cast("string"),
-        ).alias("detail"),
+        f"{Severity.MODERATE} as severity",
+        "concat('Metadata GC Threshold: ', cast(metadata_threshold as"
+        " string), ', Ergonomics: ', cast(ergonomics as string)) as detail",
     )
     # > 10 containers: summed counts rather than a Containers count —
     # assemble manually for parity with GCCause.java:44-52.
     agg = counted.groupBy("application_id", "attempt_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("metadata_threshold").alias("mt"),
-        F.sum("ergonomics").alias("erg"),
+        F.expr("count(1)").alias("n"),
+        F.expr("sum(metadata_threshold)").alias("mt"),
+        F.expr("sum(ergonomics)").alias("erg"),
     )
     small = assemble_results(
         per_c.join(
@@ -293,16 +288,14 @@ def gc_cause(gc_events: DataFrame) -> DataFrame:
         ),
         "GCCause",
     )
-    big = agg.filter(F.col("n") > 10).select(
+    big = agg.filter(F.col("n") > 10).selectExpr(
         "application_id",
         "attempt_id",
-        F.lit("GCCause").alias("heuristic"),
-        F.lit(Severity.MODERATE).alias("severity"),
-        F.lit(Severity.MODERATE).alias("score"),
-        F.create_map(
-            F.lit("Metadata GC Threshold"), F.col("mt").cast("string"),
-            F.lit("Ergonomics"), F.col("erg").cast("string"),
-        ).alias("details"),
+        "'GCCause' as heuristic",
+        f"{Severity.MODERATE} as severity",
+        f"{Severity.MODERATE} as score",
+        "map('Metadata GC Threshold', cast(mt as string),"
+        " 'Ergonomics', cast(erg as string)) as details",
     )
     return small.unionByName(big)
 
@@ -314,29 +307,22 @@ def g1_full_gc(gc_events: DataFrame) -> DataFrame:
     container — count + cumulative pause, severity SEVERE; detail format
     differs for a single occurrence (G1GC.java:40-48)."""
     per_c = (
-        gc_events.filter(F.col("collector_name") == "G1 Old Generation")
+        gc_events.filter("collector_name = 'G1 Old Generation'")
         .groupBy(*_KEY)
         .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.sum("pause_time").alias("pause"),
-            F.min("timestamp").alias("first_ts"),
+            F.expr("count(1)").alias("cnt"),
+            F.expr("sum(pause_time)").alias("pause"),
+            F.expr("min(timestamp)").alias("first_ts"),
         )
-        .select(
+        .selectExpr(
             *_KEY,
-            F.lit(Severity.SEVERE).alias("severity"),
-            F.when(
-                F.col("cnt") == 1,
-                F.concat(F.lit("Timestamp: "),
-                         F.timestamp_millis(F.col("first_ts")).cast("string"),
-                         F.lit(", pauseTime: "),
-                         F.col("pause").cast("string"), F.lit("ms")),
-            )
-            .otherwise(
-                F.concat(F.lit("Count: "), F.col("cnt").cast("string"),
-                         F.lit(", Cumulative PauseTime: "),
-                         F.col("pause").cast("string"), F.lit("ms"))
-            )
-            .alias("detail"),
+            f"{Severity.SEVERE} as severity",
+            "case when cnt = 1 then concat('Timestamp: ',"
+            " cast(timestamp_millis(first_ts) as string), ', pauseTime: ',"
+            " cast(pause as string), 'ms')"
+            " else concat('Count: ', cast(cnt as string),"
+            " ', Cumulative PauseTime: ', cast(pause as string), 'ms')"
+            " end as detail",
         )
     )
     return assemble_results(per_c, "G1GC")
@@ -369,7 +355,8 @@ def file_heuristic(fs_events: DataFrame, max_created_files: int = 100_000,
     get those zero rows; without it only fs-active apps appear."""
     counts = fs_events.groupBy("application_id", "attempt_id").agg(
         *[
-            F.sum(F.when(F.col("action") == a, 1).otherwise(0)).alias(a)
+            F.expr(f"sum(case when action = '{a}' then 1 else 0 end)")
+            .alias(a)
             for a in FS_ACTION_LABELS
         ]
     )
@@ -380,23 +367,23 @@ def file_heuristic(fs_events: DataFrame, max_created_files: int = 100_000,
         counts = counts.join(
             universe, ["application_id", "attempt_id"], "full_outer"
         ).na.fill(0, list(FS_ACTION_LABELS))
-    written = F.col("WRITE")
     sev = (
-        F.when(written > max_created_files, Severity.SEVERE)
-        .when(written > max_created_files // 2, Severity.MODERATE)
-        .when(written > max_created_files // 10, Severity.LOW)
-        .otherwise(Severity.NONE)
+        f"case when `WRITE` > {max_created_files} then {Severity.SEVERE}"
+        f" when `WRITE` > {max_created_files // 2} then {Severity.MODERATE}"
+        f" when `WRITE` > {max_created_files // 10} then {Severity.LOW}"
+        f" else {Severity.NONE} end"
     )
-    detail_entries = []
-    for action, label in FS_ACTION_LABELS.items():
-        detail_entries += [F.lit(label), F.col(action).cast("string")]
-    return counts.select(
+    detail_entries = ", ".join(
+        f"'{label}', cast(`{action}` as string)"
+        for action, label in FS_ACTION_LABELS.items()
+    )
+    return counts.selectExpr(
         "application_id",
         "attempt_id",
-        F.lit("FileHeuristic").alias("heuristic"),
-        sev.alias("severity"),
-        sev.alias("score"),
-        F.create_map(*detail_entries).alias("details"),
+        "'FileHeuristic' as heuristic",
+        f"{sev} as severity",
+        f"{sev} as score",
+        f"map({detail_entries}) as details",
     )
 
 
@@ -410,23 +397,19 @@ def flink_checkpoint_duration(flink_job_events: DataFrame) -> DataFrame:
     (app, job); SEVERE iff it ever exceeded 15 min.  The job name rides
     in the attempt_id slot, as in the reference (result constructor
     comment 'AttemptID')."""
+    sev = (f"case when duration > {FIFTEEN_MINUTES_MS}"
+           f" then {Severity.SEVERE} else {Severity.NONE} end")
     return (
         flink_job_events.groupBy("application_id", "job_name")
-        .agg(F.max("last_checkpoint_duration").alias("duration"))
-        .select(
+        .agg(F.expr("max(last_checkpoint_duration)").alias("duration"))
+        .selectExpr(
             "application_id",
-            F.col("job_name").alias("attempt_id"),
-            F.lit("FlinkCheckpointDuration").alias("heuristic"),
-            F.when(F.col("duration") > FIFTEEN_MINUTES_MS, Severity.SEVERE)
-            .otherwise(Severity.NONE)
-            .alias("severity"),
-            F.when(F.col("duration") > FIFTEEN_MINUTES_MS, Severity.SEVERE)
-            .otherwise(Severity.NONE)
-            .alias("score"),
-            F.create_map(
-                F.lit("last_checkpoint_duration"),
-                F.col("duration").cast("string"),
-            ).alias("details"),
+            "job_name as attempt_id",
+            "'FlinkCheckpointDuration' as heuristic",
+            f"{sev} as severity",
+            f"{sev} as score",
+            "map('last_checkpoint_duration', cast(duration as string))"
+            " as details",
         )
     )
 
@@ -447,135 +430,137 @@ def jvm_heuristics_fused(jvmstats: DataFrame) -> DataFrame:
     Parity caveat (documented, holds for the reference agent): every
     JVMSTATS event carries all polled sections
     (JVMStatistics.java:104-121 registers them on one emitter), so
-    per-row lag == per-sample lag for the rate heuristics."""
-    smap = _sections_map("section")
-    pairs = {
-        "heap_max": ("heap", "max", "long"),
-        "heap_used": ("heap", "used", "long"),
-        "sp_count": ("safepoints", "count", "long"),
-        "lock_count": ("synclocks", "contendedlockattempts", "long"),
-        "t_count": ("threads", "count", "long"),
-        "t_total": ("threads", "total", "long"),
-        "c_used": ("code", "used", "long"),
-        "c_max": ("code", "max", "long"),
-    }
-    majors = [
-        section_prop(smap, f"gc({name})", "count", "long") for name in MAJOR_GCS
-    ]
-    base = jvmstats.select(
-        *[F.col(c) for c in _KEY],
-        F.col("timestamp"), F.col("kafka_offset"),
-        *[section_prop(smap, s, p, c).alias(a)
-          for a, (s, p, c) in pairs.items()],
-        F.greatest(*majors, F.lit(0)).alias("_major"),
+    per-row lag == per-sample lag for the rate heuristics.
+
+    r14: the plan is assembled from parsed SQL strings — the Column-API
+    form cost ~2,700 py4j round trips (~0.6 s of pure driver time per
+    call); each expression below is a literal translation and the
+    fused↔unfused parity test (test_run_all_fused_parity) A/B-checks it
+    against the untouched Column implementations."""
+    smap = (
+        "map_from_entries(transform(section, s -> named_struct("
+        "'key', s.name, 'value', map_from_entries(transform(s.property,"
+        " p -> named_struct('key', p.name, 'value', p.value))))))"
     )
-    w = Window.partitionBy(*_KEY).orderBy("timestamp", "kafka_offset")
-    lagged = base.select(
+
+    def prop(section, p):
+        # extracts from the `_smap` projection below; CollapseProject
+        # inlines it, so the optimized plan is identical to writing the
+        # full map expression 12x (while parsing it only once)
+        return (f"try_cast(element_at(element_at(_smap, '{section}'),"
+                f" '{p}') as long)")
+
+    pairs = {
+        "heap_max": ("heap", "max"),
+        "heap_used": ("heap", "used"),
+        "sp_count": ("safepoints", "count"),
+        "lock_count": ("synclocks", "contendedlockattempts"),
+        "t_count": ("threads", "count"),
+        "t_total": ("threads", "total"),
+        "c_used": ("code", "used"),
+        "c_max": ("code", "max"),
+    }
+    majors = ", ".join(prop(f"gc({name})", "count") for name in MAJOR_GCS)
+    base = jvmstats.selectExpr(
+        *_KEY, "timestamp", "kafka_offset", f"{smap} as _smap",
+    ).selectExpr(
+        *_KEY,
+        "timestamp", "kafka_offset",
+        *[f"{prop(s, p)} as {a}" for a, (s, p) in pairs.items()],
+        f"greatest({majors}, 0) as _major",
+    )
+    w = ("over (partition by application_id, attempt_id, container_id"
+         " order by timestamp, kafka_offset)")
+    lagged = base.selectExpr(
         *_KEY,
         "timestamp",
         "heap_max", "heap_used", "_major",
         "t_count", "t_total", "c_used", "c_max",
         "sp_count", "lock_count",
-        F.lag("sp_count").over(w).alias("sp_last"),
-        F.lag("lock_count").over(w).alias("lock_last"),
-        F.lag("timestamp").over(w).alias("last_ts"),
+        f"lag(sp_count) {w} as sp_last",
+        f"lag(lock_count) {w} as lock_last",
+        f"lag(timestamp) {w} as last_ts",
     )
-    sp_rate = F.when(
-        F.col("sp_count").isNotNull() & F.col("sp_last").isNotNull()
-        & (F.col("timestamp") != F.col("last_ts"))
-        & (F.col("sp_last") != 0),
-        F.expr("(sp_count - sp_last) * 1000 div (timestamp - last_ts)"),
+    sp_rate = (
+        "case when sp_count is not null and sp_last is not null"
+        " and timestamp != last_ts and sp_last != 0"
+        " then (sp_count - sp_last) * 1000 div (timestamp - last_ts) end"
     )
-    lock_rate = F.when(
-        F.col("lock_count").isNotNull() & F.col("lock_last").isNotNull()
-        & (F.col("timestamp") != F.col("last_ts")),
-        F.expr("(lock_count - lock_last) * 1000 div (timestamp - last_ts)"),
+    lock_rate = (
+        "case when lock_count is not null and lock_last is not null"
+        " and timestamp != last_ts"
+        " then (lock_count - lock_last) * 1000 div (timestamp - last_ts) end"
     )
     per_c = lagged.groupBy(*_KEY).agg(
-        F.max_by("heap_max", "timestamp").alias("hmax"),
-        F.max("heap_used").alias("hpeak"),
-        F.max("_major").alias("major_gc"),
-        F.max(sp_rate).alias("sp_ratio"),
-        F.max(lock_rate).alias("lock_ratio"),
-        F.max("t_count").alias("max_count"),
-        F.max_by("t_total", "timestamp").alias("total"),
-        F.max("c_used").alias("cpeak"),
-        F.max_by("c_max", "timestamp").alias("cmax"),
+        F.expr("max_by(heap_max, timestamp)").alias("hmax"),
+        F.expr("max(heap_used)").alias("hpeak"),
+        F.expr("max(_major)").alias("major_gc"),
+        F.expr(f"max({sp_rate})").alias("sp_ratio"),
+        F.expr(f"max({lock_rate})").alias("lock_ratio"),
+        F.expr("max(t_count)").alias("max_count"),
+        F.expr("max_by(t_total, timestamp)").alias("total"),
+        F.expr("max(c_used)").alias("cpeak"),
+        F.expr("max_by(c_max, timestamp)").alias("cmax"),
     )
 
     def verdict(keep, heuristic, sev, detail):
-        s = F.struct(
-            F.lit(heuristic).alias("heuristic"),
-            sev.alias("severity"),
-            detail.alias("detail"),
-        )
-        return F.when(keep, s)
+        return (f"case when {keep} then named_struct("
+                f"'heuristic', '{heuristic}', 'severity', {sev},"
+                f" 'detail', {detail}) end")
 
     # A1 HeapUsage (NONE containers kept in details)
-    hratio = F.expr("(hmax - hpeak) * 100 div hmax")
-    hsev = (
-        F.when(hratio > 70, Severity.SEVERE)
-        .when(hratio > 50, Severity.MODERATE)
-        .when(hratio > 30, Severity.LOW)
-        .otherwise(Severity.NONE)
-    )
+    hratio = "(hmax - hpeak) * 100 div hmax"
+    hsev = (f"case when {hratio} > 70 then {Severity.SEVERE}"
+            f" when {hratio} > 50 then {Severity.MODERATE}"
+            f" when {hratio} > 30 then {Severity.LOW}"
+            f" else {Severity.NONE} end")
     heap_v = verdict(
-        (F.coalesce("major_gc", F.lit(0)) == 0) & (F.col("hmax") > F.col("hpeak")),
+        "coalesce(major_gc, 0) = 0 and hmax > hpeak",
         "HeapUsage", hsev,
-        F.concat(F.lit("unused memory %: "), hratio.cast("string")),
+        f"concat('unused memory %: ', cast({hratio} as string))",
     )
+
     # A4 Safepoints / A5 Locks (NONE containers dropped)
     def rate_v(col, tiers, name, prefix):
         t1, t2, t3, t4 = tiers
-        rsev = (
-            F.when(F.col(col) > t4, Severity.CRITICAL)
-            .when(F.col(col) > t3, Severity.SEVERE)
-            .when(F.col(col) > t2, Severity.MODERATE)
-            .when(F.col(col) > t1, Severity.LOW)
-            .otherwise(Severity.NONE)
-        )
+        rsev = (f"case when {col} > {t4} then {Severity.CRITICAL}"
+                f" when {col} > {t3} then {Severity.SEVERE}"
+                f" when {col} > {t2} then {Severity.MODERATE}"
+                f" when {col} > {t1} then {Severity.LOW}"
+                f" else {Severity.NONE} end")
         return verdict(
-            F.col(col).isNotNull() & (rsev > Severity.NONE),
-            name, rsev, F.concat(F.lit(prefix), F.col(col).cast("string")),
+            f"{col} is not null and ({rsev}) > {Severity.NONE}",
+            name, rsev, f"concat('{prefix}', cast({col} as string))",
         )
 
     sp_v = rate_v("sp_ratio", (3, 5, 7, 10), "Safepoints", "Max safepoint/s: ")
     lock_v = rate_v("lock_ratio", (10, 50, 100, 500), "Locks",
                     "Max contention/s: ")
     # A6 Threads (NONE dropped)
-    tratio = F.expr("max_count * 100 div total")
-    tsev = (
-        F.when(tratio <= 0, Severity.MODERATE)
-        .when(tratio <= 10, Severity.LOW)
-        .otherwise(Severity.NONE)
-    )
+    tratio = "max_count * 100 div total"
+    tsev = (f"case when {tratio} <= 0 then {Severity.MODERATE}"
+            f" when {tratio} <= 10 then {Severity.LOW}"
+            f" else {Severity.NONE} end")
     thread_v = verdict(
-        F.col("max_count").isNotNull() & (F.col("total") > 0)
-        & (tsev > Severity.NONE),
+        f"max_count is not null and total > 0 and ({tsev}) > {Severity.NONE}",
         "Threads", tsev,
-        F.concat(F.lit("Max count threads: "), F.col("max_count").cast("string"),
-                 F.lit(", Total threads: "), F.col("total").cast("string")),
+        "concat('Max count threads: ', cast(max_count as string),"
+        " ', Total threads: ', cast(total as string))",
     )
     # A7 CodeCacheUsage (fixed MODERATE when unused < 5 %)
     code_v = verdict(
-        F.col("cpeak").isNotNull()
-        & ~((F.col("cmax") > F.col("cpeak"))
-            & (F.expr("(cmax - cpeak) * 100 div cmax") >= 5)),
-        "CodeCacheUsage", F.lit(Severity.MODERATE),
-        F.concat(F.lit("max: "), F.col("cmax").cast("string"),
-                 F.lit("kB, peak: "), F.col("cpeak").cast("string"),
-                 F.lit("kB")),
+        "cpeak is not null and not (cmax > cpeak"
+        " and (cmax - cpeak) * 100 div cmax >= 5)",
+        "CodeCacheUsage", str(Severity.MODERATE),
+        "concat('max: ', cast(cmax as string),"
+        " 'kB, peak: ', cast(cpeak as string), 'kB')",
     )
 
-    verdicts = per_c.select(
+    verdicts = per_c.selectExpr(
         *_KEY,
-        F.explode(
-            F.filter(
-                F.array(heap_v, sp_v, lock_v, thread_v, code_v),
-                lambda v: v.isNotNull(),
-            )
-        ).alias("v"),
-    ).select(*_KEY, "v.heuristic", "v.severity", "v.detail")
+        f"explode(filter(array({heap_v}, {sp_v}, {lock_v}, {thread_v},"
+        f" {code_v}), v -> v is not null)) as v",
+    ).selectExpr(*_KEY, "v.heuristic", "v.severity", "v.detail")
     return assemble_results_by_heuristic(verdicts)
 
 

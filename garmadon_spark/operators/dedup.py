@@ -161,13 +161,14 @@ def read_hash_index(spark, path: str) -> DataFrame:
     check, so a tree written at a different HASH_HP_CHARS is refused
     rather than pruned against mismatched directories (missed seen
     docs — a gate hole)."""
-    from pyspark.sql.types import StringType, StructField, StructType
+    from garmadon_spark.session import scan_parquet
 
     _check_layout_stamp(path, _hash_layout(), "reader")
-    return spark.read.schema(StructType([
-        StructField("content_hash", StringType()),
-        StructField("hp", StringType()),
-    ])).option("basePath", path).parquet(path)
+    return scan_parquet(
+        spark, path,
+        schema="content_hash string, hp string",
+        options={"basePath": path},
+    )
 
 
 def _compact_prefix_tree(spark, path: str, schema_ddl: str,
@@ -1998,13 +1999,18 @@ def read_simhash_index(spark, path: str, chunk_bits: int = 14,
     string-prefix pruning predicate) + a ``_LAYOUT`` identity check —
     reading with mismatched parameters would prune against directories
     the predicate no longer matches (missed candidates, a gate hole)."""
+    from garmadon_spark.session import scan_parquet
+
     _check_layout_stamp(path, _simhash_layout(chunk_bits, n_chunks),
                         "reader")
-    return (
-        spark.read.schema(
-            f"doc {doc_type}, simhash bigint, chunk int, val bigint,"
-            " cp string"
-        ).option("basePath", path).parquet(path)
+    # scan_parquet: stat-versioned plan memo — an append anywhere in
+    # the chunk tree invalidates it; re-listing ~500 leaf dirs through
+    # the JVM on every construction dominated the incremental queries
+    return scan_parquet(
+        spark, path,
+        schema=(f"doc {doc_type}, simhash bigint, chunk int, val bigint,"
+                " cp string"),
+        options={"basePath": path},
     )
 
 

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from garmadon_spark.operators import corpus, dedup, similarity, text
 from garmadon_spark.session import load_table
+from garmadon_spark.session import scan_parquet as _scan
 
 
 def _docs(spark, sf_dir):
@@ -279,7 +280,7 @@ def _ensure_minhash_pruned_index(spark, sf_dir):
         return base
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base, exist_ok=True)
-    index = spark.read.parquet(_ensure_sig_index(spark, sf_dir))
+    index = _scan(spark, _ensure_sig_index(spark, sf_dir))
     # one-shot full-tree build is a FIXTURE artifact (a deployment
     # appends per accepted batch and never pays it): the 32×256-leaf
     # banded write is bounded by file-commit overhead, so spread it
@@ -340,19 +341,23 @@ def doc_minhash_incremental_pruned(spark, sf_dir):
     with the unpruned path on the SAME increment plus the re-scrape
     recall floor."""
     def _build():
+        from garmadon_spark.session import scan_parquet
+
         inc = _minhash_pruned_increment(spark, sf_dir)
         base = _ensure_minhash_pruned_index(spark, sf_dir)
-        sigs = (
-            spark.read
-            .schema("doc bigint, signature array<bigint>, dp string")
-            .option("basePath", f"{base}/sigs")
-            .parquet(f"{base}/sigs")
+        # scan_parquet: the bands tree has 32x256 leaf dirs — re-listing
+        # it on every construction cost seconds; the memoized scan is
+        # stat-versioned (a fixture rebuild invalidates it) and
+        # plan-only (execution still reads the files)
+        sigs = scan_parquet(
+            spark, f"{base}/sigs",
+            schema="doc bigint, signature array<bigint>, dp string",
+            options={"basePath": f"{base}/sigs"},
         )
-        hb = (
-            spark.read
-            .schema("doc bigint, bucket string, band int, bp string")
-            .option("basePath", f"{base}/bands")
-            .parquet(f"{base}/bands")
+        hb = scan_parquet(
+            spark, f"{base}/bands",
+            schema="doc bigint, bucket string, band int, bp string",
+            options={"basePath": f"{base}/bands"},
         )
         out = dedup.incremental_minhash(
             inc, sigs, n=2, num_hashes=64, bands=32, threshold=0.3,
@@ -389,7 +394,7 @@ def doc_minhash_incremental_pruned_check(spark, sf_dir):
         spark, sf_dir, "minhash_incr_pairs_pruned",
         lambda: doc_minhash_incremental_pruned(spark, sf_dir),
     ).select("doc_a", "doc_b", "est_jaccard")
-    index = spark.read.parquet(_ensure_sig_index(spark, sf_dir))
+    index = _scan(spark, _ensure_sig_index(spark, sf_dir))
     base = dedup.incremental_minhash(
         inc, index, n=2, num_hashes=64, bands=32, threshold=0.3,
     )
@@ -1041,7 +1046,7 @@ def doc_minhash_incremental(spark, sf_dir):
     it."""
     docs = _fanout(spark, _docs(spark, sf_dir))
     inc = docs.filter(F.col("doc_id") % 5 == 0)
-    index = spark.read.parquet(_ensure_sig_index(spark, sf_dir))
+    index = _scan(spark, _ensure_sig_index(spark, sf_dir))
     out = dedup.incremental_minhash(
         inc, index, n=2, num_hashes=64, bands=32, threshold=0.3
     )

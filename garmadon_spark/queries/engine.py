@@ -125,8 +125,10 @@ def fixture_corpus_dir(n_apps: int = 8, seed: int = 42) -> str:
 
 
 def _corpus_tables(spark, names):
+    from garmadon_spark.session import scan_parquet
+
     d = fixture_corpus_dir()
-    return {t: spark.read.parquet(f"{d}/{t}.parquet") for t in names}
+    return {t: scan_parquet(spark, f"{d}/{t}.parquet") for t in names}
 
 
 def garmadon_heuristics(spark, sf_dir):

@@ -60,6 +60,24 @@ def get_spark(
         master = f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_DEFAULTS)
+    # Partition discovery over the engine's prefix-partitioned index
+    # trees (bands: 32x256 leaf dirs, simhash chunks: 16x256): Spark's
+    # default kicks off a distributed listing JOB above 32 paths with
+    # one task per directory — ~8,200 tiny tasks of pure scheduling
+    # overhead (measured 26 s to merely CONSTRUCT the bands scan
+    # locally).  On a local master the filesystem is local and
+    # driver-side listing is ~20x faster (1.1 s), so force it there;
+    # on a cluster master remote listStatus round trips dominate and
+    # the distributed listing is kept, just with sane task sizing
+    # (64 tasks listing ~hundreds of dirs each beats 10,000
+    # single-dir tasks there too).  Both env-overridable.
+    if master.startswith("local"):
+        conf.setdefault(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            os.environ.get("SPARK_GRAFT_LIST_THRESHOLD", "100000"))
+    conf.setdefault(
+        "spark.sql.sources.parallelPartitionDiscovery.parallelism",
+        os.environ.get("SPARK_GRAFT_LIST_PARALLELISM", "64"))
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
@@ -79,6 +97,67 @@ TPCH_TABLES = (
     "documents",
     "embeddings",
 )
+
+
+# ---------------------------------------------------------------------------
+# Plan-level scan memo (r14, guide §1.2): every declared query used to pay
+# ~85-105 ms of pure driver time PER TABLE just constructing the parquet
+# scan (py4j round trip + file listing + footer/schema read) — per call,
+# even warm, times 199 queries times 3 bench passes.  A parquet-scan
+# DataFrame is an immutable logical plan; reusing the object is NOT result
+# caching (no .cache(), no CacheManager entry — every action still reads
+# the parquet files from disk).  The memo key carries a stat-derived
+# version token so a rewritten/regenerated input invalidates the entry;
+# it is scoped to the read-only base/fixture tables (load_table /
+# engine._corpus_tables) — mutable index trees keep fresh reads.
+_SCAN_MEMO: dict = {}
+
+
+def _path_version(path: str):
+    """Change token: a full recursive stat-walk (names, mtimes, sizes).
+    Any file added, removed or rewritten ANYWHERE under the path —
+    including appends two partition levels deep in the prefix-
+    partitioned index trees — moves the token.  Cost is ~10 ms per
+    1,000 files on a local fs, an order of magnitude cheaper than
+    Spark re-listing the tree through the JVM."""
+    st = os.stat(path)
+    ver = [st.st_mtime_ns, st.st_size]
+    if os.path.isdir(path):
+        for root, dirs, files in os.walk(path):
+            dirs.sort()
+            for f in sorted(files):
+                try:
+                    fs = os.stat(os.path.join(root, f))
+                except OSError:
+                    continue
+                ver.append(f)
+                ver.append(fs.st_mtime_ns)
+                ver.append(fs.st_size)
+    return tuple(ver)
+
+
+def scan_parquet(spark: SparkSession, path: str, schema: str | None = None,
+                 options: dict | None = None):
+    """Memoized parquet scan: returns the same (immutable) DataFrame for
+    an unchanged path within one Spark application.  Plan reuse only —
+    execution always re-reads the files.  ``schema``/``options`` become
+    part of the memo key (the partitioned index trees pass an explicit
+    schema + basePath; re-listing their thousands of leaf dirs per
+    construction was the dominant cost)."""
+    key = (spark.sparkContext.applicationId, path, schema,
+           tuple(sorted(options.items())) if options else None)
+    ver = _path_version(path)
+    hit = _SCAN_MEMO.get(key)
+    if hit is not None and hit[0] == ver:
+        return hit[1]
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+    if options:
+        reader = reader.options(**options)
+    df = reader.parquet(path)
+    _SCAN_MEMO[key] = (ver, df)
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str):
@@ -105,14 +184,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # memoize the POST-normalization frame: the ts probe (a py4j
+        # schema fetch) and the withColumn are part of the per-call cost
+        key = (spark.sparkContext.applicationId, path, "events-norm")
+        ver = _path_version(path)
+        hit = _SCAN_MEMO.get(key)
+        if hit is not None and hit[0] == ver:
+            return hit[1]
         df = spark.read.parquet(path)
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        _SCAN_MEMO[key] = (ver, df)
         return df
-    return spark.read.parquet(path)
+    return scan_parquet(spark, path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names=TPCH_TABLES):
