@@ -1075,10 +1075,22 @@ def _flagged_increment_pairs(
     ``_gs_unpersist()`` when done (a no-op otherwise)."""
     from pyspark import StorageLevel
 
-    first = hist_index.select(F.size("signature").alias("k")).first()
-    if first is not None and first.k != num_hashes:
+    # width guard memo: a DataFrame's plan is immutable, so one probe
+    # per OBJECT suffices — the session-level scan memo hands every
+    # caller the same object for an unchanged tree (an append/rebuild
+    # yields a new object and the guard re-runs).  Un-memoized callers
+    # construct a fresh frame per call and keep the per-call probe.
+    k = getattr(hist_index, "_gs_sig_width", None)
+    if k is None:
+        first = hist_index.select(F.size("signature").alias("k")).first()
+        k = int(first.k) if first is not None else -1
+        try:
+            hist_index._gs_sig_width = k
+        except Exception:
+            pass
+    if k >= 0 and k != num_hashes:
         raise ValueError(
-            f"hist_index signatures have {first.k} components,"
+            f"hist_index signatures have {k} components,"
             f" num_hashes={num_hashes} — est_jaccard would be silently"
             " wrong; rebuild the index or match num_hashes"
         )
@@ -1138,13 +1150,15 @@ def _flagged_increment_pairs(
         for r in binc.select("band", "bp").distinct().collect():
             by_band.setdefault(int(r.band), []).append(r.bp)
         if by_band:
-            import functools
-            import operator
-
-            pred = functools.reduce(operator.or_, [
-                (F.col("band") == b) & F.col("bp").isin(sorted(ps))
+            # one parsed SQL string instead of a Column-API reduce —
+            # the per-band &/isin chain cost ~1 s of pure py4j round
+            # trips per call at bands=32; bp values are 2-char hex so
+            # the literals never need escaping
+            pred = F.expr(" or ".join(
+                f"(band = {b} and bp in"
+                f" ({', '.join(repr(p) for p in sorted(ps))}))"
                 for b, ps in sorted(by_band.items())
-            ])
+            ))
         else:
             pred = F.lit(False)
         hb_src = (
@@ -2099,13 +2113,14 @@ def incremental_simhash(
         for r in incc.select("chunk", "cp").distinct().collect():
             by_chunk.setdefault(int(r.chunk), []).append(r.cp)
         if by_chunk:
-            import functools
-            import operator
-
-            pred = functools.reduce(operator.or_, [
-                (F.col("chunk") == c) & F.col("cp").isin(sorted(ps))
+            # one parsed SQL string — same py4j-storm cure as the
+            # banded prune in _flagged_increment_pairs; cp values are
+            # 2-char hex so the literals never need escaping
+            pred = F.expr(" or ".join(
+                f"(chunk = {c} and cp in"
+                f" ({', '.join(repr(p) for p in sorted(ps))}))"
                 for c, ps in sorted(by_chunk.items())
-            ])
+            ))
         else:
             pred = F.lit(False)
         hist_side = (
