@@ -111,6 +111,7 @@ def remove_frequent_lines(
     delim: str = "\n",
     min_df: int = 2,
     join_delim: str | None = None,
+    persist_lines: bool = True,
 ) -> DataFrame:
     """Boilerplate removal: drop every line whose doc-frequency reaches
     ``min_df``, preserving intra-doc line order.  Returns one row per
@@ -124,14 +125,27 @@ def remove_frequent_lines(
     ``join_delim`` raises rather than silently emitting wrong text.
 
     The heavy set is broadcast (it is the boilerplate vocabulary —
-    bounded, not corpus-sized), so the anti-join adds no shuffle; the
+    bounded, not corpus-sized), so the drop adds no shuffle; the
     reassembly is the one shuffle on the doc id.  Collision safety in
     two stages: the corpus-wide doc-frequency count shuffles only the
     8-byte line hash, then the doc frequency is RE-COUNTED per (hash,
     string) within the heavy-hash subset alone (boilerplate-vocabulary-
     sized, so shuffling those strings is cheap) — an innocent line whose
     hash collides with boilerplate is only dropped if its OWN string's
-    doc frequency reaches ``min_df``."""
+    doc frequency reaches ``min_df``.
+
+    The exploded line table feeds all three passes (hash-df count,
+    string-df recount, reassembly), so it is persisted once
+    (``persist_lines``; release via the returned frame's
+    ``_gs_unpersist``) — the plan previously re-split and re-exploded
+    the corpus per branch (6 Generates / 16 Exchanges at sf0.1), and a
+    separate ``before`` leg re-split it once more for a count the
+    reassembly aggregate already knows: every doc has ≥1 line row
+    (``split(_, -1)`` keeps empty segments), so one conditional
+    aggregate emits before/kept/text together and the old outer join
+    disappears."""
+    from pyspark import StorageLevel
+
     if join_delim is None:
         if _REGEX_META & set(delim):
             raise ValueError(
@@ -142,6 +156,8 @@ def remove_frequent_lines(
     lines = split_lines(df, id_col, text_col, delim).withColumn(
         "line_h", F.xxhash64("line")
     )
+    if persist_lines:
+        lines = lines.persist(StorageLevel.MEMORY_AND_DISK)
     heavy_h = heavy_lines(lines, id_col, min_df).select("line_h")
     # per-string df recount within the heavy-hash subset: collisions
     # inflate the hash-keyed count, never the string-keyed one
@@ -150,31 +166,30 @@ def remove_frequent_lines(
         .groupBy("line_h", "line")
         .agg(F.count_distinct(id_col).alias("df"))
         .filter(F.col("df") >= min_df)
-        .select("line_h", "line")
+        .select("line_h", "line", F.lit(True).alias("_hv"))
     )
-    kept = lines.join(F.broadcast(heavy), ["line_h", "line"], "left_anti")
-    reassembled = kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_lines_kept"),
+    flagged = lines.join(F.broadcast(heavy), ["line_h", "line"], "left")
+    keep = F.col("_hv").isNull()
+    out = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines_before"),
+        F.count(F.when(keep, 1)).alias("n_lines_kept"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                F.filter(
+                    F.array_sort(F.collect_list(
+                        F.struct("line_no", keep.alias("keep"), "line")
+                    )),
+                    lambda x: x["keep"],
+                ),
                 lambda x: x["line"],
             ),
             join_delim,
         ).alias(text_col),
+    ).select(
+        id_col, "n_lines_before", "n_lines_kept", text_col,
     )
-    before = df.select(
-        id_col,
-        F.size(F.split(F.col(text_col), delim, -1))
-        .cast("long")
-        .alias("n_lines_before"),
-    )
-    return before.join(reassembled, id_col, "left").select(
-        id_col,
-        "n_lines_before",
-        F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
-        F.coalesce(text_col, F.lit("")).alias(text_col),
-    )
+    out._gs_unpersist = lines.unpersist if persist_lines else (lambda: None)
+    return out
 
 
 def pack_sequences(

@@ -343,6 +343,15 @@ def doc_minhash_incremental_pruned(spark, sf_dir):
     def _build():
         from garmadon_spark.session import scan_parquet
 
+        # one set of persisted intermediates at a time (the
+        # _PRUNED_EXACT_CACHE rule): release the previous pass's
+        # handles instead of leaking MEMORY_AND_DISK frames per call.
+        # Release BEFORE building — CacheManager matches by plan, and
+        # an identical rebuilt plan unpersisted afterwards silently
+        # drops the fresh entries too (this pass then recomputes every
+        # persisted branch).
+        while _MINHASH_PRUNED_CACHE:
+            _MINHASH_PRUNED_CACHE.pop()()
         inc = _minhash_pruned_increment(spark, sf_dir)
         base = _ensure_minhash_pruned_index(spark, sf_dir)
         # scan_parquet: the bands tree has 32x256 leaf dirs — re-listing
@@ -363,11 +372,6 @@ def doc_minhash_incremental_pruned(spark, sf_dir):
             inc, sigs, n=2, num_hashes=64, bands=32, threshold=0.3,
             hist_banded=hb,
         )
-        # one set of persisted intermediates at a time (the
-        # _PRUNED_EXACT_CACHE rule): release the previous pass's
-        # handles instead of leaking MEMORY_AND_DISK frames per call
-        while _MINHASH_PRUNED_CACHE:
-            _MINHASH_PRUNED_CACHE.pop()()
         _MINHASH_PRUNED_CACHE.append(out._gs_unpersist)
         return _memo_store(
             spark, sf_dir, "minhash_incr_pairs_pruned", out)
@@ -505,15 +509,17 @@ def doc_simhash_incremental(spark, sf_dir):
     pruned↔re-chunking parity, the exact-re-scrape recall floor, and a
     driver-side Hamming recompute."""
     def _build():
+        # one persisted chunk frame at a time (the _FILT_CACHE rule);
+        # release BEFORE building — an identical rebuilt plan
+        # unpersisted afterwards drops the fresh CacheManager entry too
+        while _SIMHASH_INC_CACHE:
+            _SIMHASH_INC_CACHE.pop()()
         base = _ensure_simhash_index(spark, sf_dir)
         out = dedup.incremental_simhash(
             _simhash_increment(spark, sf_dir), None,
             hist_chunked=dedup.read_simhash_index(
                 spark, f"{base}/index"),
         )
-        # one persisted chunk frame at a time (the _FILT_CACHE rule)
-        while _SIMHASH_INC_CACHE:
-            _SIMHASH_INC_CACHE.pop()()
         _SIMHASH_INC_CACHE.append(out._gs_unpersist)
         return _memo_store(spark, sf_dir, "simhash_incremental", out)
 
@@ -677,16 +683,17 @@ def doc_incremental_dedup_pruned(spark, sf_dir):
     scan, the exact-dedup twin of the near-dup gate's dp-pruned fetch.
     Shares doc_incremental_dedup's oracle: identical results are the
     proof the pruned read misses nothing."""
+    # one persisted survivors frame at a time (the _FILT_CACHE rule):
+    # release the previous call's handle instead of leaking one per
+    # bench pass — and BEFORE building, since unpersisting an identical
+    # rebuilt plan afterwards drops the fresh CacheManager entry too
+    while _PRUNED_EXACT_CACHE:
+        _PRUNED_EXACT_CACHE.pop()()
     docs = _docs(spark, sf_dir)
     increment = docs.filter(F.col("doc_id") % 5 == 0)
     base = _ensure_hash_index(spark, sf_dir)
     index = dedup.read_hash_index(spark, f"{base}/index")
     out = dedup.incremental_exact_dedup(increment, index)
-    # one persisted survivors frame at a time (the _FILT_CACHE rule):
-    # release the previous call's handle instead of leaking one per
-    # bench pass
-    while _PRUNED_EXACT_CACHE:
-        _PRUNED_EXACT_CACHE.pop()()
     _PRUNED_EXACT_CACHE.append(out._gs_unpersist)
     return out
 
@@ -1044,17 +1051,19 @@ def doc_minhash_incremental(spark, sf_dir):
     expansion.  Rows-only (sketch estimates aren't SQL); the adjacent
     ``_check`` pins the exact contract.  Publishes the pair table for
     it."""
+    # one set of persisted intermediates at a time (the
+    # _PRUNED_EXACT_CACHE rule — the propagated handle finally makes
+    # the unpruned path releasable too); release BEFORE building, since
+    # unpersisting an identical rebuilt plan afterwards drops the fresh
+    # CacheManager entry too
+    while _MINHASH_INCR_CACHE:
+        _MINHASH_INCR_CACHE.pop()()
     docs = _fanout(spark, _docs(spark, sf_dir))
     inc = docs.filter(F.col("doc_id") % 5 == 0)
     index = _scan(spark, _ensure_sig_index(spark, sf_dir))
     out = dedup.incremental_minhash(
         inc, index, n=2, num_hashes=64, bands=32, threshold=0.3
     )
-    # one set of persisted intermediates at a time (the
-    # _PRUNED_EXACT_CACHE rule — the propagated handle finally makes
-    # the unpruned path releasable too)
-    while _MINHASH_INCR_CACHE:
-        _MINHASH_INCR_CACHE.pop()()
     _MINHASH_INCR_CACHE.append(out._gs_unpersist)
     return _memo_store(spark, sf_dir, "minhash_incr_pairs", out)
 
@@ -2327,6 +2336,12 @@ def emb_ann_batch(spark, sf_dir, n_queries: int = 5, k: int = 10):
     serving-representative); the parity contract is width-independent
     (both paths share the cell-selection arithmetic), so the gate loses
     nothing by running at the realistic setting."""
+    # bound the probe-batch cache to ONE live handle across repeated
+    # calls (bench/scale sweeps re-run this in a single session);
+    # release BEFORE building, since unpersisting an identical rebuilt
+    # plan afterwards drops the fresh CacheManager entry too
+    while _ANN_BATCH_CACHE:
+        _ANN_BATCH_CACHE.pop()()
     embs = _embs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -2336,10 +2351,6 @@ def emb_ann_batch(spark, sf_dir, n_queries: int = 5, k: int = 10):
     out = similarity.ivf_topk_batch(
         spark, path, queries, k=k, nprobe=nprobe,
     )
-    # bound the probe-batch cache to ONE live handle across repeated
-    # calls (bench/scale sweeps re-run this in a single session)
-    while _ANN_BATCH_CACHE:
-        _ANN_BATCH_CACHE.pop()()
     _ANN_BATCH_CACHE.append(out._gs_unpersist)
     return out
 
@@ -3114,11 +3125,22 @@ def doc_line_dedup(spark, sf_dir):
         "doc_id",
         F.expr(f"array_join({_EIGHT_TOKEN_LINES}, '\\n')").alias("text"),
     )
-    out = remove_frequent_lines(ml, min_df=2, delim="\n")
-    return out.select(
+    # one persisted line table at a time (the _PRUNED_EXACT_CACHE rule).
+    # Release BEFORE re-persisting: CacheManager matches by plan, so
+    # unpersisting the previous call's identical line table afterwards
+    # would silently drop the fresh entry too.
+    while _LINE_DEDUP_CACHE:
+        _LINE_DEDUP_CACHE.pop()()
+    rf = remove_frequent_lines(ml, min_df=2, delim="\n")
+    out = rf.select(
         "doc_id", "n_lines_before", "n_lines_kept",
         F.length("text").cast("long").alias("chars_kept"),
     )
+    _LINE_DEDUP_CACHE.append(rf._gs_unpersist)
+    return out
+
+
+_LINE_DEDUP_CACHE: list = []
 
 
 DOC_LINE_DEDUP_SQL = """
@@ -4905,6 +4927,10 @@ def emb_ann_filtered(spark, sf_dir):
     value-hash oracle (the only ANN leg DuckDB can replicate
     bit-for-bit); the approximate widths reuse the same `allowed`
     plumbing with recall governed by the documented nprobe trade."""
+    # release BEFORE building (identical rebuilt plans: an unpersist
+    # afterwards drops the fresh CacheManager entry too)
+    while _FILT_CACHE:
+        _FILT_CACHE.pop()()
     embs = _embs(spark, sf_dir)
     path = _ensure_ivf_index(spark, sf_dir)
     cells = _ivf_cells_for(_emb_count(spark, sf_dir))
@@ -4916,8 +4942,6 @@ def emb_ann_filtered(spark, sf_dir):
         spark, path, queries, k=_RECALL_K, nprobe=cells,
         exclude_self=True, allowed=allowed,
     )
-    while _FILT_CACHE:
-        _FILT_CACHE.pop()()
     _FILT_CACHE.append(out._gs_unpersist)
     return out.orderBy("query_id", "rank")
 
@@ -4960,6 +4984,10 @@ def emb_ann_filtered_per_query(spark, sf_dir):
     per-query brute-force-filtered top-k with a FULL value-hash DuckDB
     oracle; approximate widths reuse the same plumbing under the
     documented nprobe trade."""
+    # release BEFORE building (identical rebuilt plans: an unpersist
+    # afterwards drops the fresh CacheManager entry too)
+    while _FILT_CACHE:
+        _FILT_CACHE.pop()()
     embs = _embs(spark, sf_dir)
     path = _ensure_ivf_index(spark, sf_dir)
     cells = _ivf_cells_for(_emb_count(spark, sf_dir))
@@ -4978,8 +5006,6 @@ def emb_ann_filtered_per_query(spark, sf_dir):
         spark, path, queries, k=_RECALL_K, nprobe=cells,
         exclude_self=True, allowed=pairs,
     )
-    while _FILT_CACHE:
-        _FILT_CACHE.pop()()
     _FILT_CACHE.append(out._gs_unpersist)
     return out.orderBy("query_id", "rank")
 
@@ -5036,6 +5062,13 @@ def doc_curation_funnel(spark, sf_dir):
     Rows-only (the near-dup stage is engine-defined);
     ``doc_curation_funnel_check`` pins every SQL-expressible stage
     count by value."""
+    # one set of persisted stage frames at a time (the
+    # _MINHASH_INCR_CACHE rule) — released BEFORE rebuilding: the
+    # rebuilt stage plans are identical, and CacheManager's
+    # plan-matching unpersist would otherwise drop the fresh entries
+    # right after they were marked
+    while _FUNNEL_CACHE:
+        _FUNNEL_CACHE.pop()()
     docs = _docs(spark, sf_dir).select("doc_id", "text", "n_chars")
 
     def stage(df, name, text_col="text", n_col=None):
@@ -5119,11 +5152,7 @@ def doc_curation_funnel(spark, sf_dir):
     # publish the (5-row) funnel for the check's reuse (r14, the
     # emb_diverse_sample precedent): the builder always recomputes —
     # its benched cost stays the pipeline's honest cost — and the
-    # memo-off bench pass still times the check's full pipeline.  One
-    # set of persisted stage frames at a time (the _MINHASH_INCR_CACHE
-    # rule).
-    while _FUNNEL_CACHE:
-        _FUNNEL_CACHE.pop()()
+    # memo-off bench pass still times the check's full pipeline.
     _FUNNEL_CACHE.append(out._gs_unpersist)
     return _memo_store(spark, sf_dir, "curation_funnel", out)
 
