@@ -2276,10 +2276,17 @@ def repeated_ngram_starts(
     Returns (id, starts: sorted int array).  A doc shorter than k
     tokens emits no grams (the ``n >= k`` guard also keeps Spark's
     ``sequence`` from silently generating a DESCENDING index range)."""
+    from pyspark import StorageLevel
+
     pos = df.select(
         id_col,
         F.posexplode(_gram_array(text_col, k, F.md5)).alias("pos", "gram"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # ^ the gram table feeds TWO plan branches (frequency count + the
+    # flagged-position join-back); un-persisted, each branch re-
+    # tokenizes and re-hashes the whole corpus.  The local analogue of
+    # the suffix-array pipeline checkpointing its gram table; release
+    # via the returned frame's _gs_unpersist.
     # skew-safe distinct-doc count: the explicit distinct shuffles on
     # (gram, doc) — uniformly spread even for a gram present in EVERY
     # document — and the count that follows map-side combines per
@@ -2292,11 +2299,13 @@ def repeated_ngram_starts(
         .agg(F.count(F.lit(1)).alias("nd"))
         .filter(F.col("nd") >= min_docs)
     )
-    return (
+    out = (
         pos.join(freq.select("gram"), "gram")
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_set("pos")).alias("starts"))
     )
+    out._gs_unpersist = pos.unpersist
+    return out
 
 
 def scrub_repeated_ngrams(
@@ -2339,7 +2348,7 @@ def scrub_repeated_ngrams(
         ),
         " ",
     )
-    return (
+    out = (
         df.join(starts, id_col, "left")
         .select(
             id_col,
@@ -2347,6 +2356,8 @@ def scrub_repeated_ngrams(
             F.size(st).alias("n_flagged_spans"),
         )
     )
+    out._gs_unpersist = starts._gs_unpersist
+    return out
 
 
 def repeated_ngram_report(
@@ -2371,15 +2382,24 @@ def repeated_ngram_report(
         id_col,
         F.explode(_gram_array(text_col, k, lambda g: g)).alias("span"),
     )
-    occ = ex.groupBy("span").agg(F.count(F.lit(1)).alias("n_occurrences"))
-    docs = (
-        ex.distinct()
-        .groupBy("span")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .filter(F.col("n_docs") >= min_docs)
+    # ONE explode, two-level aggregate: per-(span, doc) occurrence
+    # counts first (map-side combined, uniformly spread even for a
+    # universal boilerplate span), then the doc count and occurrence
+    # sum ride one gram-keyed aggregate over the deduped rows.  The
+    # former occ/docs twin subtrees each re-exploded the corpus and
+    # shuffled full span strings twice, then joined — same numbers,
+    # half the explode work, and the second shuffle is
+    # (span, doc)-deduped rows, not raw occurrences.
+    per_doc = ex.groupBy("span", id_col).agg(
+        F.count(F.lit(1)).alias("c")
     )
     return (
-        docs.join(occ, "span")
+        per_doc.groupBy("span")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("c").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
         .orderBy(
             F.desc("n_docs"), F.desc("n_occurrences"), F.asc("span")
         )

@@ -25,6 +25,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from garmadon_spark.session import scan_parquet as _scan
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -570,11 +572,11 @@ def append_to_ivf_index(
     import os as _os
 
     spark = new_embs.sparkSession
-    cents = spark.read.parquet(f"{path}/centroids")
+    cents = _scan(spark, f"{path}/centroids")
     if _os.path.isdir(f"{path}/coarse"):
         coarse_by_id = {
             int(r.ivf_branch): list(r.centroid)
-            for r in spark.read.parquet(f"{path}/coarse").collect()
+            for r in _scan(spark, f"{path}/coarse").collect()
         }
         fine_by_branch: dict[int, list] = {}
         offsets: dict[int, int] = {}
@@ -957,14 +959,14 @@ def retrain_ivf_index(
             if bid is not None and bid not in done:
                 unmarked.add(bid)
 
-    corpus = spark.read.parquet(vec)
+    corpus = _scan(spark, vec)
     if unmarked:
         pat = "/b(" + "|".join(sorted(unmarked)) + r")-[^/]*\.parquet$"
         corpus = corpus.filter(~F.input_file_name().rlike(pat))
     # stale routing columns (ivf_cell, and ivf_branch on hierarchical
     # layouts) are dropped by write_ivf_index itself
     if n_centroids is None:
-        n_centroids = spark.read.parquet(f"{path}/centroids").count()
+        n_centroids = _scan(spark, f"{path}/centroids").count()
 
     centroids = write_ivf_index(
         corpus, staging, n_centroids=n_centroids, iterations=iterations,
@@ -1040,11 +1042,11 @@ def _select_probe_cells(spark, path: str, q_np, nprobe: int,
     fine_rows restricted to the selected branches."""
     import os as _os
 
-    cent_df = spark.read.parquet(f"{path}/centroids")
+    cent_df = _scan(spark, f"{path}/centroids")
     if _os.path.isdir(f"{path}/coarse"):
         coarse = {
             int(r.ivf_branch): list(r.centroid)
-            for r in spark.read.parquet(f"{path}/coarse").collect()
+            for r in _scan(spark, f"{path}/coarse").collect()
         }
         if probe_branches is None:
             probe_branches = _branch_budget(
@@ -1090,7 +1092,7 @@ def ivf_topk_from_index(
         spark, path, q_np, nprobe, probe_branches
     )
     q = _lit_vec(query_vec)
-    vectors = spark.read.parquet(f"{path}/vectors")
+    vectors = _scan(spark, f"{path}/vectors")
     if exclude_ids:
         vectors = vectors.filter(~F.col(id_col).isin(exclude_ids))
     return (
@@ -1122,7 +1124,7 @@ def load_ivf_centroids(spark, path: str):
     import logging as _logging
     import os as _os
 
-    cent = spark.read.parquet(f"{path}/centroids").collect()
+    cent = _scan(spark, f"{path}/centroids").collect()
     if cent:
         floats = len(cent) * len(cent[0].centroid)
         if floats > CENTROID_LOAD_BUDGET_FLOATS:
@@ -1136,7 +1138,7 @@ def load_ivf_centroids(spark, path: str):
     if _os.path.isdir(f"{path}/coarse"):
         coarse_by_id = {
             int(r.ivf_branch): list(r.centroid)
-            for r in spark.read.parquet(f"{path}/coarse").collect()
+            for r in _scan(spark, f"{path}/coarse").collect()
         }
         fine_rows = [
             (int(r.ivf_cell), int(r.ivf_branch), list(r.centroid))
@@ -1335,7 +1337,7 @@ def ivf_topk_batch(
     # execution of the probe UDF
     probed = [int(r.ivf_cell)
               for r in exploded.select("ivf_cell").distinct().collect()]
-    vectors = spark.read.parquet(f"{path}/vectors").filter(
+    vectors = _scan(spark, f"{path}/vectors").filter(
         F.col("ivf_cell").isin(probed)
     )
     allowed_ids, allowed_pairs = _allowed_forms(allowed, id_col)
@@ -2191,10 +2193,10 @@ def _index_residuals(spark, path: str, id_col: str, vec_col: str,
     its OWN centroid table: a broadcast join on ivf_cell (the centroid
     table is quantizer-sized), then one zip_with — map-only after the
     broadcast.  Returns ``(residuals(id, ivf_cell, _resid), n_cells)``."""
-    assigned = (spark.read.parquet(f"{path}/vectors")
+    assigned = (_scan(spark, f"{path}/vectors")
                 if source is None else source)
     cent_df = (
-        spark.read.parquet(f"{path}/centroids")
+        _scan(spark, f"{path}/centroids")
         .select("ivf_cell", F.col("centroid").alias("_cent"))
     )
     n_cells = cent_df.count()
@@ -2302,7 +2304,7 @@ def load_pq_codebooks(spark, path: str) -> list:
     """The persisted residual codebooks, nested-list form (model-sized:
     m·ksub·dsub doubles)."""
     rows = (
-        spark.read.parquet(f"{path}/codebooks")
+        _scan(spark, f"{path}/codebooks")
         .orderBy("subspace", "code").collect()
     )
     books: dict = {}
@@ -2318,7 +2320,7 @@ def load_opq_rotation(spark, path: str) -> list | None:
 
     if not _os.path.isdir(f"{path}/rotation"):
         return None
-    rows = spark.read.parquet(f"{path}/rotation").orderBy("axis").collect()
+    rows = _scan(spark, f"{path}/rotation").orderBy("axis").collect()
     return [list(r.row) for r in rows]
 
 
@@ -2394,7 +2396,7 @@ def ivfpq_topk_from_index(
         C = np.asarray(c.to_list(), dtype=np.int64)
         return pd.Series(lut[idx[None, :], C].sum(axis=1))
 
-    codes = spark.read.parquet(f"{path}/codes")
+    codes = _scan(spark, f"{path}/codes")
     if exclude_ids:
         codes = codes.filter(~F.col(id_col).isin(exclude_ids))
     scored = (
@@ -2413,7 +2415,7 @@ def ivfpq_topk_from_index(
             .limit(rerank).select(id_col)
         )
         vectors = (
-            spark.read.parquet(f"{path}/vectors")
+            _scan(spark, f"{path}/vectors")
             .filter(F.col("ivf_cell").isin(probe))
         )
         qcol = _lit_vec([float(x) for x in q])
@@ -2481,7 +2483,7 @@ def append_to_ivfpq_index(
     append_to_ivf_index(
         prep, path, id_col=id_col, vec_col=vec_col, stage_dir=vec_stage
     )
-    assigned = spark.read.parquet(vec_stage)
+    assigned = _scan(spark, vec_stage)
     resid, n_cells = _index_residuals(
         spark, path, id_col, vec_col, source=assigned
     )
@@ -2524,8 +2526,8 @@ def sync_ivfpq_codes(
     codes mirror vectors again and the ADC scan covers every row.
     Idempotent (healing twice appends nothing) and read-bounded by the
     missing set.  Returns the number of rows healed."""
-    vecs = spark.read.parquet(f"{path}/vectors")
-    have = spark.read.parquet(f"{path}/codes").select(id_col)
+    vecs = _scan(spark, f"{path}/vectors")
+    have = _scan(spark, f"{path}/codes").select(id_col)
     missing = vecs.join(have, [id_col], "left_anti")
     resid, n_cells = _index_residuals(
         spark, path, id_col, vec_col, source=missing
@@ -2611,7 +2613,7 @@ def ivf_index_health(spark, path: str) -> DataFrame:
         raise ValueError(f"no vectors tree under {path} — not an index")
     code_t = _tree("codes")
 
-    vecs = spark.read.parquet(f"{path}/vectors")
+    vecs = _scan(spark, f"{path}/vectors")
     cell_rows = [
         int(r["count"])
         for r in vecs.groupBy("ivf_cell").count().collect()
@@ -2622,7 +2624,7 @@ def ivf_index_health(spark, path: str) -> DataFrame:
                 for b in t["batch_ids"] if b not in done}
 
     if code_t is not None:
-        codes = spark.read.parquet(f"{path}/codes")
+        codes = _scan(spark, f"{path}/codes")
         n_codes = codes.count()
         missing = vecs.select("vec_id").join(
             codes.select("vec_id"), ["vec_id"], "left_anti").count()
@@ -2631,7 +2633,7 @@ def ivf_index_health(spark, path: str) -> DataFrame:
     else:
         n_codes = missing = orphans = None
 
-    cells = spark.read.parquet(f"{path}/centroids").count()
+    cells = _scan(spark, f"{path}/centroids").count()
     row = (
         int(n_vec), None if n_codes is None else int(n_codes),
         int(cells), len(cell_rows),
@@ -2726,12 +2728,12 @@ def retrain_ivfpq_index(
             if bid is not None and bid not in done:
                 unmarked.add(bid)
 
-    corpus = spark.read.parquet(vec)
+    corpus = _scan(spark, vec)
     if unmarked:
         pat = "/b(" + "|".join(sorted(unmarked)) + r")-[^/]*\.parquet$"
         corpus = corpus.filter(~F.input_file_name().rlike(pat))
     if n_centroids is None:
-        n_centroids = spark.read.parquet(f"{path}/centroids").count()
+        n_centroids = _scan(spark, f"{path}/centroids").count()
     old_books = load_pq_codebooks(spark, path)
     if m is None:
         m = len(old_books)
@@ -2903,7 +2905,7 @@ def ivfpq_topk_batch(
         adc = lut[qi[:, None], jidx[None, :], C].sum(axis=1)
         return pd.Series(qc + adc)
 
-    codes_df = spark.read.parquet(f"{path}/codes").filter(
+    codes_df = _scan(spark, f"{path}/codes").filter(
         F.col("ivf_cell").isin(probed)
     )
     allowed_ids, allowed_pairs = _allowed_forms(allowed, id_col)
@@ -2943,7 +2945,7 @@ def ivfpq_topk_batch(
         .filter(F.col("rank") <= rerank)
         .select("query_id", id_col)
     )
-    vectors = spark.read.parquet(f"{path}/vectors").filter(
+    vectors = _scan(spark, f"{path}/vectors").filter(
         F.col("ivf_cell").isin(probed)
     )
     wq = Window.partitionBy("query_id").orderBy(

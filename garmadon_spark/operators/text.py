@@ -779,9 +779,17 @@ def bm25_scores_batch(
         F.size("_toks").alias("dl"),
         F.explode("_toks").alias("term"),
     ).join(F.broadcast(vocab), "term", "left_semi")
+    from pyspark import StorageLevel
+
+    # the (doc, term) tf table feeds TWO plan branches (the idf
+    # broadcast build and the scoring join); un-persisted, each branch
+    # re-tokenizes and re-explodes the whole corpus.  tf is
+    # candidate-rows sized (docs sharing >=1 query term x query
+    # vocabulary), never corpus-sized — release via the returned
+    # frame's _gs_unpersist
     tf = postings.groupBy("doc_id", "dl", "term").agg(
         F.count(F.lit(1)).alias("tf")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).select(
         "term",
         F.log(
@@ -803,11 +811,13 @@ def bm25_scores_batch(
             ).alias("_s"),
         )
     )
-    return (
+    out = (
         per_term.groupBy("query_id", "doc_id")
         .agg(F.round(F.sum("_s"), 4).alias("bm25"))
         .filter(F.col("bm25") > 0)
     )
+    out._gs_unpersist = tf.unpersist
+    return out
 
 
 def train_bigram_lm(

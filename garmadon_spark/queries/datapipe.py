@@ -1543,9 +1543,18 @@ def doc_ngram_scrub(spark, sf_dir):
     one gram-hash aggregate, one join back, three array expressions for
     the coverage walk; the published suffix-array pipeline's Spark-
     native stand-in."""
-    return dedup.scrub_repeated_ngrams(
+    # one persisted gram table at a time; release BEFORE building
+    # (identical rebuilt plans — the CacheManager rule)
+    while _NGRAM_SCRUB_CACHE:
+        _NGRAM_SCRUB_CACHE.pop()()
+    out = dedup.scrub_repeated_ngrams(
         _fanout(spark, _docs(spark, sf_dir)), k=8, min_docs=2
     )
+    _NGRAM_SCRUB_CACHE.append(out._gs_unpersist)
+    return out
+
+
+_NGRAM_SCRUB_CACHE: list = []
 
 
 DOC_NGRAM_SCRUB_SQL = """
@@ -1909,12 +1918,24 @@ def doc_bm25_batch(spark, sf_dir):
     the broadcast query vocabulary (non-query terms never shuffle), one
     (doc, term) tf shuffle, broadcast idf + query joins, (query, doc)
     sum.  ``tests/test_datapipe_ops.py`` pins the no-cartesian plan."""
+    # one persisted tf table at a time; release BEFORE building
+    # (identical rebuilt plans — the CacheManager rule)
+    while _BM25_BATCH_CACHE:
+        _BM25_BATCH_CACHE.pop()()
     queries = spark.createDataFrame(
         BM25_BATCH_QUERIES, "query_id int, terms array<string>"
     )
-    return text.bm25_scores_batch(
+    out = text.bm25_scores_batch(
         _fanout(spark, _docs(spark, sf_dir)), queries
     )
+    _BM25_BATCH_CACHE.append(out._gs_unpersist)
+    # publish for doc_bm25_topk (consumer reuse only — this builder
+    # always recomputes; the memo-off pass still times the consumer's
+    # full pipeline)
+    return _memo_store(spark, sf_dir, "bm25_batch_scores", out)
+
+
+_BM25_BATCH_CACHE: list = []
 
 
 _BM25_BATCH_CTES = r"""q(query_id, term) AS (
@@ -1967,8 +1988,10 @@ def doc_bm25_topk(spark, sf_dir, k: int = 5):
     w = Window.partitionBy("query_id").orderBy(
         F.desc("bm25"), F.asc("doc_id")
     )
+    scores = _memo_fetch(spark, sf_dir, "bm25_batch_scores",
+                         lambda: doc_bm25_batch(spark, sf_dir))
     return (
-        doc_bm25_batch(spark, sf_dir)
+        scores
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
@@ -2962,7 +2985,7 @@ def emb_neardup_ivf(spark, sf_dir):
     pre-clustered partitions.  Rows-only check (cell assignment is
     engine-defined)."""
     path = _ensure_ivf_index(spark, sf_dir)
-    assigned = spark.read.parquet(f"{path}/vectors")
+    assigned = _scan(spark, f"{path}/vectors")
     return _memo_store(
         spark, sf_dir, "neardup_ivf",
         similarity.neardup_pairs_blocked(
@@ -2986,7 +3009,7 @@ def emb_neardup_ivf_check(spark, sf_dir):
     blocked = _memo_fetch(spark, sf_dir, "neardup_blocked",
                           lambda: emb_neardup_blocked(spark, sf_dir))
     labels = _embs(spark, sf_dir).select("vec_id", "label")
-    cells = spark.read.parquet(
+    cells = _scan(spark, 
         f"{_ensure_ivf_index(spark, sf_dir)}/vectors"
     ).select("vec_id", "ivf_cell")
 
@@ -3341,7 +3364,7 @@ def _recall_df(spark, path, n_base, stage):
     qids = (list(range(_DRIFT_QUERIES))
             + [n_base + i for i in range(_DRIFT_QUERIES)])
     queries = (
-        spark.read.parquet(f"{path}/vectors")
+        _scan(spark, f"{path}/vectors")
         .filter(F.col("vec_id").isin(qids))
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
@@ -3467,7 +3490,7 @@ def emb_ann_lifecycle_check(spark, sf_dir):
     _rp, n, k2 = _ensure_retrained_index(spark, sf_dir)
     # count only — loading the full centroid vectors driver-side is the
     # exact collect load_ivf_centroids budgets a warning for
-    cells = spark.read.parquet(f"{_rp}/centroids").count()
+    cells = _scan(spark, f"{_rp}/centroids").count()
     return spark.createDataFrame(
         [(
             bool(app["base"] >= _RECALL_FLOOR_BASE),
@@ -3939,7 +3962,7 @@ def _ivfpq_recall_df(spark, path, n_base, stage, k=10):
     qids = (list(range(_IVFPQ_DRIFT_QUERIES))
             + [n_base + i for i in range(_IVFPQ_DRIFT_QUERIES)])
     queries = (
-        spark.read.parquet(f"{path}/vectors")
+        _scan(spark, f"{path}/vectors")
         .filter(F.col("vec_id").isin(qids))
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
@@ -3960,7 +3983,7 @@ def _ivfpq_recall_df(spark, path, n_base, stage, k=10):
         # 400), so a fixed floor is only meaningful at fixed
         # (probe-fraction, rerank-fraction).  The shortlist join stays
         # shortlist-sized.
-        n_total = spark.read.parquet(f"{path}/vectors").count()
+        n_total = _scan(spark, f"{path}/vectors").count()
         rerank = max(_IVFPQ_RERANK * k, n_total // 1000)
         serve_df = similarity.ivfpq_topk_batch(
             spark, path, queries, k=k, nprobe=nprobe,
@@ -4048,8 +4071,8 @@ def emb_ivfpq_lifecycle_check(spark, sf_dir):
     quant = _ivfpq_quantizer(spark, rpath)
     cells = len(quant[0])
     n_vec, n_codes = _overlap(
-        lambda: spark.read.parquet(f"{rpath}/vectors").count(),
-        lambda: spark.read.parquet(f"{rpath}/codes").count(),
+        lambda: _scan(spark, f"{rpath}/vectors").count(),
+        lambda: _scan(spark, f"{rpath}/codes").count(),
     )
     R = np.asarray(quant[3])
     ortho = float(np.max(np.abs(R @ R.T - np.eye(len(R)))))
@@ -4121,7 +4144,7 @@ def doc_corpus_report_incr(spark, sf_dir):
     adjacent ``doc_corpus_report_incr_check`` hash-gates the exact
     scalars and bounds the estimates."""
     return corpus.corpus_report_from_partials(
-        spark.read.parquet(_ensure_report_state(spark, sf_dir))
+        _scan(spark, _ensure_report_state(spark, sf_dir))
     )
 
 
@@ -4249,7 +4272,7 @@ def _ensure_ivfpq_served(spark, sf_dir):
         src = f"{base}/src"
         queries.repartition(2).write.mode("overwrite").parquet(src)
         q = _ann_stream.serve_ivfpq_stream(
-            spark.readStream.schema(spark.read.parquet(src).schema)
+            spark.readStream.schema(_scan(spark, src).schema)
             .option("maxFilesPerTrigger", "1").parquet(src),
             ipath, f"{base}/out", f"{base}/ckpt",
             k=_RECALL_K, nprobe=nprobe,
@@ -4270,7 +4293,7 @@ def emb_ivfpq_serve(spark, sf_dir):
     ``emb_ivfpq_serve_check`` gates exact stream==batch equality."""
     out, _i, _q, _np = _ensure_ivfpq_served(spark, sf_dir)
     return (
-        spark.read.parquet(out)
+        _scan(spark, out)
         .select("query_id", "vec_id", "cosine", "rank")
         .orderBy("query_id", "rank")
     )
@@ -4287,7 +4310,7 @@ def emb_ivfpq_serve_check(spark, sf_dir):
 
     def _served():
         return {(r.query_id, r.rank, r.vec_id, r.cosine)
-                for r in spark.read.parquet(out)
+                for r in _scan(spark, out)
                 .select("query_id", "rank", "vec_id", "cosine")
                 .collect()}
 
@@ -4766,7 +4789,7 @@ def emb_admit_check(spark, sf_dir):
     }
     cents = [
         np.array(list(r.centroid), dtype="float64")
-        for r in spark.read.parquet(f"{base}/index/centroids")
+        for r in _scan(spark, f"{base}/index/centroids")
         .orderBy("ivf_cell").collect()
     ]
     cmat = np.array(cents)
@@ -4877,7 +4900,7 @@ def emb_admit_check(spark, sf_dir):
                | {(1, d, why, m) for d, (why, m) in r2.items()})
     idx_rows = [
         int(r.vec_id)
-        for r in spark.read.parquet(f"{base}/index/vectors")
+        for r in _scan(spark, f"{base}/index/vectors")
         .select("vec_id").collect()
     ]
     idx_ids = set(idx_rows)
