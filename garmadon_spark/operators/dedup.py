@@ -2260,6 +2260,7 @@ def repeated_ngram_starts(
     text_col: str = "text",
     k: int = 8,
     min_docs: int = 2,
+    persist_grams: bool = True,
 ) -> DataFrame:
     """Token positions where a k-token span occurs in ≥ ``min_docs``
     distinct documents — the discovery half of exact-substring dedup
@@ -2281,7 +2282,9 @@ def repeated_ngram_starts(
     pos = df.select(
         id_col,
         F.posexplode(_gram_array(text_col, k, F.md5)).alias("pos", "gram"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if persist_grams:
+        pos = pos.persist(StorageLevel.MEMORY_AND_DISK)
     # ^ the gram table feeds TWO plan branches (frequency count + the
     # flagged-position join-back); un-persisted, each branch re-
     # tokenizes and re-hashes the whole corpus.  The local analogue of
@@ -2304,7 +2307,7 @@ def repeated_ngram_starts(
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_set("pos")).alias("starts"))
     )
-    out._gs_unpersist = pos.unpersist
+    out._gs_unpersist = pos.unpersist if persist_grams else (lambda: None)
     return out
 
 
@@ -2315,6 +2318,7 @@ def scrub_repeated_ngrams(
     k: int = 8,
     min_docs: int = 2,
     out_col: str = "clean_text",
+    persist_grams: bool = True,
 ) -> DataFrame:
     """Remove every cross-document repeated k-token span from each
     document (the removal half of exact-substring dedup): tokens
@@ -2331,7 +2335,8 @@ def scrub_repeated_ngrams(
 
     Output: (id, clean_text, n_flagged_spans).  Docs with no flagged
     span pass through verbatim (left join, empty-array coalesce)."""
-    starts = repeated_ngram_starts(df, id_col, text_col, k, min_docs)
+    starts = repeated_ngram_starts(df, id_col, text_col, k, min_docs,
+                                   persist_grams=persist_grams)
     toks = F.split(F.col(text_col), " ")
     st = F.coalesce(F.col("starts"), F.array().cast("array<int>"))
     covered = F.array_distinct(

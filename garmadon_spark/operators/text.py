@@ -721,6 +721,7 @@ def bm25_scores_batch(
     terms_col: str = "terms",
     k1: float = 1.2,
     b: float = 0.75,
+    persist_tf: bool = True,
 ) -> DataFrame:
     """Okapi BM25 against a TABLE of queries — the shape batch
     decontamination actually needs (thousands of eval-set queries
@@ -789,7 +790,9 @@ def bm25_scores_batch(
     # frame's _gs_unpersist
     tf = postings.groupBy("doc_id", "dl", "term").agg(
         F.count(F.lit(1)).alias("tf")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if persist_tf:
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
     idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).select(
         "term",
         F.log(
@@ -816,7 +819,7 @@ def bm25_scores_batch(
         .agg(F.round(F.sum("_s"), 4).alias("bm25"))
         .filter(F.col("bm25") > 0)
     )
-    out._gs_unpersist = tf.unpersist
+    out._gs_unpersist = tf.unpersist if persist_tf else (lambda: None)
     return out
 
 

@@ -18,6 +18,8 @@ in (operators/dedup.py).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import functions as F
 
@@ -32,6 +34,45 @@ def _docs(spark, sf_dir):
 
 def _embs(spark, sf_dir):
     return load_table(spark, sf_dir, "embeddings")
+
+
+_PERSIST_MIN_BYTES = int(os.environ.get(
+    "SPARK_GRAFT_PERSIST_MIN_BYTES", str(64 * 1024 * 1024)))
+_PERSIST_SIZE_CACHE: dict = {}
+
+
+def _should_persist(sf_dir, table: str = "documents.parquet") -> bool:
+    """Size-adaptive persist decision for multi-branch intermediates
+    (guide §5: caching is only worth it when recomputing costs more
+    than the cache write).  Measured at sf0.1 (2 MB corpus): persisting
+    the shingle/tf/line tables costs 0.2–0.4 s MORE per query than
+    recomputing the branches — serialization + memory copy beat a
+    cheap re-tokenize.  At production sizes the balance flips hard
+    (recompute = another full corpus scan), so the decision keys on
+    the source table's on-disk size: ≥ 64 MiB (env-overridable via
+    SPARK_GRAFT_PERSIST_MIN_BYTES, set 0 to always persist) → persist.
+    The same expression- and shuffle-level plans run either way — this
+    toggles only StorageLevel marking, never results."""
+    key = (os.path.realpath(sf_dir), table)
+    hit = _PERSIST_SIZE_CACHE.get(key)
+    if hit is None:
+        path = os.path.join(sf_dir, table)
+        size = 0
+        if os.path.isdir(path):
+            for root, _dns, fs in os.walk(path):
+                for f in fs:
+                    try:
+                        size += os.stat(os.path.join(root, f)).st_size
+                    except OSError:
+                        pass
+        else:
+            try:
+                size = os.stat(path).st_size
+            except OSError:
+                size = 0
+        hit = size
+        _PERSIST_SIZE_CACHE[key] = hit
+    return hit >= _PERSIST_MIN_BYTES
 
 
 def _overlap(*thunks):
@@ -370,7 +411,7 @@ def doc_minhash_incremental_pruned(spark, sf_dir):
         )
         out = dedup.incremental_minhash(
             inc, sigs, n=2, num_hashes=64, bands=32, threshold=0.3,
-            hist_banded=hb,
+            hist_banded=hb, persist_sigs=_should_persist(sf_dir),
         )
         _MINHASH_PRUNED_CACHE.append(out._gs_unpersist)
         return _memo_store(
@@ -1015,6 +1056,7 @@ def doc_minhash_dedup(spark, sf_dir):
         dedup.minhash_dedup(
             _fanout(spark, _docs(spark, sf_dir)), n=2, num_hashes=64,
             bands=32, threshold=0.3,
+            persist_shingles=_should_persist(sf_dir),
         ),
     )
 
@@ -1062,7 +1104,8 @@ def doc_minhash_incremental(spark, sf_dir):
     inc = docs.filter(F.col("doc_id") % 5 == 0)
     index = _scan(spark, _ensure_sig_index(spark, sf_dir))
     out = dedup.incremental_minhash(
-        inc, index, n=2, num_hashes=64, bands=32, threshold=0.3
+        inc, index, n=2, num_hashes=64, bands=32, threshold=0.3,
+        persist_sigs=_should_persist(sf_dir),
     )
     _MINHASH_INCR_CACHE.append(out._gs_unpersist)
     return _memo_store(spark, sf_dir, "minhash_incr_pairs", out)
@@ -1548,7 +1591,8 @@ def doc_ngram_scrub(spark, sf_dir):
     while _NGRAM_SCRUB_CACHE:
         _NGRAM_SCRUB_CACHE.pop()()
     out = dedup.scrub_repeated_ngrams(
-        _fanout(spark, _docs(spark, sf_dir)), k=8, min_docs=2
+        _fanout(spark, _docs(spark, sf_dir)), k=8, min_docs=2,
+        persist_grams=_should_persist(sf_dir),
     )
     _NGRAM_SCRUB_CACHE.append(out._gs_unpersist)
     return out
@@ -1926,7 +1970,8 @@ def doc_bm25_batch(spark, sf_dir):
         BM25_BATCH_QUERIES, "query_id int, terms array<string>"
     )
     out = text.bm25_scores_batch(
-        _fanout(spark, _docs(spark, sf_dir)), queries
+        _fanout(spark, _docs(spark, sf_dir)), queries,
+        persist_tf=_should_persist(sf_dir),
     )
     _BM25_BATCH_CACHE.append(out._gs_unpersist)
     # publish for doc_bm25_topk (consumer reuse only — this builder
@@ -3154,7 +3199,8 @@ def doc_line_dedup(spark, sf_dir):
     # would silently drop the fresh entry too.
     while _LINE_DEDUP_CACHE:
         _LINE_DEDUP_CACHE.pop()()
-    rf = remove_frequent_lines(ml, min_df=2, delim="\n")
+    rf = remove_frequent_lines(ml, min_df=2, delim="\n",
+                               persist_lines=_should_persist(sf_dir))
     out = rf.select(
         "doc_id", "n_lines_before", "n_lines_kept",
         F.length("text").cast("long").alias("chars_kept"),
@@ -5116,16 +5162,21 @@ def doc_curation_funnel(spark, sf_dir):
     )
     from pyspark import StorageLevel
 
-    exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
-    # persist_shingles: the survivor shingle table feeds three plan
-    # branches inside the pair stage (guide §5 — reused AND expensive
-    # to recompute); the handle rides the funnel's release hook
-    pairs = dedup.minhash_dedup(exact, persist_shingles=True)
+    # size-adaptive (guide §5, the _should_persist rule): the survivor
+    # table feeds four consumers (edge seed, exact stage, near-dup
+    # stage, chunk stage) and the shingle table three — persist both
+    # at production sizes; at fixture sizes the recompute is cheaper
+    # than the cache write
+    _sp = _should_persist(sf_dir)
+    if _sp:
+        exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = dedup.minhash_dedup(exact, persist_shingles=_sp)
     comp = dedup.components(pairs)
     dropped = comp.filter(F.col("doc_id") != F.col("component")) \
         .select("doc_id")
-    neardup = exact.join(dropped, "doc_id", "left_anti") \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    neardup = exact.join(dropped, "doc_id", "left_anti")
+    if _sp:
+        neardup = neardup.persist(StorageLevel.MEMORY_AND_DISK)
     chunks = corpus.chunk_documents(
         neardup, chunk_chars=_FUNNEL_CHUNK, overlap=0
     )

@@ -1674,3 +1674,30 @@ def test_ivf_per_query_allowed_pairs(spark, tmp_path):
               for q in (0, 1, 2)}
     out_pq._gs_unpersist()
     assert got_pq == got
+
+
+def test_rebuilt_query_persist_survives_release_cycle(spark):
+    """Regression pin for the release-order bug: the one-handle caches
+    must release the PREVIOUS call's persisted frames BEFORE building
+    the new ones — CacheManager removes entries by plan equality, so
+    an identical rebuilt plan unpersisted afterwards silently drops
+    the fresh entry too and every multi-branch intermediate recomputes.
+    Calling the query twice must leave the second call's line table
+    cached (InMemoryRelation in the optimized plan).  The fixture
+    corpus sits under the size-adaptive persist threshold, so the
+    persist path is forced for the test's scope."""
+    from garmadon_spark.queries import datapipe
+
+    sf = "/root/testdata/sf0.001"
+    old = datapipe._PERSIST_MIN_BYTES
+    datapipe._PERSIST_MIN_BYTES = 0
+    try:
+        datapipe.doc_line_dedup(spark, sf)
+        second = datapipe.doc_line_dedup(spark, sf)
+        plan = second._jdf.queryExecution().optimizedPlan().toString()
+        assert "InMemoryRelation" in plan
+    finally:
+        datapipe._PERSIST_MIN_BYTES = old
+        # leave no live handle behind for later tests
+        while datapipe._LINE_DEDUP_CACHE:
+            datapipe._LINE_DEDUP_CACHE.pop()()
