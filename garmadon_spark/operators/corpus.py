@@ -366,8 +366,15 @@ def dsir_log_ratios(
         )
 
     spark = raw.sparkSession
-    tc_rows = bucket_counts(target)
-    rc_rows = bucket_counts(raw)
+    # the two model builds are independent read-only jobs over disjoint
+    # corpora — overlap them (guide §2.6) so the raw side back-fills
+    # the target side's stage tail
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        tc_f = pool.submit(bucket_counts, target)
+        rc_rows = bucket_counts(raw)
+        tc_rows = tc_f.result()
     t_total = sum(r.c for r in tc_rows)
     q_total = sum(r.c for r in rc_rows)
     tc = spark.createDataFrame(

@@ -2205,18 +2205,24 @@ def components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=False)
     )
-    for _ in range(max_iter):
+    def hop(lbl):
         nbr = edges.join(
-            labels.withColumnRenamed("node", "dst_n"),
+            lbl.withColumnRenamed("node", "dst_n"),
             F.col("dst") == F.col("dst_n"),
         ).select(F.col("src").alias("node"), F.col("comp").alias("nbr_comp"))
-        stepped = (
-            labels.unionByName(
-                nbr.withColumnRenamed("nbr_comp", "comp")
-            )
+        return (
+            lbl.unionByName(nbr.withColumnRenamed("nbr_comp", "comp"))
             .groupBy("node")
-            .agg(F.min("comp").alias("new_comp"))
+            .agg(F.min("comp").alias("comp"))
         )
+
+    # TWO propagation hops per round (r14): labels only ever decrease,
+    # so comparing round-start vs round-end detects any change across
+    # both hops and the fixpoint is the same — rounds (and their
+    # driver-job round trips, which dominate label-sized iterations)
+    # halve, the per-round shuffles stay label-sized.
+    for _ in range((max_iter + 1) // 2):
+        stepped = hop(hop(labels)).withColumnRenamed("comp", "new_comp")
         new_labels = (
             stepped.join(labels, "node")
             .select(
