@@ -624,13 +624,14 @@ def bucket_pairs(ex: DataFrame, key_cols: list[str],
 
 
 def jaccard_pairs(
-    docs: DataFrame,
+    docs: DataFrame | None,
     block_cols: tuple[str, ...],
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 2,
     threshold: float = 0.5,
     max_df: int | None = 1000,
+    common: DataFrame | None = None,
 ) -> DataFrame:
     """Tier 2: exact n-gram Jaccard within blocks, with a shingle
     document-frequency cap.
@@ -648,10 +649,16 @@ def jaccard_pairs(
     conservative (pairs whose overlap is entirely stop-shingles are not
     near-duplicates in any useful sense).  Pass ``max_df=None`` for the
     exact uncapped form.  Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
+
+    ``common`` lets a caller that already holds the (doc_a, doc_b, na,
+    nb, common) counts table (ngram_common_counts) supply it — the
+    Jaccard/containment/grouping tiers over the same blocks share one
+    shuffle-heavy pair expansion instead of three.
     """
-    common = _ngram_common_counts(
-        docs, block_cols, id_col, text_col, n, max_df
-    )
+    if common is None:
+        common = ngram_common_counts(
+            docs, block_cols, id_col, text_col, n, max_df
+        )
     jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
     return (
         common.select(
@@ -661,7 +668,7 @@ def jaccard_pairs(
     )
 
 
-def _ngram_common_counts(
+def ngram_common_counts(
     docs: DataFrame,
     block_cols: tuple[str, ...],
     id_col: str,
@@ -696,13 +703,14 @@ def _ngram_common_counts(
 
 
 def containment_pairs(
-    docs: DataFrame,
+    docs: DataFrame | None,
     block_cols: tuple[str, ...],
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 2,
     threshold: float = 0.2,
     max_df: int | None = 1000,
+    common: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric near-dup detection: max-containment
     ``common / min(na, nb)`` — the measure that catches a SHORT doc
@@ -710,10 +718,11 @@ def containment_pairs(
     as the length ratio grows (a full-quote pair at 10:1 length has
     jaccard ≤ 0.1 but containment 1.0).  Same bucketed single-scan
     plan as jaccard_pairs; emits both scores so the caller sees which
-    regime flagged the pair."""
-    common = _ngram_common_counts(
-        docs, block_cols, id_col, text_col, n, max_df
-    )
+    regime flagged the pair.  ``common`` as in jaccard_pairs."""
+    if common is None:
+        common = ngram_common_counts(
+            docs, block_cols, id_col, text_col, n, max_df
+        )
     cont = F.col("common") / F.least(F.col("na"), F.col("nb"))
     jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
     return (

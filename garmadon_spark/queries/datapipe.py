@@ -943,14 +943,36 @@ GROUP BY label
 
 # --- near-dedup: blocked n-gram Jaccard (exact, oracle-checked) -----------
 
+def _jaccard_common(spark, sf_dir, rebuild: bool = False):
+    """The (lang, source)-blocked bigram common-counts table — the one
+    shuffle-heavy pair expansion (explode → bucket → in-bucket pairs →
+    count) shared by doc_jaccard_blocked, doc_containment and
+    doc_dup_groups, which differ only in the O(pairs)-sized scoring
+    select on top.  Published through the session memo like the minhash
+    pair tables: the first-declared query (doc_jaccard_blocked) always
+    rebuilds; the memo-off bench pass pays the full cost per query."""
+    def build():
+        return _memo_store(
+            spark, sf_dir, "jaccard_common",
+            dedup.ngram_common_counts(
+                _fanout(spark, _docs(spark, sf_dir)),
+                ("lang", "source"), "doc_id", "text", 2, 1000,
+            ),
+        )
+
+    if rebuild:
+        return build()
+    return _memo_fetch(spark, sf_dir, "jaccard_common", build)
+
+
 def doc_jaccard_blocked(spark, sf_dir):
     """Tier-2 dedup: exact bigram Jaccard within (lang, source) blocks —
     the oracle-checkable form of near-dup detection (the un-blocked
     corpus-wide form is MinHash-LSH below).  Join key (block, shingle)
     bounds the pair blowup to within-block shingle sharers."""
     return dedup.jaccard_pairs(
-        _fanout(spark, _docs(spark, sf_dir)), ("lang", "source"), n=2,
-        threshold=0.1,
+        None, ("lang", "source"), n=2, threshold=0.1,
+        common=_jaccard_common(spark, sf_dir, rebuild=True),
     )
 
 
@@ -991,10 +1013,12 @@ def doc_containment(spark, sf_dir):
     """Asymmetric near-dup tier: max-containment c/min(na,nb) within
     (lang, source) blocks — catches short-doc-quoted-in-long-doc pairs
     that symmetric Jaccard dilutes (dedup.containment_pairs; same
-    bucketed single-scan plan as the Jaccard tier)."""
+    bucketed single-scan plan as the Jaccard tier — and the same
+    common-counts table, fetched from the session memo when
+    doc_jaccard_blocked already published it)."""
     return dedup.containment_pairs(
-        _fanout(spark, _docs(spark, sf_dir)), ("lang", "source"), n=2,
-        threshold=0.2,
+        None, ("lang", "source"), n=2, threshold=0.2,
+        common=_jaccard_common(spark, sf_dir),
     )
 
 
@@ -1014,10 +1038,13 @@ def doc_dup_groups(spark, sf_dir):
     doc_id) per group — the keep/drop decision an actual dedup pipeline
     ships.  Iterative min-label propagation, O(cluster diameter) rounds
     of label-sized shuffles (operators/dedup.py::components); the
-    oracle computes the same closure with a recursive CTE."""
+    oracle computes the same closure with a recursive CTE.  The pair
+    input is the same blocked-Jaccard table doc_jaccard_blocked
+    publishes — derived from the memoized common-counts table instead
+    of a third pair expansion."""
     pairs = dedup.jaccard_pairs(
-        _fanout(spark, _docs(spark, sf_dir)), ("lang", "source"), n=2,
-        threshold=0.1,
+        None, ("lang", "source"), n=2, threshold=0.1,
+        common=_jaccard_common(spark, sf_dir),
     )
     comp = dedup.components(pairs)
     return comp.select(

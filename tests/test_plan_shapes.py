@@ -124,6 +124,40 @@ def test_jaccard_pairs_scans_corpus_once(spark):
     assert len(scans) == 1, plan
 
 
+def test_jaccard_tier_shares_common_counts(spark):
+    """doc_containment / doc_dup_groups differ from doc_jaccard_blocked
+    only in the O(pairs)-sized scoring select, so once the builder has
+    published the common-counts table the consumers must read the
+    memoized table (InMemoryTableScan) instead of re-running the
+    explode → bucket → pair-expansion subtree (r14: 3 pair expansions
+    per bench pass → 1)."""
+    from garmadon_spark.queries.datapipe import (
+        doc_containment, doc_dup_groups, doc_jaccard_blocked,
+        purge_result_memo,
+    )
+
+    from garmadon_spark.queries.datapipe import _jaccard_common
+
+    purge_result_memo()
+    try:
+        doc_jaccard_blocked(spark, SF)  # builder publishes the counts
+        plan = _plan(doc_containment(spark, SF))
+        assert "InMemoryTableScan" in plan, plan
+        # explain() dumps the InMemoryRelation's CHILD (build) plan
+        # too; only the live fragment above it must be scan-free
+        live = plan.split("InMemoryRelation")[0]
+        scans = [l for l in live.splitlines()
+                 if "FileScan" in l and "documents" in l]
+        assert not scans, plan
+        # doc_dup_groups checkpoints through components(), so its final
+        # plan is an ExistingRDD scan — pin the reuse at the fetch:
+        # the published handle IS what a consumer receives
+        assert _jaccard_common(spark, SF) is _jaccard_common(spark, SF)
+        doc_dup_groups(spark, SF)  # must run green off the shared table
+    finally:
+        purge_result_memo()
+
+
 def test_neardup_block_guard_is_broadcast_semi(spark):
     """The max_block census must reach the vectors as a broadcast
     LeftSemi — never a shuffle of the embedding column."""
