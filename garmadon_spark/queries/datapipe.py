@@ -604,17 +604,23 @@ def doc_simhash_incremental_check(spark, sf_dir):
     bench sf).  n_increment is data-bearing (COUNT(%5==0) + the copy
     constant, pinned by SQL)."""
     par = spark.sparkContext.defaultParallelism
-    pruned = {
-        (int(r.doc_a), int(r.doc_b), int(r.hamming))
-        for r in doc_simhash_incremental(spark, sf_dir).collect()
-    }
     docs = _docs(spark, sf_dir)
     hist = docs.filter(F.col("doc_id") % 5 != 0)
-    cnt = {
-        bool(r.k): int(r.n)
-        for r in docs.groupBy((F.col("doc_id") % 5 == 0).alias("k"))
-        .agg(F.count(F.lit(1)).alias("n")).collect()
+    # the pruned-path pair collect, the split-count aggregate and the
+    # copy-source id list are independent probes; the fingerprint job
+    # below depends on the first two — overlap the three (guide §2.6)
+    pruned_rows, cnt_rows, src_id_rows = _overlap(
+        lambda: doc_simhash_incremental(spark, sf_dir).collect(),
+        lambda: docs.groupBy((F.col("doc_id") % 5 == 0).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n")).collect(),
+        lambda: hist.orderBy("doc_id").limit(_SIMHASH_INC_COPIES)
+        .select("doc_id").collect(),
+    )
+    pruned = {
+        (int(r.doc_a), int(r.doc_b), int(r.hamming))
+        for r in pruned_rows
     }
+    cnt = {bool(r.k): int(r.n) for r in cnt_rows}
     n_fresh = cnt.get(True, 0)
     n_hist_total = cnt.get(False, 0)
     # ~364 history docs / ~110 fresh docs at any sf (== the r13 % 11
@@ -678,10 +684,7 @@ def doc_simhash_incremental_check(spark, sf_dir):
                 h = bin(fps[a] ^ fps[b]).count("1")
                 if h <= 3:
                     replay.add((a, b, h))
-    src_ids = [
-        int(r.doc_id) for r in hist.orderBy("doc_id")
-        .limit(_SIMHASH_INC_COPIES).select("doc_id").collect()
-    ]
+    src_ids = [int(r.doc_id) for r in src_id_rows]
     zero_pairs = {(a, b) for a, b, h in pruned if h == 0}
     recall_ok = all(
         (s, s + _SIMHASH_INC_OFFSET) in zero_pairs
@@ -1162,18 +1165,23 @@ def doc_minhash_incremental_check(spark, sf_dir):
     exact_pairs = pairs.filter(F.col("est_jaccard") == 1.0).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
-    missed = epairs.join(exact_pairs, ["a", "b"], "left_anti").count()
-    agg = pairs.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("est_jaccard").alias("mine"),
-        F.count_distinct("doc_a", "doc_b").alias("distinct_pairs"),
-        F.sum((F.col("doc_a") < F.col("doc_b")).cast("long")).alias(
-            "ordered"),
-        F.sum(
-            ((F.col("doc_a") % 5 == 0) | (F.col("doc_b") % 5 == 0))
-            .cast("long")
-        ).alias("touches_increment"),
-    ).head()
+    # recall anti-join + pair-contract aggregate are independent
+    # read-only probes over the published pair table — overlap (§2.6)
+    missed, agg = _overlap(
+        lambda: epairs.join(exact_pairs, ["a", "b"],
+                            "left_anti").count(),
+        lambda: pairs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("est_jaccard").alias("mine"),
+            F.count_distinct("doc_a", "doc_b").alias("distinct_pairs"),
+            F.sum((F.col("doc_a") < F.col("doc_b")).cast("long")).alias(
+                "ordered"),
+            F.sum(
+                ((F.col("doc_a") % 5 == 0) | (F.col("doc_b") % 5 == 0))
+                .cast("long")
+            ).alias("touches_increment"),
+        ).head(),
+    )
     return spark.createDataFrame(
         [(
             bool(agg.n > 0),
@@ -1233,34 +1241,39 @@ def doc_minhash_groups_check(spark, sf_dir):
                        F.col("dup_group").alias("grp_a"))
     gb = groups.select(F.col("doc_id").alias("doc_b"),
                        F.col("dup_group").alias("grp_b"))
-    split_edges = (
-        pairs.join(ga, "doc_a").join(gb, "doc_b")
-        .filter(F.col("grp_a") != F.col("grp_b"))
-        .count()
-    )
-    bad_keeps = (
-        groups.groupBy("dup_group")
-        .agg(
-            F.sum(F.col("keep").cast("long")).alias("n_keep"),
-            F.min("doc_id").alias("min_doc"),
-        )
-        .filter(
-            (F.col("n_keep") != 1) | (F.col("min_doc") != F.col("dup_group"))
-        )
-        .count()
-    )
     docs = _docs(spark, sf_dir)
-    split_exact_groups = (
-        docs.select(dedup.content_hash("text").alias("ch"),
-                    F.col("doc_id"))
-        .join(groups.select("doc_id", "dup_group"), "doc_id")
-        .groupBy("ch")
-        .agg(F.count(F.lit(1)).alias("n"),
-             F.count_distinct("dup_group").alias("ngrp"))
-        .filter((F.col("n") >= 2) & (F.col("ngrp") > 1))
-        .count()
+    # the four contract counts are independent read-only probes over
+    # the two published tables — overlap them (guide §2.6)
+    split_edges, bad_keeps, split_exact_groups, n = _overlap(
+        lambda: (
+            pairs.join(ga, "doc_a").join(gb, "doc_b")
+            .filter(F.col("grp_a") != F.col("grp_b"))
+            .count()
+        ),
+        lambda: (
+            groups.groupBy("dup_group")
+            .agg(
+                F.sum(F.col("keep").cast("long")).alias("n_keep"),
+                F.min("doc_id").alias("min_doc"),
+            )
+            .filter(
+                (F.col("n_keep") != 1)
+                | (F.col("min_doc") != F.col("dup_group"))
+            )
+            .count()
+        ),
+        lambda: (
+            docs.select(dedup.content_hash("text").alias("ch"),
+                        F.col("doc_id"))
+            .join(groups.select("doc_id", "dup_group"), "doc_id")
+            .groupBy("ch")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.count_distinct("dup_group").alias("ngrp"))
+            .filter((F.col("n") >= 2) & (F.col("ngrp") > 1))
+            .count()
+        ),
+        groups.count,
     )
-    n = groups.count()
     return spark.createDataFrame(
         [(
             bool(n > 0),
@@ -2570,15 +2583,20 @@ def emb_pq_check(spark, sf_dir, query_vec_id: int = 0, k: int = 10):
     exact = similarity.brute_force_topk(
         embs.filter(F.col("vec_id") != query_vec_id), q, k=k
     )
-    hits = pq.select("vec_id").join(exact.select("vec_id"), "vec_id").count()
-    shape = codes.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min(F.size("pq_codes")).alias("wmin"),
-        F.max(F.size("pq_codes")).alias("wmax"),
-        F.max(F.array_max("pq_codes")).alias("cmax"),
-        F.min(F.array_min("pq_codes")).alias("cmin"),
-    ).head()
-    n_embs = embs.count()
+    # the recall join, the code-shape aggregate and the corpus count
+    # are independent read-only probes — overlap them (guide §2.6)
+    hits, shape, n_embs = _overlap(
+        lambda: pq.select("vec_id")
+        .join(exact.select("vec_id"), "vec_id").count(),
+        lambda: codes.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.size("pq_codes")).alias("wmin"),
+            F.max(F.size("pq_codes")).alias("wmax"),
+            F.max(F.array_max("pq_codes")).alias("cmax"),
+            F.min(F.array_min("pq_codes")).alias("cmin"),
+        ).head(),
+        embs.count,
+    )
     return spark.createDataFrame(
         [(
             k,
@@ -2680,14 +2698,18 @@ def emb_ann_ivfpq_check(spark, sf_dir, query_vec_id: int = 0, k: int = 10):
     exact = similarity.brute_force_topk(
         embs.filter(F.col("vec_id") != query_vec_id), q, k=k
     )
-    hits = ivfpq.select("vec_id").join(
-        exact.select("vec_id"), "vec_id"
-    ).count()
+    # recall join + the two coverage counts are independent read-only
+    # probes — overlap them (guide §2.6)
+    hits, n_codes, n_embs = _overlap(
+        lambda: ivfpq.select("vec_id").join(
+            exact.select("vec_id"), "vec_id").count(),
+        codes.count, embs.count,
+    )
     return spark.createDataFrame(
         [(
             k,
             bool(hits >= int(0.6 * k)),
-            bool(codes.count() == embs.count()),
+            bool(n_codes == n_embs),
         )],
         "k int, recall_ok boolean, codes_full_corpus boolean",
     )
@@ -2717,17 +2739,22 @@ def doc_minhash_check(spark, sf_dir):
         F.col("doc_id").alias("p"),
     )
     epairs = dedup.bucket_pairs(groups, ["ch"], "p")
-    missed = epairs.join(
-        mm.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")),
-        ["a", "b"], "left_anti",
-    ).count()
-    agg = mm.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("jaccard").alias("minj"),
-        F.count_distinct("doc_a", "doc_b").alias("distinct_pairs"),
-        F.sum((F.col("doc_a") < F.col("doc_b")).cast("long")).alias(
-            "ordered"),
-    ).head()
+    # recall anti-join + pair-contract aggregate are independent
+    # read-only probes over the published pair table — overlap (§2.6)
+    missed, agg = _overlap(
+        lambda: epairs.join(
+            mm.select(F.col("doc_a").alias("a"),
+                      F.col("doc_b").alias("b")),
+            ["a", "b"], "left_anti",
+        ).count(),
+        lambda: mm.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("jaccard").alias("minj"),
+            F.count_distinct("doc_a", "doc_b").alias("distinct_pairs"),
+            F.sum((F.col("doc_a") < F.col("doc_b")).cast("long")).alias(
+                "ordered"),
+        ).head(),
+    )
     return spark.createDataFrame(
         [(
             bool(agg.n > 0),
@@ -2761,15 +2788,20 @@ def doc_simhash_check(spark, sf_dir):
         dedup.content_hash("text").alias("ch"),
         F.col("doc_id").alias("doc"),
     ).join(fps, "doc")
-    bad_groups = (
-        joined.groupBy("ch")
-        .agg(F.count_distinct("simhash").alias("nfp"),
-             F.count(F.lit(1)).alias("n"))
-        .filter((F.col("n") >= 2) & (F.col("nfp") > 1))
-        .count()
+    # group-consistency count + range aggregate are independent
+    # read-only probes over the published table — overlap (§2.6)
+    bad_groups, rng = _overlap(
+        lambda: (
+            joined.groupBy("ch")
+            .agg(F.count_distinct("simhash").alias("nfp"),
+                 F.count(F.lit(1)).alias("n"))
+            .filter((F.col("n") >= 2) & (F.col("nfp") > 1))
+            .count()
+        ),
+        lambda: fps.agg(F.min("simhash").alias("lo"),
+                        F.max("simhash").alias("hi"),
+                        F.count(F.lit(1)).alias("n")).head(),
     )
-    rng = fps.agg(F.min("simhash").alias("lo"), F.max("simhash").alias("hi"),
-                  F.count(F.lit(1)).alias("n")).head()
     return spark.createDataFrame(
         [(
             bool(rng.n > 0),
@@ -2817,16 +2849,21 @@ def doc_winnow_check(spark, sf_dir):
         .select("ch", F.col("doc").alias("p"))
     )
     epairs = dedup.bucket_pairs(eligible, ["ch"], "p", max_bucket=20)
-    missed = epairs.join(
-        ov.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")),
-        ["a", "b"], "left_anti",
-    ).count()
-    agg = ov.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count_distinct("doc_a", "doc_b").alias("distinct_pairs"),
-        F.sum((F.col("doc_a") < F.col("doc_b")).cast("long")).alias(
-            "ordered"),
-    ).head()
+    # recall anti-join + pair-contract aggregate are independent
+    # read-only probes over the published tables — overlap (§2.6)
+    missed, agg = _overlap(
+        lambda: epairs.join(
+            ov.select(F.col("doc_a").alias("a"),
+                      F.col("doc_b").alias("b")),
+            ["a", "b"], "left_anti",
+        ).count(),
+        lambda: ov.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("doc_a", "doc_b").alias("distinct_pairs"),
+            F.sum((F.col("doc_a") < F.col("doc_b")).cast("long")).alias(
+                "ordered"),
+        ).head(),
+    )
     return spark.createDataFrame(
         [(
             bool(agg.n > 0),
@@ -3098,21 +3135,27 @@ def emb_neardup_ivf_check(spark, sf_dir):
     ivf_same_label = attach(
         ivf.select("id_a", "id_b"), labels, "label", "la", "lb"
     ).filter(F.col("la") == F.col("lb"))
-    missed_in_blocked = ivf_same_label.join(
-        blocked.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
-    ).count()
     blocked_same_cell = attach(
         blocked.select("id_a", "id_b"), cells, "ivf_cell", "ca", "cb"
     ).filter(F.col("ca") == F.col("cb"))
-    missed_in_ivf = blocked_same_cell.join(
-        ivf.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
-    ).count()
-    agg = ivf.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count_distinct("id_a", "id_b").alias("distinct_pairs"),
-        F.sum((F.col("id_a") < F.col("id_b")).cast("long")).alias("ordered"),
-        F.min("cosine").alias("minc"),
-    ).head()
+    # the two cross-consistency anti-join counts and the pair-contract
+    # aggregate are independent read-only probes over the two published
+    # pair tables — overlap them (guide §2.6)
+    missed_in_blocked, missed_in_ivf, agg = _overlap(
+        lambda: ivf_same_label.join(
+            blocked.select("id_a", "id_b"), ["id_a", "id_b"],
+            "left_anti").count(),
+        lambda: blocked_same_cell.join(
+            ivf.select("id_a", "id_b"), ["id_a", "id_b"],
+            "left_anti").count(),
+        lambda: ivf.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("id_a", "id_b").alias("distinct_pairs"),
+            F.sum((F.col("id_a") < F.col("id_b")).cast("long"))
+            .alias("ordered"),
+            F.min("cosine").alias("minc"),
+        ).head(),
+    )
     return spark.createDataFrame(
         [(
             bool(agg.n > 0),
@@ -4229,10 +4272,6 @@ def doc_corpus_report_incr_check(spark, sf_dir):
     median estimate within one char_bin of the median-rank order
     statistic (computed distributed — one window, no driver collect of
     corpus rows)."""
-    served = {
-        (r.lang, r.source): r
-        for r in doc_corpus_report_incr(spark, sf_dir).collect()
-    }
     docs = _docs(spark, sf_dir)
     from pyspark.sql import Window
 
@@ -4259,8 +4298,16 @@ def doc_corpus_report_incr_check(spark, sf_dir):
         .join(stats, ["lang", "source"])
     )
     rsd = 1.04 / (2 ** (corpus.REPORT_HLL_LG_K / 2))
+    # served-state collect + ground-truth collect are independent
+    # read-only probes (folded state tree vs base corpus) — overlap
+    # them (guide §2.6)
+    served_rows, exact_rows = _overlap(
+        lambda: doc_corpus_report_incr(spark, sf_dir).collect(),
+        exact.collect,
+    )
+    served = {(r.lang, r.source): r for r in served_rows}
     rows = []
-    for r in exact.collect():
+    for r in exact_rows:
         s = served[(r.lang, r.source)]
         rows.append((
             r.lang, r.source, int(r.n_docs), int(r.total_chars),
@@ -4841,29 +4888,41 @@ def emb_admit_check(spark, sf_dir):
     n_new are data-bearing (pinned by SQL against embeddings)."""
     base = _ensure_eadmitted(spark, sf_dir)
     b1, b2 = _eadmit_batches(spark, sf_dir)
-    served_acc = {
-        (int(r.batch), int(r.vec_id))
-        for r in spark.read.option("basePath", f"{base}/out/accepted")
+    # the seven driver-side inputs are INDEPENDENT bounded collects
+    # over frozen fixture trees (served outputs, seed slice, centroid
+    # table, index ids, both engineered batches) — overlap them
+    # (guide §2.6); each lands in a set/dict/list whose construction
+    # is order-independent.  The batch counts are len() of the
+    # collected rows (guide §1.2 — no job for a number already here).
+    (acc_rows, rej_rows, seed_rows, cent_rows, idx_id_rows,
+     b1_rows, b2_rows) = _overlap(
+        lambda: spark.read.option("basePath", f"{base}/out/accepted")
         .parquet(f"{base}/out/accepted").select("batch", "vec_id")
-        .collect()
-    }
+        .collect(),
+        lambda: spark.read.option("basePath", f"{base}/out/rejected")
+        .parquet(f"{base}/out/rejected")
+        .select("batch", "doc", "reason", "match_id").collect(),
+        lambda: _embs(spark, sf_dir)
+        .filter((F.col("vec_id") >= _EADMIT_SEED_LO)
+                & (F.col("vec_id") < _EADMIT_SEED_HI))
+        .select("vec_id", "embedding").collect(),
+        lambda: _scan(spark, f"{base}/index/centroids")
+        .orderBy("ivf_cell").collect(),
+        lambda: _scan(spark, f"{base}/index/vectors")
+        .select("vec_id").collect(),
+        b1.collect, b2.collect,
+    )
+    served_acc = {(int(r.batch), int(r.vec_id)) for r in acc_rows}
     served_rej = {
         (int(r.batch), int(r.doc), r.reason, int(r.match_id))
-        for r in spark.read.option("basePath", f"{base}/out/rejected")
-        .parquet(f"{base}/out/rejected")
-        .select("batch", "doc", "reason", "match_id").collect()
+        for r in rej_rows
     }
     seed = {
         int(r.vec_id): np.array(list(r.embedding), dtype="float64")
-        for r in _embs(spark, sf_dir)
-        .filter((F.col("vec_id") >= _EADMIT_SEED_LO)
-                & (F.col("vec_id") < _EADMIT_SEED_HI))
-        .select("vec_id", "embedding").collect()
+        for r in seed_rows
     }
     cents = [
-        np.array(list(r.centroid), dtype="float64")
-        for r in _scan(spark, f"{base}/index/centroids")
-        .orderBy("ivf_cell").collect()
+        np.array(list(r.centroid), dtype="float64") for r in cent_rows
     ]
     cmat = np.array(cents)
     cnorm = np.sqrt((cmat * cmat).sum(axis=1))
@@ -4966,19 +5025,15 @@ def emb_admit_check(spark, sf_dir):
         return acc, rej
 
     hist = dict(seed)
-    a1, r1 = replay(0, b1.collect(), hist)
-    a2, r2 = replay(1, b2.collect(), hist)
+    a1, r1 = replay(0, b1_rows, hist)
+    a2, r2 = replay(1, b2_rows, hist)
     exp_acc = {(0, d) for d in a1} | {(1, d) for d in a2}
     exp_rej = ({(0, d, why, m) for d, (why, m) in r1.items()}
                | {(1, d, why, m) for d, (why, m) in r2.items()})
-    idx_rows = [
-        int(r.vec_id)
-        for r in _scan(spark, f"{base}/index/vectors")
-        .select("vec_id").collect()
-    ]
+    idx_rows = [int(r.vec_id) for r in idx_id_rows]
     idx_ids = set(idx_rows)
-    n_b1 = b1.count()
-    n_b2 = b2.count()
+    n_b1 = len(b1_rows)
+    n_b2 = len(b2_rows)
     return spark.createDataFrame(
         [(
             len(seed),
