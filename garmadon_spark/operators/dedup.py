@@ -2200,11 +2200,30 @@ def components(
     which is what dominates label-sized rounds.  On a cluster with
     executor churn, swap for a reliable checkpoint (or write the label
     table between rounds)."""
+    # Checkpoint the PAIR table first and derive both edge
+    # orientations from ONE reference via explode (r14): the old
+    # union referenced `pairs` twice, so the edges checkpoint's
+    # physical planning (toRdd — codegen included) ran over TWO
+    # copies of the entire upstream pair pipeline; measured 4-5 s of
+    # pure driver time per components() call when the pairs came off
+    # an unpersisted LSH plan (the funnel's case).  The pair plan is
+    # now planned once, the edge/label/hop plans are leaf-rooted, and
+    # the one extra materialization is pair-table-sized (bounded by
+    # the pair generators' blowup caps).
+    pairs_ck = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).localCheckpoint(eager=False)
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        pairs_ck.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(F.col("dst").alias("src"),
+                             F.col("src").alias("dst")),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -2226,18 +2245,29 @@ def components(
         )
 
     # TWO propagation hops per round (r14): labels only ever decrease,
-    # so comparing round-start vs round-end detects any change across
-    # both hops and the fixpoint is the same — rounds (and their
-    # driver-job round trips, which dominate label-sized iterations)
-    # halve, the per-round shuffles stay label-sized.
+    # so rounds (and their driver-job round trips, which dominate
+    # label-sized iterations) halve, the per-round shuffles stay
+    # label-sized.  The convergence test compares the round's FIRST
+    # hop against its second (hop(x) == x is exactly the fixpoint
+    # test), not round start against round end: a round whose second
+    # hop changed nothing proves convergence immediately, where the
+    # start-vs-end rule needed one more full confirmation round — for
+    # shallow dup clusters (one hop to the min label, the common
+    # case) that is half the rounds.  The stopping point is the same
+    # unique min-label fixpoint; only the number of no-op jobs after
+    # it differs.
     for _ in range((max_iter + 1) // 2):
-        stepped = hop(hop(labels)).withColumnRenamed("comp", "new_comp")
+        mid = hop(labels).withColumnRenamed("comp", "mid_comp")
+        stepped = hop(
+            mid.select("node", F.col("mid_comp").alias("comp"))
+        ).withColumnRenamed("comp", "new_comp")
         new_labels = (
-            stepped.join(labels, "node")
+            stepped.join(mid, "node")
             .select(
                 "node",
                 F.col("new_comp"),
-                (F.col("new_comp") != F.col("comp")).alias("_changed"),
+                (F.col("new_comp") != F.col("mid_comp")).alias(
+                    "_changed"),
             )
             .localCheckpoint(eager=False)
         )
