@@ -119,7 +119,12 @@ def _path_version(path: str):
     including appends two partition levels deep in the prefix-
     partitioned index trees — moves the token.  Cost is ~10 ms per
     1,000 files on a local fs, an order of magnitude cheaper than
-    Spark re-listing the tree through the JVM."""
+    Spark re-listing the tree through the JVM.
+
+    Raises OSError for paths this process cannot ``os.stat`` (remote
+    storage: ``hdfs://``, ``s3a://``); callers fall back to a plain
+    unmemoized ``spark.read.parquet`` there — the memo is a local-mode
+    driver-latency optimization, never a correctness dependency."""
     st = os.stat(path)
     ver = [st.st_mtime_ns, st.st_size]
     if os.path.isdir(path):
@@ -146,17 +151,22 @@ def scan_parquet(spark: SparkSession, path: str, schema: str | None = None,
     construction was the dominant cost)."""
     key = (spark.sparkContext.applicationId, path, schema,
            tuple(sorted(options.items())) if options else None)
-    ver = _path_version(path)
-    hit = _SCAN_MEMO.get(key)
-    if hit is not None and hit[0] == ver:
-        return hit[1]
+    try:
+        ver = _path_version(path)
+    except OSError:
+        ver = None  # remote storage: no stat token → no memo entry
+    if ver is not None:
+        hit = _SCAN_MEMO.get(key)
+        if hit is not None and hit[0] == ver:
+            return hit[1]
     reader = spark.read
     if schema:
         reader = reader.schema(schema)
     if options:
         reader = reader.options(**options)
     df = reader.parquet(path)
-    _SCAN_MEMO[key] = (ver, df)
+    if ver is not None:
+        _SCAN_MEMO[key] = (ver, df)
     return df
 
 
@@ -187,17 +197,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
         # memoize the POST-normalization frame: the ts probe (a py4j
         # schema fetch) and the withColumn are part of the per-call cost
         key = (spark.sparkContext.applicationId, path, "events-norm")
-        ver = _path_version(path)
-        hit = _SCAN_MEMO.get(key)
-        if hit is not None and hit[0] == ver:
-            return hit[1]
+        try:
+            ver = _path_version(path)
+        except OSError:
+            ver = None  # remote storage: no stat token → no memo entry
+        if ver is not None:
+            hit = _SCAN_MEMO.get(key)
+            if hit is not None and hit[0] == ver:
+                return hit[1]
         df = spark.read.parquet(path)
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        _SCAN_MEMO[key] = (ver, df)
+        if ver is not None:
+            _SCAN_MEMO[key] = (ver, df)
         return df
     return scan_parquet(spark, path)
 
